@@ -1,0 +1,7 @@
+package graft.queries
+
+/** All registered query specs, grouped by module. */
+object Registry {
+  def all: Seq[QuerySpec] =
+    RelationalQueries.all
+}
