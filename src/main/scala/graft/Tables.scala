@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver's parquet test tables (TESTDATA.md).
   *
@@ -20,7 +21,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's reader
+    * rejects outright (no nanosecond TimestampType). Read it as raw nanos
+    * (legacy flag) and convert to a µs timestamp with integer division —
+    * lossless here (TESTDATA values are µs-aligned) and integer `DIV` is
+    * mandatory: epoch-nanos ≈ 1.7e18 overflows double's 2^53 mantissa. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
