@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline (SURVEY §2b
+  * E1/E2): exact (hash groupBy), exact pairwise Jaccard (small-scale truth),
+  * and MinHash-LSH banding (the 100 TB path — candidate generation via
+  * equi-join on band keys instead of an O(n²) cross product).
+  */
+object Dedup {
+
+  /** E1: keep the first row (lowest tiebreaker) per normalized-content hash.
+    * One shuffle on the 256-bit content hash; survivors keep their input
+    * columns. At scale this is the canonical "hash-partition by content
+    * digest" dedup — no row ever compares against more than its bucket. */
+  def exact(df: DataFrame, text: Column, tiebreak: Column): DataFrame = {
+    val key = md5(lower(trim(text)))
+    val w = Window.partitionBy(key).orderBy(tiebreak)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact set-Jaccard of two string arrays — deterministic rational, safe
+    * to hash-compare across engines. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** E2 exact path: all candidate pairs inside a blocking key (e.g. lang),
+    * scored by shingle-set Jaccard. O(n²) per block — the correctness
+    * oracle for the LSH path below; at 100 TB only the LSH path runs. */
+  def jaccardPairs(docs: DataFrame, id: String, shingleCol: String,
+      blockCols: Seq[String]): DataFrame = {
+    val a = docs.select((blockCols :+ id :+ shingleCol).map(col): _*)
+      .withColumnRenamed(id, "id_a").withColumnRenamed(shingleCol, "sh_a")
+    val b = docs.select((blockCols :+ id :+ shingleCol).map(col): _*)
+      .withColumnRenamed(id, "id_b").withColumnRenamed(shingleCol, "sh_b")
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+  }
+
+  /** MinHash signature: k independent min-hashes of the shingle set.
+    * Hash family: xxhash64(shingle, seed_i) — deterministic, no salt
+    * tables to ship. Returns array<long> of length k. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** LSH banding: split the k-wide signature into bands of `rows` entries;
+    * docs agreeing on ALL rows of any band become candidates. Returns
+    * (band_idx, band_key) rows per doc — equi-joinable.
+    *
+    * Scale: candidate generation is groupBy/join on (band_idx, band_key) —
+    * a plain shuffle, no pairwise scan. Threshold tuning: P(candidate) =
+    * 1-(1-j^rows)^bands, the standard LSH S-curve. */
+  def lshBands(df: DataFrame, id: String, sigCol: String, rows: Int): DataFrame =
+    df.select(
+        col(id),
+        posexplode(
+          transform(
+            sequence(lit(0), (size(col(sigCol)) / rows).cast("int") - 1),
+            b => xxhash64(lit("band"), b,
+              array_join(
+                transform(slice(col(sigCol), b * lit(rows) + 1, lit(rows)),
+                  x => x.cast("string")),
+                "_")))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+
+  /** E2 LSH path end-to-end: candidates from banding, verified with exact
+    * Jaccard ≥ `threshold`. Output: (id_a, id_b, jac), id_a < id_b. */
+  def minhashNearDups(docs: DataFrame, id: String, shingleCol: String,
+      k: Int, bandRows: Int, threshold: Double): DataFrame = {
+    val withSig = docs
+      .withColumn("__sig", minhashSignature(col(shingleCol), k))
+    val bands = lshBands(withSig, id, "__sig", bandRows)
+    val cand = bands.as("x")
+      .join(bands.as("y"), Seq("band_idx", "band_key"))
+      .filter(col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
+      .distinct()
+    val sh = docs.select(col(id), col(shingleCol))
+    cand
+      .join(sh.withColumnRenamed(id, "id_a").withColumnRenamed(shingleCol, "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(id, "id_b").withColumnRenamed(shingleCol, "sh_b"), "id_b")
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+}

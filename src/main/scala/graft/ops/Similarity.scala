@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSim.cosine_sim
+
+/** Similarity search over an embedding column (SURVEY §2b E3).
+  *
+  * Baseline: brute-force cosine top-k — one scan, no shuffle except the
+  * final k-row TakeOrdered merge; the probe travels as a literal (a
+  * broadcast in cluster terms). This is the exact answer and the oracle.
+  *
+  * Scale path: IVF (inverted-file) — k-means coarse quantizer partitions
+  * the corpus; a probe searches only the nProbe nearest cells. At 100 TB
+  * the assignment is a one-time write-side cost (cluster id becomes a
+  * partition column) and each query prunes to nProbe/k of the data.
+  */
+object Similarity {
+
+  /** Embedding column (array<float>) widened to array<double> — all scoring
+    * runs in double so results are engine-portable (float widening exact). */
+  def asDouble(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(c, x => x.cast("double"))
+
+  /** Fetch one probe vector (as doubles) by id — a driver-side scalar fetch
+    * of a query *parameter*, not a data collect. */
+  def probeVector(emb: DataFrame, idCol: String, id: Long): Seq[Double] =
+    emb.filter(col(idCol) === id)
+      .select(asDouble(col("embedding")).as("p"))
+      .head().getSeq[Double](0)
+
+  /** Brute-force cosine top-k against a literal probe vector. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, probe: Seq[Double],
+      k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val p = array(probe.map(lit): _*)
+    val base = excludeId.fold(emb)(x => emb.filter(col(idCol) =!= x))
+    base
+      .withColumn("cos", round(cosine_sim(asDouble(col("embedding")), p), 6))
+      .select(col(idCol), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF index: seeded k-means over the embeddings; returns the assigned
+    * DataFrame (+cluster) and the centroid table. */
+  def ivfAssign(spark: SparkSession, emb: DataFrame, nCells: Int): (DataFrame, Array[Array[Double]]) = {
+    val withVec = emb.withColumn("__vec", array_to_vector(asDouble(col("embedding"))))
+    val km = new KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("__vec").setPredictionCol("cluster")
+    val model = km.fit(withVec.select("__vec"))
+    val assigned = model.transform(withVec).drop("__vec")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF query: score only the nProbe cells whose centroids are nearest the
+    * probe (cosine), then brute-force inside them. */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+      idCol: String, probe: Seq[Double], k: Int, nProbe: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cells = centroids.zipWithIndex
+      .map { case (c, i) => (i, cos(c.toSeq, probe)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(nProbe).map(_._1)
+    val p = array(probe.map(lit): _*)
+    val base = excludeId.fold(assigned)(x => assigned.filter(col(idCol) =!= x))
+    base
+      .filter(col("cluster").isInCollection(cells.toSeq))
+      .withColumn("cos", round(cosine_sim(asDouble(col("embedding")), p), 6))
+      .select(col(idCol), col("label"), col("cluster"), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

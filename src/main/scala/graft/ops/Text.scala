@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks (SURVEY §2b E4 + the training-data-pipeline
+  * surface: tokenization, shingling, language-ID, quality scoring,
+  * fingerprinting). Pure column expressions — everything stays inside
+  * codegen; nothing crosses a UDF boundary.
+  */
+object Text {
+
+  /** Lowercased word tokens; empty fragments from leading/trailing
+    * delimiters are dropped (so "a b." and "a b" tokenize identically). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => t =!= "")
+
+  /** n-word shingles joined with a single space; fewer than n tokens →
+    * empty array (not null — callers can treat it set-wise). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single
+    * punctuation marks — the regex stand-in for a real BPE vocab. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Ratio of two counts as an exact double (numerator/denominator are
+    * integers, so the division is bit-identical in any engine). */
+  def ratio(num: Column, den: Column): Column =
+    when(den =!= 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+
+  /** Marker-word hit count for one language — the n-gram-heuristic
+    * language-ID primitive. Counts token OCCURRENCES (not distinct). */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Tiny marker lexicons for the language-ID heuristic (stopwords with
+    * high coverage and low cross-language collision). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "zai"))
+
+  /** Winner-take-all language guess over the marker-hit columns; ties go to
+    * the earlier entry in LangMarkers (deterministic, mirrored in SQL). */
+  def langGuess(hitCols: Seq[(String, Column)]): Column = {
+    val best = hitCols.map(_._2).reduce((a, b) => greatest(a, b))
+    val cases = hitCols.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (lang, c)) => acc.when(c === best, lit(lang))
+    }
+    cases.otherwise(lit("und"))
+  }
+
+  /** Order-insensitive bag-of-words fingerprint: md5 of the sorted distinct
+    * token list. Stable across engines (binary string sort + md5). */
+  def bagFingerprint(toks: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks)), " "))
+}

@@ -30,8 +30,9 @@ object Windows {
     * of more than `gapSeconds` between consecutive events starts a new
     * session. Two windows over the same (key, ts) shuffle — Spark reuses the
     * partitioning, so this is one exchange. */
-  def sessionize(df: DataFrame, key: String, ts: String, gapSeconds: Long): DataFrame = {
-    val byKey = Window.partitionBy(col(key)).orderBy(col(ts))
+  def sessionize(df: DataFrame, key: String, ts: String, gapSeconds: Long,
+      tiebreak: String): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
     df.withColumn("__prev", lag(col(ts), 1).over(byKey))
       .withColumn(
         "__new",

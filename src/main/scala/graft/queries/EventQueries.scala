@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.Windows
+
+/** Event-stream surface, batch twins (SURVEY §2b E5/E7). The streaming
+  * twins (Structured Streaming with watermarks) live in graft.streaming —
+  * same logical queries, no DuckDB oracle (driver-verifiable only in
+  * batch form).
+  */
+object EventQueries {
+
+  /** E5: JSON extraction from the events.props string column. `from_json`
+    * with an explicit schema — parsed once, pruned like any struct. */
+  val jsonExtract = QuerySpec(
+    "q_json_extract",
+    (s, d) =>
+      events(s, d)
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .select("event_id", "event_type", "k")
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id, event_type, CAST(props->>'$.k' AS INTEGER) AS k
+      FROM events
+      ORDER BY event_id
+    """))
+
+  /** E7 batch twin: 1-hour tumbling windows per event type. Uses Spark's
+    * `window()` operator (struct start/end), projecting the start — the
+    * exact groupBy(date_trunc) relational twin DuckDB can oracle. */
+  val windowTumbling = QuerySpec(
+    "q_window_tumbling",
+    (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        .select(
+          col("w.start").as("hour_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("hour_start", "event_type"),
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))
+
+  /** E7 sessionization (batch twin): 30-minute-gap sessions per user via
+    * lag + running sum — one shuffle on (user_id), both windows and the
+    * final groupBy reuse the same partitioning. */
+  val sessionize = QuerySpec(
+    "q_sessionize",
+    (s, d) =>
+      Windows.sessionize(events(s, d), "user_id", "ts", gapSeconds = 1800,
+          tiebreak = "event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          (max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("dur_s"))
+        .orderBy("user_id", "session_seq"),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+      )
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             count(*) AS n_events,
+             CAST(min(ts) AS TIMESTAMP) AS session_start,
+             CAST(max(ts) AS TIMESTAMP) AS session_end,
+             date_diff('second', min(ts), max(ts)) AS dur_s
+      FROM numbered
+      GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq
+    """))
+
+  val all: Seq[QuerySpec] = Seq(jsonExtract, windowTumbling, sessionize)
+}

@@ -3,5 +3,6 @@ package graft.queries
 /** All registered query specs, grouped by module. */
 object Registry {
   def all: Seq[QuerySpec] =
-    RelationalQueries.all
+    RelationalQueries.all ++ TextQueries.all ++
+      SimilarityQueries.all ++ EventQueries.all
 }

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.{Dedup, Text}
+import graft.functions.RollingHash.rolling_hash
+import graft.functions.SimHash64.simhash64
+
+/** Text-analysis + deduplication surface (SURVEY §2b E1/E2/E4 and the
+  * training-data-pipeline operators). All oracle queries stick to
+  * engine-portable arithmetic: integer counts, exact rationals, md5.
+  */
+object TextQueries {
+
+  /** E1: exact dedup by normalized-content hash, first doc_id wins. */
+  val dedupExact = QuerySpec(
+    "q_dedup_exact",
+    (s, d) =>
+      Dedup.exact(documents(s, d), col("text"), col("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, lang, source, n_chars
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                     ORDER BY doc_id) AS rn
+        FROM documents
+      )
+      WHERE rn = 1
+      ORDER BY doc_id
+    """))
+
+  /** E2 exact path: top-25 most-similar document pairs by 3-word-shingle
+    * Jaccard, blocked by lang (the blocking key both bounds the O(n²) pair
+    * space and mirrors a real dedup pipeline's partitioning). */
+  val dedupNear = QuerySpec(
+    "q_dedup_near",
+    (s, d) => {
+      val docs = documents(s, d)
+        .withColumn("sh", array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
+      Dedup.jaccardPairs(docs, "doc_id", "sh", Seq("lang"))
+        .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
+        .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
+        .limit(25)
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      )
+      SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+             END AS jac
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      ORDER BY jac DESC, id_a ASC, id_b ASC
+      LIMIT 25
+    """))
+
+  /** E2 scale path: MinHash-LSH banded near-dup candidates, verified with
+    * exact Jaccard. Engine-specific hash family (xxhash64) → no SQL oracle;
+    * invariants covered in DedupSpec (LSH ⊆ exact pairs, planted dup found).
+    */
+  val dedupMinhash = QuerySpec(
+    "q_dedup_minhash",
+    (s, d) => {
+      val docs = documents(s, d)
+        .withColumn("sh", array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
+      Dedup.minhashNearDups(docs, "doc_id", "sh", k = 16, bandRows = 2, threshold = 0.2)
+        .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
+    },
+    None)
+
+  /** Near-dup fingerprint via 64-bit SimHash (custom codegen'd Expression).
+    * Groups sharing a 16-bit band prefix are hamming-near candidates. */
+  val dedupSimhash = QuerySpec(
+    "q_dedup_simhash",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("simhash", simhash64(Text.tokens(col("text"))))
+        .select(
+          col("doc_id"),
+          col("simhash"),
+          col("simhash").bitwiseAND(lit(0xFFFFL)).as("band0"))
+        .orderBy("doc_id"),
+    None)
+
+  /** E4: per-language corpus stats — doc counts, token totals, char stats.
+    * Sum of BIGINT must be cast on the DuckDB side (its integer sums widen
+    * to HUGEINT, which parquet can't carry). */
+  val textStats = QuerySpec(
+    "q_text_stats",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang"),
+    Some("""
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                      t -> t <> ''))) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+             count(DISTINCT source) AS n_sources
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang
+    """))
+
+  /** Language-ID by stopword-marker voting (n-gram heuristic, E4/training
+    * surface). Winner-take-all with deterministic tie order. */
+  val langId = QuerySpec(
+    "q_lang_id",
+    (s, d) => {
+      val toks = Text.tokens(col("text"))
+      val hits = Text.LangMarkers.map { case (l, ms) =>
+        l -> Text.markerHits(toks, ms).as(s"hits_$l")
+      }
+      val df = documents(s, d).select(
+        (col("doc_id") +: col("lang") +: hits.map(_._2)): _*)
+      val hitCols = Text.LangMarkers.map { case (l, _) => l -> col(s"hits_$l") }
+      df.withColumn("lang_guess", Text.langGuess(hitCols))
+        .orderBy("doc_id")
+    },
+    Some {
+      val hitExprs = Text.LangMarkers.map { case (l, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> ''), t -> t IN ($inList))) AS hits_$l"
+      }.mkString(",\n             ")
+      val langs = Text.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("hits_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN hits_$l = $best THEN '$l'").mkString(" ")
+      s"""
+      SELECT doc_id, lang, ${langs.map(l => s"CAST(hits_$l AS INTEGER) AS hits_$l").mkString(", ")},
+             CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess
+      FROM (
+        SELECT doc_id, lang,
+             $hitExprs
+        FROM documents
+      )
+      ORDER BY doc_id
+      """
+    })
+
+  /** Quality scoring: length/punctuation/stopword/uppercase ratios + a
+    * rule-based keep/flag verdict — the standard pre-training text filters,
+    * all as exact integer-ratio arithmetic. */
+  val qualityScore = QuerySpec(
+    "q_quality_score",
+    (s, d) => {
+      val toks = Text.tokens(col("text"))
+      val nTok = size(toks)
+      val nChar = length(col("text"))
+      val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+      val nStop = Text.markerHits(toks, Text.LangMarkers.head._2)
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          nTok.as("n_tok"),
+          nChar.as("n_char"),
+          Text.ratio(nPunct, nChar).as("punct_ratio"),
+          Text.ratio(nStop, nTok).as("stop_ratio"),
+          (nChar.cast("double") / nTok.cast("double")).as("chars_per_tok"))
+        .withColumn("keep",
+          (col("n_tok") >= 20) && (col("punct_ratio") < 0.1) &&
+            (col("chars_per_tok") < 12.0))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stop = Text.LangMarkers.head._2.map(m => s"'$m'").mkString(", ")
+      s"""
+      SELECT doc_id, n_tok, n_char, punct_ratio, stop_ratio, chars_per_tok,
+             (n_tok >= 20 AND punct_ratio < 0.1 AND chars_per_tok < 12.0) AS keep
+      FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tok,
+               CAST(length(text) AS INTEGER) AS n_char,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+               CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS chars_per_tok
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS toks
+              FROM documents)
+      )
+      ORDER BY doc_id
+      """
+    })
+
+  /** Token counting two ways: whitespace words and BPE-ish subword regex —
+    * the per-document token-budget accounting a training pipeline runs. */
+  val tokenCount = QuerySpec(
+    "q_token_count",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(Text.tokens(col("text"))).as("n_words"),
+          size(Text.bpeTokens(col("text"))).as("n_bpe"),
+          length(col("text")).as("n_char"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                  t -> t <> '')) AS INTEGER) AS n_words,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe,
+             CAST(length(text) AS INTEGER) AS n_char
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** Document fingerprinting both ways: order-insensitive md5 bag hash and
+    * the custom codegen'd Rabin–Karp RollingHash Expression — the latter
+    * recomputed by DuckDB as a list_reduce over ascii codes (identical for
+    * this ASCII corpus; the Expression hashes UTF-8 bytes). */
+  val fingerprint = QuerySpec(
+    "q_fingerprint",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          Text.bagFingerprint(Text.tokens(col("text"))).as("bag_fp"),
+          rolling_hash(col("text")).as("roll_fp"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '\W+'), t -> t <> ''))), ' ')) AS bag_fp,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(string_split(text, ''),
+                                                     c -> CAST(ascii(c) AS BIGINT))),
+                         (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[QuerySpec] = Seq(
+    dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
+    langId, qualityScore, tokenCount, fingerprint)
+}
