@@ -1,0 +1,60 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.DataFrame
+
+/** The reference's ML dataflow (SURVEY §2a M1–M4), Scala MLlib-native.
+  *
+  * Divergences from the reference, all deliberate (SURVEY §7.3):
+  *  - the split is SEEDED (untitled.py:175 is unseeded → unreproducible);
+  *  - RMSE is a plain aggregate, not RegressionEvaluator-only (the
+  *    reference's evaluator import is commented out — untitled.py:99,238);
+  *  - boosting iterations are a parameter (the reference hard-codes 100;
+  *    the registered query uses 10 to keep the correctness/bench loop
+  *    proportionate — same estimator, same convergence machinery).
+  *
+  * Scale: GBT training is driver-orchestrated boosting over cached data —
+  * MLlib handles executor-side gradient/split aggregation; input is cached
+  * once here, exactly what the fit loop re-reads (SURVEY §4 cache policy).
+  */
+object MlPipeline {
+
+  /** M1: assemble feature columns into a dense MLlib vector. */
+  def assemble(df: DataFrame, inputCols: Seq[String], out: String = "features"): DataFrame =
+    new VectorAssembler()
+      .setInputCols(inputCols.toArray)
+      .setOutputCol(out)
+      .transform(df)
+
+  /** M2: seeded 70/30 split. */
+  def seededSplit(df: DataFrame, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val Array(train, test) = df.randomSplit(Array(0.7, 0.3), seed)
+    (train, test)
+  }
+
+  /** M3: gradient-boosted-tree regression fit. */
+  def trainGbt(train: DataFrame, labelCol: String, maxIter: Int,
+      seed: Long = 42L): GBTRegressionModel = {
+    val cached = train.cache()
+    try
+      new GBTRegressor()
+        .setFeaturesCol("features")
+        .setLabelCol(labelCol)
+        .setMaxIter(maxIter)
+        .setMaxDepth(4)
+        .setSeed(seed)
+        .fit(cached)
+    finally cached.unpersist()
+  }
+
+  /** M4: RMSE via MLlib's evaluator (the aggregate twin is
+    * RelationalQueries.rmse / q_rmse). */
+  def rmse(predictions: DataFrame, labelCol: String): Double =
+    new RegressionEvaluator()
+      .setMetricName("rmse")
+      .setLabelCol(labelCol)
+      .setPredictionCol("prediction")
+      .evaluate(predictions)
+}

@@ -92,5 +92,42 @@ object EventQueries {
       ORDER BY user_id, session_seq
     """))
 
-  val all: Seq[QuerySpec] = Seq(jsonExtract, windowTumbling, sessionize)
+  /** E7 via Spark's native session_window operator (batch mode; the
+    * streaming form is graft.streaming.Streams.sessionsByUser). Oracle:
+    * gaps-and-islands SQL — a new session starts at gap ≥ 30 min (µs
+    * precision, matching session_window's half-open [start, last+gap)). */
+  val sessionWindow = QuerySpec(
+    "q_session_window",
+    (s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "session_start"),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged
+      )
+      SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+             CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+             user_id, count(*) AS n_events
+      FROM numbered
+      GROUP BY user_id, seq
+      ORDER BY user_id, session_start
+    """))
+
+  val all: Seq[QuerySpec] = Seq(jsonExtract, windowTumbling, sessionize, sessionWindow)
 }

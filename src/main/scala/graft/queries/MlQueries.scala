@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ml.MlPipeline
+
+/** ML dataflow surface (SURVEY §2a M1–M4) as driver-verifiable queries. */
+object MlQueries {
+
+  private val FeatureCols = Seq("l_quantity", "l_discount", "l_tax")
+
+  /** M1 relational twin: feature assembly as a plain array column — the
+    * SQL-expressible shape of VectorAssembler's output (the VectorUDT
+    * variant runs inside q_gbt_predict; parquet can't carry VectorUDT in a
+    * DuckDB-comparable form). */
+  val vectorAssemble = QuerySpec(
+    "q_vector_assemble",
+    (s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          array(FeatureCols.map(col): _*).as("features"),
+          col("l_extendedprice").as("label"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             [l_quantity, l_discount, l_tax] AS features,
+             l_extendedprice AS label
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+    """))
+
+  /** M2: seeded 70/30 split — summarized per side (counts + exact key sum)
+    * so the output is tiny and the invariants (disjoint, exhaustive) are
+    * visible. Sampling isn't SQL-oracle-able (SURVEY M2); MlSpec asserts
+    * the invariants instead. */
+  val randomSplit = QuerySpec(
+    "q_random_split",
+    (s, d) => {
+      val (train, test) = MlPipeline.seededSplit(orders(s, d))
+      train.withColumn("side", lit("train"))
+        .unionByName(test.withColumn("side", lit("test")))
+        .groupBy("side")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("side")
+    },
+    None)
+
+  /** M3+M4: assemble → seeded split → GBT fit (10 iterations, depth 4) →
+    * predictions on the held-out side. Model output isn't SQL-expressible;
+    * MlSpec checks RMSE is finite and beats the constant-mean predictor. */
+  val gbtPredict = QuerySpec(
+    "q_gbt_predict",
+    (s, d) => {
+      val base = lineitem(s, d)
+        .select((Seq("l_orderkey", "l_linenumber", "l_extendedprice") ++ FeatureCols)
+          .map(col): _*)
+      val features = MlPipeline.assemble(base, FeatureCols)
+      val (train, test) = MlPipeline.seededSplit(features)
+      val model = MlPipeline.trainGbt(train, "l_extendedprice", maxIter = 10)
+      model.transform(test)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("label"),
+          round(col("prediction"), 4).as("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    None)
+
+  val all: Seq[QuerySpec] = Seq(vectorAssemble, randomSplit, gbtPredict)
+}

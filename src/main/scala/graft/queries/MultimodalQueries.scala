@@ -1,0 +1,33 @@
+package graft.queries
+
+import graft.Tables._
+import graft.multimodal.Multimodal
+
+/** Multimodal-column plumbing as a driver-verifiable query (SURVEY §2b E6).
+  * The decode stage is a deterministic stub (no codecs in this container —
+  * see Multimodal's STUB NOTE), which is precisely what makes it
+  * oracle-able: DuckDB recomputes byte length / rolling fingerprint /
+  * header byte from the same payload bytes (ASCII corpus → octet == ascii).
+  */
+object MultimodalQueries {
+
+  val multimodal = QuerySpec(
+    "q_multimodal",
+    (s, d) =>
+      Multimodal.decodeFeatures(s, Multimodal.packDocuments(documents(s, d)))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             'text' AS kind,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(string_split(text, ''),
+                                                     c -> CAST(ascii(c) AS BIGINT))),
+                         (a, b) -> (a * 31 + b) % 1000000007) AS payload_fp,
+             CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER) AS fake_width
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[QuerySpec] = Seq(multimodal)
+}

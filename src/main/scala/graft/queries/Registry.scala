@@ -4,5 +4,6 @@ package graft.queries
 object Registry {
   def all: Seq[QuerySpec] =
     RelationalQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ EventQueries.all
+      SimilarityQueries.all ++ EventQueries.all ++
+      MlQueries.all ++ MultimodalQueries.all
 }

@@ -1,0 +1,38 @@
+package graft
+
+import graft.ops.Similarity
+
+/** Driver-contract invariants + the ANN recall bound. */
+class EntrySpec extends SparkSpec {
+
+  test("entry: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; names are unique") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    assert(SparkEntry.specs.map(_.name).distinct.size === SparkEntry.specs.size)
+  }
+
+  test("ANN (IVF) recall >= 0.6 vs exact brute-force top-20") {
+    val emb = Tables.embeddings(spark, Sf001)
+    val probe = Similarity.probeVector(emb, "vec_id", 0L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", probe, 20, Some(0L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (assigned, centroids) = Similarity.ivfAssign(spark, emb, 16)
+    val approx = Similarity.ivfTopK(assigned, centroids, "vec_id", probe, 20, 8, Some(0L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
+  test("multimodal decode: features align with payload bytes") {
+    val packed = multimodal.Multimodal.packDocuments(Tables.documents(spark, Sf001))
+    val feats = multimodal.Multimodal.decodeFeatures(spark, packed)
+    val joined = feats.join(Tables.documents(spark, Sf001), "doc_id")
+    import org.apache.spark.sql.functions._
+    assert(joined.filter(col("n_bytes") =!= length(col("text"))).count() === 0)
+    assert(feats.filter(col("fake_width") < 1 || col("fake_width") > 64).count() === 0)
+  }
+}

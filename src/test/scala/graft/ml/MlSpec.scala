@@ -1,0 +1,44 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+
+  lazy val orders = Tables.orders(spark, Sf001).cache()
+
+  test("M2: seeded split is disjoint, exhaustive, and reproducible") {
+    val (a1, b1) = MlPipeline.seededSplit(orders)
+    val (a2, b2) = MlPipeline.seededSplit(orders)
+    assert(a1.count() + b1.count() === orders.count())
+    assert(a1.join(b1, Seq("o_orderkey"), "inner").count() === 0)
+    assert(a1.count() === a2.count() && b1.count() === b2.count())
+  }
+
+  test("M1+M3+M4: GBT learns a real signal and beats the constant-mean predictor") {
+    // The driver's synthetic lineitem has NO feature->label dependence
+    // (corr(l_quantity, l_extendedprice) ~ -0.01 — independent draws), so
+    // learning is asserted on a constructed deterministic dataset instead;
+    // q_gbt_predict still exercises the pipeline on the real tables.
+    val base = spark.range(4000).selectExpr(
+      "cast(id % 97 as double) / 97.0 as x1",
+      "cast((id * 31) % 89 as double) / 89.0 as x2",
+      "5.0 * (cast(id % 97 as double) / 97.0) " +
+        "- 3.0 * (cast((id * 31) % 89 as double) / 89.0) " +
+        "+ 0.01 * (cast((id * 7) % 13 as double)) as label")
+    val features = MlPipeline.assemble(base, Seq("x1", "x2"))
+    val (train, test) = MlPipeline.seededSplit(features)
+    // stepSize 0.1: ~(1-0.9^n) of the signal is captured per the boosting
+    // recurrence — 20 iterations comfortably separates from the baseline
+    val model = MlPipeline.trainGbt(train, "label", maxIter = 20)
+    val preds = model.transform(test)
+    val gbtRmse = MlPipeline.rmse(preds, "label")
+    val mean = train.agg(avg("label")).head().getDouble(0)
+    val baseRmse = math.sqrt(
+      test.agg(avg(pow(col("label") - mean, 2))).head().getDouble(0))
+    assert(gbtRmse.isFinite && gbtRmse > 0)
+    assert(gbtRmse < baseRmse * 0.5,
+      s"GBT rmse $gbtRmse should clearly beat constant-mean rmse $baseRmse")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup: normalization collapses case/whitespace variants, first id wins") {
+    val docs = Seq(
+      (1L, "Hello World"),
+      (2L, "  hello world  "),   // same content after lower+trim
+      (3L, "HELLO WORLD"),
+      (4L, "something else")).toDF("doc_id", "text")
+    val kept = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L))
+  }
+
+  test("exact dedup is idempotent") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val once = Dedup.exact(docs, col("text"), col("doc_id"))
+    val twice = Dedup.exact(once, col("text"), col("doc_id"))
+    assert(once.count() === twice.count())
+  }
+
+  test("jaccard: exact rational on distinct arrays") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(df.head().getDouble(0) === 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 57).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
+    val other = (100 to 160).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+      .withColumn("sh", array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh",
+      k = 16, bandRows = 2, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("LSH verified pairs are a subset of exact jaccard pairs at the same threshold") {
+    val docs = graft.Tables.documents(spark, Sf001)
+      .withColumn("sh", array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "sh", 16, 2, 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs.withColumn("all", lit(1)), "doc_id", "sh", Seq("all"))
+      .filter(col("jac") >= 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+}

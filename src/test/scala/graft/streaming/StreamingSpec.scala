@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** The streaming twins produce the same answers as their batch forms when
+  * fed identical data through MemoryStream (SURVEY §5: streaming has no
+  * DuckDB oracle; the batch twin IS its oracle).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val data = Seq(
+    Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.5),
+    Ev(2, ts("2024-01-01 10:45:00"), 1, "click", 2.5),
+    Ev(3, ts("2024-01-01 11:05:00"), 2, "view", 1.0),
+    Ev(4, ts("2024-01-01 11:20:00"), 1, "click", 4.0),
+    Ev(5, ts("2024-01-01 12:40:00"), 2, "view", 0.5))
+
+  private def runStream(name: String, build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(data: _*)
+    val q = build(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling agg equals the batch twin on the same rows") {
+    val streamed = runStream("t_tumble", Streams.tumblingByType)
+      .orderBy("hour_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = Streams.tumblingByType(data.toDF())
+      .orderBy("hour_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.size === 4) // 10h click, 11h click, 11h view, 12h view
+  }
+
+  test("streaming session windows merge events within the 30-min gap") {
+    val got = runStream("t_sess", Streams.sessionsByUser)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    // user 1: 10:05+10:45 merge? gap 40min > 30 -> two sessions; 10:45->11:20 gap 35min -> split
+    // sessions user1: {10:05}, {10:45}, {11:20}; user2: {11:05}, {12:40}
+    assert(got === Seq((1L, 1L), (1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+}
