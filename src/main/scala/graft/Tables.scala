@@ -14,6 +14,17 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Round-robin repartition to the session's core count — for CPU-heavy
+    * per-row stages (shingling, k-means, model fits) over SMALL inputs.
+    * The test tables are single parquet files under one HDFS-block split,
+    * so without this every expression pipeline runs as ONE task (measured:
+    * 9 s single-task shingling vs sub-second fanned out). At 100 TB inputs
+    * arrive in thousands of splits and this becomes a no-op cost-wise —
+    * but a compute-bound stage after a selective filter hits the same
+    * cliff there, and the same fix applies. */
+  def fanOut(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -31,18 +31,43 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
-  /** E2 exact path: all candidate pairs inside a blocking key (e.g. lang),
-    * scored by shingle-set Jaccard. O(n²) per block — the correctness
-    * oracle for the LSH path below; at 100 TB only the LSH path runs. */
+  /** E2 exact path: similar pairs inside a blocking key (e.g. lang), scored
+    * by shingle-set Jaccard — computed via an INVERTED INDEX, not a blocked
+    * cross join: explode (block, shingle, doc) postings, equi-join postings
+    * on (block, shingle), count common shingles per pair, then
+    * jac = common / (|A| + |B| − common).
+    *
+    * Why: a blocked self-join is O(n² per block) string-array intersects —
+    * measured 156 s at sf0.1 and hopeless at 100 TB. The posting join's
+    * work is Σ_shingle df² (df = docs containing the shingle; 0.9 M at
+    * sf0.1 → sub-second) and every stage is an ordinary shuffle. Pairs
+    * sharing ZERO shingles never materialize — identical top-k/threshold
+    * results, since those pairs have jac = 0. Hot shingles (huge df) are
+    * the known skew risk; the 100 TB mitigation is prefix filtering or
+    * dropping df > cap shingles (cap makes jac approximate), or the LSH
+    * path below.
+    *
+    * `shingleCol` must hold DISTINCT shingles (callers array_distinct). */
   def jaccardPairs(docs: DataFrame, id: String, shingleCol: String,
       blockCols: Seq[String]): DataFrame = {
-    val a = docs.select((blockCols :+ id :+ shingleCol).map(col): _*)
-      .withColumnRenamed(id, "id_a").withColumnRenamed(shingleCol, "sh_a")
-    val b = docs.select((blockCols :+ id :+ shingleCol).map(col): _*)
-      .withColumnRenamed(id, "id_b").withColumnRenamed(shingleCol, "sh_b")
-    a.join(b, blockCols)
+    val posts = docs
+      .select((blockCols.map(col) :+ col(id) :+
+        size(col(shingleCol)).as("__sz") :+
+        explode(col(shingleCol)).as("__sh")): _*)
+    def sided(side: String) =
+      posts.toDF(posts.columns.map {
+        case `id` => s"id_$side"
+        case "__sz" => s"sz_$side"
+        case c => c
+      }: _*)
+    sided("a").join(sided("b"), blockCols :+ "__sh")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy((blockCols :+ "id_a" :+ "id_b" :+ "sz_a" :+ "sz_b").map(col): _*)
+      .agg(count(lit(1)).as("__common"))
+      .withColumn("jac",
+        col("__common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("__common")).cast("double"))
+      .drop("__common", "sz_a", "sz_b")
   }
 
   /** MinHash signature: k independent min-hashes of the shingle set.

@@ -46,7 +46,10 @@ object Similarity {
   /** IVF index: seeded k-means over the embeddings; returns the assigned
     * DataFrame (+cluster) and the centroid table. */
   def ivfAssign(spark: SparkSession, emb: DataFrame, nCells: Int): (DataFrame, Array[Array[Double]]) = {
-    val withVec = emb.withColumn("__vec", array_to_vector(asDouble(col("embedding"))))
+    // single-file inputs arrive as ONE split; k-means iterations are CPU-
+    // bound per row, so fan out to all cores first (graft.Tables.fanOut)
+    val withVec = graft.Tables.fanOut(spark, emb)
+      .withColumn("__vec", array_to_vector(asDouble(col("embedding"))))
     val km = new KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("__vec").setPredictionCol("cluster")

@@ -58,7 +58,8 @@ object MlQueries {
       val base = lineitem(s, d)
         .select((Seq("l_orderkey", "l_linenumber", "l_extendedprice") ++ FeatureCols)
           .map(col): _*)
-      val features = MlPipeline.assemble(base, FeatureCols)
+      // fan out before the CPU-bound boosting loop (single-file input)
+      val features = MlPipeline.assemble(fanOut(s, base), FeatureCols)
       val (train, test) = MlPipeline.seededSplit(features)
       val model = MlPipeline.trainGbt(train, "l_extendedprice", maxIter = 10)
       model.transform(test)

@@ -210,7 +210,9 @@ object RelationalQueries {
   val groupbyMedian = QuerySpec(
     "q_groupby_median",
     (s, d) =>
-      lineitem(s, d)
+      // exact median buffers hold every value, so the partial aggregate is
+      // the expensive stage — fan the single-file scan out first
+      fanOut(s, lineitem(s, d))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           median(col("l_quantity")).as("med_qty"),

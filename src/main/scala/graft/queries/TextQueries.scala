@@ -12,6 +12,25 @@ import graft.functions.SimHash64.simhash64
   */
 object TextQueries {
 
+  /** Documents with distinct 3-word shingles, fanned out and CACHED.
+    *
+    * The cache is load-bearing twice over, not an optimization garnish:
+    * (1) both sides of the posting join (and the LSH signature pass) read
+    * it — without the barrier each consumer recomputes the shingling;
+    * (2) Catalyst's InferFiltersFromGenerate pushes a `size(sh)>0` filter
+    * through the repartition to the scan with the WHOLE interpreted
+    * higher-order shingle expression inlined (~4× per row, single input
+    * split — measured 11 s at sf0.1). Caching materializes `sh` once,
+    * post-fan-out, and downstream filters hit the column, not the
+    * expression. At 100 TB the same shape persists to disk instead
+    * (StorageLevel.DISK_ONLY) — the principle (materialize once, join
+    * many) is unchanged. */
+  private def shingledDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    fanOut(s, documents(s, d))
+      .withColumn("sh", array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
+      .select("doc_id", "lang", "sh")
+      .cache()
+
   /** E1: exact dedup by normalized-content hash, first doc_id wins. */
   val dedupExact = QuerySpec(
     "q_dedup_exact",
@@ -36,9 +55,7 @@ object TextQueries {
   val dedupNear = QuerySpec(
     "q_dedup_near",
     (s, d) => {
-      val docs = documents(s, d)
-        .withColumn("sh", array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
-      Dedup.jaccardPairs(docs, "doc_id", "sh", Seq("lang"))
+      Dedup.jaccardPairs(shingledDocs(s, d), "doc_id", "sh", Seq("lang"))
         .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
         .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
         .limit(25)
@@ -72,9 +89,8 @@ object TextQueries {
   val dedupMinhash = QuerySpec(
     "q_dedup_minhash",
     (s, d) => {
-      val docs = documents(s, d)
-        .withColumn("sh", array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
-      Dedup.minhashNearDups(docs, "doc_id", "sh", k = 16, bandRows = 2, threshold = 0.2)
+      Dedup.minhashNearDups(shingledDocs(s, d), "doc_id", "sh",
+          k = 16, bandRows = 2, threshold = 0.2)
         .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
     },
     None)
