@@ -426,8 +426,40 @@ object RelationalQueries {
       ORDER BY o_orderkey
     """))
 
+  /** The engine's SQL entry point (the reference reaches Spark through
+    * SQLContext + a CSV reader, untitled.py:156-158; the modern form is
+    * temp views + `spark.sql`). TPC-H-Q1-shaped pricing summary —
+    * identical text runs on both engines. */
+  val sqlAgg = QuerySpec(
+    "q_sql_agg",
+    (s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     monthlyRollup, parseText, sentinelNull, notnullFilter, rangeFilter,
     joinInner, semiJoin, groupbyMedian, corrMatrix, rmse, latestPerKey,
-    topk, unionAll, concatLabel, regexStrip, dateParse)
+    topk, unionAll, concatLabel, regexStrip, dateParse, sqlAgg)
 }

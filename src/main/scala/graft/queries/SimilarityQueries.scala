@@ -53,5 +53,38 @@ object SimilarityQueries {
     },
     None)
 
-  val all: Seq[QuerySpec] = Seq(similarityTopk, similarityAnn)
+  /** Embedding-cosine near-duplicate pairs (the vector-space sibling of
+    * shingle-Jaccard dedup): top-20 most-similar vector pairs, blocked by
+    * label. Blocking bounds the pair space exactly like lang-blocking in
+    * q_dedup_near; the 100 TB path swaps the block for LSH buckets
+    * (BucketedRandomProjectionLSH) or IVF cells — candidate generation is
+    * then an equi-join, same shape as Dedup.lshBands. */
+  val dedupEmbed = QuerySpec(
+    "q_dedup_embed",
+    (s, d) => {
+      val e = embeddings(s, d)
+      def side(n: String) = e.select(
+        col("label"),
+        col("vec_id").as(s"id_$n"),
+        Similarity.asDouble(col("embedding")).as(s"v_$n"))
+      side("a").join(side("b"), Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", round(
+          graft.functions.CosineSim.cosine_sim(col("v_a"), col("v_b")), 6))
+        .select("label", "id_a", "id_b", "cos")
+        .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+        .limit(20)
+    },
+    Some("""
+      SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      ORDER BY cos DESC, id_a ASC, id_b ASC
+      LIMIT 20
+    """))
+
+  val all: Seq[QuerySpec] = Seq(similarityTopk, similarityAnn, dedupEmbed)
 }

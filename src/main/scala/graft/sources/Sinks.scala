@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sources/sinks surface (SURVEY §2a S2/S6/S7). Reads are schema-first
+  * (explicit StructType — never inferSchema's double scan); writes go
+  * straight from executors (the reference funnels everything through the
+  * driver via `toPandas().to_csv`, untitled.py:241 — the anti-pattern this
+  * module exists to replace).
+  *
+  * Scale: `partitionBy` columns become directory partitions — the layout
+  * that makes downstream partition pruning free; writer parallelism is the
+  * DataFrame's partitioning (one file per task per partition-value).
+  */
+object Sinks {
+
+  /** S7 modern form: header CSV, executor-parallel. */
+  def writeCsv(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("header", true)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).csv(path)
+  }
+
+  /** Parquet sink, optionally hive-style partitioned. */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S2/S6 modern form: explicit-schema CSV read. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", true).schema(schema).csv(path)
+}
