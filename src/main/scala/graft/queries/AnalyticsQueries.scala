@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** General analytics surface beyond the reference's own operators —
+  * ranking windows, rollup subtotals, pivot, anti-join, set ops, and the
+  * sketch-based median for 100 TB (SURVEY §2a notes these as "free from
+  * Spark when needed"; a user switching engines expects them).
+  */
+object AnalyticsQueries {
+
+  /** Ranking + frame window functions: per-user top-3 events by value with
+    * the previous value (lag) — one shuffle on user_id shared by both
+    * window functions (same partitioning + ordering). */
+  val rankWindow = QuerySpec(
+    "q_rank_window",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      events(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("prev_val", lag(col("value"), 1).over(w))
+        .filter(col("rnk") <= 3)
+        .select("user_id", "event_id", "value", "rnk", "prev_val")
+        .orderBy("user_id", "rnk")
+    },
+    Some("""
+      SELECT user_id, event_id, value, rnk, prev_val
+      FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER w AS rnk,
+               lag(value) OVER w AS prev_val
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+      )
+      WHERE rnk <= 3
+      ORDER BY user_id, rnk
+    """))
+
+  /** ROLLUP subtotals: per (flag, status), per flag, and grand total in one
+    * pass — Spark plans a single Expand + aggregate, no re-scan per level. */
+  val rollup = QuerySpec(
+    "q_rollup",
+    (s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY rf, ls
+    """))
+
+  /** Pivot: per-user event counts spread across fixed event-type columns.
+    * Explicit value list — with it Spark skips the extra distinct-values
+    * job and the plan is a single aggregate. Absent combinations pivot to
+    * NULL; coalesce to 0 to match SQL's FILTER counts. */
+  val pivot = QuerySpec(
+    "q_pivot",
+    (s, d) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+             count(*) FILTER (event_type = 'click') AS click,
+             count(*) FILTER (event_type = 'view') AS view,
+             count(*) FILTER (event_type = 'purchase') AS purchase,
+             count(*) FILTER (event_type = 'signup') AS signup,
+             count(*) FILTER (event_type = 'error') AS error
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """))
+
+  /** Left-anti join (NOT EXISTS): customers with no 300k+ order. Same
+    * broadcast/shuffle strategy space as semi-join — the right side
+    * reduces to its keys. */
+  val antiJoin = QuerySpec(
+    "q_anti_join",
+    (s, d) => {
+      val big = orders(s, d).filter(col("o_totalprice") > 300000)
+      customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      ORDER BY c_custkey
+    """))
+
+  /** Set operations: customers ordering in both 1996 and 1997 (INTERSECT)
+    * and in 1996 only (EXCEPT), tagged and unioned. Spark plans both as
+    * aggregates/joins on the distinct keys. */
+  val setOps = QuerySpec(
+    "q_set_ops",
+    (s, d) => {
+      val o = orders(s, d)
+      def keys(y: Int) =
+        o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+      val both = keys(1996).intersect(keys(1997))
+        .withColumn("op", lit("both"))
+      val only96 = keys(1996).except(keys(1997))
+        .withColumn("op", lit("only_1996"))
+      both.unionByName(only96)
+        .select("op", "o_custkey")
+        .orderBy("op", "o_custkey")
+    },
+    Some("""
+      SELECT 'both' AS op, o_custkey
+      FROM (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      UNION ALL
+      SELECT 'only_1996' AS op, o_custkey
+      FROM (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      ORDER BY op, o_custkey
+    """))
+
+  /** The 100 TB median: percentile_approx's single-pass mergeable sketch
+    * (KLL-style), vs q_groupby_median's exact buffers which hold every
+    * value. Sketch parameters are engine-specific → no SQL oracle;
+    * AnalyticsSpec bounds |approx − exact|. */
+  val medianApprox = QuerySpec(
+    "q_median_approx",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_med_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    None)
+
+  val all: Seq[QuerySpec] = Seq(
+    rankWindow, rollup, pivot, antiJoin, setOps, medianApprox)
+}

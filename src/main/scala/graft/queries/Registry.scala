@@ -5,5 +5,5 @@ object Registry {
   def all: Seq[QuerySpec] =
     RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ EventQueries.all ++
-      MlQueries.all ++ MultimodalQueries.all
+      MlQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all
 }
