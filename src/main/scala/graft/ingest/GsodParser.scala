@@ -38,7 +38,9 @@ object GsodParser {
   def parse(spark: SparkSession, path: String): DataFrame = {
     val toks = split(trim(col("value")), "\\s+")
     spark.read.text(path)
-      .filter(col("value").rlike("^\\s*\\d"))      // header rows start 'STN---'
+      // drop header rows by their marker (not "keep digit-initial" — NOAA
+      // USAF ids can be alphanumeric, e.g. A07026) and blank lines
+      .filter(!col("value").rlike("^\\s*STN--") && col("value").rlike("\\S"))
       .select(
         toks.getItem(0).as("usaf"),
         toks.getItem(1).cast("int").as("wban"),

@@ -103,6 +103,9 @@ object Dedup {
     * Jaccard ≥ `threshold`. Output: (id_a, id_b, jac), id_a < id_b. */
   def minhashNearDups(docs: DataFrame, id: String, shingleCol: String,
       k: Int, bandRows: Int, threshold: Double): DataFrame = {
+    require(k > 0 && bandRows > 0 && k % bandRows == 0,
+      s"signature width k=$k must be a positive multiple of bandRows=$bandRows " +
+        "(trailing signature entries would silently drop out of banding)")
     val withSig = docs
       .withColumn("__sig", minhashSignature(col(shingleCol), k))
     val bands = lshBands(withSig, id, "__sig", bandRows)

@@ -43,4 +43,23 @@ object Windows {
         byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__prev", "__new")
   }
+
+  /** E7 shared aggregation bodies — the batch queries (EventQueries) and
+    * the streaming twins (graft.streaming.Streams, which prepend a
+    * watermark) both call THESE, so the two forms cannot drift. */
+  def tumblingByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  def sessionWindowByUser(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("user_id"), col("n_events"))
 }

@@ -34,14 +34,7 @@ object EventQueries {
   val windowTumbling = QuerySpec(
     "q_window_tumbling",
     (s, d) =>
-      events(s, d)
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
-        .select(
-          col("w.start").as("hour_start"),
-          col("event_type"), col("n_events"), col("total_value"))
+      Windows.tumblingByType(events(s, d))
         .orderBy("hour_start", "event_type"),
     Some("""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
@@ -99,13 +92,7 @@ object EventQueries {
   val sessionWindow = QuerySpec(
     "q_session_window",
     (s, d) =>
-      events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(
-          col("sw.start").as("session_start"),
-          col("sw.end").as("session_end"),
-          col("user_id"), col("n_events"))
+      Windows.sessionWindowByUser(events(s, d))
         .orderBy("user_id", "session_start"),
     Some("""
       WITH flagged AS (

@@ -51,7 +51,11 @@ object TextQueries {
 
   /** E2 exact path: top-25 most-similar document pairs by 3-word-shingle
     * Jaccard, blocked by lang (the blocking key both bounds the O(n²) pair
-    * space and mirrors a real dedup pipeline's partitioning). */
+    * space and mirrors a real dedup pipeline's partitioning). Candidates
+    * are pairs sharing ≥1 shingle (jac > 0) — the inverted index never
+    * materializes disjoint pairs, and the oracle filters identically, so
+    * the two sides agree even when a block has fewer than 25 overlapping
+    * pairs. */
   val dedupNear = QuerySpec(
     "q_dedup_near",
     (s, d) => {
@@ -78,6 +82,7 @@ object TextQueries {
                        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
              END AS jac
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
       ORDER BY jac DESC, id_a ASC, id_b ASC
       LIMIT 25
     """))
@@ -189,7 +194,9 @@ object TextQueries {
           nChar.as("n_char"),
           Text.ratio(nPunct, nChar).as("punct_ratio"),
           Text.ratio(nStop, nTok).as("stop_ratio"),
-          (nChar.cast("double") / nTok.cast("double")).as("chars_per_tok"))
+          // ratio() guard: Spark double-divide by 0 yields NULL, DuckDB
+          // yields inf — both sides must take the same zero branch
+          Text.ratio(nChar, nTok).as("chars_per_tok"))
         .withColumn("keep",
           (col("n_tok") >= 20) && (col("punct_ratio") < 0.1) &&
             (col("chars_per_tok") < 12.0))
@@ -210,7 +217,9 @@ object TextQueries {
                CASE WHEN len(toks) = 0 THEN 0.0
                     ELSE CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
                          / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
-               CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS chars_per_tok
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+               END AS chars_per_tok
         FROM (SELECT doc_id, text,
                      list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS toks
               FROM documents)
