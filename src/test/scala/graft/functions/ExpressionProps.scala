@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the custom expressions' compute kernels (Spark-free —
+  * they exercise the same static methods codegen calls). */
+object ExpressionProps extends Properties("graft.functions") {
+
+  private val asciiString = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+  private val tokenList = Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+  private val vec = Gen.nonEmptyListOf(Gen.choose(-10.0, 10.0))
+
+  property("rollingHash matches the byte-fold reference") =
+    forAll(asciiString) { s =>
+      val expected = s.getBytes("UTF-8")
+        .foldLeft(0L)((h, b) => (h * 31 + (b & 0xFF)) % 1000000007L)
+      RollingHash.compute(UTF8String.fromString(s), 31L, 1000000007L) == expected
+    }
+
+  property("rollingHash stays within [0, mod)") =
+    forAll(asciiString) { s =>
+      val h = RollingHash.compute(UTF8String.fromString(s), 31L, 1000000007L)
+      h >= 0L && h < 1000000007L
+    }
+
+  property("simhash64 is order-invariant (vote tally commutes)") =
+    forAll(tokenList) { toks =>
+      def arr(ts: List[String]) =
+        new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+      SimHash64.compute(arr(toks)) == SimHash64.compute(arr(toks.reverse))
+    }
+
+  property("cosine is symmetric and within [-1, 1]") =
+    forAll(vec) { xs =>
+      val ys = xs.map(x => -x * 0.5 + 1.0)
+      val a = new GenericArrayData(xs.toArray[Any])
+      val b = new GenericArrayData(ys.toArray[Any])
+      val ab = CosineSim.compute(a, b)
+      val ba = CosineSim.compute(b, a)
+      (ab == null && ba == null) ||
+        (ab == ba && ab.doubleValue >= -1.0000000001 && ab.doubleValue <= 1.0000000001)
+    }
+
+  property("cosine of a vector with itself is 1 (or null for zero vectors)") =
+    forAll(vec) { xs =>
+      val a = new GenericArrayData(xs.toArray[Any])
+      val c = CosineSim.compute(a, new GenericArrayData(xs.toArray[Any]))
+      if (xs.forall(_ == 0.0)) c == null
+      else math.abs(c.doubleValue - 1.0) < 1e-9
+    }
+}

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** State must survive across micro-batches: feed two batches, expect the
+  * second batch's emissions to include the first batch's tallies. */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState accumulates per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Stateful.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 2.0),
+        Event(2, ts("2024-01-01 10:01:00"), 1, "click", 3.0),
+        Event(3, ts("2024-01-01 10:02:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        Event(4, ts("2024-01-01 10:10:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last emission per user wins (update mode): user 1 = 3 events / 10.0
+    val last = spark.table("totals")
+      .groupBy("user_id").agg(
+        org.apache.spark.sql.functions.max("n_events").as("n"),
+        org.apache.spark.sql.functions.max("total_value").as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(last(1L) === ((3L, 10.0)))
+    assert(last(2L) === ((1L, 1.0)))
+  }
+}
