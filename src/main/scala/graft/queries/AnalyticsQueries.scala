@@ -156,6 +156,24 @@ object AnalyticsQueries {
         .orderBy("l_returnflag", "l_linestatus"),
     None)
 
+  /** Skew-safe aggregation: per-event-type totals via two-phase salted
+    * aggregation (graft.ops.Skew). event_type has only 5 values — exactly
+    * the low-cardinality hot-key shape that pins 5 reducers at 100 TB.
+    * The oracle is the PLAIN group-by: salting must be result-invisible. */
+  val saltedAgg = QuerySpec(
+    "q_salted_agg",
+    (s, d) =>
+      graft.ops.Skew.saltedCountSum(
+        events(s, d), "event_type", "value", salts = 16, col("event_id"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, count(*) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
   val all: Seq[QuerySpec] = Seq(
-    rankWindow, rollup, pivot, antiJoin, setOps, medianApprox)
+    rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg)
 }

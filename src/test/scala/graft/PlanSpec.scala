@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Executable plan-quality checks — the scale disciplines (pushdown,
+  * pruning, broadcast, no cross products, top-k without global sort) as
+  * assertions, not prose. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("range filter is pushed into the parquet scan") {
+    val p = plan(SparkEntry.queries("q_range_filter")(spark, Sf001))
+    assert(p.contains("PushedFilters: ["), p)
+    // the year-derivation itself can't push, but the scan must not be bare
+  }
+
+  test("flagship rollup scans only the columns it needs") {
+    val df = SparkEntry.queries("q_monthly_rollup")(spark, Sf001)
+    val p = plan(df)
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).getOrElse("")
+    assert(scanLine.contains("l_orderkey"), scanLine)
+    assert(!scanLine.contains("l_comment") && !scanLine.contains("l_shipdate"),
+      s"lineitem scan should prune unused columns: $scanLine")
+    assert(p.contains("BroadcastHashJoin"), "dim joins should broadcast")
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q_topk")(spark, Sf001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("near-dup posting join is an equi-join — no cross product anywhere") {
+    val p = plan(SparkEntry.queries("q_dedup_near")(spark, Sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("semi and anti joins stay semi/anti at the physical level") {
+    assert(plan(SparkEntry.queries("q_semi_join")(spark, Sf001)).contains("LeftSemi"))
+    assert(plan(SparkEntry.queries("q_anti_join")(spark, Sf001)).contains("LeftAnti"))
+  }
+
+  test("salted aggregation matches the plain aggregate exactly") {
+    val salted = SparkEntry.queries("q_salted_agg")(spark, Sf001)
+    val plain = Tables.events(spark, Sf001)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
+      .orderBy("event_type")
+    assert(salted.collect().toSeq === plain.collect().toSeq)
+  }
+}
