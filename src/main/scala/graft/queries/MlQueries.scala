@@ -71,5 +71,23 @@ object MlQueries {
     },
     None)
 
-  val all: Seq[QuerySpec] = Seq(vectorAssemble, randomSplit, gbtPredict)
+  /** Stratified (per-stratum) sampling — the dataset-mixing primitive of a
+    * training pipeline (sample each source/language at its own rate).
+    * Seeded `sampleBy`; sampling isn't SQL-oracle-able (SURVEY M2), so the
+    * output is per-stratum counts and MlSpec bounds the rates. */
+  val sampleStratified = QuerySpec(
+    "q_sample_stratified",
+    (s, d) => {
+      val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0,
+        "es" -> 0.25, "zh" -> 0.25)
+      documents(s, d)
+        .stat.sampleBy("lang", fractions, 42L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    },
+    None)
+
+  val all: Seq[QuerySpec] = Seq(
+    vectorAssemble, randomSplit, gbtPredict, sampleStratified)
 }

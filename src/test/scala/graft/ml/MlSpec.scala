@@ -8,6 +8,26 @@ class MlSpec extends SparkSpec {
 
   lazy val orders = Tables.orders(spark, Sf001).cache()
 
+  test("stratified sample hits each stratum near its configured rate, reproducibly") {
+    import graft.queries.MlQueries
+    val counts = MlQueries.sampleStratified.run(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, Sf001)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 0.25)
+    fractions.foreach { case (lang, f) =>
+      val got = counts.getOrElse(lang, 0L).toDouble
+      val want = totals(lang) * f
+      // Bernoulli sampling: bound at ~4 sigma so small strata don't flake
+      assert(math.abs(got - want) <= math.max(12.0, 4.0 * math.sqrt(want)),
+        s"$lang: sampled $got, expected ~$want")
+    }
+    val again = MlQueries.sampleStratified.run(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts) // seeded => reproducible
+  }
+
   test("M2: seeded split is disjoint, exhaustive, and reproducible") {
     val (a1, b1) = MlPipeline.seededSplit(orders)
     val (a2, b2) = MlPipeline.seededSplit(orders)
