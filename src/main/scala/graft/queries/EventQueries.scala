@@ -116,5 +116,47 @@ object EventQueries {
       ORDER BY user_id, session_start
     """))
 
-  val all: Seq[QuerySpec] = Seq(jsonExtract, windowTumbling, sessionize, sessionWindow)
+  /** As-of join (graft.ops.AsOf): each purchase gets the user's most
+    * recent click at-or-before purchase time. Oracle: DuckDB's native
+    * ASOF LEFT JOIN. Clicks are deduped per (user, ts) on both sides so
+    * tie-picks can't differ. */
+  val asofJoin = QuerySpec(
+    "q_asof_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+      val clickW = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("__rn", row_number().over(clickW))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("c_id"), col("value").as("c_value"))
+      graft.ops.AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .withColumnRenamed("ts", "p_ts")
+        .orderBy("p_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, ts, event_id AS p_id, value AS p_value
+        FROM events WHERE event_type = 'purchase'
+      ), c0 AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ), c AS (
+        SELECT user_id, ts, event_id AS c_id, value AS c_value
+        FROM c0 WHERE rn = 1
+      )
+      SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.p_id, p.p_value,
+             c.c_id, c.c_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p_id
+    """))
+
+  val all: Seq[QuerySpec] = Seq(
+    jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin)
 }

@@ -33,6 +33,24 @@ class WindowsTextSpec extends SparkSpec {
     assert(got(4L) === 1L)
   }
 
+  test("asOf join: latest dim at-or-before fact time, inclusive tie, null before first dim") {
+    val facts = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 100L),
+      (1L, ts("2024-01-01 09:00:00"), 101L), // before any dim -> null
+      (2L, ts("2024-01-01 11:00:00"), 102L)) // dim exists only later -> null
+      .toDF("k", "t", "fid")
+    val dims = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 200L),
+      (1L, ts("2024-01-01 10:30:00"), 201L), // equal ts -> inclusive match
+      (2L, ts("2024-01-01 12:00:00"), 202L))
+      .toDF("k", "t", "did")
+    val got = AsOf.joinAsOf(facts, dims, Seq("k"), "t", "t")
+      .select("fid", "did").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got === Map(100L -> Some(201L), 101L -> None, 102L -> None))
+  }
+
   test("tokens: lowercases, splits on non-word runs, drops empties") {
     val got = Seq("  Hello,   WORLD!! x ").toDF("t")
       .select(Text.tokens(col("t"))).as[Seq[String]].head()
