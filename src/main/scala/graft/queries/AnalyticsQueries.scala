@@ -174,6 +174,52 @@ object AnalyticsQueries {
       ORDER BY event_type
     """))
 
+  /** CUBE: all grouping-set combinations in one Expand pass (rollup's
+    * sibling — (a,b), (a), (b), () totals). */
+  val cube = QuerySpec(
+    "q_cube",
+    (s, d) =>
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n_rows"))
+        .orderBy("rf", "ls"),
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY rf, ls
+    """))
+
+  /** Generate/explode as a stand-alone surface: token frequencies over the
+    * corpus, top-50 (explode → groupBy → TakeOrdered). */
+  val explodeTokens = QuerySpec(
+    "q_explode_tokens",
+    (s, d) =>
+      fanOut(s, documents(s, d))
+        .select(explode(graft.ops.Text.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50),
+    Some("""
+      SELECT token, count(*) AS n
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+      )
+      GROUP BY token
+      ORDER BY n DESC, token ASC
+      LIMIT 50
+    """))
+
   val all: Seq[QuerySpec] = Seq(
-    rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg)
+    rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg,
+    cube, explodeTokens)
 }
