@@ -44,6 +44,21 @@ class PlanSpec extends SparkSpec {
     assert(plan(SparkEntry.queries("q_anti_join")(spark, Sf001)).contains("LeftAnti"))
   }
 
+  // "*(n)" prefixes mark WholeStageCodegen stages in the executed plan;
+  // the DF must be collected first (count() would re-plan) and AQE only
+  // finalizes the plan on execution.
+  test("flagship query runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_monthly_rollup")(spark, Sf001)
+    df.collect()
+    assert(plan(df).contains("*("), plan(df))
+  }
+
+  test("custom expressions stay inside whole-stage codegen (no fallback)") {
+    val df = SparkEntry.queries("q_dedup_simhash")(spark, Sf001)
+    df.collect()
+    assert(plan(df).contains("*("), plan(df))
+  }
+
   test("salted aggregation matches the plain aggregate exactly") {
     val salted = SparkEntry.queries("q_salted_agg")(spark, Sf001)
     val plain = Tables.events(spark, Sf001)
