@@ -219,7 +219,57 @@ object AnalyticsQueries {
       LIMIT 50
     """))
 
+  /** MERGE/upsert (graft.ops.Upsert): apply a deterministic changeset
+    * (updates %7, deletes %13, inserts %11 re-keyed +1e6) to the customer
+    * snapshot. The oracle re-derives the same changeset and merges via
+    * FULL OUTER JOIN — insert/update/delete paths all populated. */
+  val upsert = QuerySpec(
+    "q_upsert",
+    (s, d) => {
+      val c = customer(s, d)
+      val updates = c
+        .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("c_mktsegment", lit("UPDATED"))
+        .withColumn("is_delete", lit(false))
+      val deletes = c.filter(col("c_custkey") % 13 === 0)
+        .withColumn("is_delete", lit(true))
+      val inserts = c.filter(col("c_custkey") % 11 === 0)
+        .select(
+          (col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("NEW#"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_nationkey"),
+          lit(0.0).as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"),
+          lit(false).as("is_delete"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      graft.ops.Upsert.merge(c, changes, "c_custkey", "is_delete")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH changes AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+               'UPDATED' AS c_mktsegment, false AS is_delete
+        FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, true
+        FROM customer WHERE c_custkey % 13 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW#' || CAST(c_custkey AS VARCHAR),
+               c_nationkey, 0.0, 'NEW', false
+        FROM customer WHERE c_custkey % 11 = 0
+      )
+      SELECT c_custkey,
+             coalesce(ch.c_name, s.c_name) AS c_name,
+             coalesce(ch.c_nationkey, s.c_nationkey) AS c_nationkey,
+             coalesce(ch.c_acctbal, s.c_acctbal) AS c_acctbal,
+             coalesce(ch.c_mktsegment, s.c_mktsegment) AS c_mktsegment
+      FROM customer s FULL OUTER JOIN changes ch USING (c_custkey)
+      WHERE coalesce(ch.is_delete, false) = false
+      ORDER BY c_custkey
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg,
-    cube, explodeTokens)
+    cube, explodeTokens, upsert)
 }
