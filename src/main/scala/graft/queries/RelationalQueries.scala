@@ -458,8 +458,39 @@ object RelationalQueries {
       ORDER BY l_returnflag, l_linestatus
     """))
 
+  /** Date arithmetic breadth (beyond F6/F7's parse/extract): month-clamped
+    * add_months, day offsets, day differences, month ends, quarter and
+    * ISO weekday — all built-ins with engine-portable semantics (both
+    * engines clamp Jan 31 + 1 month to the month end). */
+  val dateArith = QuerySpec(
+    "q_date_arith",
+    (s, d) => {
+      val od = col("o_orderdate").cast("date")
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          add_months(od, 3).as("plus_3m"),
+          date_add(od, 30).as("plus_30d"),
+          datediff(od, lit("1995-01-01").cast("date")).as("days_since"),
+          last_day(od).as("month_end"),
+          quarter(od).as("q"),
+          weekday(od).as("wd"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+             CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     monthlyRollup, parseText, sentinelNull, notnullFilter, rangeFilter,
     joinInner, semiJoin, groupbyMedian, corrMatrix, rmse, latestPerKey,
-    topk, unionAll, concatLabel, regexStrip, dateParse, sqlAgg)
+    topk, unionAll, concatLabel, regexStrip, dateParse, sqlAgg, dateArith)
 }
