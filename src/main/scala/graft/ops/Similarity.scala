@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CosineSim.cosine_sim
@@ -56,6 +58,30 @@ object Similarity {
     val model = km.fit(withVec.select("__vec"))
     val assigned = model.transform(withVec).drop("__vec")
     (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** The LSH-bucketed ANN variant: BucketedRandomProjectionLSH (euclidean
+    * family — for unit-norm embeddings euclidean and cosine order agree up
+    * to monotone transform). `approxNearestNeighbors` prunes to colliding
+    * hash buckets; at 100 TB the hash columns are precomputed write-side
+    * and candidate generation is a bucket equi-join (same shape as
+    * Dedup.lshBands). Seeded; returns (idCol, label, dist) top-k by
+    * euclidean distance. */
+  def lshTopK(spark: SparkSession, emb: DataFrame, idCol: String,
+      probe: Seq[Double], k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val withVec = graft.Tables.fanOut(spark, emb)
+      .withColumn("__vec", array_to_vector(asDouble(col("embedding"))))
+    val base = excludeId.fold(withVec)(x => withVec.filter(col(idCol) =!= x))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(2.0)
+      .setNumHashTables(4)
+      .setSeed(42L)
+      .setInputCol("__vec")
+      .setOutputCol("__hashes")
+    val model = lsh.fit(base)
+    model.approxNearestNeighbors(base, Vectors.dense(probe.toArray), k, "dist")
+      .select(col(idCol), col("label"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
   }
 
   /** IVF query: score only the nProbe cells whose centroids are nearest the

@@ -86,5 +86,18 @@ object SimilarityQueries {
       LIMIT 20
     """))
 
-  val all: Seq[QuerySpec] = Seq(similarityTopk, similarityAnn, dedupEmbed)
+  /** E3 scale path, LSH flavor: BucketedRandomProjectionLSH bucket-pruned
+    * nearest neighbors (engine-specific hash family → no SQL oracle;
+    * EntrySpec bounds recall vs the exact euclidean top-k). */
+  val similarityLsh = QuerySpec(
+    "q_similarity_lsh",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val probe = Similarity.probeVector(emb, "vec_id", ProbeId)
+      Similarity.lshTopK(s, emb, "vec_id", probe, k = 20, excludeId = Some(ProbeId))
+    },
+    None)
+
+  val all: Seq[QuerySpec] = Seq(
+    similarityTopk, similarityAnn, similarityLsh, dedupEmbed)
 }
