@@ -75,13 +75,15 @@ object MlQueries {
     * training pipeline (sample each source/language at its own rate).
     * Seeded `sampleBy`; sampling isn't SQL-oracle-able (SURVEY M2), so the
     * output is per-stratum counts and MlSpec bounds the rates. */
+  /** Mixing rates shared with MlSpec's 4σ bound check. */
+  val StratifiedFractions: Map[String, Double] = Map(
+    "en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 0.25)
+
   val sampleStratified = QuerySpec(
     "q_sample_stratified",
     (s, d) => {
-      val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0,
-        "es" -> 0.25, "zh" -> 0.25)
       documents(s, d)
-        .stat.sampleBy("lang", fractions, 42L)
+        .stat.sampleBy("lang", StratifiedFractions, 42L)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")

@@ -11,10 +11,21 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("range filter is pushed into the parquet scan") {
-    val p = plan(SparkEntry.queries("q_range_filter")(spark, Sf001))
-    assert(p.contains("PushedFilters: ["), p)
-    // the year-derivation itself can't push, but the scan must not be bare
+  test("filters are pushed into the parquet scan (concrete predicate, not [])") {
+    // treeString truncates FileScan metadata, so read the scan nodes
+    // directly: the semi-join's o_totalprice predicate must reach the
+    // orders scan as a pushed filter. Clear the shared-session cache
+    // first — another suite caching `orders` would substitute an
+    // InMemoryRelation for the parquet scan (CacheManager matches by
+    // logical plan) and there'd be no FileSourceScanExec to push into.
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q_semi_join")(spark, Sf001)
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(_.contains("GreaterThan(o_totalprice,150000.0)")),
+      pushed.mkString(" | "))
   }
 
   test("flagship rollup scans only the columns it needs") {

@@ -15,8 +15,7 @@ class MlSpec extends SparkSpec {
     val totals = Tables.documents(spark, Sf001)
       .groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 0.25)
-    fractions.foreach { case (lang, f) =>
+    graft.queries.MlQueries.StratifiedFractions.foreach { case (lang, f) =>
       val got = counts.getOrElse(lang, 0L).toDouble
       val want = totals(lang) * f
       // Bernoulli sampling: bound at ~4 sigma so small strata don't flake
