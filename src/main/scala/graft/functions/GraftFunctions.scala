@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the custom expressions, so
+  * `spark.sql("SELECT cosine_sim(a, b) ...")` works alongside the Column
+  * API.
+  *
+  * Two entry points:
+  *  - [[GraftFunctions.registerAll]] on a live session (tests, notebooks);
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    at session build time (spark-submit / cluster config) — the standard
+  *    extension-library integration point.
+  */
+object GraftFunctions {
+
+  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> {
+      case Seq(a, b) => CosineSim(a, b)
+      case args => throw new IllegalArgumentException(
+        s"cosine_sim expects 2 arguments, got ${args.length}")
+    },
+    "rolling_hash" -> {
+      case Seq(c) => RollingHash(c, 31L, 1000000007L)
+      case args => throw new IllegalArgumentException(
+        s"rolling_hash expects 1 argument, got ${args.length}")
+    },
+    "simhash64" -> {
+      case Seq(c) => SimHash64(c)
+      case args => throw new IllegalArgumentException(
+        s"simhash64 expects 1 argument, got ${args.length}")
+    })
+
+  /** Register on a live session's function registry. */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+
+  /** Builders shaped for SparkSessionExtensions.injectFunction. */
+  private[functions] def injectable
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder)
+    }
+}
+
+/** `spark.sql.extensions`-compatible installer. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injectable.foreach(ext.injectFunction)
+}
