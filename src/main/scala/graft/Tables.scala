@@ -36,9 +36,17 @@ object Tables {
     * rejects outright (no nanosecond TimestampType). Read it as raw nanos
     * (legacy flag) and convert to a µs timestamp with integer division —
     * lossless here (TESTDATA values are µs-aligned) and integer `DIV` is
-    * mandatory: epoch-nanos ≈ 1.7e18 overflows double's 2^53 mantissa. */
+    * mandatory: epoch-nanos ≈ 1.7e18 overflows double's 2^53 mantissa.
+    *
+    * The nanosAsLong flag must be set at session BUILD time (Verify /
+    * Bench / SparkSpec all do) — setting it here as a read side effect
+    * would silently change how every other nanos parquet in the session
+    * is read. Fail fast instead of mutating shared session state. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet carries TIMESTAMP(NANOS); build the session with " +
+        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

@@ -36,11 +36,13 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val res = nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Double r = graft.functions.CosineSim.compute($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    // freshName: a fixed local would collide when two cosine_sim calls
+    // share one codegen'd function (same failure RollingHash had).
+    val r = ctx.freshName("cos")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Double $r = graft.functions.CosineSim.compute($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
     """)
-    res
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -32,15 +32,22 @@ case class RollingHash(child: Expression, base: Long, mod: Long)
   override def nullSafeEval(input: Any): Any =
     RollingHash.compute(input.asInstanceOf[UTF8String], base, mod)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ctx.freshName per instance: fixed names collide ("Redefinition of
+    // local variable") when two RollingHash calls land in one codegen'd
+    // function, silently dropping the whole stage to interpreted mode.
+    val h = ctx.freshName("h")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, c => s"""
-      long h = 0L;
-      int n = $c.numBytes();
-      for (int i = 0; i < n; i++) {
-        h = (h * ${base}L + (long) ($c.getByte(i) & 0xFF)) % ${mod}L;
+      long $h = 0L;
+      int $n = $c.numBytes();
+      for (int $i = 0; $i < $n; $i++) {
+        $h = ($h * ${base}L + (long) ($c.getByte($i) & 0xFF)) % ${mod}L;
       }
-      ${ev.value} = h;
+      ${ev.value} = $h;
     """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

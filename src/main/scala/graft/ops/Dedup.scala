@@ -106,7 +106,13 @@ object Dedup {
     require(k > 0 && bandRows > 0 && k % bandRows == 0,
       s"signature width k=$k must be a positive multiple of bandRows=$bandRows " +
         "(trailing signature entries would silently drop out of banding)")
+    // Empty shingle sets produce all-null signatures (array_min over an
+    // empty array); array_join then skips nulls, so EVERY empty doc gets
+    // the same band key in every band — an O(m²) candidate blowup at
+    // scale. An empty set also has Jaccard 0 with everything, so dropping
+    // these rows up front is semantics-preserving for threshold > 0.
     val withSig = docs
+      .filter(size(col(shingleCol)) > 0)
       .withColumn("__sig", minhashSignature(col(shingleCol), k))
     val bands = lshBands(withSig, id, "__sig", bandRows)
     val cand = bands.as("x")

@@ -30,5 +30,5 @@ object Skew {
       .groupBy(col(key))
       .agg(
         sum(col("__n")).as("n_rows"),
-        sum(col("__s")).cast("decimal(38,2)").as("total"))
+        sum(col("__s")).cast("double").as("total"))
 }

@@ -52,7 +52,7 @@ object Windows {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 

@@ -48,7 +48,7 @@ object AnalyticsQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -58,7 +58,7 @@ object AnalyticsQueries {
       SELECT coalesce(l_returnflag, 'ALL') AS rf,
              coalesce(l_linestatus, 'ALL') AS ls,
              count(*) AS n_rows,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY rf, ls
@@ -168,7 +168,7 @@ object AnalyticsQueries {
         .orderBy("event_type"),
     Some("""
       SELECT event_type, count(*) AS n_rows,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events
       GROUP BY event_type
       ORDER BY event_type

@@ -40,7 +40,7 @@ object EventQueries {
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
              event_type,
              count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events
       GROUP BY 1, 2
       ORDER BY 1, 2

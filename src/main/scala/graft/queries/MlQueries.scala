@@ -12,20 +12,30 @@ object MlQueries {
   /** M1 relational twin: feature assembly as a plain array column — the
     * SQL-expressible shape of VectorAssembler's output (the VectorUDT
     * variant runs inside q_gbt_predict; parquet can't carry VectorUDT in a
-    * DuckDB-comparable form). */
+    * DuckDB-comparable form). The assembled array is built in-plan, then
+    * the COMPARED projection unpacks it back to scalars: the driver's
+    * pandas-side comparer cannot sort/hash array cells (unhashable
+    * ndarray), so the gate output must be scalar columns. */
   val vectorAssemble = QuerySpec(
     "q_vector_assemble",
     (s, d) =>
       lineitem(s, d)
+        .withColumn("features", array(FeatureCols.map(col): _*))
         .select(
           col("l_orderkey"),
           col("l_linenumber"),
-          array(FeatureCols.map(col): _*).as("features"),
+          size(col("features")).as("n_features"),
+          element_at(col("features"), 1).as("f_qty"),
+          element_at(col("features"), 2).as("f_disc"),
+          element_at(col("features"), 3).as("f_tax"),
           col("l_extendedprice").as("label"))
         .orderBy("l_orderkey", "l_linenumber"),
     Some("""
       SELECT l_orderkey, l_linenumber,
-             [l_quantity, l_discount, l_tax] AS features,
+             CAST(len([l_quantity, l_discount, l_tax]) AS INTEGER) AS n_features,
+             [l_quantity, l_discount, l_tax][1] AS f_qty,
+             [l_quantity, l_discount, l_tax][2] AS f_disc,
+             [l_quantity, l_discount, l_tax][3] AS f_tax,
              l_extendedprice AS label
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber

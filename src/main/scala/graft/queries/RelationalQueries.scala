@@ -42,7 +42,7 @@ object RelationalQueries {
         .agg(
           median(col("l_quantity")).as("med_qty"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"),
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy("c_mktsegment", "o_year", "o_month")
     },
@@ -51,7 +51,7 @@ object RelationalQueries {
              CAST(year(o_orderdate) AS INTEGER) AS o_year,
              CAST(month(o_orderdate) AS INTEGER) AS o_month,
              median(l_quantity) AS med_qty,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              count(*) AS n_rows
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -322,12 +322,12 @@ object RelationalQueries {
         .groupBy("tier")
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("tier")
     },
     Some("""
       SELECT tier, count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM (
         SELECT 'high' AS tier, o_totalprice FROM orders WHERE o_totalprice >= 200000
         UNION ALL
@@ -436,8 +436,8 @@ object RelationalQueries {
       lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql("""
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
                count(*) AS count_order
         FROM lineitem
@@ -448,8 +448,8 @@ object RelationalQueries {
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
              count(*) AS count_order
       FROM lineitem
