@@ -45,17 +45,29 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF index: seeded k-means over the embeddings; returns the assigned
-    * DataFrame (+cluster) and the centroid table. */
+  /** IVF index: seeded k-means coarse quantizer + full-corpus assignment.
+    *
+    * The quantizer trains on a BOUNDED sample (256·nCells vectors, few
+    * partitions, seeded random init) — standard IVF practice: at 100 TB
+    * you never k-means the corpus, you train the quantizer on a sample
+    * and make one assignment pass over everything. At bench scale this
+    * also kills the dominant cost, which was scheduling ~18 tiny-task
+    * jobs (k-means|| init passes + iterations) across 32 partitions of
+    * 2 000 rows. Assignment stays a single full-width map pass. */
   def ivfAssign(spark: SparkSession, emb: DataFrame, nCells: Int): (DataFrame, Array[Array[Double]]) = {
-    // single-file inputs arrive as ONE split; k-means iterations are CPU-
-    // bound per row, so fan out to all cores first (graft.Tables.fanOut)
     val withVec = graft.Tables.fanOut(spark, emb)
       .withColumn("__vec", array_to_vector(asDouble(col("embedding"))))
+    val trainSample = withVec.select("__vec")
+      .limit(256 * nCells)
+      .coalesce(4)
+      .cache()
     val km = new KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(10)
+      .setInitMode("random") // seeded, 1 init pass vs k-means||'s ~5
       .setFeaturesCol("__vec").setPredictionCol("cluster")
-    val model = km.fit(withVec.select("__vec"))
+    val model =
+      try km.fit(trainSample)
+      finally trainSample.unpersist()
     val assigned = model.transform(withVec).drop("__vec")
     (assigned, model.clusterCenters.map(_.toArray))
   }

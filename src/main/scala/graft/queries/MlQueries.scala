@@ -68,8 +68,13 @@ object MlQueries {
       val base = lineitem(s, d)
         .select((Seq("l_orderkey", "l_linenumber", "l_extendedprice") ++ FeatureCols)
           .map(col): _*)
-      // fan out before the CPU-bound boosting loop (single-file input)
-      val features = MlPipeline.assemble(fanOut(s, base), FeatureCols)
+      // Boosting is a driver-orchestrated loop of ~5 aggregation jobs per
+      // tree; per-JOB overhead scales with task count, so size partitions
+      // by data volume (8 × ~50k rows at sf0.1), not core count — 32
+      // tiny tasks per job made scheduling the dominant cost. At 100 TB
+      // the input arrives in byte-sized splits and this repartition is a
+      // sample-then-fit decision instead.
+      val features = MlPipeline.assemble(base.repartition(8), FeatureCols)
       val (train, test) = MlPipeline.seededSplit(features)
       val model = MlPipeline.trainGbt(train, "l_extendedprice", maxIter = 10)
       model.transform(test)
