@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.Text
+
+/** Round-2 breadth: general-engine operators a user of the reference's
+  * stack would expect beyond SURVEY §2's inventory — outer joins, arg-min/
+  * max, exact+approx distinct counts, grouping sets, window frames, exact
+  * multi-quantiles, fuzzy string matching, TF-over-DF term scoring,
+  * sliding windows, ordered list aggregation.
+  *
+  * Determinism rules are the same as RelationalQueries: explicit total
+  * ORDER BY, decimal accumulation with a final DOUBLE cast, composite
+  * tie-break keys wherever the engine is free to pick among ties.
+  */
+object ExtendedQueries {
+
+  /** FULL OUTER JOIN with differently-filtered sides, so both null
+    * directions are actually exercised (left-only customers, right-only
+    * order groups). */
+  val outerJoin = QuerySpec(
+    "q_outer_join",
+    (s, d) => {
+      val c = customer(s, d)
+        .filter(col("c_custkey") <= 800)
+        .select("c_custkey", "c_name")
+      val o = orders(s, d)
+        .filter(col("o_custkey").between(400, 1200))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"))
+        .orderBy("custkey")
+    },
+    Some("""
+      SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
+      FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 800) c
+      FULL OUTER JOIN (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders WHERE o_custkey BETWEEN 400 AND 1200
+        GROUP BY o_custkey
+      ) o ON c.c_custkey = o.o_custkey
+      ORDER BY custkey
+    """))
+
+  /** arg-min/arg-max (min_by/max_by): which event carried the extreme
+    * value per type. Both engines pick ARBITRARILY among ties, so the
+    * ordering key is a composite integer (value in cents, then event_id —
+    * smallest id wins either direction) — exact long arithmetic, no float
+    * ties. Assumes event_id < 1e8 (100 TB events would shard the id). */
+  val minmaxBy = QuerySpec(
+    "q_minmax_by",
+    (s, d) => {
+      val cents = round(col("value") * 100).cast("long")
+      val maxKey = cents * 100000000L + (lit(99999999L) - col("event_id"))
+      val minKey = cents * 100000000L + col("event_id")
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          max_by(col("event_id"), maxKey).as("max_val_event"),
+          min_by(col("event_id"), minKey).as("min_val_event"),
+          max(col("value")).as("max_val"),
+          min(col("value")).as("min_val"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type,
+             arg_max(event_id, CAST(round(value*100) AS BIGINT)*100000000 + (99999999 - event_id)) AS max_val_event,
+             arg_min(event_id, CAST(round(value*100) AS BIGINT)*100000000 + event_id) AS min_val_event,
+             max(value) AS max_val,
+             min(value) AS min_val
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  /** Exact COUNT(DISTINCT): buyers per market segment. Spark plans this
+    * as a two-phase expand-aggregate — partial distinct per partition,
+    * then merge — so the shuffle carries (segment, custkey) pairs, not
+    * rows; the fact side joins through a broadcast dim. */
+  val distinctCount = QuerySpec(
+    "q_distinct_count",
+    (s, d) => {
+      val o = orders(s, d)
+      val c = customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_buyers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+             count(DISTINCT o_custkey) AS n_buyers,
+             count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """))
+
+  /** Approximate distinct (HyperLogLog++): the 100 TB form of
+    * q_distinct_count — one pass, fixed-size sketch, no expand. Sketch
+    * internals are engine-specific → rows-only; AnalyticsSpec bounds the
+    * relative error against the exact count. */
+  val approxDistinct = QuerySpec(
+    "q_approx_distinct",
+    (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+    None)
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): chosen subtotal
+    * combinations in one Expand pass, with grouping() flags
+    * disambiguating subtotal levels that coalesce to the same label. */
+  val groupingSets = QuerySpec(
+    "q_grouping_sets",
+    (s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls, g_rf, g_ls
+      """)
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+             CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls, g_rf, g_ls
+    """))
+
+  /** Window FRAME (rows between): 4-order moving spend per customer.
+    * Decimal accumulation inside the frame, DOUBLE out; the frame count
+    * rides the same window — one shuffle, one sort. */
+  val movingSum = QuerySpec(
+    "q_moving_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("mov_sum"),
+          count(lit(1)).over(w).as("n_in_frame"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+             count(*) OVER w AS n_in_frame
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderdate, o_orderkey
+    """))
+
+  /** Exact multi-quantile per group (percentile / quantile_cont agree on
+    * the (n-1)·q linear-interpolation definition; quantities are integral
+    * doubles and q ∈ {1/4,1/2,3/4}, so the interpolation is exact binary
+    * arithmetic in both engines). percentile_approx is the 100 TB path
+    * (q_median_approx); this is the exact twin. */
+  val quantiles = QuerySpec(
+    "q_quantiles",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        .select(
+          col("l_returnflag"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q25,
+             quantile_cont(l_quantity, 0.50) AS q50,
+             quantile_cont(l_quantity, 0.75) AS q75
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
+  /** Fuzzy string matching: edit-distance top-20 against a probe string —
+    * one scan + TakeOrdered, the same shape as similarity top-k but over
+    * levenshtein (both engines implement the classic Wagner–Fischer
+    * distance). */
+  val fuzzyMatch = QuerySpec(
+    "q_fuzzy_match",
+    (s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"), col("p_name"),
+          levenshtein(col("p_name"), lit("red widget")).as("dist"))
+        .orderBy(col("dist").asc, col("p_partkey").asc)
+        .limit(20),
+    Some("""
+      SELECT p_partkey, p_name,
+             CAST(levenshtein(p_name, 'red widget') AS INTEGER) AS dist
+      FROM part
+      ORDER BY dist ASC, p_partkey ASC
+      LIMIT 20
+    """))
+
+  /** Term salience per document: tf/df (term frequency over corpus
+    * document frequency — the log-free TF-IDF cousin whose score is an
+    * exact binary ratio, engine-portable; ln() would differ in the last
+    * ulp across libm implementations). Top-1 term per doc, ties to the
+    * lexicographically first term. */
+  val tfOverDf = QuerySpec(
+    "q_tf_over_df",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term")
+        .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  t -> t <> '')) AS term
+        FROM documents
+      ),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      SELECT doc_id, term, tf, df, score
+      FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score,
+               row_number() OVER (
+                 PARTITION BY tf.doc_id
+                 ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
+                          tf.term ASC) AS rn
+        FROM tf JOIN dfreq USING (term)
+      )
+      WHERE rn = 1
+      ORDER BY doc_id
+    """))
+
+  /** SLIDING windows (1 h window / 15 min slide): each event lands in
+    * exactly window/slide = 4 windows. Spark's window() generates the
+    * per-event window set inline (a Generate, no self-join); the oracle
+    * reproduces it with an explicit 4-offset unnest over the epoch grid.
+    * Windows are epoch-aligned in the UTC session. */
+  val windowSliding = QuerySpec(
+    "q_window_sliding",
+    (s, d) =>
+      events(s, d)
+        .groupBy(
+          window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("w.start").as("win_start"), col("event_type"), col("n_events"))
+        .orderBy("win_start", "event_type"),
+    Some("""
+      SELECT make_timestamp((epoch_us(ts)//900000000 - k.k)*900000000) AS win_start,
+             event_type, count(*) AS n_events
+      FROM events, (SELECT unnest([0,1,2,3]) AS k) k
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))
+
+  /** Ordered list aggregation: suppliers per nation as a SORTED joined
+    * string. collect_list's order is partition-nondeterministic —
+    * array_sort canonicalizes before the join, which is exactly how a
+    * deterministic pipeline must always consume it. */
+  val collectSorted = QuerySpec(
+    "q_collect_sorted",
+    (s, d) => {
+      val sup = supplier(s, d)
+      val nat = nation(s, d)
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"))
+        .orderBy("n_name")
+    },
+    Some("""
+      SELECT n_name,
+             count(*) AS n_suppliers,
+             string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name
+    """))
+
+  val all: Seq[QuerySpec] = Seq(
+    outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
+    movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted)
+}

@@ -5,5 +5,6 @@ object Registry {
   def all: Seq[QuerySpec] =
     RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ EventQueries.all ++
-      MlQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all
+      MlQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all ++
+      ExtendedQueries.all
 }

@@ -25,6 +25,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(grand.head.getLong(2) === leafSum)
   }
 
+  test("approx distinct (HLL++, rsd 2%) lands within 5% of the exact count") {
+    val approx = ExtendedQueries.approxDistinct.run(spark, Sf001)
+      .select("event_type", "n_users_approx")
+    val exact = graft.Tables.events(spark, Sf001)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val joined = approx.join(exact, "event_type")
+      .withColumn("relerr",
+        abs(col("n_users_approx") - col("n_users")).cast("double") / col("n_users"))
+    assert(joined.count() === 5)
+    assert(joined.filter(col("relerr") > 0.05).count() === 0)
+  }
+
+  test("grouping sets levels are internally consistent (leaves re-sum to total)") {
+    val r = ExtendedQueries.groupingSets.run(spark, Sf001).collect()
+    val grand = r.filter(x => x.getInt(2) == 1 && x.getInt(3) == 1)
+    assert(grand.length === 1)
+    val leaves = r.filter(x => x.getInt(2) == 0 && x.getInt(3) == 0)
+    assert(leaves.map(_.getLong(4)).sum === grand.head.getLong(4))
+  }
+
   test("pivot row counts re-sum to the event total") {
     val p = AnalyticsQueries.pivot.run(spark, Sf001)
     val total = p.select(
