@@ -31,6 +31,17 @@ object GraftFunctions {
       case Seq(c) => SimHash64(c)
       case args => throw new IllegalArgumentException(
         s"simhash64 expects 1 argument, got ${args.length}")
+    },
+    "tokenize" -> {
+      case Seq(c) => Tokenize(c)
+      case args => throw new IllegalArgumentException(
+        s"tokenize expects 1 argument, got ${args.length}")
+    },
+    "word_shingles" -> {
+      case Seq(c, n) if n.foldable =>
+        WordShingles(c, n.eval().asInstanceOf[Number].intValue())
+      case args => throw new IllegalArgumentException(
+        s"word_shingles expects (column, literal n), got ${args.length} args")
     })
 
   /** Register on a live session's function registry. */

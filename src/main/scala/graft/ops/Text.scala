@@ -11,18 +11,22 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Lowercased word tokens; empty fragments from leading/trailing
-    * delimiters are dropped (so "a b." and "a b" tokenize identically). */
+    * delimiters are dropped (so "a b." and "a b" tokenize identically).
+    * Backed by the codegen'd [[graft.functions.Tokenize]] Expression —
+    * byte-identical to `filter(split(lower(text), "\\W+"), _ =!= "")`,
+    * whose filter lambda Catalyst evaluates interpreted (the dedup hot
+    * path's dominant cost; ExpressionProps proves the equivalence). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\W+"), t => t =!= "")
+    graft.functions.Tokenize.tokenize(text)
 
   /** n-word shingles joined with a single space; fewer than n tokens →
-    * empty array (not null — callers can treat it set-wise). */
+    * empty array (not null — callers can treat it set-wise). Backed by
+    * the codegen'd [[graft.functions.WordShingles]]; coalesce keeps the
+    * composed form's null-tokens → empty-array behavior. */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    coalesce(
+      graft.functions.WordShingles.word_shingles(toks, n),
+      array().cast("array<string>"))
 
   /** BPE-ish subword segmentation: letter runs, digit runs, single
     * punctuation marks — the regex stand-in for a real BPE vocab. */

@@ -44,6 +44,23 @@ object ExpressionProps extends Properties("graft.functions") {
         (ab == ba && ab.doubleValue >= -1.0000000001 && ab.doubleValue <= 1.0000000001)
     }
 
+  property("tokenize kernel == the composed split/lower/filter reference") =
+    forAll(asciiString) { s =>
+      val expected = s.toLowerCase.split("\\W+", -1).filter(_.nonEmpty).toSeq
+      val got = Tokenize.compute(UTF8String.fromString(s))
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == expected
+    }
+
+  property("word_shingles kernel == the composed slice/array_join reference") =
+    forAll(tokenList, Gen.choose(1, 4)) { (toks, n) =>
+      val expected =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val in = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = WordShingles.compute(in, n)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == expected
+    }
+
   property("cosine of a vector with itself is 1 (or null for zero vectors)") =
     forAll(vec) { xs =>
       val a = new GenericArrayData(xs.toArray[Any])
