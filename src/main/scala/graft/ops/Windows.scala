@@ -56,6 +56,12 @@ object Windows {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  def slidingByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+
   def sessionWindowByUser(events: DataFrame): DataFrame =
     events
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))

@@ -271,17 +271,13 @@ object ExtendedQueries {
     * exactly window/slide = 4 windows. Spark's window() generates the
     * per-event window set inline (a Generate, no self-join); the oracle
     * reproduces it with an explicit 4-offset unnest over the epoch grid.
-    * Windows are epoch-aligned in the UTC session. */
+    * Windows are epoch-aligned in the UTC session. Shares its aggregation
+    * body with the streaming twin (graft.streaming.Streams.slidingByType)
+    * so the two forms cannot drift. */
   val windowSliding = QuerySpec(
     "q_window_sliding",
     (s, d) =>
-      events(s, d)
-        .groupBy(
-          window(col("ts"), "1 hour", "15 minutes").as("w"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(
-          col("w.start").as("win_start"), col("event_type"), col("n_events"))
+      graft.ops.Windows.slidingByType(events(s, d))
         .orderBy("win_start", "event_type"),
     Some("""
       SELECT make_timestamp((epoch_us(ts)//900000000 - k.k)*900000000) AS win_start,

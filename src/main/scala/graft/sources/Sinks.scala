@@ -30,4 +30,26 @@ object Sinks {
   def readCsv(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", true).schema(schema).csv(path)
+
+  /** ORC sink — the columnar alternative where the surrounding stack is
+    * Hive/ORC-native; same pushdown/pruning properties as parquet. */
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSON-lines sink/source — the interchange format for document/event
+    * corpora. Read is schema-first like CSV (inference would double-scan
+    * and type-drift across files). */
+  def writeJson(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
+  }
+
+  def readJson(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

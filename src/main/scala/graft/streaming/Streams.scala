@@ -25,4 +25,19 @@ object Streams {
     * windows per user. */
   def sessionsByUser(events: DataFrame): DataFrame =
     Windows.sessionWindowByUser(events.withWatermark("ts", "10 minutes"))
+
+  /** Streaming twin of q_window_sliding: 1-hour windows sliding every
+    * 15 minutes. */
+  def slidingByType(events: DataFrame): DataFrame =
+    Windows.slidingByType(events.withWatermark("ts", "10 minutes"))
+
+  /** Streaming exact dedup (the training-pipeline ingest primitive —
+    * the stream sibling of Dedup.exact): keep the first event per id,
+    * with state bounded by the watermark instead of growing forever.
+    * Duplicates arriving within the watermark delay are dropped; the
+    * state store evicts ids once the watermark passes them. */
+  def dedupById(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
 }

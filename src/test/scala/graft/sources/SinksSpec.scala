@@ -25,4 +25,32 @@ class SinksSpec extends SparkSpec {
     // partition pruning: reading one partition dir touches only its rows
     assert(pq.filter(col("k") === "a").count() === 2)
   }
+
+  test("partitioned parquet read plans a PartitionFilter, not a data filter") {
+    val dir = Files.createTempDirectory("sinks").toString
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "n")
+    Sinks.writeParquet(df, s"$dir/pq", partitionBy = Seq("k"))
+    val plan = spark.read.parquet(s"$dir/pq")
+      .filter(col("k") === "a")
+      .queryExecution.executedPlan.toString
+    // the k='a' predicate must prune directories at planning time —
+    // it shows up under PartitionFilters, and never as a post-scan Filter
+    assert(plan.contains("PartitionFilters: [isnotnull(k"), plan)
+  }
+
+  test("orc and json-lines round-trips preserve rows and types") {
+    val dir = Files.createTempDirectory("sinks").toString
+    val df = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "n")
+
+    Sinks.writeOrc(df, s"$dir/orc", partitionBy = Seq("k"))
+    val orc = Sinks.readOrc(spark, s"$dir/orc")
+    assert(orc.select(sum("n")).head().getLong(0) === 6L)
+    assert(orc.filter(col("k") === "b").select("n").head().getInt(0) === 2)
+
+    Sinks.writeJson(df, s"$dir/json")
+    val back = Sinks.readJson(spark, s"$dir/json", StructType(Seq(
+      StructField("k", StringType), StructField("n", IntegerType))))
+    assert(back.orderBy("k").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      === Seq(("a", 1), ("b", 2), ("c", 3)))
+  }
 }

@@ -45,6 +45,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 4) // 10h click, 11h click, 11h view, 12h view
   }
 
+  test("streaming sliding windows equal the batch twin on the same rows") {
+    val streamed = runStream("t_slide", Streams.slidingByType)
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Windows.slidingByType(data.toDF())
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // every event lands in exactly window/slide = 4 sliding windows
+    assert(streamed.map(_(2).asInstanceOf[Long]).sum === data.size * 4L)
+  }
+
+  test("streaming dedup keeps the first event per id within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // event 1 arrives twice (same id, later value) — second must drop
+    mem.addData(data: _*)
+    mem.addData(Ev(1, ts("2024-01-01 10:06:00"), 9, "dup", 99.0))
+    val q = Streams.dedupById(mem.toDF())
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_dedup")
+    assert(got.count() === data.size)
+    assert(got.filter($"event_type" === "dup").count() === 0)
+  }
+
   test("streaming session windows merge events within the 30-min gap") {
     val got = runStream("t_sess", Streams.sessionsByUser)
       .orderBy("user_id", "session_start")
