@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions
+
+/** One (ordering key, payload id) observation for the top-k aggregate. */
+case class KeyedId(key: Long, id: Long)
+
+/** Bounded top-k per group as a typed Aggregator (the engine's UDAF
+  * surface — SURVEY §2 "UDF/UDAF/UDTF"; everything else stays built-in).
+  *
+  * WHY an aggregate and not a window: `row_number() OVER (...) <= k`
+  * shuffles and sorts EVERY row of the group. An Aggregator participates
+  * in partial aggregation — each map task reduces its rows to a k-bounded
+  * buffer, and the shuffle carries only those k-element buffers per
+  * (task, group). At 100 TB with a hot group, that's the difference
+  * between shuffling the table and shuffling k rows per task.
+  *
+  * Ordering is (key DESC, id ASC) and fully deterministic when callers
+  * fold tie-breaks into the key (see ExtendedQueries.topkPerKey).
+  */
+class TopKByKey(k: Int) extends Aggregator[KeyedId, Seq[KeyedId], Seq[Long]] {
+  require(k > 0, s"top-k width must be positive, got $k")
+
+  private val desc: Ordering[KeyedId] = Ordering.by(x => (-x.key, x.id))
+
+  override def zero: Seq[KeyedId] = Vector.empty
+
+  override def reduce(buf: Seq[KeyedId], a: KeyedId): Seq[KeyedId] =
+    if (buf.size < k) (buf :+ a).sorted(desc)
+    else if (desc.lt(a, buf.last)) (buf.init :+ a).sorted(desc)
+    else buf
+
+  override def merge(b1: Seq[KeyedId], b2: Seq[KeyedId]): Seq[KeyedId] =
+    (b1 ++ b2).sorted(desc).take(k)
+
+  override def finish(buf: Seq[KeyedId]): Seq[Long] = buf.map(_.id)
+
+  override def bufferEncoder: ExpressionEncoder[Seq[KeyedId]] =
+    ExpressionEncoder[Seq[KeyedId]]()
+  override def outputEncoder: ExpressionEncoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
+object TopK {
+  /** Column-API handle: `topK(5)(keyCol, idCol)` aggregates to the ids of
+    * the k largest keys, ordered (key desc, id asc). */
+  def topK(k: Int): UserDefinedFunction =
+    functions.udaf(new TopKByKey(k), ExpressionEncoder[KeyedId]())
+}

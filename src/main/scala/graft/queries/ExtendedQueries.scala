@@ -312,7 +312,108 @@ object ExtendedQueries {
       ORDER BY n_name
     """))
 
+  /** Top-k per group via the typed TopKByKey Aggregator (graft.ops.TopK):
+    * partial aggregation carries k-bounded buffers through the shuffle
+    * instead of sorting every group row the way row_number() <= k does.
+    * Same composite tie-break key as q_minmax_by; ids join to a string so
+    * the compared output stays scalar. The oracle is the window form —
+    * the aggregate must be result-identical to it. */
+  val topkPerKey = QuerySpec(
+    "q_topk_per_key",
+    (s, d) => {
+      val cents = round(col("value") * 100).cast("long")
+      val key = cents * 100000000L + (lit(99999999L) - col("event_id"))
+      val top5 = graft.ops.TopK.topK(5)
+      events(s, d)
+        .groupBy("event_type")
+        .agg(top5(key, col("event_id")).as("ids"))
+        .select(
+          col("event_type"),
+          concat_ws(",", col("ids").cast("array<string>")).as("top_ids"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, event_id,
+               CAST(round(value*100) AS BIGINT)*100000000 + (99999999 - event_id) AS key,
+               row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY CAST(round(value*100) AS BIGINT)*100000000 + (99999999 - event_id) DESC
+               ) AS rn
+        FROM events
+      )
+      SELECT event_type,
+             string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY key DESC) AS top_ids
+      FROM ranked
+      WHERE rn <= 5
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  /** UNPIVOT (wide → long melt): the three lineitem measures stacked into
+    * (metric, value) rows, then aggregated per metric — one Expand pass,
+    * no self-union re-scan (the oracle's UNION ALL form is the relational
+    * definition; Spark plans unpivot as Expand). */
+  val unpivot = QuerySpec(
+    "q_unpivot",
+    (s, d) =>
+      lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy("metric")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+        .orderBy("metric"),
+    Some("""
+      SELECT metric, count(*) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM (
+        SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+      )
+      GROUP BY metric
+      ORDER BY metric
+    """))
+
+  /** MapType surface: props JSON → map<string,int> → explode to entry
+    * rows → per-key stats. DuckDB's integer sums widen to HUGEINT, which
+    * fetchdf renders as float64 — cast back to BIGINT to match Spark's
+    * long sum. */
+  val mapExplode = QuerySpec(
+    "q_map_explode",
+    (s, d) => {
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType))
+      events(s, d)
+        .select(explode(m).as(Seq("key", "value")))
+        .groupBy("key")
+        .agg(
+          count(lit(1)).as("n_entries"),
+          sum(col("value")).as("total"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        .orderBy("key")
+    },
+    Some("""
+      SELECT key, count(*) AS n_entries,
+             CAST(sum(v) AS BIGINT) AS total,
+             min(v) AS min_v, max(v) AS max_v
+      FROM (
+        SELECT key, CAST(json_extract_string(props, '$.' || key) AS INTEGER) AS v
+        FROM (SELECT props, unnest(json_keys(props::JSON)) AS key FROM events)
+      )
+      GROUP BY 1
+      ORDER BY 1
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
-    movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted)
+    movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
+    topkPerKey, unpivot, mapExplode)
 }
