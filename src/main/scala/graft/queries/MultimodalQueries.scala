@@ -29,5 +29,33 @@ object MultimodalQueries {
       ORDER BY doc_id
     """))
 
-  val all: Seq[QuerySpec] = Seq(multimodal)
+  /** Frame sampling (video-path plumbing): 64-byte frames, every 4th kept,
+    * one row per sampled frame via flatMap. Oracle regenerates the frame
+    * grid with range/unnest and re-fingerprints each substr — exact on the
+    * ASCII corpus (octet == ascii). */
+  val frameSample = QuerySpec(
+    "q_frame_sample",
+    (s, d) =>
+      Multimodal.sampleFrames(
+          s, Multimodal.packDocuments(documents(s, d)), frameBytes = 64, every = 4)
+        .orderBy("doc_id", "frame_idx"),
+    Some("""
+      WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, octet_length(encode(text)) // 64)) AS frame_idx
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(frame_idx AS INTEGER) AS frame_idx,
+             64 AS n_bytes,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(string_split(substr(text, CAST(frame_idx*64+1 AS INTEGER), 64), ''),
+                                                     c -> CAST(ascii(c) AS BIGINT))),
+                         (a, b) -> (a * 31 + b) % 1000000007) AS frame_fp
+      FROM f
+      WHERE frame_idx % 4 = 0
+      ORDER BY doc_id, frame_idx
+    """))
+
+  val all: Seq[QuerySpec] = Seq(multimodal, frameSample)
 }
