@@ -34,10 +34,20 @@ object MlPipeline {
     (train, test)
   }
 
-  /** M3: gradient-boosted-tree regression fit. */
+  /** M3: gradient-boosted-tree regression fit.
+    *
+    * `maxTrainRows` caps the fitted sample (seeded, proportionate): at
+    * 100 TB nobody boosts over the full table — the driver-orchestrated
+    * loop re-reads its input ~5 times per tree, so fit cost scales with
+    * the SAMPLE while predictions still run over everything. Int.MaxValue
+    * disables the cap. */
   def trainGbt(train: DataFrame, labelCol: String, maxIter: Int,
-      seed: Long = 42L): GBTRegressionModel = {
-    val cached = train.cache()
+      seed: Long = 42L, maxTrainRows: Long = Long.MaxValue): GBTRegressionModel = {
+    val n = if (maxTrainRows == Long.MaxValue) 0L else train.count()
+    val sampled =
+      if (n > maxTrainRows) train.sample(maxTrainRows.toDouble / n, seed)
+      else train
+    val cached = sampled.cache()
     try
       new GBTRegressor()
         .setFeaturesCol("features")

@@ -76,7 +76,8 @@ object MlQueries {
       // sample-then-fit decision instead.
       val features = MlPipeline.assemble(base.repartition(8), FeatureCols)
       val (train, test) = MlPipeline.seededSplit(features)
-      val model = MlPipeline.trainGbt(train, "l_extendedprice", maxIter = 10)
+      val model = MlPipeline.trainGbt(train, "l_extendedprice", maxIter = 10,
+        maxTrainRows = 150000L)
       model.transform(test)
         .select(
           col("l_orderkey"), col("l_linenumber"),
