@@ -412,8 +412,80 @@ object ExtendedQueries {
       ORDER BY 1
     """))
 
+  /** Window-function breadth: ntile, percent_rank, cume_dist, first/nth
+    * value, lead — one window, one shuffle. The (value DESC, event_id)
+    * ordering is UNIQUE, which is what makes percent_rank/cume_dist exact
+    * rational doubles and nth/lead deterministic; the default ANSI frame
+    * (RANGE UNBOUNDED PRECEDING..CURRENT ROW) gives nth_value(2) NULL on
+    * each partition's first row in both engines. */
+  val windowFuncs = QuerySpec(
+    "q_window_funcs",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      events(s, d)
+        .select(
+          col("event_id"), col("event_type"), col("value"),
+          ntile(4).over(w).cast("long").as("tile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("event_id")).over(w).as("first_id"),
+          nth_value(col("event_id"), 2).over(w).as("second_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"))
+        .orderBy(col("event_type"), col("value").desc, col("event_id"))
+    },
+    Some("""
+      SELECT event_id, event_type, value,
+             ntile(4) OVER w AS tile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             first_value(event_id) OVER w AS first_id,
+             nth_value(event_id, 2) OVER w AS second_id,
+             lead(event_id, 1) OVER w AS next_id
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+      ORDER BY event_type, value DESC, event_id
+    """))
+
+  /** Scalar-function breadth in one pruned projection: string padding /
+    * translation / reversal / repetition, greatest/least, integer sign
+    * (both engines' sign() output types differ — cast to INT on both
+    * sides), IEEE-exact sqrt, integer modulo. */
+  val scalarFuncs = QuerySpec(
+    "q_scalar_funcs",
+    (s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          lpad(upper(col("p_name")), 25, "*").as("padded"),
+          translate(col("p_brand"), "B#", "b-").as("brand_t"),
+          reverse(col("p_type")).as("type_rev"),
+          substring(col("p_name"), 1, 4).as("prefix"),
+          repeat(col("p_brand"), 2).as("brand2"),
+          greatest(col("p_size"), lit(10)).as("g_size"),
+          least(col("p_size"), lit(10)).as("l_size"),
+          signum(col("p_retailprice") - 1000.0).cast("int").as("price_sgn"),
+          sqrt(col("p_retailprice")).as("price_sqrt"),
+          (col("p_size") % 7).as("size_mod"))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey,
+             lpad(upper(p_name), 25, '*') AS padded,
+             translate(p_brand, 'B#', 'b-') AS brand_t,
+             reverse(p_type) AS type_rev,
+             substr(p_name, 1, 4) AS prefix,
+             repeat(p_brand, 2) AS brand2,
+             greatest(p_size, 10) AS g_size,
+             least(p_size, 10) AS l_size,
+             CAST(sign(p_retailprice - 1000.0) AS INTEGER) AS price_sgn,
+             sqrt(p_retailprice) AS price_sqrt,
+             mod(p_size, 7) AS size_mod
+      FROM part
+      ORDER BY p_partkey
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
     movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
-    topkPerKey, unpivot, mapExplode)
+    topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs)
 }

@@ -70,6 +70,33 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("*("), plan(df))
   }
 
+  test("distinct-count keeps the dim broadcast and expands for the distinct") {
+    val p = plan(SparkEntry.queries("q_distinct_count")(spark, Sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exact count-distinct plans partial aggregation on (segment, custkey)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("window frame and final sort share one hash shuffle on the partition key") {
+    val df = SparkEntry.queries("q_moving_sum")(spark, Sf001)
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" —
+    // count exchanges only in the final-plan section above it
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    val exchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected one hash exchange (window partition), got $exchanges\n$finalPlan")
+  }
+
+  test("unpivot plans a single Expand over one scan, not a self-union") {
+    val df = SparkEntry.queries("q_unpivot")(spark, Sf001)
+    val p = plan(df)
+    assert(p.contains("Expand"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1, p)
+  }
+
   test("salted aggregation matches the plain aggregate exactly") {
     val salted = SparkEntry.queries("q_salted_agg")(spark, Sf001)
     val plain = Tables.events(spark, Sf001)
