@@ -484,8 +484,117 @@ object ExtendedQueries {
       ORDER BY p_partkey
     """))
 
+  /** Explicit CROSS JOIN (the only sanctioned cartesian in the engine:
+    * two tiny dims, 125 rows — anything bigger must be an equi/range
+    * join, and PlanSpec asserts no accidental cartesians elsewhere). */
+  val crossJoin = QuerySpec(
+    "q_cross_join",
+    (s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name"),
+    Some("""
+      SELECT r_name, n_name
+      FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name
+    """))
+
+  /** NULL-semantics breadth over manufactured NULLs: null-safe equality
+    * (<=> / IS NOT DISTINCT FROM), coalesce chains, nullif, and the
+    * has-value conditional — the exact places engines classically
+    * disagree, pinned by the oracle. */
+  val nullSemantics = QuerySpec(
+    "q_null_semantics",
+    (s, d) => {
+      val tax = graft.ops.Cleaning.sentinelToNull(col("l_tax"))
+      val disc = graft.ops.Cleaning.sentinelToNull(col("l_discount"))
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          tax.as("tax_clean"), disc.as("disc_clean"),
+          (tax <=> disc).as("nullsafe_eq"),
+          coalesce(tax, disc, lit(-1.0)).as("first_nonnull"),
+          nullif(col("l_quantity"), lit(1.0)).as("qty_nullif"),
+          when(tax.isNotNull, lit("has")).otherwise(lit("none")).as("tax_flag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             tax_clean, disc_clean,
+             tax_clean IS NOT DISTINCT FROM disc_clean AS nullsafe_eq,
+             coalesce(tax_clean, disc_clean, -1.0) AS first_nonnull,
+             nullif(l_quantity, 1.0) AS qty_nullif,
+             CASE WHEN tax_clean IS NOT NULL THEN 'has' ELSE 'none' END AS tax_flag
+      FROM (
+        SELECT *,
+               CASE WHEN l_tax IN (0.0, -999.0, -999.9) THEN NULL ELSE l_tax END AS tax_clean,
+               CASE WHEN l_discount IN (0.0, -999.0, -999.9) THEN NULL ELSE l_discount END AS disc_clean
+        FROM lineitem
+      )
+      ORDER BY l_orderkey, l_linenumber
+    """))
+
+  /** Timestamp truncation/extraction breadth (beyond q_date_arith's DATE
+    * math): week/quarter/day truncation, integer epoch seconds, ISO-free
+    * day-of-week (Spark counts Sun=1, DuckDB Sun=0 — aligned by -1),
+    * day-of-year, hour. DuckDB's date_trunc returns DATE and epoch()
+    * returns fractional DOUBLE — both cast/floored to Spark's types. */
+  val tsTrunc = QuerySpec(
+    "q_ts_trunc",
+    (s, d) =>
+      events(s, d)
+        .select(
+          col("event_id"),
+          date_trunc("week", col("ts")).as("week_start"),
+          date_trunc("quarter", col("ts")).as("quarter_start"),
+          date_trunc("day", col("ts")).as("day_start"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          (dayofweek(col("ts")) - 1).as("dow0"),
+          dayofyear(col("ts")).as("doy"),
+          hour(col("ts")).as("hr"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+             CAST(date_trunc('quarter', ts) AS TIMESTAMP) AS quarter_start,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+             epoch_us(ts) // 1000000 AS epoch_s,
+             CAST(dayofweek(ts) AS INTEGER) AS dow0,
+             CAST(dayofyear(ts) AS INTEGER) AS doy,
+             CAST(hour(ts) AS INTEGER) AS hr
+      FROM events
+      ORDER BY event_id
+    """))
+
+  /** Correlated scalar subquery (identical SQL text on both engines):
+    * Catalyst de-correlates it into an aggregate + left outer join — the
+    * rewrite IS the scale story (no per-row re-execution). */
+  val scalarSubquery = QuerySpec(
+    "q_scalar_subquery",
+    (s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice,
+               (SELECT max(l_quantity) FROM lineitem
+                WHERE l_orderkey = o_orderkey) AS max_qty
+        FROM orders
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey
+      """)
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice,
+             (SELECT max(l_quantity) FROM lineitem
+              WHERE l_orderkey = o_orderkey) AS max_qty
+      FROM orders
+      WHERE o_orderkey <= 2000
+      ORDER BY o_orderkey
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
     movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
-    topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs)
+    topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs,
+    crossJoin, nullSemantics, tsTrunc, scalarSubquery)
 }
