@@ -97,6 +97,17 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1, p)
   }
 
+  test("AQE re-plans at runtime (coalesced shuffle read in the final plan)") {
+    val df = SparkEntry.queries("q_sql_agg")(spark, Sf001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(finalPlan.contains("AdaptiveSparkPlan isFinalPlan=true"), finalPlan)
+    // tiny shuffles must coalesce — the runtime re-plan the 100 TB path
+    // relies on for skew splitting and partition right-sizing
+    assert(finalPlan.contains("AQEShuffleRead coalesced"), finalPlan)
+  }
+
   test("salted aggregation matches the plain aggregate exactly") {
     val salted = SparkEntry.queries("q_salted_agg")(spark, Sf001)
     val plain = Tables.events(spark, Sf001)
