@@ -592,9 +592,69 @@ object ExtendedQueries {
       ORDER BY o_orderkey
     """))
 
+  /** Array set-algebra breadth: union/intersect/except between the
+    * name-token and type-token sets of each part, compared by SIZE (set
+    * sizes are order-independent) plus one canonical sorted join. DuckDB
+    * lacks list_union/list_except — the oracle composes them from
+    * list_distinct/list_concat/list_filter. */
+  val arrayOps = QuerySpec(
+    "q_array_ops",
+    (s, d) => {
+      val a = array_distinct(split(col("p_name"), " "))
+      val b = array_distinct(split(col("p_type"), " "))
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          size(array_union(a, b)).as("n_union"),
+          size(array_intersect(a, b)).as("n_intersect"),
+          size(array_except(a, b)).as("n_except"),
+          array_join(array_sort(array_union(a, b)), " ").as("all_toks"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+             CAST(len(list_distinct(a || b)) AS INTEGER) AS n_union,
+             CAST(len(list_intersect(a, b)) AS INTEGER) AS n_intersect,
+             CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INTEGER) AS n_except,
+             array_to_string(list_sort(list_distinct(a || b)), ' ') AS all_toks
+      FROM (
+        SELECT p_partkey,
+               list_distinct(string_split(p_name, ' ')) AS a,
+               list_distinct(string_split(p_type, ' ')) AS b
+        FROM part
+      )
+      ORDER BY p_partkey
+    """))
+
+  /** Higher-order aggregate fold (the user-facing HOF surface): L2 norm
+    * of each embedding via aggregate() — a strictly sequential left fold
+    * in both engines, so the double accumulation is bit-identical (this
+    * is NOT true of sum(), whose reduction order is partition-dependent).
+    */
+  val hofReduce = QuerySpec(
+    "q_hof_reduce",
+    (s, d) =>
+      embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          sqrt(aggregate(
+            graft.ops.Similarity.asDouble(col("embedding")),
+            lit(0.0),
+            (acc, x) => acc + x * x)).as("l2"))
+        .orderBy("vec_id"),
+    Some("""
+      SELECT vec_id,
+             CAST(len(embedding) AS INTEGER) AS dim,
+             sqrt(list_reduce(list_prepend(0.0, embedding::DOUBLE[]),
+                              (acc, x) -> acc + x * x)) AS l2
+      FROM embeddings
+      ORDER BY vec_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
     movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
     topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs,
-    crossJoin, nullSemantics, tsTrunc, scalarSubquery)
+    crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce)
 }
