@@ -19,6 +19,23 @@ object Skew {
   def salt(salts: Int, idCols: Column*): Column =
     pmod(hash(idCols: _*), lit(salts))
 
+  /** Skew-safe fact⋈dim equi-join for hot keys too big to broadcast
+    * around: the FACT side salts deterministically into `salts` sub-keys;
+    * the DIM side replicates once per salt (explode of a `salts`-element
+    * array — dim rows × salts, cheap when dim ≪ fact). A hot join key
+    * then spreads across `salts` reducers instead of pinning one.
+    * Result-identical to `fact.join(dim, key)` — every fact row still
+    * meets every dim row of its key exactly once. Prefer broadcast when
+    * the dim fits; prefer AQE skew-join when Spark can detect the skew —
+    * this is the explicit fallback for the planner-invisible cases. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int, idCols: Column*): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", salt(salts, idCols: _*))
+    val expandedDim = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(expandedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** count + decimal-sum per key, two-phase over a salted sub-key. */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
       salts: Int, idCols: Column*): DataFrame =

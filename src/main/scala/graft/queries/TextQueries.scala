@@ -275,7 +275,95 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** The training-data prep pipeline END-TO-END as ONE lazy DAG — the
+    * engine-completeness showpiece: quality filter → language re-ID →
+    * drop unidentifiable docs → exact dedup (hash-partitioned over the
+    * SURVIVORS only — stage order is a real cost decision at 100 TB) →
+    * per-language corpus manifest. Every stage is the same logic the
+    * standalone queries use, and the whole composition stays
+    * DuckDB-expressible, so the oracle checks the PIPELINE, not just its
+    * pieces. */
+  val prepPipeline = QuerySpec(
+    "q_prep_pipeline",
+    (s, d) => {
+      val toks = Text.tokens(col("text"))
+      val nTok = size(toks)
+      val nChar = length(col("text"))
+      val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+      val filtered = documents(s, d)
+        .withColumn("n_tok", nTok)
+        .withColumn("punct_ratio", Text.ratio(nPunct, nChar))
+        .withColumn("chars_per_tok", Text.ratio(nChar, col("n_tok")))
+        .filter(col("n_tok") >= 20 && col("punct_ratio") < 0.1 &&
+          col("chars_per_tok") < 12.0)
+      val hitCols = Text.LangMarkers.map { case (l, ms) =>
+        l -> Text.markerHits(Text.tokens(col("text")), ms)
+      }
+      val identified = filtered
+        .withColumn("lang_guess", Text.langGuess(hitCols))
+        .filter(col("lang_guess") =!= "und")
+      Dedup.exact(identified, col("text"), col("doc_id"))
+        .groupBy("lang_guess")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_toks"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang_guess")
+    },
+    Some {
+      val hitExprs = Text.LangMarkers.map { case (l, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($inList))) AS hits_$l"
+      }.mkString(",\n               ")
+      val langs = Text.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("hits_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN hits_$l = $best THEN '$l'").mkString(" ")
+      s"""
+      WITH toked AS (
+        SELECT *, list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS toks
+        FROM documents
+      ),
+      filtered AS (
+        SELECT *, CAST(len(toks) AS INTEGER) AS n_tok
+        FROM toked
+        WHERE len(toks) >= 20
+          AND (CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) END) < 0.1
+          AND (CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) < 12.0
+      ),
+      identified AS (
+        SELECT * FROM (
+          SELECT *,
+                 CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess
+          FROM (
+            SELECT *,
+               $hitExprs
+            FROM filtered
+          )
+        )
+        WHERE lang_guess <> 'und'
+      ),
+      deduped AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                       ORDER BY doc_id) AS rn
+          FROM identified
+        ) WHERE rn = 1
+      )
+      SELECT lang_guess, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_toks,
+             count(DISTINCT source) AS n_sources,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM deduped
+      GROUP BY lang_guess
+      ORDER BY lang_guess
+      """
+    })
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
-    langId, qualityScore, tokenCount, fingerprint)
+    langId, qualityScore, tokenCount, fingerprint, prepPipeline)
 }

@@ -108,6 +108,20 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("AQEShuffleRead coalesced"), finalPlan)
   }
 
+  test("salted join matches the plain join exactly (hot-key spread is invisible)") {
+    val fact = Tables.events(spark, Sf001).select("event_id", "event_type", "value")
+    val dim = fact.select("event_type").distinct()
+      .withColumn("type_tag", upper(col("event_type")))
+    val plain = fact.join(dim, Seq("event_type"))
+      .select("event_id", "event_type", "type_tag")
+      .orderBy("event_id").collect().toSeq
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, "event_type",
+        salts = 8, col("event_id"))
+      .select("event_id", "event_type", "type_tag")
+      .orderBy("event_id").collect().toSeq
+    assert(salted === plain)
+  }
+
   test("salted aggregation matches the plain aggregate exactly") {
     val salted = SparkEntry.queries("q_salted_agg")(spark, Sf001)
     val plain = Tables.events(spark, Sf001)
