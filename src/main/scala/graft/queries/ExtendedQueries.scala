@@ -656,9 +656,59 @@ object ExtendedQueries {
       ORDER BY vec_id
     """))
 
+  /** Calendar densification (date spine + gap fill): monthly counts of
+    * rare high-value orders, zero-filled over a sequence()-generated
+    * month spine between the observed bounds — the time-series
+    * completeness op reports need before windowing. The spine derives
+    * from the data (no driver-side collect); months with no orders
+    * REALLY occur at both test SFs, so the left-join fill is exercised. */
+  val dateSpine = QuerySpec(
+    "q_date_spine",
+    (s, d) => {
+      val m = date_trunc("month", col("o_orderdate")).cast("date")
+      val counts = orders(s, d)
+        .filter(col("o_totalprice") >= 495000)
+        .groupBy(m.as("m"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      val spine = counts
+        .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval '1' month")))
+          .as("month_start"))
+      spine.join(counts, spine("month_start") === counts("m"), "left")
+        .select(
+          col("month_start"),
+          coalesce(col("n"), lit(0L)).as("n_high_orders"),
+          coalesce(col("total"), lit(0.0)).as("total_value"))
+        .orderBy("month_start")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice >= 495000
+        GROUP BY 1
+      ),
+      spine AS (
+        SELECT CAST(unnest(generate_series(
+                 CAST((SELECT min(m) FROM counts) AS TIMESTAMP),
+                 CAST((SELECT max(m) FROM counts) AS TIMESTAMP),
+                 INTERVAL 1 MONTH)) AS DATE) AS month_start
+      )
+      SELECT month_start,
+             coalesce(n, 0) AS n_high_orders,
+             coalesce(total, 0.0) AS total_value
+      FROM spine LEFT JOIN counts ON month_start = m
+      ORDER BY month_start
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
     movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
     topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs,
-    crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce)
+    crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce,
+    dateSpine)
 }
