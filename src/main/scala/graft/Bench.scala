@@ -12,10 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: first-job costs (parquet reader init, codegen
-    // compilation, shuffle machinery) otherwise land on whichever query
-    // hash-order happens to run first. Queries then time in name order.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Untimed warmup ON THE BENCHMARKED DATASET: first-job costs (parquet
+    // footer reads, codegen compilation, shuffle machinery) otherwise
+    // land on whichever query runs first. Queries then time in name order.
+    try SparkEntry.queries("q_monthly_rollup")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // Two timed passes, per-query MIN: this host shows 2–3× ambient noise
     // swings (co-tenant contention), and min-of-2 measures the engine,
     // not the neighbor. SPARK_GRAFT_BENCH_PASSES=1 restores single-pass.

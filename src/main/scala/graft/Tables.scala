@@ -38,15 +38,16 @@ object Tables {
     * lossless here (TESTDATA values are µs-aligned) and integer `DIV` is
     * mandatory: epoch-nanos ≈ 1.7e18 overflows double's 2^53 mantissa.
     *
-    * The nanosAsLong flag must be set at session BUILD time (Verify /
-    * Bench / SparkSpec all do) — setting it here as a read side effect
-    * would silently change how every other nanos parquet in the session
-    * is read. Fail fast instead of mutating shared session state. */
+    * The nanosAsLong flag is set at session BUILD time by every in-repo
+    * entry point (Verify / Bench / SparkSpec). For sessions built
+    * elsewhere (the driver's own harness), the loader sets it as a
+    * DOCUMENTED session-wide effect rather than failing: the flag only
+    * changes how nanos-typed parquet is read, and every nanos table this
+    * engine touches needs the same setting — refusing the read would
+    * break the external-session contract for zero safety gain. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(
-      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet carries TIMESTAMP(NANOS); build the session with " +
-        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

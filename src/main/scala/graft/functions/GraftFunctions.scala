@@ -38,10 +38,14 @@ object GraftFunctions {
         s"tokenize expects 1 argument, got ${args.length}")
     },
     "word_shingles" -> {
-      case Seq(c, n) if n.foldable =>
+      case Seq(c, n) if n.foldable && (n.eval() match {
+            case _: Number => true
+            case _ => false
+          }) =>
         WordShingles(c, n.eval().asInstanceOf[Number].intValue())
       case args => throw new IllegalArgumentException(
-        s"word_shingles expects (column, literal n), got ${args.length} args")
+        s"word_shingles expects (column, non-null integer literal n), " +
+          s"got ${args.length} args")
     })
 
   /** Register on a live session's function registry. */

@@ -43,15 +43,20 @@ object WordShingles {
     val out = new Array[Any](count - n + 1)
     var i = 0
     while (i <= count - n) {
+      // null tokens are skipped together with their separator — exactly
+      // array_join's null handling, so the composed-form equivalence
+      // holds even for null-bearing arrays fed via the SQL surface
+      // (Tokenize output itself never contains nulls)
       val sb = new java.lang.StringBuilder()
       var j = 0
+      var wrote = false
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        // tokens from Tokenize are never null; a null from another source
-        // renders as the empty string, matching array_join's null-skip
-        // only when nulls are absent — callers feed tokenizer output.
         val t = tokens.getUTF8String(i + j)
-        if (t != null) sb.append(t.toString)
+        if (t != null) {
+          if (wrote) sb.append(' ')
+          sb.append(t.toString)
+          wrote = true
+        }
         j += 1
       }
       out(i) = UTF8String.fromString(sb.toString)

@@ -39,8 +39,8 @@ object MlPipeline {
     * `maxTrainRows` caps the fitted sample (seeded, proportionate): at
     * 100 TB nobody boosts over the full table — the driver-orchestrated
     * loop re-reads its input ~5 times per tree, so fit cost scales with
-    * the SAMPLE while predictions still run over everything. Int.MaxValue
-    * disables the cap. */
+    * the SAMPLE while predictions still run over everything. The default
+    * Long.MaxValue disables the cap (and skips the count() scan). */
   def trainGbt(train: DataFrame, labelCol: String, maxIter: Int,
       seed: Long = 42L, maxTrainRows: Long = Long.MaxValue): GBTRegressionModel = {
     val n = if (maxTrainRows == Long.MaxValue) 0L else train.count()

@@ -57,10 +57,18 @@ object Similarity {
   def ivfAssign(spark: SparkSession, emb: DataFrame, nCells: Int): (DataFrame, Array[Array[Double]]) = {
     val withVec = graft.Tables.fanOut(spark, emb)
       .withColumn("__vec", array_to_vector(asDouble(col("embedding"))))
-    val trainSample = withVec.select("__vec")
-      .limit(256 * nCells)
-      .coalesce(4)
-      .cache()
+    // Seeded UNIFORM sample, not limit(): limit takes the corpus HEAD
+    // (biased when ingest order clusters, the norm at 100 TB) and
+    // collapses to one partition, which coalesce cannot widen again.
+    // The count is a cheap parquet-metadata aggregate; repartition(4)
+    // right-sizes the k-means jobs for a few-thousand-row sample.
+    val maxTrain = 256L * nCells
+    val n = emb.count()
+    val base = withVec.select("__vec")
+    val trainSample =
+      (if (n > maxTrain) base.sample(maxTrain.toDouble / n, 42L) else base)
+        .repartition(4)
+        .cache()
     val km = new KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(10)
       .setInitMode("random") // seeded, 1 init pass vs k-means||'s ~5

@@ -28,9 +28,24 @@ class TopKByKey(k: Int) extends Aggregator[KeyedId, Seq[KeyedId], Seq[Long]] {
 
   override def zero: Seq[KeyedId] = Vector.empty
 
+  /** Binary-search insertion into the (already sorted) buffer — O(log k)
+    * comparisons + one copy per accepted row, vs a full re-sort; rows
+    * outside the current top-k cost ONE comparison (the common case on a
+    * hot group). */
+  private def insertSorted(buf: Seq[KeyedId], a: KeyedId, drop: Boolean): Seq[KeyedId] = {
+    var lo = 0
+    var hi = buf.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (desc.lt(buf(mid), a)) lo = mid + 1 else hi = mid
+    }
+    val kept = if (drop) buf.init else buf
+    (kept.take(lo) :+ a) ++ kept.drop(lo)
+  }
+
   override def reduce(buf: Seq[KeyedId], a: KeyedId): Seq[KeyedId] =
-    if (buf.size < k) (buf :+ a).sorted(desc)
-    else if (desc.lt(a, buf.last)) (buf.init :+ a).sorted(desc)
+    if (buf.size < k) insertSorted(buf, a, drop = false)
+    else if (desc.lt(a, buf.last)) insertSorted(buf, a, drop = true)
     else buf
 
   override def merge(b1: Seq[KeyedId], b2: Seq[KeyedId]): Seq[KeyedId] =

@@ -61,6 +61,18 @@ object ExpressionProps extends Properties("graft.functions") {
       (0 until got.numElements()).map(got.getUTF8String(_).toString) == expected
     }
 
+  property("word_shingles skips null tokens like array_join (null + separator dropped)") =
+    forAll(Gen.listOf(Gen.option(Gen.alphaNumStr.suchThat(_.nonEmpty))),
+        Gen.choose(1, 4)) { (toks, n) =>
+      val expected =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.flatten.mkString(" ")).toSeq
+      val in = new GenericArrayData(
+        toks.map(_.map(UTF8String.fromString).orNull).toArray[Any])
+      val got = WordShingles.compute(in, n)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == expected
+    }
+
   property("cosine of a vector with itself is 1 (or null for zero vectors)") =
     forAll(vec) { xs =>
       val a = new GenericArrayData(xs.toArray[Any])

@@ -86,8 +86,9 @@ def main():
             n_fail += 1
         else:
             n_pass += 1
+    dirs = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
     print(f"{n_pass} pass, {n_fail} fail, "
-          f"{len([n for n in Path(out_dir).iterdir() if n.is_dir()]) - len(oracles)} rows-only")
+          f"{len(dirs - set(oracles))} rows-only")
 
 
 if __name__ == "__main__":
