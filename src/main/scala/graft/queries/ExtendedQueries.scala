@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops.Text
 
+/** Typed row for q_typed_agg's Dataset[T] path. */
+case class OrderRow(o_orderkey: Long, o_orderstatus: String, o_totalprice: Double)
+
 /** Round-2 breadth: general-engine operators a user of the reference's
   * stack would expect beyond SURVEY §2's inventory — outer joins, arg-min/
   * max, exact+approx distinct counts, grouping sets, window frames, exact
@@ -705,10 +708,39 @@ object ExtendedQueries {
       ORDER BY month_start
     """))
 
+  /** Typed Dataset[T] surface (SURVEY §1.3's "case-class Dataset[T] at
+    * typed API boundaries"): case-class Encoder → groupByKey → mapValues
+    * → reduceGroups, summing EXACT integer cents so the typed reduction
+    * is partition-order-independent (a typed double sum would not be).
+    * The relational twin is a two-line groupBy — the point here is that
+    * the typed path exists, stays deterministic, and oracles identically.
+    */
+  val typedAgg = QuerySpec(
+    "q_typed_agg",
+    (s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .as[OrderRow]
+        .groupByKey(_.o_orderstatus)
+        .mapValues(o => (1L, math.round(o.o_totalprice * 100)))
+        .reduceGroups((a, b) => (a._1 + b._1, a._2 + b._2))
+        .map { case (status, (n, cents)) => (status, n, cents.toDouble / 100.0) }
+        .toDF("o_orderstatus", "n_orders", "total_value")
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
     movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
     topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs,
     crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce,
-    dateSpine)
+    dateSpine, typedAgg)
 }
