@@ -12,8 +12,9 @@ import graft.ops.Cleaning
   * reads every file in parallel (gzip files are file-granular splits —
   * fine: one GSOD file is one station-year, ~25 KB), tokenization and
   * cleaning are codegen'd column expressions, and the downstream median/
-  * latest/join run as ordinary shuffles. The `.tar` unpack stays a
-  * documented ingest pre-step (tar isn't splittable — SURVEY §7.3).
+  * latest/join run as ordinary shuffles. `.tar` archives ingest in-engine
+  * too ([[parseTar]] via [[TarArchive]]): tar isn't splittable, so the
+  * archive is the parallelism grain — one task per year archive.
   *
   * Positional layout (FIXTURES.md A1): data rows interleave observation-
   * count columns the header collapses, so columns are selected by DATA
@@ -35,9 +36,38 @@ object GsodParser {
 
   /** Raw GSOD text (already-unpacked `.op` / `.op.gz` files) → typed,
     * cleaned daily observations matching Schemas.gsodObservation. */
-  def parse(spark: SparkSession, path: String): DataFrame = {
+  def parse(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark, spark.read.text(path))
+
+  /** S3 in-engine: `.tar` archives of `.op` / `.op.gz` members → the same
+    * typed observations. Parallelism is per-ARCHIVE (tar isn't
+    * splittable — binaryFiles hands each archive to one task; GSOD ships
+    * thousands of year archives, so the fleet stays busy). Members
+    * gunzip executor-side; no driver round-trip, no temp files. */
+  def parseTar(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) =>
+        val in = pds.open()
+        try {
+          TarArchive.members(in).flatMap { case (name, payload) =>
+            if (!(name.endsWith(".op") || name.endsWith(".op.gz"))) Iterator.empty
+            else {
+              val bytes =
+                if (name.endsWith(".gz")) TarArchive.gunzip(payload) else payload
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+                .linesIterator.toVector
+            }
+          }.toVector // materialize before the stream closes
+        } finally in.close()
+      }
+    parseLines(spark, lines.toDF("value"))
+  }
+
+  /** Shared tokenization/cleaning body over a `value`-lines DataFrame. */
+  private def parseLines(spark: SparkSession, linesDf: DataFrame): DataFrame = {
     val toks = split(trim(col("value")), "\\s+")
-    spark.read.text(path)
+    linesDf
       // drop header rows by their marker (not "keep digit-initial" — NOAA
       // USAF ids can be alphanumeric, e.g. A07026) and blank lines
       .filter(!col("value").rlike("^\\s*STN--") && col("value").rlike("\\S"))
