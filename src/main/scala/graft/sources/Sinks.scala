@@ -52,4 +52,20 @@ object Sinks {
   def readJson(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Range-clustered parquet write: repartitionByRange + in-partition
+    * sort on the cluster keys before writing. Files end up RANGE-DISJOINT
+    * on the key, so parquet row-group min/max statistics actually prune —
+    * a range predicate at read time skips whole files/row-groups instead
+    * of scanning everything. At 100 TB this layout decision (made once,
+    * write-side) is worth more than any read-side tuning; it's the
+    * open-format equivalent of clustering/Z-ordering. */
+  def writeRangeClustered(df: DataFrame, path: String,
+      clusterCols: Seq[String], partitions: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = clusterCols.map(col)
+    df.repartitionByRange(partitions, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -38,6 +38,27 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(k"), plan)
   }
 
+  test("range-clustered write produces range-disjoint files (min/max skipping works)") {
+    val dir = Files.createTempDirectory("sinks").toString
+    val orders = graft.Tables.orders(spark, Sf001)
+    Sinks.writeRangeClustered(orders, s"$dir/rc", Seq("o_orderdate"), partitions = 4)
+    // per-file [min,max] date ranges must not overlap — that disjointness
+    // is exactly what lets parquet stats prune a date-range read
+    val ranges = spark.read.parquet(s"$dir/rc")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1), r.getAs[java.time.LocalDateTime](2)))
+      .sortBy(_._1)(Ordering.fromLessThan(_ isBefore _))
+    assert(ranges.length >= 2, s"expected several files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(!lo2.isBefore(hi1), s"file ranges overlap: $hi1 vs $lo2")
+      case _ =>
+    }
+    assert(spark.read.parquet(s"$dir/rc").count() === orders.count())
+  }
+
   test("orc and json-lines round-trips preserve rows and types") {
     val dir = Files.createTempDirectory("sinks").toString
     val df = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "n")
