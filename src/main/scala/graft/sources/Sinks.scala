@@ -53,6 +53,15 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** XML sink/source (built into Spark 4's sql module): one row per
+    * `rowTag` element; schema-first read like CSV/JSON. */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("rowTag", rowTag).xml(path)
+
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).xml(path)
+
   /** Range-clustered parquet write: repartitionByRange + in-partition
     * sort on the cluster keys before writing. Files end up RANGE-DISJOINT
     * on the key, so parquet row-group min/max statistics actually prune —

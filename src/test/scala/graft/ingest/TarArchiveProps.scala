@@ -1,0 +1,66 @@
+package graft.ingest
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the hand-written ustar reader: any archive of
+  * random members (including 0-byte and exact-block-multiple payloads,
+  * the two padding edge cases) must round-trip name-and-byte exact. */
+object TarArchiveProps extends Properties("graft.ingest.TarArchive") {
+
+  private def tarEntry(name: String, payload: Array[Byte]): Array[Byte] = {
+    val h = new Array[Byte](512)
+    val nb = name.getBytes("US-ASCII"); System.arraycopy(nb, 0, h, 0, nb.length)
+    val size = ("%011o".format(payload.length) + " ").getBytes("US-ASCII")
+    System.arraycopy(size, 0, h, 124, size.length)
+    h(156) = '0'
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val sum = h.map(_ & 0xFF).sum
+    val cks = ("%06o".format(sum) + "  ").getBytes("US-ASCII")
+    System.arraycopy(cks, 0, h, 148, cks.length)
+    val padded = ((payload.length + 511) / 512) * 512
+    h ++ payload ++ new Array[Byte](padded - payload.length)
+  }
+
+  private val member: Gen[(String, Array[Byte])] = for {
+    name <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(20).mkString)
+    // bias toward the padding edge cases: empty, exactly 512, 512-multiples
+    size <- Gen.frequency(
+      (1, Gen.const(0)), (1, Gen.const(512)), (1, Gen.const(1024)),
+      (5, Gen.choose(1, 1500)))
+    bytes <- Gen.containerOfN[Array, Byte](size, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield (name + ".op", bytes)
+
+  property("members round-trip name- and byte-exact through a built archive") =
+    forAll(Gen.listOfN(4, member)) { ms =>
+      val archive = ms.flatMap { case (n, b) => tarEntry(n, b) }.toArray ++
+        new Array[Byte](1024)
+      val got = TarArchive.members(new java.io.ByteArrayInputStream(archive)).toList
+      got.map(_._1) == ms.map(_._1) &&
+        got.zip(ms).forall { case ((_, g), (_, w)) => java.util.Arrays.equals(g, w) }
+    }
+
+  property("directory members are skipped, files around them still parse") =
+    forAll(member, member) { (m1, m2) =>
+      val dir = {
+        val h = new Array[Byte](512)
+        val nb = "somedir/".getBytes("US-ASCII"); System.arraycopy(nb, 0, h, 0, nb.length)
+        val size = "00000000000 ".getBytes("US-ASCII")
+        System.arraycopy(size, 0, h, 124, size.length)
+        h(156) = '5' // directory typeflag
+        h
+      }
+      val archive = tarEntry(m1._1, m1._2) ++ dir ++ tarEntry(m2._1, m2._2) ++
+        new Array[Byte](1024)
+      val got = TarArchive.members(new java.io.ByteArrayInputStream(archive)).toList
+      got.map(_._1) == List(m1._1, m2._1)
+    }
+
+  property("gunzip inverts gzip for arbitrary payloads") =
+    forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { b =>
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close()
+      java.util.Arrays.equals(TarArchive.gunzip(bo.toByteArray), b)
+    }
+}

@@ -74,4 +74,14 @@ class SinksSpec extends SparkSpec {
     assert(back.orderBy("k").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
       === Seq(("a", 1), ("b", 2), ("c", 3)))
   }
+
+  test("xml round-trip preserves rows (Spark 4 built-in source)") {
+    val dir = Files.createTempDirectory("sinks").toString
+    val df = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "n")
+    Sinks.writeXml(df, s"$dir/xml", rowTag = "row")
+    val back = Sinks.readXml(spark, s"$dir/xml", rowTag = "row", StructType(Seq(
+      StructField("k", StringType), StructField("n", IntegerType))))
+    assert(back.orderBy("k").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      === Seq(("a", 1), ("b", 2), ("c", 3)))
+  }
 }
