@@ -21,7 +21,10 @@ object Bench {
     // swings (co-tenant contention), and min-of-2 measures the engine,
     // not the neighbor. SPARK_GRAFT_BENCH_PASSES=1 restores single-pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = (1 to passes).flatMap { _ =>
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -71,12 +71,15 @@ object Dedup {
   }
 
   /** MinHash signature: k independent min-hashes of the shingle set.
-    * Hash family: xxhash64(shingle, seed_i) — deterministic, no salt
-    * tables to ship. Returns array<long> of length k. */
+    * Hash family: XXH64(shingle, seed=i) — deterministic, no salt tables
+    * to ship. Returns array<long> of length k.
+    *
+    * One codegen'd Expression, not k `transform` HOFs: Catalyst interprets
+    * HOF lambdas per element, so the column-API version paid k interpreted
+    * passes per row — it was the measured bottleneck of the LSH dedup
+    * bench. See MinHashSig for the single-pass kernel. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
-    }: _*)
+    graft.functions.MinHashSig.minhash_sig(shingleCol, k)
 
   /** LSH banding: split the k-wide signature into bands of `rows` entries;
     * docs agreeing on ALL rows of any band become candidates. Returns
