@@ -40,14 +40,22 @@ object Tables {
     *
     * The nanosAsLong flag is set at session BUILD time by every in-repo
     * entry point (Verify / Bench / SparkSpec). For sessions built
-    * elsewhere (the driver's own harness), the loader sets it as a
-    * DOCUMENTED session-wide effect rather than failing: the flag only
-    * changes how nanos-typed parquet is read, and every nanos table this
-    * engine touches needs the same setting — refusing the read would
-    * break the external-session contract for zero safety gain. */
+    * elsewhere (the driver's own harness), the loader sets it ONLY when
+    * unset — a DOCUMENTED session-wide effect: the flag only changes how
+    * nanos-typed parquet is read, and every nanos table this engine
+    * touches needs the same setting. A session that EXPLICITLY set it to
+    * false is refused loudly instead of silently overridden — the read
+    * would fail anyway (Spark has no nanosecond TimestampType), just with
+    * a less actionable error. */
   def events(s: SparkSession, d: String): DataFrame = {
-    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") match {
+      case None => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      case Some("true") => ()
+      case Some(other) => throw new IllegalStateException(
+        s"events.parquet carries INT64 TIMESTAMP(NANOS) and needs " +
+          s"spark.sql.legacy.parquet.nanosAsLong=true, but the session " +
+          s"explicitly set it to '$other' — unset it or set it to true")
+    }
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
