@@ -48,18 +48,33 @@ object GsodParser {
     import spark.implicits._
     val lines = spark.sparkContext.binaryFiles(path)
       .flatMap { case (_, pds) =>
+        // Lazily consumed: memory is bounded by ONE decoded member
+        // (~25 KB for GSOD), never the whole archive — a year archive is
+        // GBs uncompressed, and materializing it per task is an executor
+        // OOM at scale. The stream closes on exhaustion; the task-
+        // completion listener covers early termination (limit, failure).
         val in = pds.open()
-        try {
-          TarArchive.members(in).flatMap { case (name, payload) =>
-            if (!(name.endsWith(".op") || name.endsWith(".op.gz"))) Iterator.empty
-            else {
-              val bytes =
-                if (name.endsWith(".gz")) TarArchive.gunzip(payload) else payload
-              new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-                .linesIterator.toVector
-            }
-          }.toVector // materialize before the stream closes
-        } finally in.close()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () }))
+        val memberLines = TarArchive.members(in).flatMap { case (name, payload) =>
+          if (!(name.endsWith(".op") || name.endsWith(".op.gz"))) Iterator.empty
+          else {
+            val bytes =
+              if (name.endsWith(".gz")) TarArchive.gunzip(payload) else payload
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+              .linesIterator
+          }
+        }
+        new Iterator[String] { // close at exhaustion (also outside tasks)
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = memberLines.hasNext
+            if (!h && !closed) { closed = true; in.close() }
+            h
+          }
+          override def next(): String = memberLines.next()
+        }
       }
     parseLines(spark, lines.toDF("value"))
   }

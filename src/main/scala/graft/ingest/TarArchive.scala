@@ -53,15 +53,39 @@ object TarArchive {
           val typeflag = header(156)
           val padded = ((size + BlockSize - 1) / BlockSize) * BlockSize
           if (typeflag == '0' || typeflag == 0) {
+            // The per-member byte[] is the documented memory bound; a
+            // size field that can't fit one JVM array is either a
+            // corrupt header or an archive this reader must refuse
+            // loudly — size.toInt would silently wrap negative.
+            if (size < 0 || size > Int.MaxValue - 8)
+              throw new java.io.IOException(
+                s"tar member '$name' declares size $size bytes — " +
+                  "corrupt header or unsupported >2GiB member")
             val payload = new Array[Byte](size.toInt)
             din.readFully(payload)
-            din.skipBytes((padded - size).toInt)
+            skipFully(din, padded - size, name)
             nextMember = (name, payload)
           } else {
             // directory / link / GNU extension — skip its payload blocks
-            var toSkip = padded
-            while (toSkip > 0) toSkip -= din.skip(toSkip)
+            skipFully(din, padded, name)
           }
+        }
+      }
+
+      /** skip() may legally return 0 (and does at EOF) — looping on it
+        * alone spins forever on a truncated archive. Fall back to a
+        * single-byte read to distinguish "slow skip" from EOF, and fail
+        * loudly on truncation: an under-skip would silently desync every
+        * subsequent header parse. */
+      private def skipFully(s: DataInputStream, n: Long, name: String): Unit = {
+        var toSkip = n
+        while (toSkip > 0) {
+          val skipped = s.skip(toSkip)
+          if (skipped > 0) toSkip -= skipped
+          else if (s.read() >= 0) toSkip -= 1
+          else throw new java.io.IOException(
+            s"truncated tar archive: EOF inside member '$name' " +
+              s"($toSkip of $n padding bytes unread)")
         }
       }
 

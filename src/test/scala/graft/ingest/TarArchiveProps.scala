@@ -56,6 +56,53 @@ object TarArchiveProps extends Properties("graft.ingest.TarArchive") {
       got.map(_._1) == List(m1._1, m2._1)
     }
 
+  property("reading is lazy: one member pulls O(member) bytes, not the archive") = {
+    // 50 × 1000-byte members ≈ 76 KB archive. The iterator prefetches one
+    // member ahead, so after consuming the FIRST member at most two
+    // entries (2 × (512 + 1024) bytes) may have been read — consuming the
+    // whole archive up front (the old parseTar behavior) would read ~76 KB.
+    val ms = (1 to 50).map(i => (s"m$i.op", Array.fill[Byte](1000)(7)))
+    val archive = ms.flatMap { case (n, b) => tarEntry(n, b) }.toArray ++
+      new Array[Byte](1024)
+    var bytesRead = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(archive)
+      override def read(): Int = { val r = in.read(); if (r >= 0) bytesRead += 1; r }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = in.read(b, off, len); if (r > 0) bytesRead += r; r
+      }
+    }
+    val it = TarArchive.members(counting)
+    it.next()
+    bytesRead <= 2L * (512 + 1024) && bytesRead < archive.length / 10
+  }
+
+  property("truncated archive fails with IOException instead of spinning") = {
+    // A directory header declaring 1024 payload bytes with nothing behind
+    // it: the old skip loop spun forever on skip()==0 at EOF.
+    val h = new Array[Byte](512)
+    val nb = "somedir/".getBytes("US-ASCII"); System.arraycopy(nb, 0, h, 0, nb.length)
+    val size = "00000002000 ".getBytes("US-ASCII") // 1024 octal
+    System.arraycopy(size, 0, h, 124, size.length)
+    h(156) = '5'
+    org.scalacheck.Prop.throws(classOf[java.io.IOException]) {
+      TarArchive.members(new java.io.ByteArrayInputStream(h)).toList
+    }
+  }
+
+  property("member size beyond one JVM array is refused, not wrapped negative") = {
+    // 0o77777777777 = 8 GiB − 1: size.toInt used to wrap negative and die
+    // in NegativeArraySizeException; now a clear IOException.
+    val h = new Array[Byte](512)
+    val nb = "huge.op".getBytes("US-ASCII"); System.arraycopy(nb, 0, h, 0, nb.length)
+    val size = "77777777777 ".getBytes("US-ASCII")
+    System.arraycopy(size, 0, h, 124, size.length)
+    h(156) = '0'
+    org.scalacheck.Prop.throws(classOf[java.io.IOException]) {
+      TarArchive.members(new java.io.ByteArrayInputStream(h)).toList
+    }
+  }
+
   property("gunzip inverts gzip for arbitrary payloads") =
     forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { b =>
       val bo = new java.io.ByteArrayOutputStream()
