@@ -143,18 +143,36 @@ object AnalyticsQueries {
 
   /** The 100 TB median: percentile_approx's single-pass mergeable sketch
     * (KLL-style), vs q_groupby_median's exact buffers which hold every
-    * value. Sketch parameters are engine-specific → no SQL oracle;
-    * AnalyticsSpec bounds |approx − exact|. */
+    * value. The sketch VALUE is engine-specific (DuckDB can't reproduce
+    * it), so the compared output carries the exact median plus an IN-PLAN
+    * tolerance verdict: approx_ok = |approx − exact| ≤ 1 quantity unit
+    * (accuracy 10000 ⇒ rank error ≤ n/10000 ≈ 6 ranks over integral
+    * quantities 1–50 — far inside one unit). The oracle asserts the
+    * verdict is constant-true, so a broken sketch hash-mismatches loudly
+    * instead of hiding behind a rows-only check. */
   val medianApprox = QuerySpec(
     "q_median_approx",
     (s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_med_qty"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__approx"),
+          expr("percentile(l_quantity, 0.5D)").as("med_exact"),
           count(lit(1)).as("n_rows"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"), col("med_exact"),
+          col("n_rows"),
+          (abs(col("__approx") - col("med_exact")) <= 1.0).cast("int").as("approx_ok"))
         .orderBy("l_returnflag", "l_linestatus"),
-    None)
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             quantile_cont(l_quantity, 0.50) AS med_exact,
+             count(*) AS n_rows,
+             1 AS approx_ok
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
 
   /** Skew-safe aggregation: per-event-type totals via two-phase salted
     * aggregation (graft.ops.Skew). event_type has only 5 values — exactly

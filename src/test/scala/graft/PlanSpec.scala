@@ -90,6 +90,23 @@ class PlanSpec extends SparkSpec {
       s"expected one hash exchange (window partition), got $exchanges\n$finalPlan")
   }
 
+  test("agg-then-join on shared keys shuffles the fact stream once, not twice") {
+    // RelationalQueries.joinInner promises the groupBy's exchange is
+    // reused by the join: the fact side's hashpartitioning(user_id,
+    // event_type) must appear ONCE, with the second consumer either a
+    // ReusedExchange of it or an AQE-chosen broadcast of the dim side.
+    val df = SparkEntry.queries("q_join_inner")(spark, Sf001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    val exchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected one hash exchange on the join keys, got $exchanges\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.contains("BroadcastHashJoin"), finalPlan)
+  }
+
   test("unpivot plans a single Expand over one scan, not a self-union") {
     val df = SparkEntry.queries("q_unpivot")(spark, Sf001)
     val p = plan(df)
