@@ -149,4 +149,18 @@ object GsodParser {
     val active = obs.join(broadcast(stations.select(keys.map(col): _*)), keys, "left_semi")
     monthlyMedians(active).join(broadcast(stations), keys, "inner")
   }
+
+  /** Map-client export — the exact payload shape the reference's web map
+    * consumes (/root/reference/map_tutorial.html:48-71: a lat/lon point
+    * layer with an HTML label and a month time-slider). The viewer itself
+    * (rendering, legend, time filtering) is presentation scope, not
+    * engine scope (SURVEY §2); this projection closes the parity gap for
+    * a user who wants to feed such a client: one measure column plus a
+    * real DATE for the slider, written per-month partition-friendly. */
+  def mapExport(etlOut: DataFrame, measure: String): DataFrame =
+    etlOut.select(
+      col("usaf"), col("wban"), col("lat"), col("lon"), col("lbl"),
+      col("year"), col("month"),
+      col(measure).as("value"),
+      make_date(col("year"), col("month"), lit(1)).as("month_start"))
 }

@@ -363,7 +363,146 @@ object TextQueries {
       """
     })
 
+  /** Repetition-based quality signals (the Gopher/C4 filters a pre-training
+    * pipeline runs beyond simple ratios): per doc, the most-frequent-token
+    * share and the duplicate-trigram share, plus a threshold verdict.
+    * Exact integer counts and ratios — fully DuckDB-oracled.
+    *
+    * Scale shape: explode → two-level aggregate is map-side combinable
+    * (partial counts per (doc, term) before the shuffle); both metric
+    * branches end hash-partitioned on doc_id, so the final joins reuse
+    * the exchange. No per-row HOF lambdas — token/shingle arrays come
+    * from the codegen'd Tokenize/WordShingles Expressions. */
+  val repetition = QuerySpec(
+    "q_repetition",
+    (s, d) => {
+      val base = fanOut(s, documents(s, d))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val tok = base.select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "t").count()
+        .groupBy("doc_id")
+        .agg(sum("count").as("n_tokens"), max("count").as("top_cnt"))
+      val tri = base
+        .select(col("doc_id"), explode(Text.shingles(col("toks"), 3)).as("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(sum("count").as("n_tri"), count(lit(1)).as("n_dist_tri"))
+      documents(s, d).select("doc_id")
+        .join(tok, Seq("doc_id"), "left")
+        .join(tri, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("top_cnt").cast("double") /
+              col("n_tokens").cast("double")).as("top_token_frac"),
+          when(coalesce(col("n_tri"), lit(0L)) === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("n_dist_tri").cast("double") /
+              col("n_tri").cast("double")).as("dup_trigram_frac"))
+        .withColumn("quality_ok",
+          ((col("top_token_frac") <= 0.2) &&
+            (col("dup_trigram_frac") <= 0.3)).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS toks
+        FROM documents
+      ),
+      tok_stats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(max(c) AS BIGINT) AS top_cnt
+        FROM (SELECT doc_id, t, count(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS t FROM toked)
+              GROUP BY doc_id, t)
+        GROUP BY doc_id
+      ),
+      tri_stats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+               CAST(count(*) AS BIGINT) AS n_dist_tri
+        FROM (SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(CASE WHEN len(toks) >= 3
+                             THEN list_transform(range(1, len(toks) - 1),
+                                                 i -> array_to_string(toks[i:i+2], ' '))
+                             ELSE [] END) AS g
+                    FROM toked)
+              GROUP BY doc_id, g)
+        GROUP BY doc_id
+      )
+      SELECT doc_id,
+             coalesce(n_tokens, 0) AS n_tokens,
+             CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+                  ELSE CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             END AS top_token_frac,
+             CASE WHEN coalesce(n_tri, 0) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(n_dist_tri AS DOUBLE) / CAST(n_tri AS DOUBLE)
+             END AS dup_trigram_frac,
+             CAST(CASE WHEN
+               (CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+                     ELSE CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) <= 0.2
+               AND
+               (CASE WHEN coalesce(n_tri, 0) = 0 THEN 0.0
+                     ELSE 1.0 - CAST(n_dist_tri AS DOUBLE) / CAST(n_tri AS DOUBLE) END) <= 0.3
+               THEN 1 ELSE 0 END AS INTEGER) AS quality_ok
+      FROM documents
+      LEFT JOIN tok_stats USING (doc_id)
+      LEFT JOIN tri_stats USING (doc_id)
+      ORDER BY doc_id
+    """))
+
+  /** Shared by the Spark query and the DuckDB oracle so both engines scrub
+    * with THE SAME pattern strings (RE2- and java.util.regex-compatible:
+    * no lookarounds, no backrefs). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** PII scrubbing — the C4-style redaction pass a pre-training pipeline
+    * runs over raw text. The driver tables deliberately contain no
+    * PII-shaped values, so the query derives a deterministic contact
+    * string IN-PLAN from customer keys (both engines derive it
+    * identically); the operator under test is the regex scrub itself —
+    * codegen'd regexp_replace/regexp_extract_all, no UDFs, trivially
+    * parallel at 100 TB (pure per-row projection, no shuffle until the
+    * ordered sink). */
+  val piiRedact = QuerySpec(
+    "q_pii_redact",
+    (s, d) =>
+      customer(s, d)
+        .withColumn("contact",
+          concat(
+            col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+            lit("@example.com> call 555-"),
+            lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0")))
+        .select(
+          col("c_custkey"),
+          size(regexp_extract_all(col("contact"), lit(EmailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("contact"), lit(PhoneRe), lit(0)))
+            .as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("contact"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]").as("redacted"))
+        .orderBy("c_custkey"),
+    Some(s"""
+      SELECT c_custkey,
+             CAST(len(regexp_extract_all(contact, '$EmailRe')) AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(contact, '$PhoneRe')) AS INTEGER) AS n_phones,
+             regexp_replace(regexp_replace(contact, '$EmailRe', '[EMAIL]', 'g'),
+                            '$PhoneRe', '[PHONE]', 'g') AS redacted
+      FROM (
+        SELECT c_custkey,
+               c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+                      || '@example.com> call 555-'
+                      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+        FROM customer
+      )
+      ORDER BY c_custkey
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
-    langId, qualityScore, tokenCount, fingerprint, prepPipeline)
+    langId, qualityScore, tokenCount, fingerprint, prepPipeline,
+    repetition, piiRedact)
 }
