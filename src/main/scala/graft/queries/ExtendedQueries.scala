@@ -737,10 +737,50 @@ object ExtendedQueries {
       ORDER BY o_orderstatus
     """))
 
+  /** Time-interval RANGE window frame — the value-based sibling of
+    * q_moving_sum's ROWS frame: per user, the trailing-1-hour running sum
+    * and event count. A RANGE frame includes ALL rows whose order key
+    * falls in the interval (ties enter together — deterministic, unlike a
+    * ROWS frame over tied keys), which is exactly the rolling-window
+    * semantics monitoring/sessionized pipelines want. Both engines order
+    * by integer epoch SECONDS (events are µs-aligned, so the floor is
+    * exact) — DuckDB's native INTERVAL RANGE over timestamps would be the
+    * same frame, but the integer key keeps the two engines' frame
+    * arithmetic bit-identical. One hash exchange on user_id serves the
+    * window; the final ORDER BY is the only other shuffle. */
+  val rangeFrame = QuerySpec(
+    "q_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, Window.currentRow)
+      events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          col("ts").cast("long").as("epoch_s"),
+          col("value"))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .select("event_id", "user_id", "epoch_s", "sum_1h", "n_1h")
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_s,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,
+             count(*) OVER w AS n_1h
+      FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS epoch_s, value
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
     movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
     topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs,
     crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce,
-    dateSpine, typedAgg)
+    dateSpine, typedAgg, rangeFrame)
 }

@@ -73,6 +73,33 @@ object ExpressionProps extends Properties("graft.functions") {
       (0 until got.numElements()).map(got.getUTF8String(_).toString) == expected
     }
 
+  property("minhash kernel == the per-seed array_min(XXH64) reference") =
+    forAll(tokenList, Gen.choose(1, 24)) { (toks, k) =>
+      val in = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = MinHashSig.compute(in, k)
+      val expected = (0 until k).map { seed =>
+        if (toks.isEmpty) Long.MaxValue
+        else toks.map { t =>
+          val s = UTF8String.fromString(t)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+        }.min
+      }
+      (0 until got.numElements()).map(got.getLong) == expected
+    }
+
+  property("minhash is order-invariant and monotone under set union") =
+    forAll(tokenList, tokenList) { (a, b) =>
+      def sig(ts: List[String]) = {
+        val arr = new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+        val s = MinHashSig.compute(arr, 8)
+        (0 until 8).map(s.getLong)
+      }
+      // permutation-invariant, and the union's min can only be <= each side's
+      sig(a.reverse) == sig(a) &&
+        sig(a ++ b).zip(sig(a)).forall { case (u, x) => u <= x }
+    }
+
   property("cosine of a vector with itself is 1 (or null for zero vectors)") =
     forAll(vec) { xs =>
       val a = new GenericArrayData(xs.toArray[Any])
