@@ -107,6 +107,26 @@ class PlanSpec extends SparkSpec {
       finalPlan.contains("BroadcastHashJoin"), finalPlan)
   }
 
+  test("range frame window shares one hash shuffle (final sort is range, not hash)") {
+    val df = SparkEntry.queries("q_range_frame")(spark, Sf001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    val exchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected one hash exchange (window partition), got $exchanges\n$finalPlan")
+  }
+
+  test("repetition metrics aggregate map-side first and never cross-join") {
+    val df = SparkEntry.queries("q_repetition")(spark, Sf001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the (doc, term) counts must partial-aggregate before the shuffle —
+    // at 100 TB the exploded token stream is the biggest intermediate
+    assert(p.contains("partial_count"), p)
+  }
+
   test("unpivot plans a single Expand over one scan, not a self-union") {
     val df = SparkEntry.queries("q_unpivot")(spark, Sf001)
     val p = plan(df)
