@@ -37,7 +37,9 @@ object Bench {
     // not the neighbor. SPARK_GRAFT_BENCH_PASSES=1 restores single-pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = (1 to passes).flatMap { _ =>

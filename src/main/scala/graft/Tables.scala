@@ -43,18 +43,21 @@ object Tables {
     * elsewhere (the driver's own harness), the loader sets it ONLY when
     * unset — a DOCUMENTED session-wide effect: the flag only changes how
     * nanos-typed parquet is read, and every nanos table this engine
-    * touches needs the same setting. A session that EXPLICITLY set it to
-    * false is refused loudly instead of silently overridden — the read
-    * would fail anyway (Spark has no nanosecond TimestampType), just with
-    * a less actionable error. */
+    * touches needs the same setting. A session that EXPLICITLY disabled
+    * it still gets the override (the read cannot work any other way —
+    * Spark has no nanosecond TimestampType), but with a logged WARNING
+    * instead of the previous silent config mutation. Boolean parsing is
+    * case-insensitive, matching Spark's own conf semantics. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") match {
+      case Some(v) if v.equalsIgnoreCase("true") => ()
       case None => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      case Some("true") => ()
-      case Some(other) => throw new IllegalStateException(
-        s"events.parquet carries INT64 TIMESTAMP(NANOS) and needs " +
-          s"spark.sql.legacy.parquet.nanosAsLong=true, but the session " +
-          s"explicitly set it to '$other' — unset it or set it to true")
+      case Some(other) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"events.parquet carries INT64 TIMESTAMP(NANOS); overriding " +
+            s"spark.sql.legacy.parquet.nanosAsLong='$other' to 'true' for " +
+            "this session — the read is impossible without it")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

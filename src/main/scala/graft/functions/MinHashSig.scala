@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** MinHash signature (Broder 1997, "On the resemblance and containment of
@@ -64,7 +64,8 @@ object MinHashSig {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    // primitive-array wrap — no per-element boxing on the hot path
+    UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   def minhash_sig(c: Column, k: Int): Column =

@@ -25,16 +25,31 @@ object TarArchive {
       private var nextMember: (String, Array[Byte]) = null
       private var finished = false
 
+      /** Octal numeric field. Refuses what it cannot represent rather than
+        * guessing: GNU base-256 encoding (first byte 0x80, used for
+        * members ≥ 8 GiB) and fields with no octal digits at all (a
+        * corrupt size would otherwise parse small and silently desync
+        * every subsequent header). */
       private def parseOctal(bytes: Array[Byte], off: Int, len: Int): Long = {
+        if ((bytes(off) & 0x80) != 0)
+          throw new java.io.IOException(
+            "tar header uses GNU base-256 numeric encoding (member >= 8 GiB) — unsupported")
         var v = 0L
+        var seen = false
         var i = off
         val end = off + len
         while (i < end) {
           val c = bytes(i)
-          if (c >= '0' && c <= '7') v = (v << 3) + (c - '0')
+          if (c >= '0' && c <= '7') { v = (v << 3) + (c - '0'); seen = true }
+          else if (c != ' ' && c != 0)
+            throw new java.io.IOException(
+              s"corrupt tar numeric field (byte 0x${(c & 0xFF).toHexString} at offset ${i - off})")
           i += 1
         }
-        v
+        // a fully blank field (spaces/NULs only) conventionally means 0
+        // in old writers; only digit-free fields WITH other bytes are
+        // rejected above
+        if (!seen) 0L else v
       }
 
       private def advance(): Unit = {

@@ -109,11 +109,14 @@ object Dedup {
     require(k > 0 && bandRows > 0 && k % bandRows == 0,
       s"signature width k=$k must be a positive multiple of bandRows=$bandRows " +
         "(trailing signature entries would silently drop out of banding)")
-    // Empty shingle sets produce all-null signatures (array_min over an
-    // empty array); array_join then skips nulls, so EVERY empty doc gets
-    // the same band key in every band — an O(m²) candidate blowup at
-    // scale. An empty set also has Jaccard 0 with everything, so dropping
-    // these rows up front is semantics-preserving for threshold > 0.
+    // Empty shingle sets all produce the IDENTICAL signature
+    // (MinHashSig's Long.MaxValue sentinels — there is nothing to hash),
+    // so every empty doc would share every band key with every other
+    // empty doc — an O(m²) candidate blowup at scale. An empty set also
+    // has Jaccard 0 with everything, so dropping these rows up front is
+    // semantics-preserving for threshold > 0. Do NOT remove this filter
+    // because signatures are non-null now; non-null is exactly the
+    // problem.
     val withSig = docs
       .filter(size(col(shingleCol)) > 0)
       .withColumn("__sig", minhashSignature(col(shingleCol), k))

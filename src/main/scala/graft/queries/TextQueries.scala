@@ -372,12 +372,16 @@ object TextQueries {
     * (partial counts per (doc, term) before the shuffle); both metric
     * branches end hash-partitioned on doc_id, so the final joins reuse
     * the exchange. No per-row HOF lambdas — token/shingle arrays come
-    * from the codegen'd Tokenize/WordShingles Expressions. */
+    * from the codegen'd Tokenize/WordShingles Expressions. The tokenized
+    * corpus is cached (same materialize-once convention as shingledDocs):
+    * both metric branches read it, so without the barrier tokenization
+    * runs twice. */
   val repetition = QuerySpec(
     "q_repetition",
     (s, d) => {
       val base = fanOut(s, documents(s, d))
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .cache()
       val tok = base.select(col("doc_id"), explode(col("toks")).as("t"))
         .groupBy("doc_id", "t").count()
         .groupBy("doc_id")
