@@ -52,6 +52,27 @@ object TarArchive {
         if (!seen) 0L else v
       }
 
+      // GNU 'L' extension: a pseudo-member whose payload is the FULL name
+      // of the member that follows (names > 100 chars). Silently using
+      // the truncated header name instead would break suffix filters
+      // (".op.gz" cut off) — honor it.
+      private var pendingLongName: String = null
+
+      /** Member name from the header: NUL-terminated name field, plus the
+        * POSIX-ustar prefix field (names > 100 chars split path across
+        * prefix/name when the ustar magic is present). */
+      private def headerName(header: Array[Byte]): String = {
+        def field(off: Int, max: Int): String = {
+          var end = off
+          while (end < off + max && header(end) != 0) end += 1
+          new String(header, off, end - off, "US-ASCII")
+        }
+        val name = field(0, 100)
+        val magic = new String(header, 257, 5, "US-ASCII")
+        val prefix = if (magic == "ustar") field(345, 155) else ""
+        if (prefix.isEmpty) name else prefix + "/" + name
+      }
+
       private def advance(): Unit = {
         nextMember = null
         val header = new Array[Byte](BlockSize)
@@ -59,11 +80,7 @@ object TarArchive {
           try din.readFully(header)
           catch { case _: java.io.EOFException => finished = true; return }
           if (header.forall(_ == 0)) { finished = true; return } // end marker
-          val nameLen = {
-            val i = header.indexOf(0.toByte)
-            if (i < 0 || i > 100) 100 else i
-          }
-          val name = new String(header, 0, math.min(nameLen, 100), "US-ASCII")
+          val name = headerName(header)
           val size = parseOctal(header, 124, 12)
           val typeflag = header(156)
           val padded = ((size + BlockSize - 1) / BlockSize) * BlockSize
@@ -79,9 +96,25 @@ object TarArchive {
             val payload = new Array[Byte](size.toInt)
             din.readFully(payload)
             skipFully(din, padded - size, name)
-            nextMember = (name, payload)
+            val effName =
+              if (pendingLongName != null) { val n = pendingLongName; pendingLongName = null; n }
+              else name
+            nextMember = (effName, payload)
+          } else if (typeflag == 'L') {
+            // GNU longname record: NUL-terminated next-member name. Bound
+            // the allocation — a sane path never approaches a block run.
+            if (size < 0 || size > 64 * 1024)
+              throw new java.io.IOException(
+                s"tar GNU longname record declares $size bytes — corrupt header")
+            val payload = new Array[Byte](size.toInt)
+            din.readFully(payload)
+            skipFully(din, padded - size, name)
+            val end = { val i = payload.indexOf(0.toByte); if (i < 0) payload.length else i }
+            pendingLongName = new String(payload, 0, end, "UTF-8")
           } else {
-            // directory / link / GNU extension — skip its payload blocks
+            // directory / link / pax global+extended headers — skip
+            // payload blocks (pax path overrides are not interpreted;
+            // GNU 'L' above covers the long-name case we produce/see)
             skipFully(din, padded, name)
           }
         }
