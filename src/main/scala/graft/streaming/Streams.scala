@@ -40,4 +40,34 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Watermarked stream-stream inner join: pair each click with the views
+    * the same user produced in the preceding hour — the canonical
+    * two-stream event-time join. BOTH inputs carry watermarks and the
+    * join predicate bounds event time on BOTH sides; together they let
+    * the state store evict buffered rows once the watermark passes the
+    * range, which is what keeps a stream-stream join's state finite.
+    * Without the time-range predicate Spark would (rightly) have to
+    * buffer both streams forever. Works unchanged on batch frames
+    * (withWatermark is a no-op there) — StreamingSpec uses the batch
+    * result as the oracle. */
+  def clicksAfterViews(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(
+        org.apache.spark.sql.functions.col("event_id").as("click_id"),
+        org.apache.spark.sql.functions.col("user_id").as("c_user"),
+        org.apache.spark.sql.functions.col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(
+        org.apache.spark.sql.functions.col("event_id").as("view_id"),
+        org.apache.spark.sql.functions.col("user_id").as("v_user"),
+        org.apache.spark.sql.functions.col("ts").as("view_ts"))
+    import org.apache.spark.sql.functions.{col, expr}
+    c.join(v,
+        col("c_user") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("interval 1 hour"))
+      .select(col("click_id"), col("view_id"),
+        col("c_user").as("user_id"), col("click_ts"), col("view_ts"))
+  }
 }

@@ -79,4 +79,33 @@ class StreamingSpec extends SparkSpec {
     // sessions user1: {10:05}, {10:45}, {11:20}; user2: {11:05}, {12:40}
     assert(got === Seq((1L, 1L), (1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
+
+  test("stream-stream join pairs clicks with same-user views in the prior hour") {
+    val views = Seq(
+      Ev(10, ts("2024-01-01 10:00:00"), 1, "view", 0.0), // 35 min before click 20 -> pairs
+      Ev(11, ts("2024-01-01 09:20:00"), 1, "view", 0.0), // 75 min before -> outside range
+      Ev(12, ts("2024-01-01 10:30:00"), 2, "view", 0.0), // other user's click -> no pair
+      Ev(13, ts("2024-01-01 11:00:00"), 1, "view", 0.0)) // 25 min before click 21 -> pairs
+    val clicks = Seq(
+      Ev(20, ts("2024-01-01 10:35:00"), 1, "click", 1.0),
+      Ev(21, ts("2024-01-01 11:25:00"), 1, "click", 1.0))
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[Ev]; vMem.addData(views: _*)
+    val cMem = MemoryStream[Ev]; cMem.addData(clicks: _*)
+    val q = Streams.clicksAfterViews(cMem.toDF(), vMem.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_ssjoin")
+      .orderBy("click_id", "view_id")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSeq
+    // click 20 pairs with view 10 only; click 21 with views 10 (65min? no,
+    // 10:00 is 85min before 11:25 -> outside) and 13 -> (21,13). Also
+    // (21,10) excluded, (x,11) excluded, (x,12) wrong user.
+    assert(streamed === Seq((20L, 10L), (21L, 13L)))
+    // the batch form of the SAME function is the oracle
+    val batch = Streams.clicksAfterViews(clicks.toDF(), views.toDF())
+      .orderBy("click_id", "view_id")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSeq
+    assert(streamed === batch)
+  }
 }
