@@ -505,8 +505,71 @@ object TextQueries {
       ORDER BY c_custkey
     """))
 
+  /** Benchmark decontamination — the eval-overlap scrub a pre-training
+    * pipeline runs before export: any training doc sharing a 5-word-gram
+    * with the held-out set is flagged. The held-out set is a stand-in
+    * derived in-plan (doc_id < 10); in production it's the benchmark
+    * suite.
+    *
+    * Scale shape: the eval side's distinct grams are SMALL by definition
+    * (benchmarks are tiny next to a 100 TB corpus), so the overlap test
+    * is a broadcast join against the exploded train grams — the train
+    * side never shuffles for the probe; the only wide ops are the
+    * per-doc aggregate and the ordered sink. */
+  val decontaminate = QuerySpec(
+    "q_decontaminate",
+    (s, d) => {
+      val base = fanOut(s, documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          array_distinct(Text.shingles(Text.tokens(col("text")), 5)).as("g5"))
+      val evalGrams = base.filter(col("doc_id") < 10)
+        .select(explode(col("g5")).as("g")).distinct()
+      val shared = base.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), explode(col("g5")).as("g"))
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared"))
+      documents(s, d).select("doc_id", "lang")
+        .filter(col("doc_id") >= 10)
+        .join(shared, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("lang"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) === 0).cast("int").as("is_clean"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS toks
+        FROM documents
+      ),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct(CASE WHEN len(toks) >= 5
+                 THEN list_transform(range(1, len(toks) - 3),
+                                     i -> array_to_string(toks[i:i+4], ' '))
+                 ELSE [] END)) AS gr
+        FROM toked
+      ),
+      ev AS (SELECT DISTINCT gr FROM g WHERE doc_id < 10),
+      sh AS (
+        SELECT g.doc_id, CAST(count(DISTINCT gr) AS BIGINT) AS n_shared
+        FROM g JOIN ev USING (gr)
+        WHERE g.doc_id >= 10
+        GROUP BY g.doc_id
+      )
+      SELECT d.doc_id, d.lang,
+             coalesce(n_shared, 0) AS n_shared,
+             CAST(CASE WHEN coalesce(n_shared, 0) = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_clean
+      FROM documents d
+      LEFT JOIN sh USING (doc_id)
+      WHERE d.doc_id >= 10
+      ORDER BY d.doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
-    repetition, piiRedact)
+    repetition, piiRedact, decontaminate)
 }
