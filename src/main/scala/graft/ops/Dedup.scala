@@ -70,6 +70,62 @@ object Dedup {
       .drop("__common", "sz_a", "sz_b")
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * PAIRWISE dedup output into clusters with one representative each
+    * (survivor = the member equal to its rep). Iterative min-label
+    * propagation as DataFrame joins: every node starts labeled with its
+    * own id; each round takes the min of its own and its neighbors'
+    * labels; fixpoint in O(component diameter) rounds.
+    *
+    * Scale: this is the standard join-based CC used on dedup graphs —
+    * each round is one equi-join + map-side-combinable min aggregate,
+    * both on the (tiny relative to the corpus) PAIR graph, never the
+    * corpus itself. Near-dup components are shallow (dup groups, not
+    * social graphs), so rounds stay in the single digits; a graph that
+    * fails to converge within `maxIter` fails LOUDLY rather than
+    * returning wrong labels.
+    *
+    * Returns (id, rep) for every node that appears in a pair. */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src")).distinct()
+      .select(col("src").as("id"), col("src").as("lbl"))
+      .cache()
+    labels.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy("src")
+        .agg(min(col("dlbl")).as("nlbl"))
+        .select(col("src").as("id"), col("nlbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      next.count()
+      changed = labels.select(col("id"), col("lbl").as("prev"))
+        .join(next, Seq("id"))
+        .filter(col("prev") =!= col("lbl"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(changed == 0,
+      s"connected components did not converge in $maxIter rounds — " +
+        "component diameter exceeds the bound; raise maxIter")
+    labels.select(col("id"), col("lbl").as("rep"))
+  }
+
   /** MinHash signature: k independent min-hashes of the shingle set.
     * Hash family: XXH64(shingle, seed=i) — deterministic, no salt tables
     * to ship. Returns array<long> of length k.

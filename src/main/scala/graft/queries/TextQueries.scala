@@ -568,8 +568,70 @@ object TextQueries {
       ORDER BY d.doc_id
     """))
 
+  /** Near-dup CLUSTERING: the pairwise near-dup output (jac ≥ 0.5, same
+    * inverted-index pair generation as q_dedup_near) resolved into
+    * connected components with a deterministic min-id representative —
+    * the step that turns "these pairs look alike" into "keep THIS one,
+    * drop those". Survivors are the rows where doc_id = rep_id. Oracled
+    * end-to-end: DuckDB recomputes the pairs and closes them with a
+    * recursive CTE. */
+  val dedupClusters = QuerySpec(
+    "q_dedup_clusters",
+    (s, d) => {
+      val pairs = Dedup.jaccardPairs(shingledDocs(s, d), "doc_id", "sh", Seq("lang"))
+        .filter(col("jac") >= 0.5)
+      val cc = Dedup.components(pairs, "id_a", "id_b")
+      // no orderBy on the window: an ordered window would default to a
+      // running RANGE frame; unordered counts the whole partition
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("rep_id")
+      cc.select(
+          col("id").as("doc_id"),
+          col("rep").as("rep_id"))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      ),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) > 0
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5
+      ),
+      nodes AS (
+        SELECT DISTINCT id FROM (
+          SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+      ),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+      ),
+      reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+      ),
+      cc AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a)
+      SELECT doc_id, rep_id,
+             CAST(count(*) OVER (PARTITION BY rep_id) AS BIGINT) AS n_members
+      FROM cc
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
-    repetition, piiRedact, decontaminate)
+    repetition, piiRedact, decontaminate, dedupClusters)
 }

@@ -24,6 +24,25 @@ class DedupSpec extends SparkSpec {
     assert(once.count() === twice.count())
   }
 
+  test("components: chains collapse to min-id reps, separate clusters stay apart") {
+    // 1-2-3-4 is a chain (diameter 3 — takes several propagation rounds);
+    // 10-11 is a separate pair; 20 appears in no pair and must be absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("components: refuses to return unconverged labels") {
+    // a 5-node chain cannot converge in 1 round
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.components(pairs, "id_a", "id_b", maxIter = 1).collect()
+    }
+  }
+
   test("jaccard: exact rational on distinct arrays") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j"))
