@@ -95,8 +95,14 @@ object Dedup {
       .cache()
     var labels = edges.select(col("src")).distinct()
       .select(col("src").as("id"), col("src").as("lbl"))
-      .cache()
-    labels.count()
+    // Iterative-DataFrame discipline: each round's plan nests the previous
+    // round's, so WITHOUT lineage truncation the logical tree doubles per
+    // round and driver-side analysis cost grows exponentially with the
+    // iteration count (the classic iterative-join trap). localCheckpoint
+    // materializes the round executor-side and resets the plan to a scan,
+    // keeping per-round cost constant. `next` carries the previous label
+    // alongside the new one so the convergence check is one tiny count
+    // over the checkpointed frame, no extra join.
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -107,16 +113,11 @@ object Dedup {
         .select(col("src").as("id"), col("nlbl"))
       val next = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
-      next.count()
-      changed = labels.select(col("id"), col("lbl").as("prev"))
-        .join(next, Seq("id"))
-        .filter(col("prev") =!= col("lbl"))
-        .count()
-      labels.unpersist()
-      labels = next
+        .localCheckpoint()
+      changed = next.filter(col("prev") =!= col("lbl")).count()
+      labels = next.select("id", "lbl")
       iter += 1
     }
     edges.unpersist()
