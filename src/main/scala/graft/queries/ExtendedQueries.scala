@@ -777,10 +777,39 @@ object ExtendedQueries {
       ORDER BY event_id
     """))
 
+  /** Event-time interval join — the BATCH form of the stream-stream join
+    * (graft.streaming.Streams.clicksAfterViews — literally the same
+    * function; withWatermark is a no-op on batch frames): each click
+    * paired with the same user's views from the preceding hour. The
+    * equi-key (user_id) keeps the physical plan a hash/sort-merge join
+    * with the time range as a post-join predicate — never a cartesian;
+    * at 100 TB the range bound is also what keeps the streaming twin's
+    * state finite. Registering the batch twin puts the operator under
+    * the DuckDB oracle, complementing StreamingSpec's two-stream run. */
+  val intervalJoin = QuerySpec(
+    "q_interval_join",
+    (s, d) => {
+      val ev = events(s, d)
+      graft.streaming.Streams.clicksAfterViews(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"))
+        .orderBy("click_id", "view_id")
+    },
+    Some("""
+      SELECT c.event_id AS click_id, v.event_id AS view_id,
+             c.user_id AS user_id, c.ts AS click_ts, v.ts AS view_ts
+      FROM events c JOIN events v
+        ON c.user_id = v.user_id
+       AND v.ts <= c.ts
+       AND v.ts >= c.ts - INTERVAL 1 HOUR
+      WHERE c.event_type = 'click' AND v.event_type = 'view'
+      ORDER BY click_id, view_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
     movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
     topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs,
     crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce,
-    dateSpine, typedAgg, rangeFrame)
+    dateSpine, typedAgg, rangeFrame, intervalJoin)
 }

@@ -127,6 +127,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("decontamination probes with a broadcast of the eval gram set") {
+    // the eval side is tiny by definition (benchmarks vs corpus) — the
+    // train side must never shuffle for the overlap probe
+    val p = plan(SparkEntry.queries("q_decontaminate")(spark, Sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("unpivot plans a single Expand over one scan, not a self-union") {
     val df = SparkEntry.queries("q_unpivot")(spark, Sf001)
     val p = plan(df)
