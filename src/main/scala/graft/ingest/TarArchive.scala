@@ -60,7 +60,10 @@ object TarArchive {
 
       /** Member name from the header: NUL-terminated name field, plus the
         * POSIX-ustar prefix field (names > 100 chars split path across
-        * prefix/name when the ustar magic is present). */
+        * prefix/name). The prefix region (offset 345) is ONLY meaningful
+        * for true POSIX ustar — magic "ustar\0" + version "00"; old-GNU
+        * format (magic "ustar  ") reuses those bytes for atime/ctime, so
+        * a 5-byte magic compare would parse an mtime as a path prefix. */
       private def headerName(header: Array[Byte]): String = {
         def field(off: Int, max: Int): String = {
           var end = off
@@ -68,8 +71,11 @@ object TarArchive {
           new String(header, off, end - off, "US-ASCII")
         }
         val name = field(0, 100)
-        val magic = new String(header, 257, 5, "US-ASCII")
-        val prefix = if (magic == "ustar") field(345, 155) else ""
+        val posixUstar =
+          header(257) == 'u' && header(258) == 's' && header(259) == 't' &&
+            header(260) == 'a' && header(261) == 'r' && header(262) == 0 &&
+            header(263) == '0' && header(264) == '0'
+        val prefix = if (posixUstar) field(345, 155) else ""
         if (prefix.isEmpty) name else prefix + "/" + name
       }
 
@@ -114,7 +120,12 @@ object TarArchive {
           } else {
             // directory / link / pax global+extended headers — skip
             // payload blocks (pax path overrides are not interpreted;
-            // GNU 'L' above covers the long-name case we produce/see)
+            // GNU 'L' above covers the long-name case we produce/see).
+            // An 'L' record names the IMMEDIATELY following member of
+            // whatever type — if that member is skipped here, its long
+            // name must be consumed with it, or the next regular file
+            // would silently inherit a stale name.
+            pendingLongName = null
             skipFully(din, padded, name)
           }
         }

@@ -105,7 +105,11 @@ object Dedup {
     // over the checkpointed frame, no extra join.
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    // `<=`: a graph whose last label change lands exactly on round
+    // maxIter still needs one zero-change round to PROVE the fixpoint —
+    // without the extra round, correctly-solved diameter-maxIter graphs
+    // would be reported as unconverged.
+    while (changed > 0 && iter <= maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy("src")

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr}
 import graft.ops.Windows
 
 /** Structured-Streaming twins of the batch event queries (SURVEY §2b E7).
@@ -54,15 +55,14 @@ object Streams {
   def clicksAfterViews(clicks: DataFrame, views: DataFrame): DataFrame = {
     val c = clicks.withWatermark("ts", "10 minutes")
       .select(
-        org.apache.spark.sql.functions.col("event_id").as("click_id"),
-        org.apache.spark.sql.functions.col("user_id").as("c_user"),
-        org.apache.spark.sql.functions.col("ts").as("click_ts"))
+        col("event_id").as("click_id"),
+        col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
     val v = views.withWatermark("ts", "10 minutes")
       .select(
-        org.apache.spark.sql.functions.col("event_id").as("view_id"),
-        org.apache.spark.sql.functions.col("user_id").as("v_user"),
-        org.apache.spark.sql.functions.col("ts").as("view_ts"))
-    import org.apache.spark.sql.functions.{col, expr}
+        col("event_id").as("view_id"),
+        col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
     c.join(v,
         col("c_user") === col("v_user") &&
           col("view_ts") <= col("click_ts") &&

@@ -129,9 +129,13 @@ class PlanSpec extends SparkSpec {
 
   test("decontamination probes with a broadcast of the eval gram set") {
     // the eval side is tiny by definition (benchmarks vs corpus) — the
-    // train side must never shuffle for the overlap probe
+    // train side must never shuffle for the overlap probe. "Some
+    // broadcast exists" would be satisfied by the final doc-level join
+    // alone, so pin the absence of ANY shuffle join instead: if the gram
+    // probe regresses to a sort-merge join, this fails.
     val p = plan(SparkEntry.queries("q_decontaminate")(spark, Sf001))
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
   test("unpivot plans a single Expand over one scan, not a self-union") {
