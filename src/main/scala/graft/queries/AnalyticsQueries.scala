@@ -174,6 +174,56 @@ object AnalyticsQueries {
       ORDER BY l_returnflag, l_linestatus
     """))
 
+  /** Approximate heavy hitters: a Count-Min sketch over the exploded
+    * token stream (single distributed pass, mergeable — the 100 TB way
+    * to track hot terms without a per-term hashmap), cross-checked
+    * against the EXACT top-10. Same oracling pattern as q_median_approx:
+    * the sketch ESTIMATES are engine-specific, so the compared output
+    * carries the exact counts plus two in-plan verdicts the DuckDB
+    * oracle pins as constant-true — `never_under` (a CMS can only
+    * overestimate: its min-of-counters is ≥ the true count by
+    * construction) and `within_eps` (overestimate ≤ 2·ε·N; seeded, so
+    * the check is deterministic). The top-10 token list and the sketch
+    * probes are driver-side QUERY PARAMETERS (10 values), like the
+    * similarity probe vector — the counting itself is distributed. */
+  val heavyHitters = QuerySpec(
+    "q_heavy_hitters",
+    (s, d) => {
+      import graft.Tables
+      val toks = Tables.fanOut(s, documents(s, d))
+        .select(explode(graft.ops.Text.tokens(col("text"))).as("t"))
+      val exactTop = toks.groupBy("t")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t").asc)
+        .limit(10)
+      val eps = 0.001
+      val sketch = toks.stat.countMinSketch("t", eps, 0.999, 42)
+      val total = toks.count()
+      val rows = exactTop.collect().map { r =>
+        val (t, cnt) = (r.getString(0), r.getLong(1))
+        val est = sketch.estimateCount(t)
+        (t, cnt,
+          if (est >= cnt) 1 else 0,
+          if (est <= cnt + (2 * eps * total).toLong) 1 else 0)
+      }.toSeq
+      import s.implicits._
+      rows.toDF("t", "cnt", "never_under", "within_eps")
+        .orderBy(col("cnt").desc, col("t").asc)
+    },
+    Some("""
+      SELECT t, cnt, 1 AS never_under, 1 AS within_eps
+      FROM (
+        SELECT t, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                        x -> x <> '')) AS t
+              FROM documents)
+        GROUP BY t
+        ORDER BY cnt DESC, t ASC
+        LIMIT 10
+      )
+      ORDER BY cnt DESC, t ASC
+    """))
+
   /** Skew-safe aggregation: per-event-type totals via two-phase salted
     * aggregation (graft.ops.Skew). event_type has only 5 values — exactly
     * the low-cardinality hot-key shape that pins 5 reducers at 100 TB.
@@ -289,5 +339,5 @@ object AnalyticsQueries {
 
   val all: Seq[QuerySpec] = Seq(
     rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg,
-    cube, explodeTokens, upsert)
+    cube, explodeTokens, upsert, heavyHitters)
 }
