@@ -32,10 +32,11 @@ object Bench {
     catch { case _: Throwable => () }
     try SparkEntry.queries("q_monthly_rollup")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    // Two timed passes, per-query MIN: this host shows 2–3× ambient noise
-    // swings (co-tenant contention), and min-of-2 measures the engine,
-    // not the neighbor. SPARK_GRAFT_BENCH_PASSES=1 restores single-pass.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // Three timed passes, per-query MIN: this host shows 2–3× ambient
+    // noise swings (co-tenant contention; identical code measured 35 s
+    // and 51 s back-to-back), and min-of-N measures the engine, not the
+    // neighbor. SPARK_GRAFT_BENCH_PASSES overrides (1 = single-pass).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -18,6 +18,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(joined.filter(col("med_qty") =!= col("med_exact")).count() === 0)
   }
 
+  test("count-min heavy hitters: both sketch verdicts hold on every top token") {
+    val rows = AnalyticsQueries.heavyHitters.run(spark, Sf001).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[Int]("never_under") === 1),
+      "a Count-Min sketch can never underestimate")
+    assert(rows.forall(_.getAs[Int]("within_eps") === 1),
+      "seeded overestimate must stay within 2*eps*N")
+    // exact counts descend (ties broken by token)
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts === cnts.sorted.reverse)
+  }
+
   test("rollup emits group, subtotal, and grand-total levels consistently") {
     val r = AnalyticsQueries.rollup.run(spark, Sf001).collect()
     val grand = r.filter(x => x.getString(0) == "ALL" && x.getString(1) == "ALL")
