@@ -107,19 +107,36 @@ object ExtendedQueries {
     """))
 
   /** Approximate distinct (HyperLogLog++): the 100 TB form of
-    * q_distinct_count — one pass, fixed-size sketch, no expand. Sketch
-    * internals are engine-specific → rows-only; AnalyticsSpec bounds the
-    * relative error against the exact count. */
+    * q_distinct_count — one pass, fixed-size sketch, no expand. The sketch
+    * ESTIMATE is engine-specific, so the compared output carries the exact
+    * count plus an in-plan tolerance verdict (q_median_approx pattern):
+    * approx_ok = |approx − exact| ≤ 5·rsd·exact (rsd 0.02 ⇒ ±10%, vs the
+    * sketch's ~3σ = 6% worst case). The oracle pins the verdict
+    * constant-true, so a broken sketch hash-mismatches instead of hiding
+    * behind a rows-only check. AnalyticsSpec still bounds the raw error. */
   val approxDistinct = QuerySpec(
     "q_approx_distinct",
     (s, d) =>
       events(s, d)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("__approx"),
+          countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
+        .select(
+          col("event_type"), col("n_users"), col("n_events"),
+          (abs(col("__approx") - col("n_users")) <=
+            col("n_users") * 0.10).cast("int").as("approx_ok"))
         .orderBy("event_type"),
-    None)
+    Some("""
+      SELECT event_type,
+             count(DISTINCT user_id) AS n_users,
+             count(*) AS n_events,
+             1 AS approx_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
 
   /** Explicit GROUPING SETS (beyond rollup/cube): chosen subtotal
     * combinations in one Expand pass, with grouping() flags

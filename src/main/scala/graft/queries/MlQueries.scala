@@ -41,23 +41,40 @@ object MlQueries {
       ORDER BY l_orderkey, l_linenumber
     """))
 
-  /** M2: seeded 70/30 split — summarized per side (counts + exact key sum)
-    * so the output is tiny and the invariants (disjoint, exhaustive) are
-    * visible. Sampling isn't SQL-oracle-able (SURVEY M2); MlSpec asserts
-    * the invariants instead. */
+  /** M2: seeded 70/30 split. The per-side COUNTS are engine-specific
+    * (DuckDB has no Spark-seeded Bernoulli sampler), so the compared
+    * output is the split's INVARIANTS, each of which the DuckDB oracle
+    * can pin exactly (q_median_approx verdict pattern): the two sides
+    * partition the table (row count and exact key sum both reconstruct
+    * the full table — nothing lost, nothing duplicated), they are
+    * disjoint (overlap join count 0), and the train share is within 4σ
+    * of 0.7. MlSpec asserts the same invariants on the split frames. */
   val randomSplit = QuerySpec(
     "q_random_split",
     (s, d) => {
       val (train, test) = MlPipeline.seededSplit(orders(s, d))
-      train.withColumn("side", lit("train"))
+      val both = train.withColumn("side", lit("train"))
         .unionByName(test.withColumn("side", lit("test")))
-        .groupBy("side")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(col("o_orderkey")).as("key_sum"))
-        .orderBy("side")
+      val totals = both.agg(
+        count(lit(1)).as("n_total"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(when(col("side") === "train", 1L).otherwise(0L)).as("__n_train"))
+      val overlap = train.select("o_orderkey")
+        .join(test.select("o_orderkey"), "o_orderkey")
+        .agg(count(lit(1)).as("n_overlap"))
+      totals.crossJoin(overlap).select(
+        col("n_total"), col("key_sum"), col("n_overlap"),
+        (abs(col("__n_train").cast("double") / col("n_total") - 0.7) <=
+          sqrt(lit(0.7 * 0.3) / col("n_total")) * 4.0)
+          .cast("int").as("train_frac_ok"))
     },
-    None)
+    Some("""
+      SELECT count(*) AS n_total,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             0 AS n_overlap,
+             1 AS train_frac_ok
+      FROM orders
+    """))
 
   /** M3+M4: assemble → seeded split → GBT fit (10 iterations, depth 4) →
     * predictions on the held-out side. Model output isn't SQL-expressible;
@@ -84,14 +101,33 @@ object MlQueries {
       val frac = math.min(1.0, 150000.0 / (0.7 * base.count()))
       val model = MlPipeline.trainGbt(train, "l_extendedprice", maxIter = 10,
         sampleFraction = frac)
-      model.transform(test)
+      // The raw PREDICTIONS are engine-specific (tree split points depend
+      // on MLlib's binning), so the compared output is the model-quality
+      // verdict the DuckDB oracle can pin constant-true (q_median_approx
+      // pattern): held-out predictions exist, their RMSE is finite, and it
+      // stays within 5% of the constant-train-mean baseline. "Within", not
+      // "beats": the driver's synthetic lineitem has NO feature→label
+      // dependence (corr ≈ −0.01), so the mean IS the Bayes-optimal
+      // predictor here and a sane model can only approach it — a model
+      // that learned garbage (exploding or degenerate predictions) blows
+      // the 5% band and hash-mismatches. Genuine learning (beating the
+      // baseline on signal-bearing data) is asserted in MlSpec. */
+      val preds = model.transform(test)
+        .select(col("l_extendedprice").as("label"), col("prediction"))
+      val trainMean = train.agg(avg(col("l_extendedprice")).as("__mu"))
+      preds.crossJoin(trainMean)
+        .agg(
+          count(lit(1)).as("__n"),
+          sqrt(avg(pow(col("label") - col("prediction"), 2))).as("__rmse"),
+          sqrt(avg(pow(col("label") - col("__mu"), 2))).as("__rmse_mean"))
         .select(
-          col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice").as("label"),
-          round(col("prediction"), 4).as("prediction"))
-        .orderBy("l_orderkey", "l_linenumber")
+          (col("__n") > 0).cast("int").as("n_test_pos"),
+          (!isnan(col("__rmse")) && col("__rmse") >= 0.0)
+            .cast("int").as("rmse_finite"),
+          (col("__rmse") < col("__rmse_mean") * 1.05)
+            .cast("int").as("near_baseline"))
     },
-    None)
+    Some("SELECT 1 AS n_test_pos, 1 AS rmse_finite, 1 AS near_baseline"))
 
   /** Stratified (per-stratum) sampling — the dataset-mixing primitive of a
     * training pipeline (sample each source/language at its own rate).
@@ -104,13 +140,36 @@ object MlQueries {
   val sampleStratified = QuerySpec(
     "q_sample_stratified",
     (s, d) => {
-      documents(s, d)
+      // Unlisted strata (none expected) sample at 0.0 — verdict stays true.
+      val frac = StratifiedFractions.foldLeft(lit(0.0)) {
+        case (acc, (lang, f)) => when(col("lang") === lang, f).otherwise(acc)
+      }
+      val sampled = documents(s, d)
         .stat.sampleBy("lang", StratifiedFractions, 42L)
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_sampled"))
+        .agg(count(lit(1)).as("__n_sampled"))
+      // Per-stratum SAMPLE counts are engine-specific (seeded Bernoulli),
+      // so the compared output is the exact stratum totals plus a 4σ
+      // rate verdict per stratum, pinned constant-true by the oracle
+      // (q_median_approx pattern; MlSpec asserts the same bound).
+      documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .join(sampled, Seq("lang"), "left")
+        .select(
+          col("lang"), col("n_docs"),
+          (abs(coalesce(col("__n_sampled"), lit(0L)).cast("double") /
+            col("n_docs") - frac) <=
+            sqrt(frac * (lit(1.0) - frac) / col("n_docs")) * 4.0)
+            .cast("int").as("rate_ok"))
         .orderBy("lang")
     },
-    None)
+    Some("""
+      SELECT lang, count(*) AS n_docs, 1 AS rate_ok
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang
+    """))
 
   val all: Seq[QuerySpec] = Seq(
     vectorAssemble, randomSplit, gbtPredict, sampleStratified)

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.Text
+
+/** Training-data pipeline operators beyond dedup/similarity (SURVEY §2b):
+  * the dataset-assembly steps a 100 TB pretraining corpus needs between
+  * "filtered documents" and "token batches" — deterministic splits,
+  * chunking, sequence packing, per-source caps, epoch shuffling.
+  *
+  * Everything here is a pure column-expression plan (no UDFs, no driver
+  * loops) and every query is value-oracled in DuckDB: the only shared
+  * primitive the two engines need is md5 over strings, which both produce
+  * identically (lowercase hex).
+  */
+object PipelineQueries {
+
+  /** Deterministic hash split (train/valid/test ≈ 80/10/10): bucket by the
+    * first two hex chars of md5("split42:" + doc_id) — 256 buckets,
+    * compared lexicographically ('cc' = 204 ⇒ 79.7% train, 'e6' = 230 ⇒
+    * 10.2% valid, rest test).
+    *
+    * This, not seeded randomSplit, is the production split: assignment is
+    * a pure function of the example key, so it is stable across reruns,
+    * engines, repartitions, and incremental arrivals — new data lands in
+    * the same split forever, and leakage checks can recompute membership.
+    * Scale: embarrassingly parallel map + one aggregate, no shuffle beyond
+    * the final 3-row agg. */
+  val hashSplit = QuerySpec(
+    "q_hash_split",
+    (s, d) => {
+      val bucket = substring(
+        md5(concat(lit("split42:"), col("doc_id").cast("string"))), 1, 2)
+      documents(s, d)
+        .withColumn("split",
+          when(bucket < "cc", "train")
+            .when(bucket < "e6", "valid")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("split")
+    },
+    Some("""
+      SELECT split, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM (
+        SELECT *, CASE WHEN substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                         THEN 'train'
+                       WHEN substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                         THEN 'valid'
+                       ELSE 'test' END AS split
+        FROM documents
+      )
+      GROUP BY split
+      ORDER BY split
+    """))
+
+  /** Overlapping fixed-window chunking (512 chars, stride 448 ⇒ 64-char
+    * overlap) — the context-window prep step for embedding / retrieval
+    * corpora. One generate-positions + substring pass per doc; chunks
+    * identified by content digest so the compare pins the bytes without
+    * shipping them. Scale: explode fan-out is bounded by len/stride per
+    * row, no shuffle at all until a downstream consumer groups. */
+  val chunkDocs = QuerySpec(
+    "q_chunk_docs",
+    (s, d) => {
+      val chunk = col("text").substr(col("start"), lit(512))
+      documents(s, d)
+        .select(
+          col("doc_id"), col("text"),
+          posexplode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+            lit(448))).as(Seq("chunk_idx", "start")))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          length(chunk).as("chunk_chars"),
+          md5(chunk).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST((start - 1) // 448 AS INTEGER) AS chunk_idx,
+             length(substr(text, CAST(start AS INTEGER), 512)) AS chunk_chars,
+             md5(substr(text, CAST(start AS INTEGER), 512)) AS chunk_md5
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(len(text), 1), 448)) AS start
+            FROM documents)
+      ORDER BY doc_id, chunk_idx
+    """))
+
+  /** Sequence packing by concat-and-split: documents stream per lang in
+    * doc_id order into a 4096-token context budget; a doc's bin is its
+    * starting offset in the concatenated token stream DIV 4096 — the
+    * standard "concatenate then cut at context boundaries" pretraining
+    * packing (docs may straddle bins; the bin is where they start).
+    * One window cumsum + one aggregate, both on the lang partition key. */
+  val packSequences = QuerySpec(
+    "q_pack_sequences",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
+        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("bin", (col("start_off") / 4096L).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("bin_tokens"))
+        .orderBy("lang", "bin")
+    },
+    Some("""
+      SELECT lang, CAST(start_off // 4096 AS BIGINT) AS bin,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+      FROM (
+        SELECT lang, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tok AS start_off
+        FROM (SELECT lang, doc_id,
+                     CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                          t -> t <> '')) AS BIGINT) AS n_tok
+              FROM documents)
+      )
+      GROUP BY lang, bin
+      ORDER BY lang, bin
+    """))
+
+  /** Per-source cap (50 docs per source, lowest doc_id wins) — the
+    * "no domain dominates the mix" sampler every crawl pipeline runs.
+    * One window rank per source partition; survivors keep their rows.
+    * Scale: hash shuffle on source; a skewed mega-source is exactly the
+    * case the cap bounds (its partition emits ≤ cap rows). */
+  val domainCap = QuerySpec(
+    "q_domain_cap",
+    (s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      documents(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 50)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, lang
+      FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents)
+      WHERE rn <= 50
+      ORDER BY doc_id
+    """))
+
+  /** Deterministic epoch shuffle: global example order for epoch 42 is
+    * "sort by md5(epoch:doc_id)" — reproducible on any engine, no RNG
+    * state to ship. The query emits the first 2000 examples of the epoch
+    * (a batch-sampler page) as a TakeOrdered — no global sort
+    * materializes. At 100 TB the full epoch order is a range-partitioned
+    * sort by the same key (sortWithinPartitions after repartitionByRange);
+    * a dense global rank is never needed. */
+  val globalShuffle = QuerySpec(
+    "q_global_shuffle",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(concat(lit("epoch42:"), col("doc_id").cast("string")))
+            .as("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(2000),
+    Some("""
+      SELECT doc_id, md5('epoch42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+      ORDER BY shuffle_key, doc_id
+      LIMIT 2000
+    """))
+
+  val all: Seq[QuerySpec] = Seq(
+    hashSplit, chunkDocs, packSequences, domainCap, globalShuffle)
+}

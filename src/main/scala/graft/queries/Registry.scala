@@ -6,5 +6,5 @@ object Registry {
     RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ EventQueries.all ++
       MlQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all ++
-      ExtendedQueries.all
+      ExtendedQueries.all ++ PipelineQueries.all
 }

@@ -48,10 +48,28 @@ object SimilarityQueries {
       val emb = embeddings(s, d)
       val probe = Similarity.probeVector(emb, "vec_id", ProbeId)
       val (assigned, centroids) = Similarity.ivfAssign(s, emb, nCells = 16)
-      Similarity.ivfTopK(assigned, centroids, "vec_id", probe,
+      val approx = Similarity.ivfTopK(assigned, centroids, "vec_id", probe,
         k = 20, nProbe = 8, excludeId = Some(ProbeId))
+      // The MEMBER LIST of an IVF top-k is engine-specific (which cells
+      // the quantizer carved), so the compared output is the corpus size
+      // plus the recall verdict vs the exact brute-force top-20, computed
+      // in-plan and pinned constant-true by the oracle (q_median_approx
+      // pattern; EntrySpec asserts the same ≥ 0.6 bound on the ops). The
+      // full quantize→assign→probe pipeline still runs.
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", probe,
+        k = 20, excludeId = Some(ProbeId))
+      val hits = approx.select("vec_id")
+        .join(exact.select("vec_id"), "vec_id")
+        .agg(count(lit(1)).as("__hits"))
+      emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
+        .select(
+          col("n_vectors"), lit(20).as("k"),
+          (col("__hits") >= 12).cast("int").as("recall_ok"))
     },
-    None)
+    Some("""
+      SELECT count(*) AS n_vectors, 20 AS k, 1 AS recall_ok
+      FROM embeddings
+    """))
 
   /** Embedding-cosine near-duplicate pairs (the vector-space sibling of
     * shingle-Jaccard dedup): top-20 most-similar vector pairs, blocked by
@@ -94,9 +112,32 @@ object SimilarityQueries {
     (s, d) => {
       val emb = embeddings(s, d)
       val probe = Similarity.probeVector(emb, "vec_id", ProbeId)
-      Similarity.lshTopK(s, emb, "vec_id", probe, k = 20, excludeId = Some(ProbeId))
+      val approx = Similarity.lshTopK(s, emb, "vec_id", probe,
+        k = 20, excludeId = Some(ProbeId))
+      // Same verdict shape as q_similarity_ann: the bucket membership is
+      // hash-family-specific, the recall vs the exact EUCLIDEAN top-20
+      // (the family's own metric) is the contract. EntrySpec asserts the
+      // same ≥ 0.5 bound on the ops.
+      val p = array(probe.map(lit): _*)
+      val exact = emb.filter(col("vec_id") =!= ProbeId)
+        .withColumn("d2",
+          aggregate(
+            zip_with(Similarity.asDouble(col("embedding")), p,
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x))
+        .orderBy(col("d2").asc, col("vec_id").asc).limit(20)
+      val hits = approx.select("vec_id")
+        .join(exact.select("vec_id"), "vec_id")
+        .agg(count(lit(1)).as("__hits"))
+      emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
+        .select(
+          col("n_vectors"), lit(20).as("k"),
+          (col("__hits") >= 10).cast("int").as("recall_ok"))
     },
-    None)
+    Some("""
+      SELECT count(*) AS n_vectors, 20 AS k, 1 AS recall_ok
+      FROM embeddings
+    """))
 
   val all: Seq[QuerySpec] = Seq(
     similarityTopk, similarityAnn, similarityLsh, dedupEmbed)

@@ -87,32 +87,82 @@ object TextQueries {
       LIMIT 25
     """))
 
+  /** Shared oracle CTE: exact lang-blocked shingle-Jaccard pairs at a
+    * threshold — the DuckDB-recomputable ground truth both LSH queries
+    * verify against. Kept as one Scala val so the Spark plan and the SQL
+    * can never drift apart on the pair definition. */
+  private def exactPairSql(minJac: Double, flagName: String) = s"""
+      WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      )
+      SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac,
+             1 AS $flagName
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= $minJac
+      ORDER BY jac DESC, id_a ASC, id_b ASC
+    """
+
+  /** Exact lang-blocked pairs at `minJac` — the Spark twin of
+    * [[exactPairSql]]. */
+  private def exactPairs(s: org.apache.spark.sql.SparkSession, d: String,
+      minJac: Double) =
+    Dedup.jaccardPairs(shingledDocs(s, d), "doc_id", "sh", Seq("lang"))
+      .filter(col("jac") >= minJac)
+
   /** E2 scale path: MinHash-LSH banded near-dup candidates, verified with
-    * exact Jaccard. Engine-specific hash family (xxhash64) → no SQL oracle;
-    * invariants covered in DedupSpec (LSH ⊆ exact pairs, planted dup found).
-    */
+    * exact Jaccard. The CANDIDATE set is hash-family-specific (xxhash64),
+    * so the compared output is the exact ground-truth pairs (jac ≥ 0.5,
+    * DuckDB-recomputable) each carrying a found_by_lsh verdict the oracle
+    * pins constant-true: with 16 bands of 2 rows the S-curve gives
+    * P(candidate) = 1−(1−j²)^16 ≥ 0.99 at j = 0.5, and the seeded hashes
+    * make the flag deterministic — a broken banding or signature kernel
+    * flips a flag and hash-mismatches loudly. DedupSpec keeps the
+    * subset/planted-dup invariants on the ops. */
   val dedupMinhash = QuerySpec(
     "q_dedup_minhash",
     (s, d) => {
-      Dedup.minhashNearDups(shingledDocs(s, d), "doc_id", "sh",
-          k = 16, bandRows = 2, threshold = 0.2)
+      val found = Dedup.minhashNearDups(shingledDocs(s, d), "doc_id", "sh",
+          k = 32, bandRows = 2, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), lit(1).as("__found"))
+      exactPairs(s, d, 0.5)
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("lang"), col("id_a"), col("id_b"), col("jac"),
+          coalesce(col("__found"), lit(0)).as("found_by_lsh"))
         .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
     },
-    None)
+    Some(exactPairSql(0.5, "found_by_lsh")))
 
   /** Near-dup fingerprint via 64-bit SimHash (custom codegen'd Expression).
-    * Groups sharing a 16-bit band prefix are hamming-near candidates. */
+    * The FINGERPRINT values are engine-specific, so the compared output is
+    * the exact ground-truth pairs (jac ≥ 0.5) each carrying a hamming_ok
+    * verdict — similar docs must land within 16/64 bits (the SimHash
+    * locality contract) — pinned constant-true by the oracle. The per-doc
+    * fingerprint+banding computation runs in-plan over the full corpus. */
   val dedupSimhash = QuerySpec(
     "q_dedup_simhash",
-    (s, d) =>
-      documents(s, d)
-        .withColumn("simhash", simhash64(Text.tokens(col("text"))))
-        .select(
-          col("doc_id"),
-          col("simhash"),
-          col("simhash").bitwiseAND(lit(0xFFFFL)).as("band0"))
-        .orderBy("doc_id"),
-    None)
+    (s, d) => {
+      val h = documents(s, d)
+        .select(col("doc_id"), simhash64(Text.tokens(col("text"))).as("__h"))
+      exactPairs(s, d, 0.5)
+        .join(h.select(col("doc_id").as("id_a"), col("__h").as("__ha")), "id_a")
+        .join(h.select(col("doc_id").as("id_b"), col("__h").as("__hb")), "id_b")
+        .select(col("lang"), col("id_a"), col("id_b"), col("jac"),
+          (expr("bit_count(__ha ^ __hb)") <= 16).cast("int").as("hamming_ok"))
+        .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
+    },
+    Some(exactPairSql(0.5, "hamming_ok")))
 
   /** E4: per-language corpus stats — doc counts, token totals, char stats.
     * Sum of BIGINT must be cast on the DuckDB side (its integer sums widen

