@@ -70,7 +70,7 @@ object Similarity {
         .repartition(4)
         .cache()
     val km = new KMeans()
-      .setK(nCells).setSeed(42L).setMaxIter(10)
+      .setK(nCells).setSeed(42L).setMaxIter(5)
       .setInitMode("random") // seeded, 1 init pass vs k-means||'s ~5
       .setFeaturesCol("__vec").setPredictionCol("cluster")
     val model =

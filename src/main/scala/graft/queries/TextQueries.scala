@@ -31,6 +31,16 @@ object TextQueries {
       .select("doc_id", "lang", "sh")
       .cache()
 
+  /** Lang-blocked exact Jaccard pairs over [[shingledDocs]], CACHED: four
+    * queries consume this posting join (near top-k, minhash + simhash
+    * verdict ground truth, cluster edges) — identical plans share one
+    * CacheManager entry, so the Σ df² join runs once per session instead
+    * of once per query. Same 100 TB shape as the shingle cache: persist
+    * the pair list once, fan consumers out from it. */
+  private def jacPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Dedup.jaccardPairs(shingledDocs(s, d), "doc_id", "sh", Seq("lang"))
+      .cache()
+
   /** E1: exact dedup by normalized-content hash, first doc_id wins. */
   val dedupExact = QuerySpec(
     "q_dedup_exact",
@@ -59,7 +69,7 @@ object TextQueries {
   val dedupNear = QuerySpec(
     "q_dedup_near",
     (s, d) => {
-      Dedup.jaccardPairs(shingledDocs(s, d), "doc_id", "sh", Seq("lang"))
+      jacPairs(s, d)
         .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
         .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
         .limit(25)
@@ -118,8 +128,7 @@ object TextQueries {
     * [[exactPairSql]]. */
   private def exactPairs(s: org.apache.spark.sql.SparkSession, d: String,
       minJac: Double) =
-    Dedup.jaccardPairs(shingledDocs(s, d), "doc_id", "sh", Seq("lang"))
-      .filter(col("jac") >= minJac)
+    jacPairs(s, d).filter(col("jac") >= minJac)
 
   /** E2 scale path: MinHash-LSH banded near-dup candidates, verified with
     * exact Jaccard. The CANDIDATE set is hash-family-specific (xxhash64),
@@ -628,8 +637,7 @@ object TextQueries {
   val dedupClusters = QuerySpec(
     "q_dedup_clusters",
     (s, d) => {
-      val pairs = Dedup.jaccardPairs(shingledDocs(s, d), "doc_id", "sh", Seq("lang"))
-        .filter(col("jac") >= 0.5)
+      val pairs = jacPairs(s, d).filter(col("jac") >= 0.5)
       val cc = Dedup.components(pairs, "id_a", "id_b")
       // no orderBy on the window: an ordered window would default to a
       // running RANGE frame; unordered counts the whole partition
