@@ -179,6 +179,76 @@ object PipelineQueries {
       LIMIT 2000
     """))
 
+  /** Max-sequence-length truncation: keep each doc's first 256 tokens,
+    * pin the truncated text by digest. The everyday "fit the context
+    * window" op; slice+join stays a pure column expression (the codegen'd
+    * tokenizer feeds a bounded array slice — no per-token shuffle). */
+  val truncateTokens = QuerySpec(
+    "q_truncate_tokens",
+    (s, d) => {
+      val toks = Text.tokens(col("text"))
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tok"),
+          least(size(toks), lit(256)).as("n_tok_kept"),
+          md5(array_join(slice(toks, 1, 256), " ")).as("trunc_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tok,
+             CAST(least(len(toks), 256) AS INTEGER) AS n_tok_kept,
+             md5(array_to_string(toks[1:256], ' ')) AS trunc_md5
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               t -> t <> '') AS toks
+            FROM documents)
+      ORDER BY doc_id
+    """))
+
+  /** Temperature-scaled mixture weights (α = 0.5, "sqrt sampling"): the
+    * multilingual-training reweighting that upsamples low-resource
+    * languages. Per-lang exact token totals; share is an exact-integer
+    * ratio and w_sqrt a single correctly-rounded sqrt — no float SUMS
+    * cross rows, so both engines agree bit-for-bit. The normalization
+    * constant (a sum of irrationals) is deliberately left to the trainer:
+    * it is reduction-order-dependent and belongs driver-side at batch
+    * assembly, not in the compared relational output. */
+  val mixtureWeights = QuerySpec(
+    "q_mixture_weights",
+    (s, d) => {
+      val perLang = documents(s, d)
+        .withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("lang_tokens"))
+      val total = perLang.agg(sum("lang_tokens").as("total_tokens"))
+      perLang.crossJoin(total)
+        .select(
+          col("lang"), col("n_docs"), col("lang_tokens"),
+          (col("lang_tokens").cast("double") / col("total_tokens"))
+            .as("share"),
+          sqrt(col("lang_tokens").cast("double") / col("total_tokens"))
+            .as("w_sqrt"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH per_lang AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                        t -> t <> ''))) AS BIGINT) AS lang_tokens
+        FROM documents
+        GROUP BY lang
+      )
+      SELECT lang, n_docs, lang_tokens,
+             CAST(lang_tokens AS DOUBLE) / total_tokens AS share,
+             sqrt(CAST(lang_tokens AS DOUBLE) / total_tokens) AS w_sqrt
+      FROM per_lang,
+           (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang)
+      ORDER BY lang
+    """))
+
   val all: Seq[QuerySpec] = Seq(
-    hashSplit, chunkDocs, packSequences, domainCap, globalShuffle)
+    hashSplit, chunkDocs, packSequences, domainCap, globalShuffle,
+    truncateTokens, mixtureWeights)
 }

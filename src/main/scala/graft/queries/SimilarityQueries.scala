@@ -139,6 +139,51 @@ object SimilarityQueries {
       FROM embeddings
     """))
 
+  /** Batch similarity serving: top-5 neighbors for EIGHT probe vectors in
+    * one pass — the retrieval shape of RAG/eval pipelines (a probe BATCH,
+    * not one query at a time). The probe side is tiny and explicitly
+    * broadcast, so the corpus scans once and the per-probe ranking is a
+    * window on the probe key; at 100 TB the corpus side stays partitioned
+    * in place and only the probe batch moves. */
+  val batchAnn = QuerySpec(
+    "q_batch_ann",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(
+          col("vec_id").as("probe_id"),
+          Similarity.asDouble(col("embedding")).as("p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      emb.filter(col("vec_id") >= 8)
+        .crossJoin(broadcast(probes))
+        .withColumn("cos", round(
+          graft.functions.CosineSim.cosine_sim(
+            Similarity.asDouble(col("embedding")), col("p")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("probe_id", "rank", "vec_id", "cos")
+        .orderBy("probe_id", "rank")
+    },
+    Some("""
+      SELECT probe_id, rank, vec_id, cos
+      FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+               round(list_inner_product(c.embedding::DOUBLE[], p.embedding::DOUBLE[])
+                     / (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                        * sqrt(list_inner_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))), 6) AS cos,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY round(list_inner_product(c.embedding::DOUBLE[], p.embedding::DOUBLE[])
+                                                 / (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                                                    * sqrt(list_inner_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))), 6) DESC,
+                                           c.vec_id ASC) AS rank
+        FROM embeddings c JOIN embeddings p ON p.vec_id < 8 AND c.vec_id >= 8
+      )
+      WHERE rank <= 5
+      ORDER BY probe_id, rank
+    """))
+
   val all: Seq[QuerySpec] = Seq(
-    similarityTopk, similarityAnn, similarityLsh, dedupEmbed)
+    similarityTopk, similarityAnn, similarityLsh, dedupEmbed, batchAnn)
 }

@@ -180,4 +180,30 @@ class PlanSpec extends SparkSpec {
       .orderBy("event_type")
     assert(salted.collect().toSeq === plain.collect().toSeq)
   }
+
+  test("epoch shuffle page plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q_global_shuffle")(spark, Sf001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("batch ANN broadcasts the probe side; corpus never shuffles for the join") {
+    val df = SparkEntry.queries("q_batch_ann")(spark, Sf001)
+    df.collect()
+    val p = plan(df)
+    // a tiny probe batch × corpus is the sanctioned nested-loop broadcast —
+    // what must NOT appear is a CartesianProduct (both sides shuffled)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hash split is one scan into one partial-then-final aggregate") {
+    val df = SparkEntry.queries("q_hash_split")(spark, Sf001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    // one exchange for the 3-group agg, one for the output sort — the md5
+    // bucketing itself must add no shuffle
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$finalPlan")
+  }
 }
