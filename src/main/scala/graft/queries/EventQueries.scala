@@ -157,6 +157,63 @@ object EventQueries {
       ORDER BY p_id
     """))
 
+  /** Ordered conversion funnel view → click → purchase: per-user earliest
+    * qualifying timestamp per stage, each stage constrained to occur
+    * STRICTLY AFTER the user's previous-stage time (the product-analytics
+    * funnel, not three independent counts). Three conditional min-ts
+    * aggregates chained by equi-joins on user_id — every stage is a plain
+    * hash shuffle on the user key, so the funnel runs as one pipelined
+    * DAG; at 100 TB the three aggregates co-partition and AQE keeps the
+    * stage joins local. */
+  val funnel = QuerySpec(
+    "q_funnel",
+    (s, d) => {
+      val e = events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("vt"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("vt"))
+        .groupBy("user_id").agg(min(col("ts")).as("ct"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("ct"))
+        .groupBy("user_id").agg(min(col("ts")).as("pt"))
+      import s.implicits._
+      Seq(("1_view", 0), ("2_click", 1), ("3_purchase", 2)).toDF("stage", "__o")
+        .join(
+          v.agg(count(lit(1)).as("n_view"))
+            .crossJoin(c.agg(count(lit(1)).as("n_click")))
+            .crossJoin(p.agg(count(lit(1)).as("n_purchase"))))
+        .select(col("stage"),
+          when(col("stage") === "1_view", col("n_view"))
+            .when(col("stage") === "2_click", col("n_click"))
+            .otherwise(col("n_purchase")).as("n_users"))
+        .orderBy("stage")
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, min(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+      ), c AS (
+        SELECT e.user_id, min(e.ts) AS ct
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.vt
+        GROUP BY e.user_id
+      ), p AS (
+        SELECT e.user_id, min(e.ts) AS pt
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct
+        GROUP BY e.user_id
+      )
+      SELECT '1_view' AS stage, (SELECT count(*) FROM v) AS n_users
+      UNION ALL
+      SELECT '2_click', (SELECT count(*) FROM c)
+      UNION ALL
+      SELECT '3_purchase', (SELECT count(*) FROM p)
+      ORDER BY stage
+    """))
+
   val all: Seq[QuerySpec] = Seq(
-    jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin)
+    jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel)
 }

@@ -823,10 +823,57 @@ object ExtendedQueries {
       ORDER BY click_id, view_id
     """))
 
+  /** One-pass schema/data profiler — per-column null count, distinct
+    * count, min, max over the fact table, emitted one row per column
+    * (the data-quality report every ingest pipeline runs before
+    * training). ONE aggregate computes all 16 statistics (the multi
+    * count-distinct plans a single Expand over one scan, same shape as
+    * q_distinct_count), then `stack` pivots the single wide row into the
+    * per-column report — no second pass, no per-column jobs. */
+  private val ProfileCols = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+
+  val schemaProfile = QuerySpec(
+    "q_schema_profile",
+    (s, d) => {
+      val aggs = ProfileCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max")))
+      val wide = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val stackExpr = s"stack(${ProfileCols.size}, " + ProfileCols
+        .map(c => s"'$c', ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max")
+        .mkString(", ") + ") as (col_name, n_nulls, n_distinct, vmin, vmax)"
+      wide.selectExpr(stackExpr).orderBy("col_name")
+    },
+    Some("""
+      WITH a AS (
+        SELECT
+          CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+          count(DISTINCT l_quantity) AS q_nd, min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+          CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+          count(DISTINCT l_discount) AS d_nd, min(l_discount) AS d_min, max(l_discount) AS d_max,
+          CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
+          count(DISTINCT l_tax) AS t_nd, min(l_tax) AS t_min, max(l_tax) AS t_max,
+          CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_nulls,
+          count(DISTINCT l_extendedprice) AS e_nd, min(l_extendedprice) AS e_min, max(l_extendedprice) AS e_max
+        FROM lineitem
+      )
+      SELECT 'l_quantity' AS col_name, q_nulls AS n_nulls, q_nd AS n_distinct,
+             q_min AS vmin, q_max AS vmax FROM a
+      UNION ALL
+      SELECT 'l_discount', d_nulls, d_nd, d_min, d_max FROM a
+      UNION ALL
+      SELECT 'l_tax', t_nulls, t_nd, t_min, t_max FROM a
+      UNION ALL
+      SELECT 'l_extendedprice', e_nulls, e_nd, e_min, e_max FROM a
+      ORDER BY col_name
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
     movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
     topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs,
     crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce,
-    dateSpine, typedAgg, rangeFrame, intervalJoin)
+    dateSpine, typedAgg, rangeFrame, intervalJoin, schemaProfile)
 }

@@ -111,7 +111,7 @@ object MlQueries {
       // predictor here and a sane model can only approach it — a model
       // that learned garbage (exploding or degenerate predictions) blows
       // the 5% band and hash-mismatches. Genuine learning (beating the
-      // baseline on signal-bearing data) is asserted in MlSpec. */
+      // baseline on signal-bearing data) is asserted in MlSpec.
       val preds = model.transform(test)
         .select(col("l_extendedprice").as("label"), col("prediction"))
       val trainMean = train.agg(avg(col("l_extendedprice")).as("__mu"))

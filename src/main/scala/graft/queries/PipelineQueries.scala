@@ -31,13 +31,8 @@ object PipelineQueries {
   val hashSplit = QuerySpec(
     "q_hash_split",
     (s, d) => {
-      val bucket = substring(
-        md5(concat(lit("split42:"), col("doc_id").cast("string"))), 1, 2)
       documents(s, d)
-        .withColumn("split",
-          when(bucket < "cc", "train")
-            .when(bucket < "e6", "valid")
-            .otherwise("test"))
+        .withColumn("split", graft.ops.Router.hashSplit(col("doc_id")))
         .groupBy("split")
         .agg(
           count(lit(1)).as("n_docs"),

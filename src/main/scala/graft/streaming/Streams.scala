@@ -70,4 +70,14 @@ object Streams {
       .select(col("click_id"), col("view_id"),
         col("c_user").as("user_id"), col("click_ts"), col("view_ts"))
   }
+
+  /** Streaming twin of q_hash_split: route an ingest stream into
+    * train/valid/test by the deterministic key hash (graft.ops.Router —
+    * the SAME expression the batch query uses). Stateless, so it needs no
+    * watermark and adds no state store; determinism is what makes it
+    * replay-safe — a reprocessed record always lands in the same split.
+    * Downstream a `foreachBatch` (or partitionBy-on-write) fans the
+    * routed stream out to per-split sinks. */
+  def routeBySplit(records: DataFrame, keyCol: String): DataFrame =
+    records.withColumn("split", graft.ops.Router.hashSplit(col(keyCol)))
 }

@@ -108,4 +108,19 @@ class StreamingSpec extends SparkSpec {
       .select("click_id", "view_id").as[(Long, Long)].collect().toSeq
     assert(streamed === batch)
   }
+
+  test("streaming hash-split routes exactly like the batch split on the same keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(data: _*)
+    val q = Streams.routeBySplit(mem.toDF(), "event_id")
+      .writeStream.format("memory").queryName("t_route").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_route")
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    val batch = Streams.routeBySplit(data.toDF(), "event_id")
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    assert(streamed === batch)
+    assert(streamed.size === data.size) // stateless: nothing dropped
+  }
 }
