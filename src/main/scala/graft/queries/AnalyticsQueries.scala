@@ -337,7 +337,57 @@ object AnalyticsQueries {
       ORDER BY c_custkey
     """))
 
+  /** Bloom-filter membership probe — the 100 TB decontamination/lookup
+    * shape: build the filter DISTRIBUTED over the key stream
+    * (`bloom_filter_agg`, a mergeable sketch aggregate), ship it as one
+    * scalar (a broadcast in cluster terms), and probe the other table in
+    * a single codegen'd scan pass (`might_contain`) — no join, no
+    * shuffle of the probed side. The sketch BITS are engine-specific, so
+    * the compared output is the exact membership counts (DuckDB
+    * recomputes via semi-join) plus two verdicts the oracle pins
+    * constant-true: a Bloom filter has NO false negatives (every real
+    * buyer must hit), and the false-positive overshoot stays under 5% of
+    * non-members at the configured fpp (seeded ⇒ deterministic). */
+  val bloomProbe = QuerySpec(
+    "q_bloom_probe",
+    (s, d) => {
+      import graft.functions.BloomSketch._
+      // The BUILD is a distributed mergeable aggregate; the built filter
+      // (a ~40 kB binary) then travels to the probe scan as a literal —
+      // a driver-side fetch of a query PARAMETER, not data (same pattern
+      // as the similarity probe vector and the CMS probes; Spark's own
+      // might_contain requires a constant/scalar-subquery filter side).
+      val bf = orders(s, d)
+        .agg(bloom_filter_agg(xxhash64(col("o_custkey")), 30000L, 300000L).as("__bf"))
+        .head().getAs[Array[Byte]](0)
+      val buyers = orders(s, d).select(col("o_custkey").as("c_custkey")).distinct()
+      customer(s, d)
+        .join(buyers.withColumn("__buyer", lit(1)), Seq("c_custkey"), "left")
+        .withColumn("__hit",
+          bloom_might_contain(lit(bf), xxhash64(col("c_custkey"))).cast("int"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(coalesce(col("__buyer"), lit(0))).as("n_buyers"),
+          sum(when(col("__buyer") === 1 && col("__hit") === 0, 1L)
+            .otherwise(0L)).as("__missed"),
+          sum(when(col("__buyer").isNull && col("__hit") === 1, 1L)
+            .otherwise(0L)).as("__fp"),
+          sum(when(col("__buyer").isNull, 1L).otherwise(0L)).as("__nonmembers"))
+        .select(
+          col("n_customers"), col("n_buyers"),
+          (col("__missed") === 0L).cast("int").as("no_false_neg"),
+          (col("__fp") <= col("__nonmembers") * 0.05).cast("int").as("fp_rate_ok"))
+    },
+    Some("""
+      SELECT (SELECT count(*) FROM customer) AS n_customers,
+             (SELECT count(*) FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+               AS n_buyers,
+             1 AS no_false_neg,
+             1 AS fp_rate_ok
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg,
-    cube, explodeTokens, upsert, heavyHitters)
+    cube, explodeTokens, upsert, heavyHitters, bloomProbe)
 }

@@ -214,6 +214,72 @@ object EventQueries {
       ORDER BY stage
     """))
 
+  /** SCD type-2 history build: turn a change stream into
+    * valid_from/valid_to interval rows per key (the warehouse "slowly
+    * changing dimension" — each user's event_type attribute versioned
+    * over time, open interval = current). One lead() window per user —
+    * a single hash shuffle on the key; at 100 TB this is the standard
+    * "rebuild dimension history from CDC log" pass. */
+  val scd2 = QuerySpec(
+    "q_scd2",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .select(
+          col("user_id"), col("event_id"),
+          col("event_type").as("attr"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull.cast("int"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, event_type AS attr,
+             CAST(ts AS TIMESTAMP) AS valid_from,
+             CAST(lead(ts, 1) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC)
+                  AS TIMESTAMP) AS valid_to,
+             CASE WHEN lead(ts, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC)
+                    IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM events
+      ORDER BY user_id, valid_from, event_id
+    """))
+
+  /** Cohort retention: users grouped by first-activity day, counted in
+    * each subsequent activity week (weeks-since-cohort = day-diff DIV 7 —
+    * integer bucketing, not calendar weeks, so both engines agree without
+    * week-start conventions). Two aggregates on the user key plus one on
+    * the cohort grid; the user-day dedup is the only wide stage. */
+  val cohortRetention = QuerySpec(
+    "q_cohort_retention",
+    (s, d) => {
+      val acts = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val firsts = acts.groupBy("user_id").agg(min("day").as("cohort_day"))
+      acts.join(firsts, "user_id")
+        .withColumn("week_idx", expr("CAST(datediff(day, cohort_day) DIV 7 AS INT)"))
+        .groupBy("cohort_day", "week_idx")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "week_idx")
+    },
+    Some("""
+      WITH acts AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      ), firsts AS (
+        SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY user_id
+      )
+      SELECT cohort_day,
+             CAST(date_diff('day', f.cohort_day, a.day) // 7 AS INTEGER) AS week_idx,
+             count(DISTINCT a.user_id) AS n_users
+      FROM acts a JOIN firsts f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))
+
   val all: Seq[QuerySpec] = Seq(
-    jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel)
+    jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
+    scd2, cohortRetention)
 }

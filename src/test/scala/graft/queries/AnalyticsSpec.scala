@@ -69,4 +69,17 @@ class AnalyticsSpec extends SparkSpec {
         .map(c => sum(col(c))).reduce(_ + _)).as("t")).head().getLong(0)
     assert(total === graft.Tables.events(spark, Sf001).count())
   }
+
+  test("bloom sketch: no false negatives on built keys, low FP on foreign keys") {
+    import graft.functions.BloomSketch._
+    val keys = spark.range(0, 1000).toDF("k").repartition(4) // distributed build
+    val bf = keys.agg(bloom_filter_agg(xxhash64(col("k")), 1000L, 10000L).as("b"))
+      .head().getAs[Array[Byte]](0)
+    val members = spark.range(0, 1000).toDF("k")
+      .filter(!bloom_might_contain(lit(bf), xxhash64(col("k"))))
+    assert(members.count() === 0, "a Bloom filter must never miss a built key")
+    val foreign = spark.range(5000, 6000).toDF("k")
+      .filter(bloom_might_contain(lit(bf), xxhash64(col("k"))))
+    assert(foreign.count() <= 100, "false-positive rate should stay low at 10 bits/key")
+  }
 }
