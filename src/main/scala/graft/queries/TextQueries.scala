@@ -688,8 +688,58 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** Vocabulary build with an exact coverage curve: top-200 tokens by
+    * corpus frequency, each with its id (frequency rank), count, running
+    * covered-occurrence total, and the corpus total — cum_cnt/total_cnt
+    * IS the tokenizer-coverage curve ("the top-k vocab covers X% of
+    * occurrences"), in exact integers so both engines agree. The heavy
+    * stage (explode + count per token) is map-side-combinable; the
+    * global rank/running-sum window then runs over the COUNTS table —
+    * vocab candidates, orders of magnitude smaller than the corpus (the
+    * standard two-stage vocab build; a single-partition window over the
+    * candidate table is the accepted cost even at 100 TB, where the
+    * count table is pre-pruned with a min-frequency HAVING first). */
+  val vocabBuild = QuerySpec(
+    "q_vocab_build",
+    (s, d) => {
+      val counts = fanOut(s, documents(s, d))
+        .select(explode(Text.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("t").asc)
+      val total = counts.agg(sum("cnt").as("total_cnt"))
+      counts
+        .withColumn("tok_id", row_number().over(w))
+        .withColumn("cum_cnt", sum("cnt").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .filter(col("tok_id") <= 200)
+        .crossJoin(total)
+        .select("tok_id", "t", "cnt", "cum_cnt", "total_cnt")
+        .orderBy("tok_id")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                        x -> x <> '')) AS t
+              FROM documents)
+        GROUP BY t
+      )
+      SELECT tok_id, t, cnt, cum_cnt, total_cnt
+      FROM (
+        SELECT t, cnt,
+               row_number() OVER (ORDER BY cnt DESC, t ASC) AS tok_id,
+               CAST(sum(cnt) OVER (ORDER BY cnt DESC, t ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cnt
+        FROM counts
+      ), (SELECT CAST(sum(cnt) AS BIGINT) AS total_cnt FROM counts)
+      WHERE tok_id <= 200
+      ORDER BY tok_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
-    repetition, piiRedact, decontaminate, dedupClusters)
+    repetition, piiRedact, decontaminate, dedupClusters, vocabBuild)
 }
