@@ -387,7 +387,79 @@ object AnalyticsQueries {
              1 AS fp_rate_ok
     """))
 
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * standing agg over the BASE partition merges with the DELTA batch's
+    * partial aggregate instead of recomputing the world — union the
+    * partials, re-aggregate (counts and decimal sums are mergeable by
+    * construction). At 100 TB this is the only affordable refresh: the
+    * base partials persist, each new batch contributes one small
+    * aggregate, and the merge touches aggregate rows, never raw history.
+    * The oracle recomputes from scratch — merged MUST equal recomputed. */
+  val incrementalAgg = QuerySpec(
+    "q_incremental_agg",
+    (s, d) => {
+      val o = orders(s, d)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("__total"))
+      val base = partial(o.filter(col("o_orderdate") < "1997-01-01"))
+      val delta = partial(o.filter(col("o_orderdate") >= "1997-01-01"))
+      base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("n_orders")).as("n_orders"),
+          sum(col("__total")).cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
+  /** Bloom-prefiltered join — Spark's runtime-filter pattern made
+    * explicit: build a Bloom filter over the SELECTIVE side's join keys
+    * (high-value orders), prune the fact scan with `might_contain`
+    * BEFORE the shuffle, then run the exact join (which also removes the
+    * filter's false positives — the result is exactly the plain join, so
+    * the oracle is the plain SQL). At 100 TB this is what turns a
+    * full-fact-shuffle join into a shuffle of the ~matching rows only. */
+  val bloomJoin = QuerySpec(
+    "q_bloom_join",
+    (s, d) => {
+      import graft.functions.BloomSketch._
+      val hot = orders(s, d)
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_orderkey"))
+      val bf = hot
+        .agg(bloom_filter_agg(xxhash64(col("o_orderkey")), 20000L, 200000L).as("b"))
+        .head().getAs[Array[Byte]](0)
+      lineitem(s, d)
+        .filter(bloom_might_contain(lit(bf), xxhash64(col("l_orderkey"))))
+        .join(hot, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             count(*) AS n_lines,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 300000.0
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg,
-    cube, explodeTokens, upsert, heavyHitters, bloomProbe)
+    cube, explodeTokens, upsert, heavyHitters, bloomProbe, incrementalAgg,
+    bloomJoin)
 }

@@ -196,6 +196,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bloom-prefiltered join prunes the fact scan before joining") {
+    val df = SparkEntry.queries("q_bloom_join")(spark, Sf001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("might_contain"), p) // scan-side prune is in-plan
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("hash split is one scan into one partial-then-final aggregate") {
     val df = SparkEntry.queries("q_hash_split")(spark, Sf001)
     df.collect()
