@@ -51,19 +51,24 @@ object Bench {
       }
     }.groupBy(_._1).map { case (name, ts) => name -> ts.map(_._2).min }
     // The contract line: {"metric",...,"queries":{ALL queries},...}. At
-    // 89 queries it runs ~2.1 kB — LONGER than the driver's ~2000-char
+    // ~100 queries it runs ~2.4 kB — LONGER than the driver's ~2000-char
     // stdout-tail capture, which is why BENCH_r1–r3 all recorded
     // parsed:null with the head (and the headline total) truncated away.
     // So print the full line per the contract, then a compact duplicate
     // (same schema, only the 10 slowest queries) that fits in the tail
     // whole: a parser scanning the captured tail finds a complete JSON
     // line with the total either way.
+    // Locale.ROOT: the f-interpolator formats with the JVM default locale,
+    // which on a non-English host would print decimal COMMAS and corrupt
+    // the JSON contract line.
+    def num(v: Double, d: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
     def fmt(entries: Seq[(String, Double)]): String = entries
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line(fmt(results.toSeq.sortBy(_._1))))
     println(line(fmt(results.toSeq.sortBy(-_._2).take(10))))
     spark.stop()

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.Vectors
@@ -45,39 +44,94 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF index: seeded k-means coarse quantizer + full-corpus assignment.
+  /** IVF index: coarse k-means quantizer + full-corpus assignment.
     *
-    * The quantizer trains on a BOUNDED sample (256·nCells vectors, few
-    * partitions, seeded random init) — standard IVF practice: at 100 TB
-    * you never k-means the corpus, you train the quantizer on a sample
-    * and make one assignment pass over everything. At bench scale this
-    * also kills the dominant cost, which was scheduling ~18 tiny-task
-    * jobs (k-means|| init passes + iterations) across 32 partitions of
-    * 2 000 rows. Assignment stays a single full-width map pass. */
-  def ivfAssign(spark: SparkSession, emb: DataFrame, nCells: Int): (DataFrame, Array[Array[Double]]) = {
-    val withVec = graft.Tables.fanOut(spark, emb)
-      .withColumn("__vec", array_to_vector(asDouble(col("embedding"))))
-    // Seeded UNIFORM sample, not limit(): limit takes the corpus HEAD
-    // (biased when ingest order clusters, the norm at 100 TB) and
-    // collapses to one partition, which coalesce cannot widen again.
-    // The count is a cheap parquet-metadata aggregate; repartition(4)
-    // right-sizes the k-means jobs for a few-thousand-row sample.
+    * Faiss shape taken literally: the quantizer trains on a BOUNDED
+    * sample (256·nCells vectors) at the DRIVER — quantizer training is a
+    * small local job everywhere (nobody k-means 100 TB; the sample is a
+    * few MB), and a local seeded Lloyd's is exactly reproducible on ANY
+    * cluster layout. The previous MLlib fit was parallelism-dependent
+    * twice over (Bernoulli sampling draws per-partition streams; random
+    * init + float aggregation order follow the partition layout), which
+    * made IVF recall change with the session's core count. Only the
+    * per-row nearest-centroid ASSIGNMENT is distributed — one map pass,
+    * no shuffle, centroids broadcast in the task closure.
+    *
+    * Sample selection is a pure key-hash filter (not `.sample()`, not
+    * `limit()`): deterministic on any layout, unbiased by ingest order. */
+  def ivfAssign(spark: SparkSession, emb: DataFrame, nCells: Int,
+      idCol: String = "vec_id"): (DataFrame, Array[Array[Double]]) = {
     val maxTrain = 256L * nCells
     val n = emb.count()
-    val base = withVec.select("__vec")
-    val trainSample =
-      (if (n > maxTrain) base.sample(maxTrain.toDouble / n, 42L) else base)
-        .repartition(4)
-        .cache()
-    val km = new KMeans()
-      .setK(nCells).setSeed(42L).setMaxIter(5)
-      .setInitMode("random") // seeded, 1 init pass vs k-means||'s ~5
-      .setFeaturesCol("__vec").setPredictionCol("cluster")
-    val model =
-      try km.fit(trainSample)
-      finally trainSample.unpersist()
-    val assigned = model.transform(withVec).drop("__vec")
-    (assigned, model.clusterCenters.map(_.toArray))
+    val sampleDf =
+      (if (n > maxTrain) {
+        val keep = (maxTrain.toDouble / n * 1000000L).toLong
+        emb.filter(pmod(xxhash64(lit("ivf-train"), col(idCol)), lit(1000000L)) < keep)
+      } else emb)
+        .select(col(idCol), asDouble(col("embedding")).as("__v"))
+        .orderBy(col(idCol)) // fixed iteration order for the local fit
+    val sample = sampleDf.collect().map(_.getSeq[Double](1).toArray)
+    val centroids = localKMeans(sample, nCells, iters = 10, seed = 42L)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val withD = graft.Tables.fanOut(spark, emb)
+      .withColumn("__vd", asDouble(col("embedding")))
+    val outSchema = withD.schema.add("cluster", org.apache.spark.sql.types.IntegerType)
+    val vIdx = withD.schema.fieldIndex("__vd")
+    val assigned = withD.mapPartitions { it =>
+      val cs = bc.value
+      it.map { r =>
+        val v = r.getSeq[Double](vIdx).toArray
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          val ctr = cs(c)
+          while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .drop("__vd")
+    (assigned, centroids)
+  }
+
+  /** Seeded local Lloyd's k-means (euclidean) over a bounded sample —
+    * the quantizer trainer. Deterministic: init picks k sample points by
+    * a seeded shuffle of the (sorted) sample, iteration order is the
+    * array order, empty clusters keep their previous centroid. */
+  private[ops] def localKMeans(sample: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty quantizer training sample")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(sample.indices.toVector).take(math.min(k, sample.length))
+    val centroids = Array.tabulate(math.min(k, sample.length))(i => sample(init(i)).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < centroids.length) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+    }
+    centroids
   }
 
   /** The LSH-bucketed ANN variant: BucketedRandomProjectionLSH (euclidean

@@ -169,18 +169,24 @@ object EventQueries {
     "q_funnel",
     (s, d) => {
       val e = events(s, d)
+      // v feeds both the click stage and its own count, c likewise —
+      // cache() the stage frames so each aggregate runs once per session
+      // (same plan-identity reuse as TextQueries' shingle/pair caches)
+      // instead of re-aggregating events per downstream consumer.
       val v = e.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("vt"))
+        .cache()
       val c = e.filter(col("event_type") === "click")
         .join(v, "user_id")
         .filter(col("ts") > col("vt"))
         .groupBy("user_id").agg(min(col("ts")).as("ct"))
+        .cache()
       val p = e.filter(col("event_type") === "purchase")
         .join(c, "user_id")
         .filter(col("ts") > col("ct"))
         .groupBy("user_id").agg(min(col("ts")).as("pt"))
       import s.implicits._
-      Seq(("1_view", 0), ("2_click", 1), ("3_purchase", 2)).toDF("stage", "__o")
+      Seq("1_view", "2_click", "3_purchase").toDF("stage")
         .join(
           v.agg(count(lit(1)).as("n_view"))
             .crossJoin(c.agg(count(lit(1)).as("n_click")))
