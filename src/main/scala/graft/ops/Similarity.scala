@@ -65,12 +65,19 @@ object Similarity {
     val n = emb.count()
     val sampleDf =
       (if (n > maxTrain) {
-        val keep = (maxTrain.toDouble / n * 1000000L).toLong
+        // ceil + floor-of-1: plain truncation would undershoot the
+        // 256·nCells target and hit ZERO once n ≥ 1e6·maxTrain — i.e.
+        // exactly the huge-corpus case this sampling exists for.
+        val keep = math.max(1L, math.ceil(maxTrain.toDouble / n * 1000000L).toLong)
         emb.filter(pmod(xxhash64(lit("ivf-train"), col(idCol)), lit(1000000L)) < keep)
       } else emb)
         .select(col(idCol), asDouble(col("embedding")).as("__v"))
-        .orderBy(col(idCol)) // fixed iteration order for the local fit
-    val sample = sampleDf.collect().map(_.getSeq[Double](1).toArray)
+    // Sort at the DRIVER: the sample is about to be collected anyway, and
+    // a distributed orderBy would pay a range-sampling pass + sort shuffle
+    // just to fix iteration order for the local fit.
+    val sample = sampleDf.collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
     val centroids = localKMeans(sample, nCells, iters = 10, seed = 42L)
     val bc = spark.sparkContext.broadcast(centroids)
     val withD = graft.Tables.fanOut(spark, emb)
@@ -81,19 +88,27 @@ object Similarity {
       val cs = bc.value
       it.map { r =>
         val v = r.getSeq[Double](vIdx).toArray
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < cs.length) {
-          var d = 0.0; var i = 0
-          val ctr = cs(c)
-          while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-          if (d < bd) { bd = d; best = c }
-          c += 1
-        }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ nearestCentroid(v, cs))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
       .drop("__vd")
     (assigned, centroids)
+  }
+
+  /** Index of the squared-L2-nearest centroid — the ONE definition shared
+    * by quantizer training and corpus assignment (divergence between the
+    * two would silently skew cell populations). Object-method references
+    * are serialization-safe in task closures. */
+  private[ops] def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val ctr = centroids(c)
+      while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
   }
 
   /** Seeded local Lloyd's k-means (euclidean) over a bounded sample —
@@ -111,13 +126,7 @@ object Similarity {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)
       sample.foreach { v =>
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < centroids.length) {
-          var d = 0.0; var i = 0
-          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
-          if (d < bd) { bd = d; best = c }
-          c += 1
-        }
+        val best = nearestCentroid(v, centroids)
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
         counts(best) += 1

@@ -37,11 +37,13 @@ object SimilarityQueries {
       LIMIT 20
     """))
 
-  /** E3 scale path: IVF — seeded k-means coarse quantizer, probe the 8
-    * nearest of 16 cells, brute-force within (synthetic embeddings are
-    * near-uniform, so the quantizer needs a generous nProbe; clustered
-    * real corpora prune much harder). Engine-specific (MLlib k-means) → no
-    * SQL oracle; EntrySpec asserts recall ≥ 0.6 against the exact top-k. */
+  /** E3 scale path: IVF — coarse quantizer (local seeded Lloyd's over a
+    * key-hash sample, Similarity.ivfAssign — layout-independent by
+    * construction), probe the 8 nearest of 16 cells, brute-force within
+    * (synthetic embeddings are near-uniform, so the quantizer needs a
+    * generous nProbe; clustered real corpora prune much harder).
+    * Cell MEMBERSHIP is engine-specific → verdict oracle below;
+    * EntrySpec asserts recall ≥ 0.6 against the exact top-k. */
   val similarityAnn = QuerySpec(
     "q_similarity_ann",
     (s, d) => {
