@@ -47,7 +47,12 @@ object Dedup {
     * dropping df > cap shingles (cap makes jac approximate), or the LSH
     * path below.
     *
-    * `shingleCol` must hold DISTINCT shingles (callers array_distinct). */
+    * `shingleCol` must hold DISTINCT shingles (callers array_distinct).
+    *
+    * Output keeps the raw set sizes alongside jac — `common` (|A∩B|),
+    * `sz_a`, `sz_b` — so asymmetric scores (containment |A∩B|/min|·|,
+    * overlap coefficients) derive from the SAME posting join instead of
+    * paying a second pass. */
   def jaccardPairs(docs: DataFrame, id: String, shingleCol: String,
       blockCols: Seq[String]): DataFrame = {
     val posts = docs
@@ -63,11 +68,10 @@ object Dedup {
     sided("a").join(sided("b"), blockCols :+ "__sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy((blockCols :+ "id_a" :+ "id_b" :+ "sz_a" :+ "sz_b").map(col): _*)
-      .agg(count(lit(1)).as("__common"))
+      .agg(count(lit(1)).as("common"))
       .withColumn("jac",
-        col("__common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("__common")).cast("double"))
-      .drop("__common", "sz_a", "sz_b")
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
   }
 
   /** Connected components over a near-dup pair list — the step that turns

@@ -840,7 +840,11 @@ object ExtendedQueries {
         countDistinct(col(c)).as(s"${c}__nd"),
         min(col(c)).as(s"${c}__min"),
         max(col(c)).as(s"${c}__max")))
-      val wide = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      // fanOut: four DISTINCT aggregates expand the scan ×4, and the test
+      // parquet is one row-group — without the repartition the whole
+      // expanded pass runs as one task. Exact min/max/counts are
+      // layout-independent, so parallelism is free.
+      val wide = fanOut(s, lineitem(s, d)).agg(aggs.head, aggs.tail: _*)
       val stackExpr = s"stack(${ProfileCols.size}, " + ProfileCols
         .map(c => s"'$c', ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max")
         .mkString(", ") + ") as (col_name, n_nulls, n_distinct, vmin, vmax)"

@@ -349,7 +349,12 @@ object TextQueries {
       val nTok = size(toks)
       val nChar = length(col("text"))
       val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
-      val filtered = documents(s, d)
+      // fanOut before the tokenize/marker-scan stage: the test parquet is a
+      // single row-group, so without it the whole per-row pipeline runs as
+      // ONE task — the suite's most noise-sensitive serial stage (recorded
+      // 1.4 s quiet, 7.2 s under co-tenant load). The aggregate output is
+      // exact integers, so the layout change can't move the answer.
+      val filtered = fanOut(s, documents(s, d))
         .withColumn("n_tok", nTok)
         .withColumn("punct_ratio", Text.ratio(nPunct, nChar))
         .withColumn("chars_per_tok", Text.ratio(nChar, col("n_tok")))
@@ -738,8 +743,158 @@ object TextQueries {
       ORDER BY tok_id
     """))
 
+  /** Exact SUBSTRING-level duplication (the character-gram sibling of
+    * shingle dedup, after Lee et al.'s "Deduplicating Training Data Makes
+    * Language Models Better"): 64-char grams at stride 32, identified by
+    * digest; a gram appearing in ≥ 2 DISTINCT docs marks a duplicated
+    * span. Per doc: gram count, duplicated-gram count, duplicated
+    * fraction — the signal substring-dedup pipelines threshold on.
+    *
+    * Scale shape: gram generation is a bounded explode (len/stride rows
+    * per doc — never quadratic); the duplicate-digest set comes from one
+    * map-side-combinable aggregate over the digests, and the flag-back
+    * join is an equi-join on the digest — every stage an ordinary
+    * shuffle, nothing pairwise. At 100 TB the digest table is the only
+    * wide state and it hash-partitions cleanly. */
+  val substringDedup = QuerySpec(
+    "q_substring_dedup",
+    (s, d) => {
+      val grams = fanOut(s, documents(s, d))
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - 63, lit(32))).as("st"),
+          col("text"))
+        .select(col("doc_id"), md5(col("text").substr(col("st"), lit(64))).as("dg"))
+      val dup = grams.groupBy("dg")
+        .agg(countDistinct(col("doc_id")).as("__nd"))
+        .filter(col("__nd") >= 2)
+        .select(col("dg"), lit(1L).as("__dup"))
+      val per = grams.join(dup, Seq("dg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+      documents(s, d).select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          Text.ratio(coalesce(col("n_dup"), lit(0L)),
+            coalesce(col("n_grams"), lit(0L))).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id, md5(substr(text, CAST(st AS INTEGER), 64)) AS dg
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, len(text) - 63, 32)) AS st
+              FROM documents WHERE len(text) >= 64)
+      ),
+      dup AS (SELECT dg FROM grams GROUP BY dg HAVING count(DISTINCT doc_id) >= 2),
+      per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN dup.dg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM grams LEFT JOIN dup USING (dg)
+        GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(n_grams, 0) AS n_grams,
+             coalesce(n_dup, 0) AS n_dup,
+             CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+                  ELSE CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             END AS dup_frac
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY d.doc_id
+    """))
+
+  /** Asymmetric CONTAINMENT (overlap coefficient |A∩B| / min(|A|,|B|)) —
+    * the quote/subset detector Jaccard misses: a short doc fully quoted
+    * inside a long one scores containment 1.0 but a low Jaccard (union is
+    * dominated by the long doc). Same posting join as q_dedup_near — the
+    * sizes ride along with the intersection count, so the second metric
+    * is free. Top-25 by containment. */
+  val containment = QuerySpec(
+    "q_containment",
+    (s, d) =>
+      jacPairs(s, d)
+        .withColumn("containment",
+          col("common").cast("double") /
+            least(col("sz_a"), col("sz_b")).cast("double"))
+        .select(col("lang"), col("id_a"), col("id_b"), col("jac"),
+          col("containment"))
+        .orderBy(col("containment").desc, col("id_a").asc, col("id_b").asc)
+        .limit(25),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      )
+      SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS containment
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+      ORDER BY containment DESC, id_a ASC, id_b ASC
+      LIMIT 25
+    """))
+
+  /** Bigram language-model estimation: corpus bigram counts with the
+    * conditional probability P(w2 | w1) = c(w1 w2) / c(w1 ·) as an exact
+    * integer ratio (c(w1 ·) sums bigram starts, so the distribution per
+    * w1 sums to exactly 1). Top-30 bigrams — the count-based n-gram LM
+    * build every data-quality perplexity filter starts from.
+    *
+    * Scale shape: one explode over the codegen'd shingle Expression into
+    * a map-side-combinable count, then a self-aggregate on the FIRST
+    * token — both plain hash shuffles on keys orders of magnitude
+    * smaller than the corpus. */
+  val bigramLm = QuerySpec(
+    "q_bigram_lm",
+    (s, d) => {
+      val big = fanOut(s, documents(s, d))
+        .select(explode(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .select(
+          substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"),
+          col("cnt"))
+      val starts = big.groupBy("w1").agg(sum(col("cnt")).as("c1"))
+      big.join(starts, "w1")
+        .select(col("w1"), col("w2"), col("cnt"), col("c1"),
+          (col("cnt").cast("double") / col("c1").cast("double")).as("p_cond"))
+        .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+        .limit(30)
+    },
+    Some("""
+      WITH bg AS (
+        SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' '))) AS bg
+              FROM (SELECT list_filter(string_split_regex(lower(text), '\W+'),
+                                       t -> t <> '') AS toks
+                    FROM documents))
+        GROUP BY bg
+      ),
+      starts AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM bg GROUP BY w1)
+      SELECT w1, w2, cnt, c1, CAST(cnt AS DOUBLE) / CAST(c1 AS DOUBLE) AS p_cond
+      FROM bg JOIN starts USING (w1)
+      ORDER BY cnt DESC, w1 ASC, w2 ASC
+      LIMIT 30
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
-    repetition, piiRedact, decontaminate, dedupClusters, vocabBuild)
+    repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
+    substringDedup, containment, bigramLm)
 }
