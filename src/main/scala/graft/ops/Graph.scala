@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over edge-list DataFrames (the dedup /
+  * lineage / co-occurrence graphs a data pipeline produces). Joins-on-
+  * edge-lists is the Spark-native shape: every round is an equi-join +
+  * aggregate over the (corpus-small) graph, never the corpus itself.
+  * The connected-components sibling lives in [[Dedup.components]].
+  */
+object Graph {
+
+  /** Min-hop BFS from `seeds` over an undirected edge list — frontier
+    * style: round h joins ONLY the hop-(h−1) frontier against the edges,
+    * so total work is O(Σ frontier-adjacent edges), not O(rounds × V).
+    * That is the textbook Pregel work bound expressed as DataFrame joins;
+    * at 100 TB the edges frame hash-partitions on `src` once (`.cache()`
+    * keeps the partitioning) and every round's join reuses that layout.
+    *
+    * Iterative-DataFrame discipline (same as [[Dedup.components]]): each
+    * round `localCheckpoint`s, truncating the nested-plan lineage that
+    * would otherwise make driver-side analysis cost grow with the round
+    * count. Early-exits when a frontier empties.
+    *
+    * Returns (id, hops) for every node within `maxHops` of a seed —
+    * seeds included at hop 0. */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val und = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    var visited = seeds.select(col(idCol).cast("long").as("id"))
+      .distinct()
+      .withColumn("hops", lit(0))
+      .localCheckpoint()
+    var frontier = visited.select("id")
+    var hop = 1
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && hop <= maxHops) {
+      val next = und
+        .join(frontier.select(col("id").as("src")), "src")
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint() // materialize ONCE: the count below and the
+                           // next round's anti-join both read this frame
+      // one count per round over the (tiny) frontier — the convergence
+      // probe, not a data-path collect
+      frontierSize = next.count()
+      // both sides are checkpointed scans, so the union's plan depth grows
+      // linearly with rounds (bounded by maxHops), never nests
+      visited = visited.union(next)
+      frontier = next.select("id")
+      hop += 1
+    }
+    und.unpersist()
+    visited
+  }
+}

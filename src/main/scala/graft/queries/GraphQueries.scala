@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.Graph
+
+/** Graph analytics over pipeline-shaped edge lists. The graph here is part
+  * CO-OCCURRENCE (two parts appearing in the same order ≥ 2 times — the
+  * "frequently bought together" graph), built from lineitem with one
+  * self-join on the order key; the same shape covers citation graphs,
+  * near-dup pair graphs, and link graphs in a training-data pipeline.
+  *
+  * Scale notes: the co-occurrence self-join is an equi-join on l_orderkey
+  * (hash-partitioned, never cartesian); per-order fan-out is lines²/2,
+  * bounded by order size, not table size. The frequency floor (≥ 2) is
+  * applied BEFORE any graph algorithm runs — at 100 TB the edge list is
+  * the only state the iterative stages ever touch, and it is orders of
+  * magnitude smaller than the fact table.
+  */
+object GraphQueries {
+
+  /** Distinct co-occurrence edges with support ≥ 2, a < b. */
+  private def freqEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val l = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey"))
+    l.as("x").join(l.as("y"), col("x.ok") === col("y.ok") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .groupBy("a", "b").count()
+      .filter(col("count") >= 2)
+      .select("a", "b")
+  }
+
+  /** Shared DuckDB CTE for the same edge list — one definition, so the
+    * Spark plan and the oracle can never drift on what "the graph" is. */
+  private val FreqEdgeSql = """
+      fedge AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+      )"""
+
+  /** Min-hop BFS from a deterministic seed set (graph nodes ≡ 0 mod 500)
+    * over the co-occurrence graph, capped at 6 hops — the reachability /
+    * provenance-radius primitive. Frontier-style rounds: work per round is
+    * the frontier's adjacency, not V (Graph.bfsHops scaladoc). The oracle
+    * recomputes min-hops with a bounded recursive CTE — UNION (distinct)
+    * bounds the walk at (node, hop) pairs, so cycles can't blow it up. */
+  val graphHops = QuerySpec(
+    "q_graph_hops",
+    (s, d) => {
+      val e = freqEdges(s, d)
+      val nodes = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id"))).distinct()
+      val seeds = nodes.filter(pmod(col("id"), lit(500)) === 0)
+      Graph.bfsHops(e, "a", "b", seeds, "id", maxHops = 6)
+        .select(col("id").as("part_id"), col("hops"))
+        .orderBy("part_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $FreqEdgeSql,
+      edges AS (
+        SELECT a AS s, b AS t FROM fedge
+        UNION ALL
+        SELECT b, a FROM fedge
+      ),
+      nodes AS (SELECT DISTINCT s AS id FROM edges),
+      walk(id, hop) AS (
+        SELECT id, 0 FROM nodes WHERE id % 500 = 0
+        UNION
+        SELECT e.t, w.hop + 1
+        FROM walk w JOIN edges e ON e.s = w.id
+        WHERE w.hop < 6
+      )
+      SELECT id AS part_id, CAST(min(hop) AS INTEGER) AS hops
+      FROM walk GROUP BY id
+      ORDER BY part_id
+    """))
+
+  /** Triangle count + global clustering coefficient over the same graph —
+    * the classic "three joins" distributed triangle count: edges are kept
+    * a < b, so each triangle a < b < c is produced exactly once by
+    * (a,b)⋈(b,c)⋈(a,c). Wedges come from the degree table as Σ d(d−1)/2
+    * (exact integers), and the coefficient 3·T / wedges is one IEEE
+    * division of exact ints — portable across engines. At scale each join
+    * hash-partitions on its key; the standard heavy-hitter mitigation
+    * (drop super-nodes above a degree cap before counting) is one filter
+    * on the degree table. */
+  val triangles = QuerySpec(
+    "q_triangles",
+    (s, d) => {
+      val e = freqEdges(s, d).cache()
+      val deg = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val tri = e.as("x")
+        .join(e.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("y.b").as("c"))
+        .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      val wedges = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("wedges"))
+      val counts = e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      wedges.crossJoin(counts)
+        .select(
+          col("n_nodes"), col("n_edges"), col("n_triangles"), col("wedges"),
+          when(col("wedges") === 0, lit(0.0))
+            .otherwise((col("n_triangles") * 3).cast("double") /
+              col("wedges").cast("double"))
+            .as("clustering"))
+    },
+    Some(s"""
+      WITH $FreqEdgeSql,
+      deg AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS id FROM fedge UNION ALL SELECT b FROM fedge)
+        GROUP BY id
+      ),
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM fedge x JOIN fedge y ON y.a = x.b
+             JOIN fedge z ON z.a = x.a AND z.b = y.b
+      )
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM fedge) AS n_edges,
+             CAST(n_triangles AS BIGINT) AS n_triangles,
+             (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) FROM deg) AS wedges,
+             CASE WHEN (SELECT sum(deg * (deg - 1)) FROM deg) = 0 THEN 0.0
+                  ELSE CAST(n_triangles * 3 AS DOUBLE)
+                       / CAST((SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) FROM deg) AS DOUBLE)
+             END AS clustering
+      FROM tri
+    """))
+
+  val all: Seq[QuerySpec] = Seq(graphHops, triangles)
+}

@@ -243,7 +243,64 @@ object PipelineQueries {
       ORDER BY lang
     """))
 
+  /** Distribution drift between two source cohorts (src0–9 vs src10–19):
+    * doc-length histogram (10 fixed 200-char buckets, capped) with per-
+    * cohort rates and a per-bucket drift flag |rate_a − rate_b| > 0.02 —
+    * the dataset-monitoring check a refreshed crawl runs against the
+    * previous snapshot before training on it. Counts are exact integers;
+    * each rate is ONE IEEE division of exact ints, and the flag compares
+    * two such doubles — every cell engine-portable.
+    *
+    * Scale shape: one pass, map-side-combinable (bucket, cohort) counts;
+    * the totals it normalizes by ride the same 10-row aggregate. */
+  val sourceDrift = QuerySpec(
+    "q_source_drift",
+    (s, d) => {
+      val agg = documents(s, d)
+        .select(
+          least(floor(col("n_chars") / lit(200)), lit(9)).cast("int")
+            .as("bucket"),
+          (substring(col("source"), 4, 8).cast("int") < 10).as("is_a"))
+        .groupBy("bucket")
+        .agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
+      val tot = agg.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+      agg.crossJoin(tot)
+        .select(
+          col("bucket"), col("cnt_a"), col("cnt_b"),
+          (col("cnt_a").cast("double") / col("tot_a").cast("double"))
+            .as("rate_a"),
+          (col("cnt_b").cast("double") / col("tot_b").cast("double"))
+            .as("rate_b"),
+          (abs(col("cnt_a").cast("double") / col("tot_a").cast("double") -
+            col("cnt_b").cast("double") / col("tot_b").cast("double")) > 0.02)
+            .cast("int").as("drifted"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT CAST(least(floor(n_chars / 200), 9) AS INTEGER) AS bucket,
+               CAST(sum(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+               CAST(sum(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+                             THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        FROM documents
+        GROUP BY 1
+      ),
+      tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+                     CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM agg)
+      SELECT bucket, cnt_a, cnt_b,
+             CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS rate_a,
+             CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS rate_b,
+             CAST(abs(CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+                      - CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) > 0.02
+                  AS INTEGER) AS drifted
+      FROM agg, tot
+      ORDER BY bucket
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     hashSplit, chunkDocs, packSequences, domainCap, globalShuffle,
-    truncateTokens, mixtureWeights)
+    truncateTokens, mixtureWeights, sourceDrift)
 }

@@ -6,5 +6,6 @@ object Registry {
     RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ EventQueries.all ++
       MlQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all ++
-      ExtendedQueries.all ++ PipelineQueries.all
+      ExtendedQueries.all ++ PipelineQueries.all ++ GraphQueries.all ++
+      StorageQueries.all
 }

@@ -892,9 +892,66 @@ object TextQueries {
       LIMIT 30
     """))
 
+  /** Token-distribution Gini impurity per doc — 1 − Σ pᵢ² , the
+    * log-free diversity signal (entropy's exactly-computable sibling:
+    * ln() is banned from compared floats because libm last-ulp differs
+    * across engines, but Σ cnt² is an exact integer and the final
+    * (n² − Σcnt²)/n² is ONE IEEE division of exact ints — bit-identical
+    * everywhere). Low gini ⇒ one token dominates ⇒ boilerplate/spam.
+    *
+    * Scale shape: explode → (doc, token) count → per-doc aggregate, all
+    * map-side combinable; nothing holds a vocabulary in memory. */
+  val giniDiversity = QuerySpec(
+    "q_gini_diversity",
+    (s, d) => {
+      val per = fanOut(s, documents(s, d))
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").count()
+        .groupBy("doc_id")
+        .agg(sum("count").as("n_tok"), count(lit(1)).as("n_types"),
+          sum(col("count") * col("count")).as("ss"))
+      documents(s, d).select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          coalesce(col("n_types"), lit(0L)).as("n_types"),
+          when(coalesce(col("n_tok"), lit(0L)) === 0, lit(0.0))
+            .otherwise(
+              (col("n_tok") * col("n_tok") - col("ss")).cast("double") /
+                (col("n_tok") * col("n_tok")).cast("double"))
+            .as("gini"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                        t -> t <> '')) AS t
+              FROM documents)
+        GROUP BY doc_id, t
+      ),
+      per AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c * c) AS BIGINT) AS ss
+        FROM cnt GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(n_tok, 0) AS n_tok,
+             coalesce(n_types, 0) AS n_types,
+             CASE WHEN coalesce(n_tok, 0) = 0 THEN 0.0
+                  ELSE CAST(n_tok * n_tok - ss AS DOUBLE)
+                       / CAST(n_tok * n_tok AS DOUBLE)
+             END AS gini
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY d.doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
-    substringDedup, containment, bigramLm)
+    substringDedup, containment, bigramLm, giniDiversity)
 }

@@ -205,6 +205,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bucketed join shuffles neither side — only the rollup exchanges") {
+    val df = SparkEntry.queries("q_bucket_join")(spark, Sf001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(finalPlan.contains("SortMergeJoin"), finalPlan)
+    // both join children read bucketed scans in place; the only hash
+    // exchange allowed is the post-join priority rollup's
+    val exchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"bucketed join must not shuffle its inputs, got $exchanges hash exchanges\n$finalPlan")
+  }
+
+  test("z-order tiling keeps the custom ZValue expression in codegen") {
+    val df = SparkEntry.queries("q_zorder")(spark, Sf001)
+    df.collect()
+    assert(plan(df).contains("*("), plan(df))
+  }
+
   test("hash split is one scan into one partial-then-final aggregate") {
     val df = SparkEntry.queries("q_hash_split")(spark, Sf001)
     df.collect()

@@ -107,4 +107,23 @@ object ExpressionProps extends Properties("graft.functions") {
       if (xs.forall(_ == 0.0)) c == null
       else math.abs(c.doubleValue - 1.0) < 1e-9
     }
+
+  private val key16 = Gen.choose(0L, 0xFFFFL)
+
+  property("zvalue matches the per-bit interleave definition") =
+    forAll(key16, key16) { (a, b) =>
+      val expected = (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+      ZValue.compute(a, b) == expected
+    }
+
+  property("zvalue is monotone in each dimension holding the other at 0") =
+    forAll(key16) { a =>
+      // spreading bits preserves order along an axis — the property that
+      // makes z-ranges usable for per-dimension min/max pruning
+      ZValue.compute(a, 0L) <= ZValue.compute(0xFFFFL, 0L) &&
+        ZValue.compute(0L, a) <= ZValue.compute(0L, 0xFFFFL) &&
+        (a == 0L || ZValue.compute(a, 0L) > ZValue.compute(a - 1, 0L))
+    }
 }
