@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence operators over event streams: gaps-and-islands
+  * streaks, Markov transition counts, and spine-based gap filling with
+  * last-observation-carried-forward. The reference's dataflow is purely
+  * relational, so these are extension operators in the SURVEY §2b spirit
+  * (the event-sequence analyses a 100 TB activity log actually runs).
+  *
+  * Scale notes: every operator here shuffles ONCE on the entity key and
+  * reuses that partitioning for its windows — the per-key sequences are
+  * bounded (a user's events, a key's days), never the table. Nothing
+  * collects to the driver.
+  */
+object Series {
+
+  /** Gaps-and-islands: per key, consecutive-day activity streaks from an
+    * event timestamp. The classic anchor trick — `day − row_number()` is
+    * constant within a run of consecutive distinct days — turns streak
+    * detection into one groupBy, no self-join, no iteration.
+    *
+    * Returns one row per key: active-day count, streak count, and the
+    * longest streak in days. One shuffle on the key; the distinct, both
+    * windows, and the final aggregate all reuse it. */
+  def dailyStreaks(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val w = Window.partitionBy(keyCol).orderBy("__day")
+    days
+      .withColumn("__anchor", date_sub(col("__day"), row_number().over(w)))
+      .groupBy(col(keyCol), col("__anchor"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(keyCol)
+      .agg(
+        sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"))
+  }
+
+  /** First-order Markov transition estimate over per-key event sequences:
+    * count of each (from_type → to_type) adjacent pair, the from-type's
+    * outgoing total, and the conditional probability cnt/total (one IEEE
+    * division of exact integer counts — engine-portable; per from-type
+    * the distribution sums to exactly 1).
+    *
+    * The sequence order is (ts, tiebreak) within the key — the tiebreak
+    * makes equal-timestamp runs deterministic. The lead() window and
+    * nothing else touches the full table; the transition matrix itself is
+    * |types|² rows, trivially small at any scale. */
+  def transitions(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tiebreak))
+    val pairs = events
+      .select(col(keyCol), col(tsCol), col(tiebreak),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum(col("cnt")).as("from_total"))
+    pairs.join(totals, "from_type")
+      .withColumn("p_cond",
+        col("cnt").cast("double") / col("from_total").cast("double"))
+  }
+
+  /** Daily gap filling with last-observation-carried-forward: per key,
+    * one row per calendar day from the key's first to last observation,
+    * carrying the day's LAST observed value (ties broken by `tiebreak`)
+    * forward across unobserved days — the resampling step that turns an
+    * irregular event stream into an aligned daily series.
+    *
+    * Values are COPIED, never summed, so doubles stay bit-identical
+    * across engines. The spine explodes per key (bounded by the key's
+    * own date span); the LOCF window reuses the same key partitioning.
+    * At 100 TB the spine is date-bounded (days × keys), orders of
+    * magnitude smaller than the event table it summarizes. */
+  def gapFillDaily(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tiebreak: String): DataFrame = {
+    val perDay = events
+      .select(col(keyCol), to_date(col(tsCol)).as("day"),
+        col(valueCol).as("__v"), col(tsCol).as("__ts"), col(tiebreak))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("day"))
+          .orderBy(col("__ts").desc, col(tiebreak).desc)))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("day"), col("__v").as("observed"))
+    val spine = events
+      .groupBy(keyCol)
+      .agg(min(to_date(col(tsCol))).as("__d0"),
+        max(to_date(col(tsCol))).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(perDay, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        last(col("observed"), ignoreNulls = true).over(w).as("value"),
+        col("observed").isNotNull.cast("int").as("is_observed"))
+  }
+
+  /** Exact-integer ordinary least squares over an (x, y) integer series:
+    * all five sufficient statistics (n, Σx, Σy, Σxy, Σx², plus Σy² for
+    * r²) accumulate as exact longs in ONE map-side-combinable aggregate;
+    * slope, intercept, and r² are then a fixed sequence of IEEE double
+    * ops on those exact integers — bit-identical on any engine and any
+    * partitioning, unlike a naive avg-of-doubles regression whose result
+    * moves with the reduction order. */
+  def olsFit(xy: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    xy.agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum(y).as("sy"),
+        sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"),
+        sum(y * y).as("syy"))
+      .select(
+        col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("denx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"),
+        col("sx"), col("sy"))
+      .select(
+        col("n"),
+        (col("num").cast("double") / col("denx").cast("double")).as("slope"),
+        col("sx"), col("sy"), col("num"), col("denx"), col("deny"))
+      .select(
+        col("n"),
+        col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"),
+        ((col("num").cast("double") * col("num").cast("double"))
+          / (col("denx").cast("double") * col("deny").cast("double"))).as("r2"))
+  }
+}

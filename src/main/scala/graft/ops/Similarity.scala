@@ -190,4 +190,64 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Sparse cosine similarity join over TOKEN-COUNT vectors via an
+    * inverted index — the bag-of-words sibling of the dense-embedding
+    * paths above, and the shape a 100 TB sparse similarity join actually
+    * takes (Elasticsearch/MoreLikeThis, champion lists): explode
+    * (block, token, doc, tf) postings, equi-join postings on
+    * (block, token), accumulate the dot product per pair, normalize by
+    * per-doc vector norms.
+    *
+    * Determinism is the design constraint: term frequencies and Σtf² are
+    * EXACT INTEGERS (map-side-combinable sums), and the cosine is a fixed
+    * three-op IEEE sequence — dot / (sqrt(ssa)·sqrt(ssb)) — on those
+    * exact integers, so any engine computing the same formula agrees
+    * bit-for-bit (no order-dependent float accumulation anywhere).
+    *
+    * `dfCap` drops tokens whose in-block document frequency exceeds the
+    * cap BEFORE postings join — the standard stop-term pruning that keeps
+    * posting-join work (Σ df²) bounded at scale. Norms are computed over
+    * the PRUNED vector space, so cosine stays in [0, 1] and the metric is
+    * well-defined: it IS "cosine over sub-`dfCap` terms", identically on
+    * both engines. Pairs sharing zero surviving tokens never materialize
+    * (their cosine is 0). */
+  def sparseCosinePairs(docs: DataFrame, id: String, tokCol: String,
+      blockCols: Seq[String], dfCap: Int): DataFrame = {
+    val bcols = blockCols.map(col)
+    val tf = docs
+      .select((bcols :+ col(id) :+ explode(col(tokCol)).as("__t")): _*)
+      .groupBy((bcols :+ col(id) :+ col("__t")): _*)
+      .agg(count(lit(1)).as("__tf"))
+    val kept = tf
+      .groupBy((bcols :+ col("__t")): _*)
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap)
+      .select((bcols :+ col("__t")): _*)
+    // Materialize-once barrier (the shingledDocs convention): the pruned
+    // posting list feeds BOTH sides of the self-join AND the norms —
+    // without it the tokenize→tf→df-cap pipeline recomputes four times
+    // (measured 6.3 s vs 2.3 s at sf0.1). At 100 TB the same shape
+    // persists to disk once and every consumer reads the postings table.
+    val pruned = tf.join(kept, blockCols :+ "__t").cache()
+    val norms = pruned
+      .groupBy((bcols :+ col(id)): _*)
+      .agg(sum(col("__tf") * col("__tf")).as("__ss"))
+    def sided(df: DataFrame, side: String) =
+      df.toDF(df.columns.map {
+        case `id` => s"id_$side"
+        case "__tf" => s"tf_$side"
+        case "__ss" => s"ss_$side"
+        case c => c
+      }: _*)
+    sided(pruned, "a").join(sided(pruned, "b"), blockCols :+ "__t")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy((bcols :+ col("id_a") :+ col("id_b")): _*)
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+      .join(sided(norms, "a"), blockCols :+ "id_a")
+      .join(sided(norms, "b"), blockCols :+ "id_b")
+      .withColumn("cos",
+        col("dot").cast("double") /
+          (sqrt(col("ss_a").cast("double")) * sqrt(col("ss_b").cast("double"))))
+  }
 }

@@ -7,5 +7,5 @@ object Registry {
       SimilarityQueries.all ++ EventQueries.all ++
       MlQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all ++
       ExtendedQueries.all ++ PipelineQueries.all ++ GraphQueries.all ++
-      StorageQueries.all
+      StorageQueries.all ++ SeriesQueries.all
 }

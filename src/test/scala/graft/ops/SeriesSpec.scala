@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String, Double)*) =
+    rows.toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+
+  test("dailyStreaks: islands split on gaps, runs count consecutive days") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "u1", 1.0),
+      (2L, "2024-01-02 10:00:00", "u1", 1.0),
+      (3L, "2024-01-02 15:00:00", "u1", 1.0), // same day, no double count
+      (4L, "2024-01-05 10:00:00", "u1", 1.0),
+      (5L, "2024-01-03 10:00:00", "u2", 1.0))
+    val r = Series.dailyStreaks(e, "user_id", "ts")
+      .orderBy("user_id")
+      .as[(String, Long, Long, Long)].collect()
+    assert(r(0) === (("u1", 3L, 2L, 2L))) // 3 active days, 2 streaks, longest 2
+    assert(r(1) === (("u2", 1L, 1L, 1L)))
+  }
+
+  test("transitions: adjacency follows (ts, tiebreak) order; P sums to 1 per from") {
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", "u1", "view"),
+      (2L, "2024-01-01 11:00:00", "u1", "click"),
+      (3L, "2024-01-01 12:00:00", "u1", "view"),
+      (4L, "2024-01-01 10:30:00", "u2", "view"),
+      (5L, "2024-01-01 10:45:00", "u2", "buy"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val t = Series.transitions(e, "user_id", "ts", "event_type", "event_id")
+    val rows = t.orderBy("from_type", "to_type")
+      .select("from_type", "to_type", "cnt")
+      .as[(String, String, Long)].collect().toSeq
+    assert(rows === Seq(("click", "view", 1L), ("view", "buy", 1L),
+      ("view", "click", 1L)))
+    val sums = t.groupBy("from_type").agg(sum("p_cond").as("p"))
+      .select("p").as[Double].collect()
+    sums.foreach(p => assert(math.abs(p - 1.0) < 1e-12))
+  }
+
+  test("gapFillDaily: silent days carry the last observed value forward") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "u1", 10.0),
+      (2L, "2024-01-01 18:00:00", "u1", 11.0), // later same day wins
+      (3L, "2024-01-04 10:00:00", "u1", 40.0))
+    val r = Series.gapFillDaily(e, "user_id", "ts", "value", "event_id")
+      .orderBy("day")
+      .select("day", "value", "is_observed")
+      .as[(java.sql.Date, Double, Int)].collect().toSeq
+    assert(r.map(_._2) === Seq(11.0, 11.0, 11.0, 40.0))
+    assert(r.map(_._3) === Seq(1, 0, 0, 1))
+  }
+
+  test("olsFit recovers an exact linear relation (r2 = 1)") {
+    val xy = Seq((0, 3), (1, 5), (2, 7), (3, 9)).toDF("x", "y")
+    val Array(row) = Series.olsFit(xy, "x", "y").collect()
+    assert(row.getLong(0) === 4L)
+    assert(row.getDouble(1) === 2.0) // slope
+    assert(row.getDouble(2) === 3.0) // intercept
+    assert(row.getDouble(3) === 1.0) // r2
+  }
+
+  test("sparseCosinePairs: identical docs hit cosine 1, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "en", Seq("a", "b", "a")),
+      (2L, "en", Seq("a", "b", "a")),   // identical multiset → cos 1
+      (3L, "en", Seq("z", "q")),        // disjoint from 1/2
+      (4L, "de", Seq("a", "b", "a")))   // other block — must not pair
+      .toDF("doc_id", "lang", "toks")
+    val r = Similarity.sparseCosinePairs(docs, "doc_id", "toks", Seq("lang"), 64)
+      .select("id_a", "id_b", "cos")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // sqrt(ss)·sqrt(ss) rounds (sqrt(5)² ≠ 5 in IEEE) — the fixed op
+    // sequence is what both engines share, not algebraic identities
+    assert(r.map(t => (t._1, t._2)) === Seq((1L, 2L)))
+    assert(math.abs(r.head._3 - 1.0) < 1e-12)
+  }
+
+  test("sparseCosinePairs df cap drops stop-terms from vectors and norms") {
+    // "the" appears in all 3 docs (df 3 > cap 2) → only "x"/"y" survive
+    val docs = Seq(
+      (1L, "en", Seq("the", "x")),
+      (2L, "en", Seq("the", "x")),
+      (3L, "en", Seq("the", "y")))
+      .toDF("doc_id", "lang", "toks")
+    val r = Similarity.sparseCosinePairs(docs, "doc_id", "toks", Seq("lang"), 2)
+      .select("id_a", "id_b", "cos")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r === Seq((1L, 2L, 1.0))) // doc3 shares only the pruned term
+  }
+}
