@@ -874,10 +874,130 @@ object ExtendedQueries {
       ORDER BY col_name
     """))
 
+  /** Correlated aggregate subquery, decorrelated: per customer, how many
+    * of their orders exceed HALF THAT CUSTOMER's own maximum order value
+    * — the "compare each row against its group's statistic" shape that
+    * SQL writes as a correlated subquery and Catalyst (like any engine)
+    * must decorrelate into aggregate + self-join to run at scale.
+    *
+    * The correlated statistic is MAX (order-independent — never a float
+    * sum), and the threshold multiplier 0.5 is a power of two, so the
+    * comparison is exact on both engines. One shuffle on o_custkey; the
+    * per-customer aggregate is map-side combinable and the join back is
+    * an ordinary equi-join (broadcast once the aggregate side is small
+    * relative to the fact side). */
+  val correlatedAgg = QuerySpec(
+    "q_correlated_agg",
+    (s, d) => {
+      val o = orders(s, d)
+      val mx = o.groupBy("o_custkey")
+        .agg(max(col("o_totalprice")).as("max_price"))
+      o.join(mx, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_totalprice") > col("max_price") * 0.5, 1L)
+            .otherwise(0L)).as("n_big"),
+          min(col("max_price")).as("max_price"))
+        .filter(col("n_big") >= 2)
+        .orderBy("o_custkey")
+    },
+    Some("""
+      WITH mx AS (
+        SELECT o_custkey, max(o_totalprice) AS max_price
+        FROM orders GROUP BY 1
+      )
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             CAST(sum(CASE WHEN o_totalprice > max_price * 0.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+             min(max_price) AS max_price
+      FROM orders JOIN mx USING (o_custkey)
+      GROUP BY o_custkey
+      HAVING CAST(sum(CASE WHEN o_totalprice > max_price * 0.5
+                           THEN 1 ELSE 0 END) AS BIGINT) >= 2
+      ORDER BY o_custkey
+    """))
+
+  /** Winsorization: clamp a skewed measure at its group's exact p05/p95
+    * — the outlier-capping transform feature pipelines run before
+    * training. Values are clamped COPIES (never re-aggregated floats),
+    * and the exact percentile interpolation agrees across engines (same
+    * contract q_quantiles pins). percentile_approx is the documented
+    * 100 TB swap, as with q_groupby_median. Output keeps original and
+    * clamped side by side plus the clamp verdict. */
+  val winsorize = QuerySpec(
+    "q_winsorize",
+    (s, d) => {
+      val pct = fanOut(s, lineitem(s, d))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.05D)").as("p05"),
+          expr("percentile(l_extendedprice, 0.95D)").as("p95"))
+      lineitem(s, d)
+        .join(broadcast(pct), "l_returnflag")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"),
+          greatest(least(col("l_extendedprice"), col("p95")), col("p05"))
+            .as("price_w"),
+          (col("l_extendedprice") < col("p05") ||
+            col("l_extendedprice") > col("p95")).cast("int").as("clamped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      WITH pct AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS p05,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY 1
+      )
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+             greatest(least(l_extendedprice, p95), p05) AS price_w,
+             CAST(l_extendedprice < p05 OR l_extendedprice > p95
+                  AS INTEGER) AS clamped
+      FROM lineitem JOIN pct USING (l_returnflag)
+      ORDER BY l_orderkey, l_linenumber
+    """))
+
+  /** Deterministic k-per-group sampling by content-hash rank — the
+    * reproducible "uniform" sample a distributed pipeline uses when
+    * seeded RNG streams would shift with partition layout: rank rows
+    * inside each group by md5 of their key and keep the first k. The
+    * hash order is uniform-ish, stable under ANY layout, and any engine
+    * recomputes it bit-identically (unlike `sample()`, whose draws
+    * follow partition boundaries). One window over one shuffle on the
+    * group key. */
+  val samplePerKey = QuerySpec(
+    "q_sample_per_key",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(md5(col("o_orderkey").cast("string")).asc)
+      orders(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rk")
+    },
+    Some("""
+      SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)))
+                    AS BIGINT) AS rk
+        FROM orders
+      )
+      WHERE rk <= 5
+      ORDER BY o_orderpriority, rk
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
     movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
     topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs,
     crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce,
-    dateSpine, typedAgg, rangeFrame, intervalJoin, schemaProfile)
+    dateSpine, typedAgg, rangeFrame, intervalJoin, schemaProfile,
+    correlatedAgg, winsorize, samplePerKey)
 }
