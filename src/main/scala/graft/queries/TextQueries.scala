@@ -949,9 +949,56 @@ object TextQueries {
       ORDER BY d.doc_id
     """))
 
+  /** Feature hashing (the Weinberger et al. hashing trick): every token
+    * maps to one of 16 buckets by hash, with a second hash bit choosing
+    * the sign, and the doc's feature value per bucket is the SIGNED count
+    * sum — the fixed-width featurizer that needs no vocabulary pass at
+    * all (the 100 TB advantage over q_vocab_build: zero global state,
+    * pure per-row expressions + one map-side-combinable aggregate).
+    *
+    * Both hash decisions derive from md5 hex digits (bucket = first
+    * digit, sign = parity of the second) so any engine recomputes them
+    * identically; counts are exact integers. Buckets a doc never hits
+    * are absent on both sides by the same rule. */
+  val featureHash = QuerySpec(
+    "q_feature_hash",
+    (s, d) =>
+      fanOut(s, documents(s, d))
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+        .withColumn("h", md5(col("t")))
+        .select(
+          col("doc_id"),
+          (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1)
+            .cast("int").as("bucket"),
+          when(expr("instr('02468ace', substr(h, 2, 1))") > 0, lit(1L))
+            .otherwise(lit(-1L)).as("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("sgn")).as("feat"), count(lit(1)).as("n_tok"))
+        .orderBy("doc_id", "bucket"),
+    Some("""
+      SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat,
+             count(*) AS n_tok
+      FROM (
+        SELECT doc_id,
+               CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+                    AS INTEGER) AS bucket,
+               CASE WHEN strpos('02468ace', substr(h, 2, 1)) > 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM (
+          SELECT doc_id, md5(t) AS h
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                          x -> x <> '')) AS t
+                FROM documents)
+        )
+      )
+      GROUP BY doc_id, bucket
+      ORDER BY doc_id, bucket
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
-    substringDedup, containment, bigramLm, giniDiversity)
+    substringDedup, containment, bigramLm, giniDiversity, featureHash)
 }
