@@ -300,7 +300,66 @@ object PipelineQueries {
       ORDER BY bucket
     """))
 
+  /** Export-shard manifest — the pipeline's LAST step: deduped survivors
+    * assigned to 8 shards by content-hash (stable under reruns, engines,
+    * and arrival order, like q_hash_split), with the per-shard manifest a
+    * real export writes next to the data: doc count, exact token total,
+    * and a shard FINGERPRINT (md5 over the shard's sorted content
+    * digests) that downstream consumers can recompute to prove shard
+    * integrity. Sorting the digests before hashing is what makes the
+    * fingerprint layout-independent — collect order is not deterministic,
+    * the sorted digest string is.
+    *
+    * Scale shape: digest + shard id are pure per-row expressions; the
+    * manifest is one map-side-combinable aggregate per shard (collect_list
+    * is bounded by the shard's doc count — at 100 TB the fingerprint
+    * would roll up per sub-shard file first, same sorted-digest rule). */
+  val exportShards = QuerySpec(
+    "q_export_shards",
+    (s, d) => {
+      val base = graft.ops.Dedup.exact(documents(s, d), col("text"),
+          col("doc_id"))
+        .withColumn("digest", md5(col("text")))
+        .withColumn("shard_id",
+          pmod(expr("instr('0123456789abcdef', substr(digest, 1, 1))") - 1,
+            lit(8)).cast("int"))
+        .withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
+      base.groupBy("shard_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          md5(concat_ws(",", array_sort(collect_list(col("digest")))))
+            .as("fingerprint"))
+        .orderBy("shard_id")
+    },
+    Some("""
+      WITH survivors AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                    ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn = 1
+      ),
+      sharded AS (
+        SELECT (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 8
+                 AS shard_id,
+               md5(text) AS digest,
+               len(list_filter(string_split_regex(lower(text), '\W+'),
+                               t -> t <> '')) AS n_tok
+        FROM survivors
+      )
+      SELECT CAST(shard_id AS INTEGER) AS shard_id,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             md5(string_agg(digest, ',' ORDER BY digest)) AS fingerprint
+      FROM sharded
+      GROUP BY 1
+      ORDER BY 1
+    """))
+
   val all: Seq[QuerySpec] = Seq(
+    exportShards,
     hashSplit, chunkDocs, packSequences, domainCap, globalShuffle,
     truncateTokens, mixtureWeights, sourceDrift)
 }

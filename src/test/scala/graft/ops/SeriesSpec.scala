@@ -57,6 +57,27 @@ class SeriesSpec extends SparkSpec {
     assert(r.map(_._3) === Seq(1, 0, 0, 1))
   }
 
+  test("dailyStreaks matches brute force on seeded random activity sets") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(400) {
+      val u = s"u${rnd.nextInt(12)}"
+      val day = 1 + rnd.nextInt(28)
+      (rnd.nextLong().abs, f"2024-01-$day%02d 12:00:00", u, 1.0)
+    }
+    val expected = rows.groupBy(_._3).map { case (u, rs) =>
+      val days = rs.map(r => r._2.substring(8, 10).toInt).distinct.sorted
+      val runs = days.foldLeft(List.empty[Int]) {
+        case (len :: tail, d) if days.contains(d - 1) => (len + 1) :: tail
+        case (acc, _) => 1 :: acc
+      }
+      u -> (days.size.toLong, runs.size.toLong, runs.max.toLong)
+    }
+    val got = Series.dailyStreaks(ev(rows: _*), "user_id", "ts")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === expected)
+  }
+
   test("olsFit recovers an exact linear relation (r2 = 1)") {
     val xy = Seq((0, 3), (1, 5), (2, 7), (3, 9)).toDF("x", "y")
     val Array(row) = Series.olsFit(xy, "x", "y").collect()
