@@ -202,7 +202,9 @@ object ExtendedQueries {
   val quantiles = QuerySpec(
     "q_quantiles",
     (s, d) =>
-      lineitem(s, d)
+      // exact percentile partials buffer every value — fan the single-file
+      // scan out so the buffering stage isn't one task (groupbyMedian's fix)
+      fanOut(s, lineitem(s, d))
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"))
         .select(
@@ -250,7 +252,9 @@ object ExtendedQueries {
   val tfOverDf = QuerySpec(
     "q_tf_over_df",
     (s, d) => {
-      val toks = documents(s, d)
+      // fanOut before tokenize: single-row-group input, CPU-heavy per-row
+      // stage — the standard serial-stage cliff (see Tables.fanOut)
+      val toks = fanOut(s, documents(s, d))
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // tf rows are unique per (doc, term), so document frequency is a
