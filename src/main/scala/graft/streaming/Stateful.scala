@@ -29,6 +29,49 @@ final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
   */
 object Stateful {
 
+  /** A (from → to) adjacent-event-type pair observed for one user — the
+    * streaming increment of the Markov transition matrix
+    * (graft.ops.Series.transitions is the batch twin). */
+  final case class TransitionPair(
+      user_id: Long, from_type: String, to_type: String)
+
+  /** Last-seen event per user, carried across micro-batches so a
+    * transition spanning two batches is still observed. */
+  final case class LastEvent(ts: Timestamp, event_id: Long, tpe: String)
+
+  /** Streaming transition tracker: per user, emit every adjacent
+    * (from_type → to_type) pair in (ts, event_id) order, INCLUDING pairs
+    * that straddle micro-batch boundaries (the carried state is exactly
+    * one event per user — constant-size state, no timeout needed for
+    * correctness, though production bounds idle keys with an event-time
+    * timeout).
+    *
+    * Within a micro-batch the group iterator's order is not guaranteed,
+    * so the batch's events sort in memory first — bounded by one USER's
+    * events in one BATCH, not the stream. Downstream, a streaming
+    * aggregate over the emitted pairs maintains the live transition
+    * matrix; summed over all batches it equals the batch operator's
+    * counts (StreamingSpec proves stream ≡ batch on identical data). */
+  def eventTransitions(events: Dataset[Event]): Dataset[TransitionPair] = {
+    implicit val stateEnc = Encoders.product[LastEvent]
+    implicit val outEnc = Encoders.product[TransitionPair]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Event], state: GroupState[LastEvent]) => {
+          val ordered = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransitionPair]
+          ordered.foreach { e =>
+            last.foreach(l => out += TransitionPair(uid, l.tpe, e.event_type))
+            last = Some(LastEvent(e.ts, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     implicit val stateEnc = Encoders.product[UserTotals]
     implicit val longEnc = Encoders.scalaLong

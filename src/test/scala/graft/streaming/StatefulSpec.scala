@@ -35,4 +35,35 @@ class StatefulSpec extends SparkSpec {
     assert(last(1L) === ((3L, 10.0)))
     assert(last(2L) === ((1L, 1.0)))
   }
+
+  test("streaming transitions observe pairs across batch boundaries and equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Stateful.eventTransitions(mem.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    // out-of-order WITHIN a batch (event 2 added before 1) must still pair
+    // in (ts, event_id) order; the 4th event arrives a batch later and
+    // must pair with the carried last event
+    val all = Seq(
+      Event(2, ts("2024-01-01 10:01:00"), 1, "click", 0.0),
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Event(3, ts("2024-01-01 10:02:00"), 2, "view", 0.0))
+    val late = Event(4, ts("2024-01-01 10:10:00"), 1, "buy", 0.0)
+    try {
+      mem.addData(all: _*)
+      q.processAllAvailable()
+      mem.addData(late)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("trans")
+      .select("user_id", "from_type", "to_type")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(streamed === Seq((1L, "click", "buy"), (1L, "view", "click")))
+    // the batch operator over the SAME rows is the oracle
+    val batch = graft.ops.Series.transitions(
+        (all :+ late).toDF(), "user_id", "ts", "event_type", "event_id")
+      .select("from_type", "to_type", "cnt")
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(batch === Seq(("click", "buy", 1L), ("view", "click", 1L)))
+  }
 }
