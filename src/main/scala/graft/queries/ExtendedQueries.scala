@@ -418,7 +418,8 @@ object ExtendedQueries {
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.IntegerType))
-      events(s, d)
+      // fanOut: per-row JSON parse is the CPU-heavy stage (see Tables.fanOut)
+      fanOut(s, events(s, d))
         .select(explode(m).as(Seq("key", "value")))
         .groupBy("key")
         .agg(
