@@ -26,7 +26,13 @@ object Series {
     * longest streak in days. One shuffle on the key; the distinct, both
     * windows, and the final aggregate all reuse it. */
   def dailyStreaks(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    // ONE shuffle on the key up front: clustering by keyCol alone
+    // satisfies the distinct's (key, day) grouping, the window's
+    // partitionBy, and both downstream aggregates — without it Catalyst
+    // plans a (key, day) exchange for the distinct and a second (key)
+    // exchange for the window
     val days = events
+      .repartition(col(keyCol))
       .select(col(keyCol), to_date(col(tsCol)).as("__day"))
       .distinct()
     val w = Window.partitionBy(keyCol).orderBy("__day")

@@ -235,4 +235,41 @@ class PlanSpec extends SparkSpec {
     val exchanges = finalPlan.linesIterator.count(_.contains("Exchange "))
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$finalPlan")
   }
+
+  test("sparse cosine posting join is an equi-join — no cross product") {
+    spark.catalog.clearCache() // drop the op's internal postings cache entry
+    val p = plan(SparkEntry.queries("q_sparse_cosine")(spark, Sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("streak detection reuses one user_id exchange for window and aggregate") {
+    // distinct → window → two aggregates: everything after the first
+    // shuffle is clustered by user_id; only the final presentation sort
+    // may add an exchange
+    val df = SparkEntry.queries("q_streak")(spark, Sf001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    val hashEx = finalPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx\n$finalPlan")
+  }
+
+  test("gap fill joins spine and observations without a cross product") {
+    val p = plan(SparkEntry.queries("q_gap_fill")(spark, Sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("OLS sufficient statistics reduce in one aggregate — no window, no join") {
+    val p = plan(SparkEntry.queries("q_linreg")(spark, Sf001))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("winsorize broadcasts the 3-row percentile side") {
+    val p = plan(SparkEntry.queries("q_winsorize")(spark, Sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
