@@ -50,7 +50,12 @@ object GraphQueries {
   val graphHops = QuerySpec(
     "q_graph_hops",
     (s, d) => {
-      val e = freqEdges(s, d)
+      // cache: the seed derivation AND bfsHops' edge symmetrization both
+      // read the co-occurrence join — without the barrier the lineitem
+      // self-join + count runs twice. The plan is identical to
+      // q_triangles' edge cache, so the two queries share ONE
+      // CacheManager entry per session.
+      val e = freqEdges(s, d).cache()
       val nodes = e.select(col("a").as("id"))
         .union(e.select(col("b").as("id"))).distinct()
       val seeds = nodes.filter(pmod(col("id"), lit(500)) === 0)
