@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality and planner-diagnostic operators — the "expectations"
+  * layer (Deequ/Great-Expectations shape) plus the per-key histogram
+  * arithmetic a planner uses to size a join before running it.
+  *
+  * Everything reports exact integer counts; a DQ report whose numbers an
+  * auditor can't reproduce is worse than none.
+  */
+object Quality {
+
+  /** Evaluate many single-table rules in ONE scan: each rule is a boolean
+    * violation predicate; the whole block compiles to one conditional
+    * aggregate (map-side partial → single reduced row) that is then
+    * unpivoted to (check, n_violations, n_checked) rows. Adding a rule
+    * adds a column to the aggregate, never a pass over the data.
+    */
+  def checkBlock(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      checks.map { case (nm, viol) =>
+        sum(when(viol, 1L).otherwise(0L)).as(s"__v_$nm")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = checks.map { case (nm, _) =>
+      struct(lit(nm).as("check"), col(s"__v_$nm").as("n_violations"),
+        col("__n").as("n_checked"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Referential-integrity rule as the same (check, violations, checked)
+    * row: children whose `childKey` has no parent. The anti-join is the
+    * exact-count form; at 100 TB the cheap first pass is a bloom probe
+    * (see q_bloom_join) with this as the confirmation query.
+    */
+  def orphanCheck(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("n_checked"))
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+        "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    orphans.crossJoin(total)
+      .select(lit(name).as("check"), col("n_violations"), col("n_checked"))
+  }
+
+  /** Exact equi-join cardinality from per-side key histograms:
+    * |A ⋈ B| = Σ_k cntA(k)·cntB(k). The histograms are one aggregate per
+    * side and their join is key-cardinality-sized — the data rows never
+    * join. This is the number a planner needs to choose broadcast vs
+    * shuffle BEFORE paying for the join; computing it costs two
+    * aggregates, not the join itself.
+    */
+  def joinSizeByHistogram(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String): DataFrame = {
+    val ha = a.groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__ca"))
+    val hb = b.groupBy(col(bKey).as("__k")).agg(count(lit(1)).as("__cb"))
+    ha.join(hb, "__k")
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
+        .as("predicted_rows"))
+  }
+
+  /** Snapshot diff — the inverse of [[Upsert.merge]]: classify every key
+    * of two same-schema snapshots as added / removed / changed /
+    * unchanged. One full-outer join on the key; the row payloads travel
+    * as single structs so the change test is one null-safe struct
+    * comparison, column-count-independent.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val dataCols = a.columns.filterNot(_ == key)
+    require(b.columns.sorted.sameElements(a.columns.sorted),
+      "snapshotDiff requires identical schemas")
+    def packed(df: DataFrame, side: String) =
+      df.select(col(key), struct(dataCols.map(col): _*).as(side))
+    packed(a, "__a").join(packed(b, "__b"), Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("__a").isNull, lit("added"))
+          .when(col("__b").isNull, lit("removed"))
+          .when(col("__a") <=> col("__b"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col(key), col("change_type"))
+  }
+}

@@ -250,4 +250,35 @@ object Similarity {
         col("dot").cast("double") /
           (sqrt(col("ss_a").cast("double")) * sqrt(col("ss_b").cast("double"))))
   }
+
+  /** One Lloyd ASSIGNMENT step with deterministic seeds: centroids are the
+    * `k` lowest-id vectors (the reproducible init any engine can recompute
+    * — no RNG, no layout dependence), every vector goes to its nearest
+    * centroid by squared euclidean distance, ties to the lowest centroid
+    * id. This is the distributed half of k-means — the half that touches
+    * all the data; [[localKMeans]] is the driver-local other half.
+    *
+    * Scale shape: the centroid table is k rows → broadcast nested-loop
+    * join; the scan side streams once with no shuffle; the per-row argmin
+    * is a `min(struct(d2, cid))` partial aggregate (map-side combine on
+    * the id key). d2 is rounded to 6 decimals so the reported distance is
+    * engine-portable (double accumulation of 64 products agrees far past
+    * 1e-6; the round absorbs last-ulp order differences).
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    // Deterministic init: k lowest ids. A k-row TakeOrdered, not a sort.
+    val cents = emb.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).as("__cid"), asDouble(col(vecCol)).as("__cvec"))
+    emb
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d2", round(
+        aggregate(
+          zip_with(col("__v"), col("__cvec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d2"), col("__cid"))).as("__m"))
+      .select(col(idCol), col("__m.__cid").as("cid"), col("__m.__d2").as("d2"))
+  }
 }

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.{Curation, Similarity}
+
+/** Corpus-curation surface (graft.ops.Curation + the k-means assignment
+  * step): boilerplate phrase profiling, LM context-window generation,
+  * Gopher-rule quality filtering, and deterministic embedding clustering.
+  * All four follow the oracle contract — exact integers, cross-multiplied
+  * thresholds, rounded-once distances.
+  */
+object CurationQueries {
+
+  /** Boilerplate profile at df ≥ 5 over the corpus 3-shingle sets. Rides
+    * the SAME shingledDocs cache as the dedup family — the DF pass is the
+    * only new work; the lexicon join back is a broadcast. */
+  val boilerplate = QuerySpec(
+    "q_boilerplate",
+    (s, d) =>
+      Curation.boilerplateProfile(
+          TextQueries.shingledDocs(s, d), "doc_id", "sh", dfMin = 5L)
+        .orderBy("doc_id"),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+          THEN list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' '))
+          ELSE [] END) AS sh
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      ),
+      ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      dfreq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+      boiler AS (SELECT g FROM dfreq WHERE df >= 5),
+      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+               FROM ex JOIN boiler USING (g) GROUP BY doc_id)
+      SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_shingles,
+             coalesce(h.n_boiler, 0) AS n_boiler,
+             CASE WHEN len(s.sh) = 0 THEN 0.0
+                  ELSE CAST(coalesce(h.n_boiler, 0) AS DOUBLE)
+                       / CAST(len(s.sh) AS DOUBLE) END AS boiler_frac
+      FROM sh s LEFT JOIN hits h USING (doc_id)
+      ORDER BY doc_id
+    """))
+
+  /** Sliding 16-token windows at stride 8 — LM training-example
+    * generation. Zero-shuffle explode; win_idx is win_start/stride so no
+    * window function is needed for the ordinal. */
+  val contextWindows = QuerySpec(
+    "q_context_windows",
+    (s, d) =>
+      Curation.contextWindows(fanOut(s, documents(s, d)),
+          "doc_id", "text", win = 16, stride = 8)
+        .orderBy("doc_id", "win_idx"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+                                   x -> x <> '') AS toks
+        FROM documents
+      ),
+      s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      st AS (
+        SELECT doc_id, toks, n,
+               unnest(CASE WHEN n < 16 THEN [CAST(0 AS BIGINT)]
+                      ELSE list_transform(range(0, n - 15, 8), x -> x)
+                      END) AS st
+        FROM s)
+      SELECT doc_id,
+             CAST(st // 8 AS BIGINT) AS win_idx,
+             CAST(st AS BIGINT) AS win_start,
+             CAST(len(toks[st+1 : st+16]) AS BIGINT) AS win_len,
+             array_to_string(toks[st+1 : st+16], ' ') AS win_text
+      FROM st
+      ORDER BY doc_id, win_idx
+    """))
+
+  /** Gopher-style quality rules (word count, mean word length via integer
+    * cross-multiply, distinct-stopword floor, alphabetic-token share) as
+    * independent 0/1 flags plus their conjunction. */
+  val gopher = QuerySpec(
+    "q_gopher_rules",
+    (s, d) =>
+      Curation.gopherRules(fanOut(s, documents(s, d)), "doc_id", "text",
+          minWords = 40, maxWords = 100000,
+          stopwords = Seq("the", "a", "and", "of", "to", "is"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+                                   x -> x <> '') AS toks
+        FROM documents
+      ),
+      m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS wc,
+               CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                    AS BIGINT) AS n_chars,
+               CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_intersect(list_distinct(toks),
+                    ['the','a','and','of','to','is'])) AS BIGINT) AS n_stop
+        FROM t
+      )
+      SELECT doc_id, wc, n_chars, n_alpha, n_stop,
+             CAST(CASE WHEN wc BETWEEN 40 AND 100000 THEN 1 ELSE 0 END
+                  AS INTEGER) AS r_wordcount,
+             CAST(CASE WHEN 3 * wc <= n_chars AND n_chars <= 10 * wc
+                  THEN 1 ELSE 0 END AS INTEGER) AS r_meanwordlen,
+             CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END
+                  AS INTEGER) AS r_stopwords,
+             CAST(CASE WHEN 5 * n_alpha >= 4 * wc THEN 1 ELSE 0 END
+                  AS INTEGER) AS r_alpha,
+             CAST(CASE WHEN wc BETWEEN 40 AND 100000
+                        AND 3 * wc <= n_chars AND n_chars <= 10 * wc
+                        AND n_stop >= 2
+                        AND 5 * n_alpha >= 4 * wc
+                  THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM m
+      ORDER BY doc_id
+    """))
+
+  /** Full-corpus nearest-centroid assignment, k = 8 lowest-id seeds —
+    * the distributed Lloyd step (semantic clustering / IVF write path).
+    * Every vector's (cluster, rounded d2) is compared, not just counts.
+    * Assignment margins were measured at ≥ 8e-4 on the test corpus, so
+    * the 1e-6 round can never flip an argmin. */
+  val kmeansAssign = QuerySpec(
+    "q_kmeans_assign",
+    (s, d) =>
+      Similarity.kmeansAssign(embeddings(s, d), "vec_id", "embedding", k = 8)
+        .orderBy("vec_id"),
+    Some("""
+      WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                 FROM embeddings ORDER BY vec_id LIMIT 8),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               round(list_sum(list_transform(
+                     list_zip(e.embedding::DOUBLE[], c.cvec),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+        FROM embeddings e CROSS JOIN c
+      ),
+      a AS (SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cid ASC) AS rn
+            FROM d)
+      SELECT vec_id, cid, d2 FROM a WHERE rn = 1 ORDER BY vec_id
+    """))
+
+  val all: Seq[QuerySpec] = Seq(boilerplate, contextWindows, gopher, kmeansAssign)
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.Quality
+
+/** Data-quality / dataset-ops surface (graft.ops.Quality): an
+  * expectations-style rule report, snapshot change classification, and
+  * histogram-based join sizing. All exact integer counts.
+  */
+object QualityQueries {
+
+  /** DQ report over the star schema: four single-scan rules on lineitem
+    * (one conditional aggregate), a uniqueness rule on orders, the
+    * lineitem→orders referential rule (anti-join), and a cross-table
+    * temporal-sanity rule (ship date before order date). Every row is
+    * (check, n_violations, n_checked) — reproducible exact integers. */
+  val dqChecks = QuerySpec(
+    "q_dq_checks",
+    (s, d) => {
+      val li = lineitem(s, d)
+      val o = orders(s, d)
+      val liRules = Quality.checkBlock(li, Seq(
+        "li_zero_tax" -> (col("l_tax") === 0.0),
+        "li_zero_discount" -> (col("l_discount") === 0.0),
+        "li_qty_out_of_range" -> !col("l_quantity").between(1, 50),
+        "li_nonpositive_price" -> (col("l_extendedprice") <= 0.0)))
+      val dupKeys = o.agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit("o_dup_orderkey").as("check"),
+          col("n_violations"), col("n_checked"))
+      val orphans = Quality.orphanCheck("li_orphan_orderkey",
+        li, "l_orderkey", o, "o_orderkey")
+      val shipBeforeOrder = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+          .otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit("li_ship_before_order").as("check"),
+          col("n_violations"), col("n_checked"))
+      liRules.unionByName(dupKeys).unionByName(orphans)
+        .unionByName(shipBeforeOrder)
+        .orderBy("check")
+    },
+    Some("""
+      WITH li AS (
+        SELECT 'li_zero_tax' AS check,
+               CAST(sum(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violations,
+               CAST(count(*) AS BIGINT) AS n_checked FROM lineitem
+        UNION ALL
+        SELECT 'li_zero_discount',
+               CAST(sum(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'li_qty_out_of_range',
+               CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'li_nonpositive_price',
+               CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'o_dup_orderkey',
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+               CAST(count(*) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'li_orphan_orderkey',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'li_ship_before_order',
+               CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      )
+      SELECT * FROM li ORDER BY "check"
+    """))
+
+  /** Snapshot diff: snapshot B is derived from customer by deterministic
+    * key-modulus rules (drop %13, bump acctbal on %10, re-key %17 as new
+    * rows), then every key is classified added/removed/changed by one
+    * full-outer join with struct-packed payloads. Unchanged rows are
+    * filtered out — the diff is the small output by design. */
+  val snapshotDiff = QuerySpec(
+    "q_snapshot_diff",
+    (s, d) => {
+      val a = customer(s, d)
+      val b = a.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(
+          a.filter(col("c_custkey") % 17 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      Quality.snapshotDiff(a, b, "c_custkey")
+        .filter(col("change_type") =!= "unchanged")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH b AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + CASE WHEN c_custkey % 10 = 0
+                           THEN 100.0 ELSE 0.0 END AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 17 = 0
+      )
+      SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+             CASE WHEN a.c_custkey IS NULL THEN 'added'
+                  WHEN b.c_custkey IS NULL THEN 'removed'
+                  WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+                   AND a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+                   AND a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+                   AND a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+                  THEN 'unchanged'
+                  ELSE 'changed' END AS change_type
+      FROM customer a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+      WHERE CASE WHEN a.c_custkey IS NULL THEN 'added'
+                 WHEN b.c_custkey IS NULL THEN 'removed'
+                 WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+                  AND a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+                  AND a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+                  AND a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+                 THEN 'unchanged'
+                 ELSE 'changed' END <> 'unchanged'
+      ORDER BY c_custkey
+    """))
+
+  /** Join sizing from per-key histograms: |lineitem ⋈ orders| predicted
+    * as Σ cnt_l(k)·cnt_o(k) WITHOUT running the data join, checked
+    * against the actual join count in the same result row. The histogram
+    * path touches each table once and joins only key-cardinality rows —
+    * the planner-side arithmetic that decides broadcast vs shuffle. */
+  val joinSizeEstimate = QuerySpec(
+    "q_join_size_estimate",
+    (s, d) => {
+      val li = lineitem(s, d)
+      val o = orders(s, d)
+      val predicted = Quality.joinSizeByHistogram(li, "l_orderkey",
+        o, "o_orderkey")
+      val actual = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      predicted.crossJoin(actual)
+        .select(col("predicted_rows"), col("actual_rows"),
+          when(col("predicted_rows") === col("actual_rows"), 1)
+            .otherwise(0).cast("int").as("estimate_exact"))
+    },
+    Some("""
+      WITH ha AS (SELECT l_orderkey AS k, count(*) AS ca
+                  FROM lineitem GROUP BY 1),
+      hb AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1),
+      p AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+                   AS predicted_rows
+            FROM ha JOIN hb USING (k)),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT predicted_rows, actual_rows,
+             CAST(CASE WHEN predicted_rows = actual_rows THEN 1 ELSE 0 END
+                  AS INTEGER) AS estimate_exact
+      FROM p CROSS JOIN a
+    """))
+
+  val all: Seq[QuerySpec] = Seq(dqChecks, snapshotDiff, joinSizeEstimate)
+}

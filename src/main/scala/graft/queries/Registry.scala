@@ -7,5 +7,6 @@ object Registry {
       SimilarityQueries.all ++ EventQueries.all ++
       MlQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all ++
       ExtendedQueries.all ++ PipelineQueries.all ++ GraphQueries.all ++
-      StorageQueries.all ++ SeriesQueries.all
+      StorageQueries.all ++ SeriesQueries.all ++ CurationQueries.all ++
+      QualityQueries.all
 }

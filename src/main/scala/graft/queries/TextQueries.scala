@@ -25,7 +25,7 @@ object TextQueries {
     * expression. At 100 TB the same shape persists to disk instead
     * (StorageLevel.DISK_ONLY) — the principle (materialize once, join
     * many) is unchanged. */
-  private def shingledDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def shingledDocs(s: org.apache.spark.sql.SparkSession, d: String) =
     fanOut(s, documents(s, d))
       .withColumn("sh", array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
       .select("doc_id", "lang", "sh")

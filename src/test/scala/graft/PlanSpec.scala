@@ -272,4 +272,61 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("context windows generate without any join or hash shuffle") {
+    // pure per-row explode: the only exchange allowed is the final
+    // presentation sort's range partitioning
+    val p = plan(SparkEntry.queries("q_context_windows")(spark, Sf001))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("boilerplate lexicon joins back as a broadcast, not a corpus shuffle") {
+    val p = plan(SparkEntry.queries("q_boilerplate")(spark, Sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gopher rules evaluate in one pass — no join, no aggregate shuffle") {
+    val p = plan(SparkEntry.queries("q_gopher_rules")(spark, Sf001))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("dq rule block folds all lineitem rules into one conditional aggregate") {
+    // the four single-table rules must share ONE lineitem scan branch:
+    // exactly one aggregate carries all four violation sums
+    val df = SparkEntry.queries("q_dq_checks")(spark, Sf001)
+    assert(!plan(df).contains("CartesianProduct"), plan(df))
+    // optimizedPlan keeps the aliases: all four sums live in ONE Aggregate
+    val opt = df.queryExecution.optimizedPlan.toString
+    val ruleAggs = opt.linesIterator.count(l =>
+      l.contains("Aggregate") && l.contains("__v_li_zero_tax")
+        && l.contains("__v_li_nonpositive_price"))
+    assert(ruleAggs === 1, s"expected one fused rule aggregate, got $ruleAggs\n$opt")
+  }
+
+  test("join size estimate reduces histograms, never a row-level cross product") {
+    val p = plan(SparkEntry.queries("q_join_size_estimate")(spark, Sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the final 1-row × 1-row stitch
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("snapshot diff is one key join without row explosion") {
+    val p = plan(SparkEntry.queries("q_snapshot_diff")(spark, Sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("kmeans assignment broadcasts the centroid side and combines map-side") {
+    val df = SparkEntry.queries("q_kmeans_assign")(spark, Sf001)
+    val p = plan(df)
+    // k-row centroid table rides a broadcast nested-loop (cross) join;
+    // the argmin is a hash aggregate with a partial (map-side) phase
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+  }
 }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- boilerplateProfile ---------------------------------------------
+
+  test("boilerplateProfile: df threshold splits lexicon; fractions exact") {
+    // "x y" appears in 3 docs (boiler at dfMin=3), "a b" in 1, "p q" in 2.
+    val sh = Seq(
+      (1L, Seq("x y", "a b")),
+      (2L, Seq("x y", "p q")),
+      (3L, Seq("x y", "p q")),
+      (4L, Seq.empty[String]))
+      .toDF("doc_id", "sh")
+    val r = Curation.boilerplateProfile(sh, "doc_id", "sh", dfMin = 3L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 1L, 0.5), (4L, 0L, 0L, 0.0)))
+  }
+
+  // --- contextWindows ---------------------------------------------------
+
+  test("contextWindows: full windows at stride; short doc yields one window") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, win 4 stride 2 → starts 0,2,4,6
+      (2L, "a b"),                 // shorter than one window → single short one
+      (3L, ""))                    // no tokens → no rows
+      .toDF("doc_id", "text")
+    val r = Curation.contextWindows(docs, "doc_id", "text", win = 4, stride = 2)
+      .orderBy("doc_id", "win_idx")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(r === Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 2L, 4L, "c d e f"),
+      (1L, 2L, 4L, 4L, "e f g h"),
+      (1L, 3L, 6L, 4L, "g h i j"),
+      (2L, 0L, 0L, 2L, "a b")))
+  }
+
+  test("contextWindows: tail shorter than a window is dropped, coverage holds") {
+    // 11 tokens, win 4 stride 4 → full windows at 0 and 4; tokens 8-10 dropped
+    val docs = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Curation.contextWindows(docs, "doc_id", "text", win = 4, stride = 4)
+      .orderBy("win_idx")
+      .select("win_start", "win_len").as[(Long, Long)].collect().toSeq
+    assert(r === Seq((0L, 4L), (4L, 4L)))
+  }
+
+  // --- gopherRules ------------------------------------------------------
+
+  test("gopherRules: each rule flips independently; keep is the conjunction") {
+    val stop = Seq("the", "a", "and", "of", "to", "is")
+    val docs = Seq(
+      // passes all four (5 words, two stopwords, alpha, mwl 3..10)
+      (1L, "the cat sat and ran"),
+      // fails wordcount (too short at minWords=4)
+      (2L, "the and one"),
+      // fails stopwords (only one distinct stopword)
+      (3L, "the quick brown fox jumps"),
+      // fails meanwordlen only (mostly 1-char tokens, mean 6/5 < 3)
+      (4L, "a is b c d"),
+      // fails alpha only (2 of 5 tokens are digit runs; mwl 16/5 in range)
+      (5L, "the dog is 4299 9912"))
+      .toDF("doc_id", "text")
+    val r = Curation.gopherRules(docs, "doc_id", "text",
+        minWords = 4, maxWords = 100, stopwords = stop)
+      .orderBy("doc_id")
+      .select("doc_id", "r_wordcount", "r_meanwordlen", "r_stopwords",
+        "r_alpha", "keep")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(r === Seq(
+      (1L, 1, 1, 1, 1, 1),
+      (2L, 0, 1, 1, 1, 0),
+      (3L, 1, 1, 0, 1, 0),
+      (4L, 1, 0, 1, 1, 0),
+      (5L, 1, 1, 1, 0, 0)))
+  }
+
+  test("gopherRules: counts are exact integers") {
+    val r = Curation.gopherRules(
+        Seq((1L, "the cat is on the mat 42")).toDF("doc_id", "text"),
+        "doc_id", "text", minWords = 1, maxWords = 100,
+        stopwords = Seq("the", "is"))
+      .select("wc", "n_chars", "n_alpha", "n_stop")
+      .as[(Long, Long, Long, Long)].head()
+    // tokens: the cat is on the mat 42 → wc 7, chars 3+3+2+2+3+3+2=18,
+    // alpha 6 (42 is digits), distinct stop hits {the, is} = 2
+    assert(r === ((7L, 18L, 6L, 2L)))
+  }
+
+  // --- kmeansAssign -----------------------------------------------------
+
+  test("kmeansAssign: nearest centroid wins, ties to lowest cid, self d2=0") {
+    val emb = Seq(
+      (0L, Seq(0f, 0f)),   // centroid 0
+      (1L, Seq(10f, 0f)),  // centroid 1
+      (2L, Seq(1f, 0f)),   // nearest 0
+      (3L, Seq(9f, 0f)),   // nearest 1
+      (4L, Seq(5f, 0f)))   // equidistant → cid 0
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 2)
+      .orderBy("vec_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r === Seq(
+      (0L, 0L, 0.0), (1L, 1L, 0.0), (2L, 0L, 1.0),
+      (3L, 1L, 1.0), (4L, 0L, 25.0)))
+  }
+
+  test("kmeansAssign: every corpus vector is assigned exactly once") {
+    val emb = graft.Tables.embeddings(spark, Sf001)
+    val n = emb.count()
+    val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8)
+    assert(assigned.count() === n)
+    assert(assigned.select("cid").distinct().count() === 8L)
+    // d2 is non-negative and zero exactly for the 8 seed vectors
+    assert(assigned.filter(col("d2") < 0).count() === 0L)
+    assert(assigned.filter(col("d2") === 0.0 && col("vec_id") < 8).count() === 8L)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checkBlock: one scan yields one row per rule with exact counts") {
+    val df = Seq((1, 0.0), (2, 5.0), (3, 0.0), (4, -1.0))
+      .toDF("id", "v")
+    val r = Quality.checkBlock(df, Seq(
+        "zero_v" -> (col("v") === 0.0),
+        "neg_v" -> (col("v") < 0.0)))
+      .orderBy("check")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r === Seq(("neg_v", 1L, 4L), ("zero_v", 2L, 4L)))
+  }
+
+  test("orphanCheck counts children without a parent") {
+    val child = Seq((1, 10), (2, 10), (3, 99)).toDF("id", "pid")
+    val parent = Seq((10, "x")).toDF("pk", "name")
+    val r = Quality.orphanCheck("orphans", child, "pid", parent, "pk")
+      .as[(String, Long, Long)].head()
+    assert(r === (("orphans", 1L, 3L)))
+  }
+
+  test("joinSizeByHistogram equals the actual join cardinality") {
+    val a = Seq(1, 1, 1, 2, 3).toDF("k")
+    val b = Seq(1, 2, 2, 4).toDF("k2")
+    val predicted = Quality.joinSizeByHistogram(a, "k", b, "k2")
+      .as[Long].head()
+    val actual = a.join(b, col("k") === col("k2")).count()
+    assert(predicted === 5L) // 3*1 + 1*2
+    assert(predicted === actual)
+  }
+
+  test("joinSizeByHistogram on disjoint keys is 0, not null") {
+    val a = Seq(1, 2).toDF("k")
+    val b = Seq(3, 4).toDF("k2")
+    assert(Quality.joinSizeByHistogram(a, "k", b, "k2").as[Long].head() === 0L)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val a = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))
+      .toDF("id", "name", "v")
+    val b = Seq((1, "a", 1.0), (2, "b", 9.0), (4, "d", 4.0))
+      .toDF("id", "name", "v")
+    val r = Quality.snapshotDiff(a, b, "id")
+      .orderBy("id")
+      .as[(Int, String)].collect().toSeq
+    assert(r === Seq((1, "unchanged"), (2, "changed"),
+      (3, "removed"), (4, "added")))
+  }
+
+  test("snapshotDiff treats NULL payloads null-safely") {
+    val a = Seq((1, Option.empty[String]), (2, Some("x")))
+      .toDF("id", "name")
+    val b = Seq((1, Option.empty[String]), (2, Option.empty[String]))
+      .toDF("id", "name")
+    val r = Quality.snapshotDiff(a, b, "id").orderBy("id")
+      .as[(Int, String)].collect().toSeq
+    assert(r === Seq((1, "unchanged"), (2, "changed")))
+  }
+}
