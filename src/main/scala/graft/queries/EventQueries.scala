@@ -285,7 +285,104 @@ object EventQueries {
       ORDER BY 1, 2
     """))
 
+  /** Last-touch attribution: each purchase is credited to the same
+    * user's most recent PRIOR view. One window over one user_id shuffle
+    * — no self-join, no as-of join: `last(..., ignoreNulls)` over an
+    * unbounded-preceding-to-1-preceding frame carries the latest view id
+    * forward. The gap is exact integer microseconds. Purchases with no
+    * prior view keep NULL attribution (first-session conversions). */
+  val attribution = QuerySpec(
+    "q_attribution",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      events(s, d)
+        // both carried values in ONE projection → a single Window node
+        // (sequential withColumns can leave two stacked Window operators)
+        .select(
+          col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          last(when(col("event_type") === "view", col("event_id")),
+            ignoreNulls = true).over(w).as("attr_event_id"),
+          last(when(col("event_type") === "view", col("ts")),
+            ignoreNulls = true).over(w).as("attr_ts"))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"), col("user_id"), col("attr_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("attr_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT event_id, user_id, event_type, ts,
+               last_value(CASE WHEN event_type = 'view' THEN event_id END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS attr_event_id,
+               last_value(CASE WHEN event_type = 'view' THEN ts END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS attr_ts
+        FROM events)
+      SELECT event_id, user_id, attr_event_id,
+             CAST((epoch_ns(ts) - epoch_ns(attr_ts)) // 1000 AS BIGINT)
+               AS gap_us
+      FROM w WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """))
+
+  /** Tukey-fence (1.5·IQR) outlier report per event type: exact q1/q3
+    * (same quantile_cont-portable interpolation q_winsorize pins), fences
+    * as one fixed IEEE sequence, counts as exact ints. The quartile table
+    * is |types| rows → broadcast back; percentile_approx is the
+    * documented 100 TB swap for the quartile pass. */
+  val outlierIqr = QuerySpec(
+    "q_outlier_iqr",
+    (s, d) => {
+      val pct = fanOut(s, events(s, d))
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.25D)").as("q1"),
+          expr("percentile(value, 0.75D)").as("q3"))
+      events(s, d)
+        .join(broadcast(pct), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1")),
+            1L).otherwise(0L)).as("n_low"),
+          sum(when(col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1")),
+            1L).otherwise(0L)).as("n_high"))
+        .select(
+          col("event_type"),
+          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"),
+          col("n"), col("n_low"), col("n_high"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH pct AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY 1)
+      SELECT event_type,
+             q1 - 1.5*(q3-q1) AS lo,
+             q3 + 1.5*(q3-q1) AS hi,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value < q1 - 1.5*(q3-q1) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_low,
+             CAST(sum(CASE WHEN value > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_high
+      FROM events JOIN pct USING (event_type)
+      GROUP BY event_type, q1, q3
+      ORDER BY event_type
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
-    scd2, cohortRetention)
+    scd2, cohortRetention, attribution, outlierIqr)
 }

@@ -320,6 +320,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("attribution is one user window — no self-join, one hash shuffle") {
+    val df = SparkEntry.queries("q_attribution")(spark, Sf001)
+    val p = plan(df)
+    assert(!p.contains("Join"), p)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    val hashEx = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, s"expected one hash exchange, got $hashEx\n$finalPlan")
+  }
+
+  test("IQR outlier report broadcasts the 5-row quartile side") {
+    val p = plan(SparkEntry.queries("q_outlier_iqr")(spark, Sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("kmeans assignment broadcasts the centroid side and combines map-side") {
     val df = SparkEntry.queries("q_kmeans_assign")(spark, Sf001)
     val p = plan(df)
