@@ -72,6 +72,47 @@ object Stateful {
         })
   }
 
+  /** One purchase credited to the user's most recent prior view. */
+  final case class Attribution(
+      event_id: Long, user_id: Long,
+      attr_event_id: Option[Long], gap_us: Option[Long])
+
+  /** Latest view per user, carried across micro-batches. */
+  final case class LastView(ts: Timestamp, event_id: Long)
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  /** Streaming last-touch attribution — the streaming twin of
+    * q_attribution's carried-forward window: state is ONE view per user
+    * (constant-size, like the transition tracker), each purchase emits
+    * immediately with the latest prior view and the exact-µs gap, and a
+    * view→purchase pair straddling a micro-batch boundary is still
+    * attributed. Purchases with no prior view emit with NULL attribution
+    * (first-session conversions), exactly as the batch twin keeps them. */
+  def lastTouchAttribution(events: Dataset[Event]): Dataset[Attribution] = {
+    implicit val stateEnc = Encoders.product[LastView]
+    implicit val outEnc = Encoders.product[Attribution]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Event], state: GroupState[LastView]) => {
+          val ordered = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var lastView = state.getOption
+          val out = Seq.newBuilder[Attribution]
+          ordered.foreach { e =>
+            if (e.event_type == "purchase")
+              out += Attribution(e.event_id, uid, lastView.map(_.event_id),
+                lastView.map(v => micros(e.ts) - micros(v.ts)))
+            if (e.event_type == "view")
+              lastView = Some(LastView(e.ts, e.event_id))
+          }
+          lastView.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     implicit val stateEnc = Encoders.product[UserTotals]
     implicit val longEnc = Encoders.scalaLong

@@ -66,4 +66,32 @@ class StatefulSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq.sorted
     assert(batch === Seq(("click", "buy", 1L), ("view", "click", 1L)))
   }
+
+  test("streaming attribution credits the carried view across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Stateful.lastTouchAttribution(mem.toDS())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // batch 1: user 1 views twice then purchases (latest view wins);
+      // user 2 purchases with NO prior view (NULL attribution)
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Event(2, ts("2024-01-01 10:05:00"), 1, "view", 0.0),
+        Event(3, ts("2024-01-01 10:06:00"), 1, "purchase", 0.0),
+        Event(4, ts("2024-01-01 11:00:00"), 2, "purchase", 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases again — attributed to the view CARRIED
+      // from batch 1, not reset at the boundary
+      mem.addData(Event(5, ts("2024-01-01 10:30:00"), 1, "purchase", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr")
+      .as[(Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq.sortBy(_._1)
+    assert(rows === Seq(
+      (3L, 1L, Some(2L), Some(60L * 1000000L)),
+      (4L, 2L, None, None),
+      (5L, 1L, Some(2L), Some(25L * 60L * 1000000L))))
+  }
 }
