@@ -382,7 +382,71 @@ object EventQueries {
       ORDER BY event_type
     """))
 
+  /** RFM customer scoring: per-user recency (hours since last event,
+    * anchored at the corpus max — reproducible, no wall clock), frequency
+    * (exact count) and monetary (decimal-accumulated, cast to double
+    * once), then quintile labels and the composite RFM segment.
+    *
+    * The quintile window is GLOBAL but runs over the AGGREGATED user
+    * table — |users| rows, not |events| (here 0.15% of the input). At
+    * a scale where even that doesn't fit one partition, the documented
+    * swap is percentile cutpoints (approx at 100 TB) broadcast back as
+    * range predicates — same labels, no global sort. */
+  val rfm = QuerySpec(
+    "q_rfm",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val agg = events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("monetary"),
+          max(col("ts")).as("last_ts"))
+      val mx = agg.agg(max(col("last_ts")).as("now_ts"))
+      val wr = Window.orderBy(col("last_ts").desc, col("user_id"))
+      val wf = Window.orderBy(col("frequency").desc, col("user_id"))
+      val wm = Window.orderBy(col("monetary").desc, col("user_id"))
+      agg.crossJoin(broadcast(mx))
+        .withColumn("recency_hours",
+          expr("(unix_micros(now_ts) - unix_micros(last_ts)) DIV 3600000000"))
+        .withColumn("r_quintile", ntile(5).over(wr).cast("long"))
+        .withColumn("f_quintile", ntile(5).over(wf).cast("long"))
+        .withColumn("m_quintile", ntile(5).over(wm).cast("long"))
+        .withColumn("rfm_segment",
+          (col("r_quintile") * 100 + col("f_quintile") * 10 +
+            col("m_quintile")).cast("long"))
+        .select("user_id", "frequency", "monetary", "recency_hours",
+          "r_quintile", "f_quintile", "m_quintile", "rfm_segment")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary,
+               max(ts) AS last_ts
+        FROM events GROUP BY user_id
+      ),
+      mx AS (SELECT max(last_ts) AS now_ts FROM agg)
+      SELECT user_id, frequency, monetary,
+             CAST((epoch_ns(now_ts) - epoch_ns(last_ts)) // 3600000000000
+                  AS BIGINT) AS recency_hours,
+             CAST(ntile(5) OVER (ORDER BY last_ts DESC, user_id)
+                  AS BIGINT) AS r_quintile,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                  AS BIGINT) AS f_quintile,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
+                  AS BIGINT) AS m_quintile,
+             CAST(ntile(5) OVER (ORDER BY last_ts DESC, user_id) * 100
+                  + ntile(5) OVER (ORDER BY frequency DESC, user_id) * 10
+                  + ntile(5) OVER (ORDER BY monetary DESC, user_id)
+                  AS BIGINT) AS rfm_segment
+      FROM agg CROSS JOIN mx
+      ORDER BY user_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
-    scd2, cohortRetention, attribution, outlierIqr)
+    scd2, cohortRetention, attribution, outlierIqr, rfm)
 }
