@@ -60,4 +60,53 @@ object Graph {
     und.unpersist()
     visited
   }
+
+  /** PageRank over an undirected edge list, fixed iteration count —
+    * r ← (1−d)/N + d·Σ_in r(u)/deg(u). Each round is one edge join + one
+    * aggregate over the graph (never the corpus); lineage truncates per
+    * round with localCheckpoint, as in [[bfsHops]]. Undirected degree =
+    * out-degree, and every node has an in-neighbor, so there is no
+    * dangling-mass term.
+    *
+    * Determinism contract: the per-node contribution sum folds a SORTED
+    * collected list (`aggregate(array_sort(collect_list(…)))`), making
+    * every iteration a fixed IEEE sequence any engine reproduces — a
+    * partition-order `sum(double)` would drift in the last ulp and
+    * compound across iterations. The buffer is one node's in-neighbor
+    * list, bounded by max degree; at 100 TB a plain `sum` (last-ulp
+    * noise accepted) or a two-level sorted-segment fold is the swap —
+    * the sorted fold here is the ORACLE-portability choice.
+    *
+    * Returns (id, deg, rank) for every node. */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // input edges are distinct with a < b, so the symmetrized list is
+    // duplicate-free without a distinct() shuffle
+    val und = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    val deg = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .cache()
+    val n = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("id"), col("deg"), (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = und
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+      val sums = contrib.groupBy("id")
+        .agg(aggregate(array_sort(collect_list(col("c"))),
+          lit(0.0), (acc, x) => acc + x).as("s"))
+      ranks = deg.crossJoin(broadcast(n))
+        .join(sums, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

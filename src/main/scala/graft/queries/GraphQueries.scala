@@ -139,5 +139,50 @@ object GraphQueries {
       FROM tri
     """))
 
-  val all: Seq[QuerySpec] = Seq(graphHops, triangles)
+  /** 3-iteration PageRank over the co-occurrence graph, top-20 by rank.
+    * Every iteration is one edge join + one aggregate over the (small)
+    * graph; the contribution sums fold SORTED lists so all three
+    * iterations are a fixed IEEE sequence the oracle replays exactly
+    * (Graph.pageRank scaladoc). The teleport term is written (1.0−0.85)/n
+    * on BOTH sides — the literal 0.15 is a different double than
+    * 1.0−0.85, and the difference would compound across iterations.
+    * Output ranks round once at 1e-9. */
+  val pagerank = QuerySpec(
+    "q_pagerank",
+    (s, d) => {
+      val e = freqEdges(s, d).cache() // shares the hops/triangles entry
+      Graph.pageRank(e, "a", "b", iters = 3, damping = 0.85)
+        .select(col("id").as("part_id"), col("deg"),
+          round(col("rank"), 9).as("rank"))
+        .orderBy(round(col("rank"), 9).desc, col("part_id").asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH $FreqEdgeSql,
+      und AS (SELECT a AS src, b AS dst FROM fedge
+              UNION ALL SELECT b, a FROM fedge),
+      deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+              FROM und GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+      r0 AS (SELECT id, deg, 1.0 / n AS rank FROM deg CROSS JOIN n),
+      c1 AS (SELECT e.dst AS id, list_sum(list_sort(list(r.rank / r.deg))) AS s
+             FROM und e JOIN r0 r ON r.id = e.src GROUP BY 1),
+      r1 AS (SELECT d.id, d.deg,
+                    (1.0 - 0.85) / n.n + 0.85 * coalesce(c1.s, 0.0) AS rank
+             FROM deg d CROSS JOIN n LEFT JOIN c1 ON c1.id = d.id),
+      c2 AS (SELECT e.dst AS id, list_sum(list_sort(list(r.rank / r.deg))) AS s
+             FROM und e JOIN r1 r ON r.id = e.src GROUP BY 1),
+      r2 AS (SELECT d.id, d.deg,
+                    (1.0 - 0.85) / n.n + 0.85 * coalesce(c2.s, 0.0) AS rank
+             FROM deg d CROSS JOIN n LEFT JOIN c2 ON c2.id = d.id),
+      c3 AS (SELECT e.dst AS id, list_sum(list_sort(list(r.rank / r.deg))) AS s
+             FROM und e JOIN r2 r ON r.id = e.src GROUP BY 1),
+      r3 AS (SELECT d.id, d.deg,
+                    (1.0 - 0.85) / n.n + 0.85 * coalesce(c3.s, 0.0) AS rank
+             FROM deg d CROSS JOIN n LEFT JOIN c3 ON c3.id = d.id)
+      SELECT id AS part_id, deg, round(rank, 9) AS rank
+      FROM r3 ORDER BY round(rank, 9) DESC, id ASC LIMIT 20
+    """))
+
+  val all: Seq[QuerySpec] = Seq(graphHops, triangles, pagerank)
 }
