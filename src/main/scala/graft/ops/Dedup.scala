@@ -74,6 +74,46 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))
   }
 
+  /** Sorted-neighborhood near-dup candidates (Hernández–Stolfo SNM): sort
+    * the corpus by a canonical content key, compare each record only to
+    * the next `w−1` in sorted order. The third classic blocking scheme
+    * next to the posting join (exact, Σ df² work) and LSH banding
+    * (probabilistic): join-free — ONE sort, `w−1` lead() taps, a bounded
+    * explode — and near-identical records sort adjacently by
+    * construction of the key.
+    *
+    * The window here is a single global sort; the 100 TB form is
+    * `repartitionByRange(key)` + sortWithinPartitions with the last `w−1`
+    * rows of each partition replicated into the next (boundary overlap) —
+    * same candidates, no single-partition window. Emitted pairs carry
+    * exact-integer Jaccard in jaccardPairs' inclusion–exclusion form;
+    * id_a is the sort-order-earlier record (NOT necessarily id_a < id_b).
+    *
+    * `shCol` must hold DISTINCT shingles (callers array_distinct). */
+  def sortedNeighborhood(docs: DataFrame, idCol: String, shCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window w=$w must be at least 2")
+    val key = array_join(array_sort(col(shCol)), " ")
+    val win = Window.orderBy(key, col(idCol))
+    docs
+      .select(
+        col(idCol).as("id_a"), col(shCol).as("sh_a"),
+        array((1 until w).map(k =>
+          lead(struct(col(idCol).as("id"), col(shCol).as("sh")), k)
+            .over(win)): _*).as("__nbrs"))
+      .select(col("id_a"), col("sh_a"), explode(col("__nbrs")).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(col("id_a"), col("nb.id").as("id_b"),
+        size(array_intersect(col("sh_a"), col("nb.sh"))).cast("long")
+          .as("common"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("nb.sh")).cast("long").as("sz_b"))
+      .filter(col("common") > 0)
+      .withColumn("jac",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * PAIRWISE dedup output into clusters with one representative each
     * (survivor = the member equal to its rep). Iterative min-label

@@ -996,9 +996,51 @@ object TextQueries {
       ORDER BY doc_id, bucket
     """))
 
+  /** Sorted-neighborhood near-dup candidates (window w=4 over the
+    * shingle-bag sort order) — the join-free third blocking scheme next
+    * to the exact posting join and MinHash-LSH; rides the SAME
+    * shingledDocs cache. Top-25 by the shared inclusion–exclusion
+    * Jaccard; finds the corpus's ≈0.99-jac pairs the posting join pins
+    * (near-identical docs sort adjacently by construction). */
+  val snmDedup = QuerySpec(
+    "q_snm_dedup",
+    (s, d) =>
+      Dedup.sortedNeighborhood(
+          shingledDocs(s, d).select("doc_id", "sh"), "doc_id", "sh", w = 4)
+        .select("id_a", "id_b", "jac")
+        .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
+        .limit(25),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+          THEN list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' '))
+          ELSE [] END) AS sh
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      ),
+      ord AS (
+        SELECT doc_id, sh,
+               row_number() OVER (ORDER BY array_to_string(list_sort(sh), ' '),
+                                  doc_id) AS rn
+        FROM sh
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                      AS DOUBLE) AS jac
+      FROM ord a JOIN ord b ON b.rn > a.rn AND b.rn <= a.rn + 3
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+      ORDER BY jac DESC, id_a ASC, id_b ASC
+      LIMIT 25
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
-    substringDedup, containment, bigramLm, giniDiversity, featureHash)
+    substringDedup, containment, bigramLm, giniDiversity, featureHash,
+    snmDedup)
 }

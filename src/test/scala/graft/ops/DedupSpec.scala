@@ -72,4 +72,41 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("sortedNeighborhood: adjacent-in-sort pairs found, beyond-window pairs not") {
+    // docs 1 and 2 share their shingle bag (sort adjacently, jac 1.0);
+    // doc 9's bag sorts far away — with w=2 it never pairs with 1 or 2
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d")),
+      (2L, Seq("a b c", "b c d")),
+      (9L, Seq("x y z")),
+      (5L, Seq("a b c", "z z z"))) // shares one shingle with 1/2
+      .toDF("doc_id", "sh")
+    val got = Dedup.sortedNeighborhood(docs, "doc_id", "sh", w = 2)
+      .select("id_a", "id_b", "jac")
+      .as[(Long, Long, Double)].collect().toSet
+    // sort keys: 1,2 → "a b c b c d"; 5 → "a b c z z z"; 9 → "x y z"
+    // order: 1, 2, 5, 9 — w=2 compares only adjacent rows
+    assert(got.contains((1L, 2L, 1.0)))
+    assert(got.contains((2L, 5L, 1.0 / 3.0)))
+    assert(!got.exists { case (a, b, _) => (a, b) == ((1L, 5L)) })
+    assert(!got.exists { case (a, b, _) => b == 9L }) // no shared shingle
+  }
+
+  test("sortedNeighborhood pairs are a subset of exact jaccard pairs (jac agrees)") {
+    val docs = graft.Tables.documents(spark, Sf001)
+      .withColumn("sh", array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
+      .select("doc_id", "sh")
+    val snm = Dedup.sortedNeighborhood(docs, "doc_id", "sh", w = 4)
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"), col("jac"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val exact = Dedup.jaccardPairs(docs.withColumn("all", lit(1)), "doc_id", "sh", Seq("all"))
+      .select("id_a", "id_b", "jac")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(snm.nonEmpty)
+    snm.foreach { case (k, j) => assert(exact.get(k).contains(j), s"$k") }
+  }
 }
