@@ -138,6 +138,49 @@ object ExtendedQueries {
       ORDER BY event_type
     """))
 
+  /** Mergeable-sketch rollup — the pre-aggregation pattern distinct
+    * counts need at 100 TB: one DataSketches HLL sketch per DAY (the
+    * granularity you'd persist), then weekly distinct-user estimates by
+    * UNIONING the daily sketches — the raw data is touched once at the
+    * fine grain; every coarser rollup is sketch-merge only, which a plain
+    * countDistinct can never do (distinct doesn't sum). Verdict: the
+    * merged estimate lands within 5% of the exact weekly distinct
+    * (lgConfigK=12 → ~1.6% rsd; small cardinalities are sparse-mode
+    * near-exact). Week buckets are (day−1) DIV 7 — pure integer
+    * arithmetic, no ISO-week edge semantics to match. */
+  val sketchRollup = QuerySpec(
+    "q_sketch_rollup",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val merged = daily
+        .withColumn("week_idx", expr("(day(day) - 1) DIV 7"))
+        .groupBy("week_idx")
+        .agg(
+          // all daily sketches share lgConfigK=12, so no allow-different flag
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"),
+          count(lit(1)).as("n_days"))
+      val exact = events(s, d)
+        .groupBy(expr("(day(ts) - 1) DIV 7").as("week_idx"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(exact, "week_idx")
+        .select(
+          col("week_idx"), col("n_days"), col("n_exact"),
+          (abs(col("__est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .cast("int").as("sketch_ok"))
+        .orderBy("week_idx")
+    },
+    Some("""
+      SELECT (day(ts) - 1) // 7 AS week_idx,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             1 AS sketch_ok
+      FROM events
+      GROUP BY 1
+      ORDER BY week_idx
+    """))
+
   /** Explicit GROUPING SETS (beyond rollup/cube): chosen subtotal
     * combinations in one Expand pass, with grouping() flags
     * disambiguating subtotal levels that coalesce to the same label. */
@@ -1019,5 +1062,5 @@ object ExtendedQueries {
     topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs,
     crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce,
     dateSpine, typedAgg, rangeFrame, intervalJoin, schemaProfile,
-    correlatedAgg, winsorize, samplePerKey)
+    correlatedAgg, winsorize, samplePerKey, sketchRollup)
 }
