@@ -241,6 +241,105 @@ object SeriesQueries {
       LIMIT 20
     """))
 
+  /** Multiple linear regression (2 regressors + intercept) by normal
+    * equations — the ONE-PASS closed-form fit that needs no iterative
+    * solver: ten sufficient statistics in a single aggregate, then a
+    * fixed Cramer's-rule solve. The statistics accumulate as
+    * DECIMAL(38,18) casts of the exact double products — order-free
+    * (decimal addition is associative) and engine-portable: a binary
+    * double can never land on a decimal rounding TIE at digit 18 (ties
+    * need denominator 2^k with k ≤ 19; products here carry k ≫ 19), so
+    * half-up (Spark) and half-even (DuckDB) casts agree on every value.
+    * The solve names each shared cofactor once so both engines replay
+    * the identical IEEE tree; outputs round once at 1e-6.
+    *
+    * On this synthetic corpus the true r² ≈ 0 (columns are independent
+    * by construction) — the CORRECT answer, and the op's value is the
+    * one-pass shape, not this dataset's fit. */
+  val linregMulti = QuerySpec(
+    "q_linreg_multi",
+    (s, d) => {
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      val x1 = col("l_quantity"); val x2 = col("l_discount")
+      val y = col("l_extendedprice")
+      val st = fanOut(s, lineitem(s, d)).agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x1).as("s1"), dsum(x2).as("s2"), dsum(y).as("sy"),
+        dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"),
+        dsum(x2 * x2).as("s22"), dsum(x1 * y).as("s1y"),
+        dsum(x2 * y).as("s2y"), dsum(y * y).as("syy"))
+      // shared cofactors — names mirror the oracle CTE exactly
+      val sol = st.select(col("*"),
+        (col("s11") * col("s22") - col("s12") * col("s12")).as("c1"),
+        (col("s1") * col("s22") - col("s12") * col("s2")).as("c2"),
+        (col("s1") * col("s12") - col("s11") * col("s2")).as("c3"),
+        (col("s1y") * col("s22") - col("s12") * col("s2y")).as("e1"),
+        (col("s1y") * col("s12") - col("s11") * col("s2y")).as("e2"),
+        (col("s1") * col("s2y") - col("s1y") * col("s2")).as("e3"),
+        (col("s11") * col("s2y") - col("s1y") * col("s12")).as("f1"))
+      val withD = sol.select(col("*"),
+        (col("n") * col("c1") - col("s1") * col("c2") + col("s2") * col("c3"))
+          .as("dd"))
+      val b = withD.select(col("*"),
+        ((col("sy") * col("c1") - col("s1") * col("e1") + col("s2") * col("e2"))
+          / col("dd")).as("b0u"),
+        ((col("n") * col("e1") - col("sy") * col("c2") + col("s2") * col("e3"))
+          / col("dd")).as("b1u"),
+        ((col("n") * col("f1") - col("s1") * col("e3") + col("sy") * col("c3"))
+          / col("dd")).as("b2u"))
+      b.select(
+        col("n").cast("long").as("n_rows"),
+        round(col("b0u"), 6).as("b0"),
+        round(col("b1u"), 6).as("b1"),
+        round(col("b2u"), 6).as("b2"),
+        round(lit(1.0) -
+          (col("syy") - col("b0u") * col("sy") - col("b1u") * col("s1y")
+            - col("b2u") * col("s2y"))
+          / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(l_discount AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS s11,
+               CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,18))) AS DOUBLE) AS s12,
+               CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,18))) AS DOUBLE) AS s22,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS s1y,
+               CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS s2y,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        FROM lineitem
+      ),
+      sol AS (
+        SELECT *,
+               s11*s22 - s12*s12 AS c1,
+               s1*s22 - s12*s2 AS c2,
+               s1*s12 - s11*s2 AS c3,
+               s1y*s22 - s12*s2y AS e1,
+               s1y*s12 - s11*s2y AS e2,
+               s1*s2y - s1y*s2 AS e3,
+               s11*s2y - s1y*s12 AS f1
+        FROM st
+      ),
+      wd AS (SELECT *, n*c1 - s1*c2 + s2*c3 AS dd FROM sol),
+      b AS (
+        SELECT *,
+               (sy*c1 - s1*e1 + s2*e2) / dd AS b0u,
+               (n*e1 - sy*c2 + s2*e3) / dd AS b1u,
+               (n*f1 - s1*e3 + sy*c3) / dd AS b2u
+        FROM wd
+      )
+      SELECT CAST(n AS BIGINT) AS n_rows,
+             round(b0u, 6) AS b0,
+             round(b1u, 6) AS b1,
+             round(b2u, 6) AS b2,
+             round(1.0 - (syy - b0u*sy - b1u*s1y - b2u*s2y)
+                       / (syy - sy*sy/n), 6) AS r2
+      FROM b
+    """))
+
   val all: Seq[QuerySpec] = Seq(
-    streaks, transitions, gapFill, linreg, mad, sparseCosine)
+    streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti)
 }
