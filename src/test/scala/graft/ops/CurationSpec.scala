@@ -95,6 +95,51 @@ class CurationSpec extends SparkSpec {
     assert(r === ((7L, 18L, 6L, 2L)))
   }
 
+  test("contextWindows matches brute force on seeded random docs") {
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 60L).map { id =>
+      val n = rnd.nextInt(40) // 0..39 tokens, below and above the window
+      (id, (1 to n).map(i => s"t${rnd.nextInt(9)}x$i").mkString(" "))
+    }
+    val (w, s) = (8, 3)
+    val got = Curation.contextWindows(docs.toDF("doc_id", "text"),
+        "doc_id", "text", w, s)
+      .select("doc_id", "win_start", "win_len", "win_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) Seq.empty
+      else {
+        val starts =
+          if (toks.length < w) Seq(0)
+          else 0 to (toks.length - w) by s
+        starts.map { st =>
+          val win = toks.slice(st, st + w)
+          (id, st.toLong, win.length.toLong, win.mkString(" "))
+        }
+      }
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("boilerplateProfile counts match brute force on seeded random bags") {
+    val rnd = new scala.util.Random(7)
+    val bags = (1L to 40L).map { id =>
+      (id, Seq.fill(rnd.nextInt(8))(s"g${rnd.nextInt(12)}").distinct)
+    }
+    val dfMin = 5L
+    val df = bags.toDF("doc_id", "sh")
+    val got = Curation.boilerplateProfile(df, "doc_id", "sh", dfMin)
+      .select("doc_id", "n_shingles", "n_boiler")
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, a, b) => i -> ((a, b)) }.toMap
+    val dfreq = bags.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val boiler = dfreq.filter(_._2 >= dfMin).keySet
+    bags.foreach { case (id, sh) =>
+      assert(got(id) === ((sh.size.toLong, sh.count(boiler).toLong)), s"doc $id")
+    }
+  }
+
   // --- kmeansAssign -----------------------------------------------------
 
   test("kmeansAssign: nearest centroid wins, ties to lowest cid, self d2=0") {
