@@ -138,6 +138,32 @@ object ExtendedQueries {
       ORDER BY event_type
     """))
 
+  /** Jaro–Winkler fuzzy matching — the record-linkage scorer levenshtein
+    * doesn't give (prefix-weighted, transposition-tolerant). Backed by
+    * the codegen'd [[graft.functions.JaroWinkler]] Expression whose
+    * kernel was calibrated byte-for-byte against DuckDB's
+    * `jaro_winkler_similarity` (integer transposition halving, 0.7
+    * boost threshold, prefix cap 4 — 0 mismatches on 3000 random
+    * strings); output rounds at 1e-6 and orders by the ROUNDED score so
+    * near-ties can't reorder across engines. */
+  val jaroWinklerMatch = QuerySpec(
+    "q_jaro_winkler",
+    (s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"), col("p_name"),
+          round(graft.functions.JaroWinkler.jaro_winkler(
+            col("p_name"), lit("red widget")), 6).as("jw"))
+        .orderBy(col("jw").desc, col("p_partkey").asc)
+        .limit(20),
+    Some("""
+      SELECT p_partkey, p_name,
+             round(jaro_winkler_similarity(p_name, 'red widget'), 6) AS jw
+      FROM part
+      ORDER BY jw DESC, p_partkey ASC
+      LIMIT 20
+    """))
+
   /** Mergeable-sketch rollup — the pre-aggregation pattern distinct
     * counts need at 100 TB: one DataSketches HLL sketch per DAY (the
     * granularity you'd persist), then weekly distinct-user estimates by
@@ -1062,5 +1088,5 @@ object ExtendedQueries {
     topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs,
     crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce,
     dateSpine, typedAgg, rangeFrame, intervalJoin, schemaProfile,
-    correlatedAgg, winsorize, samplePerKey, sketchRollup)
+    correlatedAgg, winsorize, samplePerKey, sketchRollup, jaroWinklerMatch)
 }

@@ -126,4 +126,27 @@ object ExpressionProps extends Properties("graft.functions") {
         ZValue.compute(0L, a) <= ZValue.compute(0L, 0xFFFFL) &&
         (a == 0L || ZValue.compute(a, 0L) > ZValue.compute(a - 1, 0L))
     }
+
+  private def jw(a: String, b: String): Double =
+    JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  property("jaro_winkler is symmetric and within [0, 1]") =
+    forAll(asciiString, asciiString) { (a, b) =>
+      val ab = jw(a, b)
+      ab == jw(b, a) && ab >= 0.0 && ab <= 1.0
+    }
+
+  property("jaro_winkler: identity scores 1, empty scores 0") =
+    forAll(asciiString) { s =>
+      (s.isEmpty || jw(s, s) == 1.0) && jw(s, "") == 0.0 && jw("", s) == 0.0
+    }
+
+  property("jaro_winkler textbook cases (the DuckDB-calibrated values)") = {
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-12
+    close(jw("MARTHA", "MARHTA"), 0.9611111111111111) &&
+      close(jw("DWAYNE", "DUANE"), 0.8400000000000001) &&
+      close(jw("DIXON", "DICKSONX"), 0.8133333333333332) &&
+      close(jw("ABC", "CBA"), 0.5555555555555555) && // below boost threshold
+      jw("AB", "BA") == 0.0 // window 0 → no matches
+  }
 }
