@@ -107,6 +107,10 @@ object Graph {
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
         .localCheckpoint()
     }
+    // ranks is checkpoint-materialized, so the edge/degree caches can go
+    // (same discipline as bfsHops — don't leak session cache entries)
+    und.unpersist()
+    deg.unpersist()
     ranks
   }
 }
