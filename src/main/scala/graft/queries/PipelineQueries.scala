@@ -358,8 +358,91 @@ object PipelineQueries {
       ORDER BY 1
     """))
 
+  /** End-to-end RAG index build as ONE lazy DAG: chunk (q_chunk_docs's
+    * 512/448 shape) → deterministic hash-embedding (8 dims of 0..255
+    * from the chunk md5's hex-digit pairs — the portable stand-in for a
+    * real encoder; coordinates are exact ints, so squared distances stay
+    * exact in double) → nearest-centroid assignment (reuses
+    * Similarity.kmeansAssign: 4 lowest-uid seeds, broadcast centroids,
+    * min-struct argmin) → per-cluster manifest with a recomputable
+    * membership fingerprint (numeric-sorted uids, q_export_shards'
+    * convention). The oracle replays every stage, so the COMPOSITION is
+    * verified, not just the pieces — prep_pipeline's pattern applied to
+    * the retrieval-index path. */
+  val ragIndex = QuerySpec(
+    "q_rag_index",
+    (s, d) => {
+      val chunkText = col("text").substr(col("start"), lit(512))
+      def digit(i: Int) =
+        (expr(s"instr('0123456789abcdef', substr(h, $i, 1))") - 1)
+      val chunks = fanOut(s, documents(s, d))
+        .select(
+          col("doc_id"),
+          posexplode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+            lit(448))).as(Seq("chunk_idx", "start")),
+          col("text"))
+        .select(
+          (col("doc_id") * 1000 + col("chunk_idx")).as("chunk_uid"),
+          length(chunkText).as("n_chars"),
+          md5(chunkText).as("h"))
+        .select(
+          col("chunk_uid"), col("n_chars"),
+          array((0 until 8).map(j =>
+            (digit(2 * j + 1) * 16 + digit(2 * j + 2)).cast("double")): _*)
+            .as("v"))
+      val assigned = graft.ops.Similarity
+        .kmeansAssign(chunks, "chunk_uid", "v", k = 4)
+      assigned.join(chunks.select("chunk_uid", "n_chars"), "chunk_uid")
+        .groupBy("cid")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_chars")).as("total_chars"),
+          md5(array_join(
+            transform(array_sort(collect_list(col("chunk_uid"))),
+              x => x.cast("string")), ",")).as("member_md5"))
+        .orderBy("cid")
+    },
+    Some("""
+      WITH chunks AS (
+        SELECT doc_id * 1000 + CAST((start - 1) // 448 AS BIGINT) AS chunk_uid,
+               length(substr(text, CAST(start AS INTEGER), 512)) AS n_chars,
+               md5(substr(text, CAST(start AS INTEGER), 512)) AS h
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(len(text), 1), 448))
+                       AS start
+              FROM documents)
+      ),
+      emb AS (
+        SELECT chunk_uid, n_chars,
+               list_transform(range(0, 8), j ->
+                 CAST((strpos('0123456789abcdef', substr(h, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(h, CAST(2*j+2 AS INTEGER), 1)) - 1)
+                    AS DOUBLE)) AS v
+        FROM chunks
+      ),
+      c AS (SELECT chunk_uid AS cid, v AS cvec FROM emb
+            ORDER BY chunk_uid LIMIT 4),
+      d AS (
+        SELECT e.chunk_uid, e.n_chars, c.cid,
+               round(list_sum(list_transform(list_zip(e.v, c.cvec),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+        FROM emb e CROSS JOIN c
+      ),
+      a AS (SELECT chunk_uid, n_chars, cid,
+                   row_number() OVER (PARTITION BY chunk_uid
+                                      ORDER BY d2 ASC, cid ASC) AS rn
+            FROM d)
+      SELECT cid,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             md5(array_to_string(list_sort(list(chunk_uid)), ',')) AS member_md5
+      FROM a WHERE rn = 1
+      GROUP BY cid
+      ORDER BY cid
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     exportShards,
     hashSplit, chunkDocs, packSequences, domainCap, globalShuffle,
-    truncateTokens, mixtureWeights, sourceDrift)
+    truncateTokens, mixtureWeights, sourceDrift, ragIndex)
 }
