@@ -80,4 +80,27 @@ object Streams {
     * routed stream out to per-split sinks. */
   def routeBySplit(records: DataFrame, keyCol: String): DataFrame =
     records.withColumn("split", graft.ops.Router.hashSplit(col(keyCol)))
+
+  /** Streaming data-quality monitor: the stream sibling of
+    * graft.ops.Quality.checkBlock — per-window violation counts for a
+    * rule set, maintained as ONE watermarked tumbling aggregate (each
+    * rule is a conditional sum column, so adding a rule never adds
+    * state). This is the live version of the batch DQ report: a
+    * dashboard reads the per-window rows; an alert fires when
+    * n_violations/n_checked jumps. */
+  def qualityMonitor(events: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when, window}
+    val aggs = count(lit(1)).as("n_checked") +:
+      checks.map { case (nm, viol) =>
+        sum(when(viol, 1L).otherwise(0L)).as(s"v_$nm")
+      }
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        (col("window.start").as("window_start") +: col("n_checked") +:
+          checks.map { case (nm, _) => col(s"v_$nm") }): _*)
+  }
 }

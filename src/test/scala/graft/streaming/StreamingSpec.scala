@@ -123,4 +123,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.size === data.size) // stateless: nothing dropped
   }
+
+  test("streaming quality monitor equals the batch rule counts per window") {
+    val checks = Seq(
+      "zero_val" -> (col("value") === 0.0),
+      "big_val" -> (col("value") > 2.0))
+    val streamed = runStream("t_dq", df => Streams.qualityMonitor(df, checks))
+      .orderBy("window_start")
+      .collect().map(_.toSeq).toSeq
+    val batch = Streams.qualityMonitor(data.toDF(), checks)
+      .orderBy("window_start")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // 10h window: events 1,2 (values 1.5, 2.5) → 1 big; 11h: 3,4 → 1 big
+    val byHour = streamed.map(r => (r(1), r(3))) // (n_checked, v_big_val)
+    assert(byHour === Seq((2L, 1L), (2L, 1L), (1L, 0L)))
+  }
 }
