@@ -37,6 +37,16 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"tokenize expects 1 argument, got ${args.length}")
     },
+    "jaro_winkler" -> {
+      case Seq(a, b) => JaroWinkler(a, b)
+      case args => throw new IllegalArgumentException(
+        s"jaro_winkler expects 2 arguments, got ${args.length}")
+    },
+    "z_value" -> {
+      case Seq(a, b) => ZValue(a, b)
+      case args => throw new IllegalArgumentException(
+        s"z_value expects 2 arguments, got ${args.length}")
+    },
     "word_shingles" -> {
       case Seq(c, n) if n.foldable && (n.eval() match {
             case _: Number => true
@@ -65,8 +75,12 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions`-compatible installer. */
+/** `spark.sql.extensions`-compatible installer: the SQL function surface
+  * plus the optimizer rules (currently [[graft.plans.LevenshteinPruning]]
+  * — the length-bound prefilter for thresholded fuzzy matching). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injectable.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPruning)
+  }
 }

@@ -22,4 +22,15 @@ class SqlFunctionsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0d))").head())
     assert(e.getMessage.contains("cosine_sim"))
   }
+
+  test("jaro_winkler / z_value callable from spark.sql") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql("""
+      SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw,
+             z_value(3L, 5L) AS z
+    """).head()
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+    // interleave(3=0b011, 5=0b101): bits y=5 even positions, x=3 odd
+    assert(r.getLong(1) === ZValue.compute(3L, 5L))
+  }
 }

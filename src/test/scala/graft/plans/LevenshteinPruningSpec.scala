@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LevenshteinPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "kitten", "sitting"),   // dist 3, len diff 1
+    (2L, "abc", "abcdefghij"),   // dist 7, len diff 7 → guard prunes at k=2
+    (3L, "same", "same"),        // dist 0
+    (4L, null.asInstanceOf[String], "x")) // null row — filter drops either way
+
+  private def withRule[A](body: => A): A = {
+    spark.experimental.extraOptimizations = Seq(LevenshteinPruning)
+    try body
+    finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("filter plan gains the length lower-bound guard, results unchanged") {
+    // a parquet-backed relation: a LocalRelation filter would be
+    // constant-folded away before the plan can be inspected
+    val parts = graft.Tables.part(spark, Sf001)
+    val plain = parts.filter(expr("levenshtein(p_name, 'red widget') <= 8"))
+      .select("p_partkey").as[Long].collect().sorted
+    withRule {
+      val guarded = parts.filter(expr("levenshtein(p_name, 'red widget') <= 8"))
+      val opt = guarded.queryExecution.optimizedPlan.toString
+      assert(opt.contains("length"), opt) // the O(1) guard is in the plan
+      assert(opt.contains("levenshtein"), opt)
+      assert(guarded.select("p_partkey").as[Long].collect().sorted === plain)
+    }
+  }
+
+  test("rule is idempotent — re-application adds no second guard") {
+    val parts = graft.Tables.part(spark, Sf001)
+    withRule {
+      val cond = parts.filter(expr("levenshtein(p_name, 'red widget') <= 2"))
+      val once = LevenshteinPruning(cond.queryExecution.optimizedPlan)
+      assert(once.fastEquals(cond.queryExecution.optimizedPlan),
+        s"expected fixpoint, got\n$once")
+    }
+  }
+
+  test("projections are left alone (null semantics preserved)") {
+    val df = docs.toDF("id", "a", "b")
+    withRule {
+      val proj = df.select(expr("levenshtein(a, b) <= 2").as("close"))
+      val opt = proj.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("abs"), opt) // no guard outside Filter
+      // the null row stays null, not false-by-guard
+      assert(proj.filter(col("close").isNull).count() === 1L)
+    }
+  }
+
+  test("guard never changes the kept set on random string pairs") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (1L to 200L).map { i =>
+      def str() = (0 until rnd.nextInt(12)).map(_ =>
+        ('a' + rnd.nextInt(4)).toChar).mkString
+      (i, str(), str())
+    }
+    val df = pairs.toDF("id", "a", "b")
+    val plain = df.filter(expr("levenshtein(a, b) <= 2"))
+      .select("id").as[Long].collect().sorted
+    val guarded = withRule {
+      df.filter(expr("levenshtein(a, b) <= 2"))
+        .select("id").as[Long].collect().sorted
+    }
+    assert(guarded === plain)
+  }
+}
