@@ -18,11 +18,21 @@ object Quality {
     * unpivoted to (check, n_violations, n_checked) rows. Adding a rule
     * adds a column to the aggregate, never a pass over the data.
     */
-  def checkBlock(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
-    val aggs = count(lit(1)).as("__n") +:
+  /** The rule set as aggregate columns: one row count plus one
+    * conditional violation sum per rule (NULL predicates count as
+    * non-violations — `when` takes the otherwise branch). Shared by the
+    * batch [[checkBlock]] and the streaming
+    * [[graft.streaming.Streams.qualityMonitor]] so the two can never
+    * drift on rule semantics. */
+  def ruleAggs(checks: Seq[(String, Column)],
+      countName: String, prefix: String): Seq[Column] =
+    count(lit(1)).as(countName) +:
       checks.map { case (nm, viol) =>
-        sum(when(viol, 1L).otherwise(0L)).as(s"__v_$nm")
+        sum(when(viol, 1L).otherwise(0L)).as(s"$prefix$nm")
       }
+
+  def checkBlock(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = ruleAggs(checks, "__n", "__v_")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = checks.map { case (nm, _) =>
       struct(lit(nm).as("check"), col(s"__v_$nm").as("n_violations"),

@@ -37,24 +37,33 @@ object LevenshteinPruning extends Rule[LogicalPlan] {
 
   private val guarded = TreeNodeTag[Boolean]("graft.levenshtein.guarded")
 
-  private def lengthGuard(lev: Levenshtein, bound: Expression): Expression =
-    LessThanOrEqual(
-      Abs(Subtract(Length(lev.left), Length(lev.right))),
-      bound)
+  /** `abs(length(a) − length(b)) ≤/< bound` — the edit-distance lower
+    * bound in the same strictness as the original comparison. */
+  private def lengthGuard(lev: Levenshtein, bound: Expression,
+      strict: Boolean): Expression = {
+    val diff = Abs(Subtract(Length(lev.left), Length(lev.right)))
+    if (strict) LessThan(diff, bound) else LessThanOrEqual(diff, bound)
+  }
 
+  private def guardOnce(lev: Levenshtein, k: Expression, strict: Boolean,
+      cmp: Expression): Option[Expression] =
+    if (lev.getTagValue(guarded).isDefined) None
+    else {
+      lev.setTagValue(guarded, true)
+      Some(And(lengthGuard(lev, k, strict), cmp))
+    }
+
+  /** All four orientations of a thresholded comparison: lev ≤ k, lev < k,
+    * k ≥ lev, k > lev. */
   private def rewrite(cond: Expression): Expression = cond.transformUp {
-    case cmp @ LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType))
-        if lev.getTagValue(guarded).isEmpty =>
-      lev.setTagValue(guarded, true)
-      And(lengthGuard(lev, k), cmp)
-    case cmp @ LessThan(lev: Levenshtein, k @ Literal(_, IntegerType))
-        if lev.getTagValue(guarded).isEmpty =>
-      lev.setTagValue(guarded, true)
-      And(LessThan(Abs(Subtract(Length(lev.left), Length(lev.right))), k), cmp)
-    case cmp @ GreaterThanOrEqual(k @ Literal(_, IntegerType), lev: Levenshtein)
-        if lev.getTagValue(guarded).isEmpty =>
-      lev.setTagValue(guarded, true)
-      And(lengthGuard(lev, k), cmp)
+    case cmp @ LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType)) =>
+      guardOnce(lev, k, strict = false, cmp).getOrElse(cmp)
+    case cmp @ LessThan(lev: Levenshtein, k @ Literal(_, IntegerType)) =>
+      guardOnce(lev, k, strict = true, cmp).getOrElse(cmp)
+    case cmp @ GreaterThanOrEqual(k @ Literal(_, IntegerType), lev: Levenshtein) =>
+      guardOnce(lev, k, strict = false, cmp).getOrElse(cmp)
+    case cmp @ GreaterThan(k @ Literal(_, IntegerType), lev: Levenshtein) =>
+      guardOnce(lev, k, strict = true, cmp).getOrElse(cmp)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

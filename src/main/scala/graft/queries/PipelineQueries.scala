@@ -375,6 +375,9 @@ object PipelineQueries {
       val chunkText = col("text").substr(col("start"), lit(512))
       def digit(i: Int) =
         (expr(s"instr('0123456789abcdef', substr(h, $i, 1))") - 1)
+      // uid stride 1e6: collision-free up to million-chunk (~448 MB)
+      // documents — 1000 would alias doc N chunk 1000 with doc N+1
+      // chunk 0 at ~448 KB, well inside real-corpus sizes
       val chunks = fanOut(s, documents(s, d))
         .select(
           col("doc_id"),
@@ -382,7 +385,7 @@ object PipelineQueries {
             lit(448))).as(Seq("chunk_idx", "start")),
           col("text"))
         .select(
-          (col("doc_id") * 1000 + col("chunk_idx")).as("chunk_uid"),
+          (col("doc_id") * 1000000L + col("chunk_idx")).as("chunk_uid"),
           length(chunkText).as("n_chars"),
           md5(chunkText).as("h"))
         .select(
@@ -390,6 +393,11 @@ object PipelineQueries {
           array((0 until 8).map(j =>
             (digit(2 * j + 1) * 16 + digit(2 * j + 2)).cast("double")): _*)
             .as("v"))
+        // materialize-once barrier (the shingledDocs convention): the
+        // centroid seed scan, the assignment scan, and the n_chars
+        // join-back all read this frame — uncached, the document scan +
+        // substring explode + per-chunk md5 would run three times
+        .cache()
       val assigned = graft.ops.Similarity
         .kmeansAssign(chunks, "chunk_uid", "v", k = 4)
       assigned.join(chunks.select("chunk_uid", "n_chars"), "chunk_uid")
@@ -404,7 +412,7 @@ object PipelineQueries {
     },
     Some("""
       WITH chunks AS (
-        SELECT doc_id * 1000 + CAST((start - 1) // 448 AS BIGINT) AS chunk_uid,
+        SELECT doc_id * 1000000 + CAST((start - 1) // 448 AS BIGINT) AS chunk_uid,
                length(substr(text, CAST(start AS INTEGER), 512)) AS n_chars,
                md5(substr(text, CAST(start AS INTEGER), 512)) AS h
         FROM (SELECT doc_id, text,

@@ -765,6 +765,10 @@ object TextQueries {
           explode(sequence(lit(1), length(col("text")) - 63, lit(32))).as("st"),
           col("text"))
         .select(col("doc_id"), md5(col("text").substr(col("st"), lit(64))).as("dg"))
+        // materialize-once barrier: the dup aggregate (keyed on dg) and
+        // the per-doc join (keyed on doc_id) share no exchange, so an
+        // uncached grams recomputes the explode + per-gram md5 twice
+        .cache()
       val dup = grams.groupBy("dg")
         .agg(countDistinct(col("doc_id")).as("__nd"))
         .filter(col("__nd") >= 2)

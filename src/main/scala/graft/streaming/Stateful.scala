@@ -60,7 +60,10 @@ object Stateful {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, evs: Iterator[Event], state: GroupState[LastEvent]) => {
-          val ordered = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // micros, not getTime: millisecond truncation would order
+          // sub-millisecond neighbors differently than the batch twin's
+          // full-precision ts sort (breaking the stream ≡ batch contract)
+          val ordered = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var last = state.getOption
           val out = Seq.newBuilder[TransitionPair]
           ordered.foreach { e =>

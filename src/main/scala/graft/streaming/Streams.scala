@@ -90,11 +90,10 @@ object Streams {
     * n_violations/n_checked jumps. */
   def qualityMonitor(events: DataFrame,
       checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
-    import org.apache.spark.sql.functions.{count, lit, sum, when, window}
-    val aggs = count(lit(1)).as("n_checked") +:
-      checks.map { case (nm, viol) =>
-        sum(when(viol, 1L).otherwise(0L)).as(s"v_$nm")
-      }
+    import org.apache.spark.sql.functions.window
+    // the SAME rule-to-aggregate builder the batch DQ report uses —
+    // batch and stream cannot drift on rule semantics
+    val aggs = graft.ops.Quality.ruleAggs(checks, "n_checked", "v_")
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"))

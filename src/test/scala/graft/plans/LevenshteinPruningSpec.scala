@@ -43,6 +43,20 @@ class LevenshteinPruningSpec extends SparkSpec {
     }
   }
 
+  test("all four comparison orientations receive the guard") {
+    val parts = graft.Tables.part(spark, Sf001)
+    withRule {
+      Seq("levenshtein(p_name, 'red widget') <= 8",
+          "levenshtein(p_name, 'red widget') < 8",
+          "8 >= levenshtein(p_name, 'red widget')",
+          "8 > levenshtein(p_name, 'red widget')").foreach { pred =>
+        val opt = parts.filter(expr(pred))
+          .queryExecution.optimizedPlan.toString
+        assert(opt.contains("length"), s"$pred:\n$opt")
+      }
+    }
+  }
+
   test("projections are left alone (null semantics preserved)") {
     val df = docs.toDF("id", "a", "b")
     withRule {

@@ -67,6 +67,31 @@ class StatefulSpec extends SparkSpec {
     assert(batch === Seq(("click", "buy", 1L), ("view", "click", 1L)))
   }
 
+  test("transitions order sub-millisecond neighbors like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // two events in the SAME millisecond, microseconds apart — a
+    // getTime-based sort would see equal keys and order by event_id,
+    // flipping the pair direction vs the batch twin's full-precision ts
+    val early = Timestamp.valueOf("2024-01-01 10:00:00")
+    early.setNanos(50000) // .000050
+    val late = Timestamp.valueOf("2024-01-01 10:00:00")
+    late.setNanos(100000) // .000100
+    val evs = Seq(
+      Event(9, early, 1, "click", 0.0), // higher id but EARLIER micros
+      Event(2, late, 1, "view", 0.0))
+    val mem = MemoryStream[Event]
+    val q = Stateful.eventTransitions(mem.toDS())
+      .writeStream.format("memory").queryName("subms").outputMode("append").start()
+    try { mem.addData(evs: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("subms")
+      .select("from_type", "to_type").as[(String, String)].collect().toSeq
+    assert(streamed === Seq(("click", "view")))
+    val batch = graft.ops.Series.transitions(
+        evs.toDF(), "user_id", "ts", "event_type", "event_id")
+      .select("from_type", "to_type").as[(String, String)].collect().toSeq
+    assert(batch === streamed)
+  }
+
   test("streaming attribution credits the carried view across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
