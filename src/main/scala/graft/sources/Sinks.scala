@@ -77,4 +77,17 @@ object Sinks {
       .sortWithinPartitions(cols: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Raw-file ingest for the multimodal path: Spark's `binaryFile` source
+    * yields (path, modificationTime, length, content) — one row per file,
+    * content as the opaque binary column graft.multimodal operates on.
+    * `pathGlobFilter` prunes by extension DURING listing (never reads
+    * skipped files' bytes), and at 100 TB the source parallelizes the
+    * listing and spreads files across tasks — the standard way image /
+    * audio corpora enter a DataFrame pipeline. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
 }

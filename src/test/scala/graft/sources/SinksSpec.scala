@@ -84,4 +84,28 @@ class SinksSpec extends SparkSpec {
     assert(back.orderBy("k").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
       === Seq(("a", 1), ("b", 2), ("c", 3)))
   }
+
+  test("binaryFile source reads raw bytes; glob prunes at listing time") {
+    val dir = Files.createTempDirectory("binsrc")
+    val payloadA = Array[Byte](1, 2, 3, 4)
+    val payloadB = Array[Byte](9, 8, 7)
+    Files.write(dir.resolve("a.bin"), payloadA)
+    Files.write(dir.resolve("b.bin"), payloadB)
+    Files.write(dir.resolve("skip.txt"), "not binary payload".getBytes)
+    val df = Sinks.readBinaryFiles(spark, dir.toString, glob = "*.bin")
+    val rows = df.select("path", "length", "content")
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("a.bin", "b.bin")) // .txt pruned
+    assert(rows(0)._2 === 4L && rows(0)._3 === payloadA.toSeq)
+    assert(rows(1)._2 === 3L && rows(1)._3 === payloadB.toSeq)
+    // the content column feeds the multimodal decode stage directly
+    val packed = df.select(
+      col("length").as("doc_id"), lit("blob").as("kind"),
+      col("content").as("payload"))
+    val decoded = graft.multimodal.Multimodal.decodeFeatures(spark, packed)
+    assert(decoded.count() === 2)
+  }
 }
