@@ -1041,10 +1041,46 @@ object TextQueries {
       LIMIT 25
     """))
 
+  /** The CUSTOM expression family driven through `spark.sql` TEXT — the
+    * library's SQL surface under the same differential gate as the
+    * Column API: GraftFunctions.registerAll + a SQL query calling
+    * tokenize / rolling_hash / jaro_winkler by name, each
+    * DuckDB-reproducible (split+filter, list_reduce ascii fold, native
+    * jaro_winkler_similarity). A user who only speaks SQL gets the same
+    * verified behavior as the Scala API. */
+  val sqlCustomFuncs = QuerySpec(
+    "q_sql_custom_funcs",
+    (s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      documents(s, d).createOrReplaceTempView("documents_sqlfn")
+      s.sql("""
+        SELECT doc_id,
+               size(tokenize(text)) AS n_tokens,
+               rolling_hash(text) AS roll_fp,
+               round(jaro_winkler(substr(text, 1, 20), 'the fast key order'), 6)
+                 AS jw
+        FROM documents_sqlfn
+        ORDER BY doc_id
+      """)
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                  t -> t <> '')) AS INTEGER) AS n_tokens,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(string_split(text, ''),
+                                                     c -> CAST(ascii(c) AS BIGINT))),
+                         (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp,
+             round(jaro_winkler_similarity(substr(text, 1, 20),
+                                           'the fast key order'), 6) AS jw
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
     substringDedup, containment, bigramLm, giniDiversity, featureHash,
-    snmDedup)
+    snmDedup, sqlCustomFuncs)
 }
