@@ -338,6 +338,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("SQL-registered custom expressions stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_sql_custom_funcs")(spark, Sf001)
+    df.collect() // AQE prints codegen stars only in the final plan
+    val p = plan(df)
+    // the scan → project span is codegen'd (star markers), so tokenize /
+    // rolling_hash / jaro_winkler compile into the generated code rather
+    // than falling back to interpreted eval
+    assert(p.contains("*("), p)
+    assert(!p.contains("BatchEvalPython"), p)
+  }
+
   test("kmeans assignment broadcasts the centroid side and combines map-side") {
     val df = SparkEntry.queries("q_kmeans_assign")(spark, Sf001)
     val p = plan(df)
