@@ -14,9 +14,18 @@ object Dedup {
   /** E1: keep the first row (lowest tiebreaker) per normalized-content hash.
     * One shuffle on the 256-bit content hash; survivors keep their input
     * columns. At scale this is the canonical "hash-partition by content
-    * digest" dedup — no row ever compares against more than its bucket. */
+    * digest" dedup — no row ever compares against more than its bucket.
+    *
+    * NULL content is NOT treated as one shared bucket: md5(NULL) is NULL
+    * for every such row, and a plain partition-by would silently collapse
+    * ALL missing-text rows into one arbitrary survivor. Rows with NULL
+    * content get a per-row key (their tiebreaker) instead — "unknown
+    * content" never equals "unknown content", the same reasoning as SQL
+    * NULL inequality. */
   def exact(df: DataFrame, text: Column, tiebreak: Column): DataFrame = {
-    val key = md5(lower(trim(text)))
+    val key = coalesce(
+      md5(lower(trim(text))),
+      concat(lit("__null__"), tiebreak.cast("string")))
     val w = Window.partitionBy(key).orderBy(tiebreak)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

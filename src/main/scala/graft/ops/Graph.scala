@@ -81,10 +81,13 @@ object Graph {
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-    // input edges are distinct with a < b, so the symmetrized list is
-    // duplicate-free without a distinct() shuffle
+    // distinct() like bfsHops: a duplicate edge or a (b,a) mirror in the
+    // input would otherwise double-count adjacencies — wrong degrees and
+    // ranks with no error. One extra shuffle on the (small) edge list
+    // buys input-shape robustness; for dup-free a<b input it's a no-op.
     val und = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
       .cache()
     val deg = und.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))

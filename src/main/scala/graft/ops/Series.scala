@@ -134,14 +134,21 @@ object Series {
         col("sx"), col("sy"))
       .select(
         col("n"),
-        (col("num").cast("double") / col("denx").cast("double")).as("slope"),
+        // zero-variance guard: constant x (denx=0) has no defined slope —
+        // return NULL, never NaN/Infinity (the Text.ratio / CosineSim
+        // convention: degenerate input → SQL NULL, which composes)
+        when(col("denx") =!= 0,
+          col("num").cast("double") / col("denx").cast("double"))
+          .as("slope"),
         col("sx"), col("sy"), col("num"), col("denx"), col("deny"))
       .select(
         col("n"),
         col("slope"),
         ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
           / col("n").cast("double")).as("intercept"),
-        ((col("num").cast("double") * col("num").cast("double"))
-          / (col("denx").cast("double") * col("deny").cast("double"))).as("r2"))
+        when(col("denx") =!= 0 && col("deny") =!= 0,
+          (col("num").cast("double") * col("num").cast("double"))
+            / (col("denx").cast("double") * col("deny").cast("double")))
+          .as("r2"))
   }
 }

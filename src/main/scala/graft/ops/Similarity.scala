@@ -167,19 +167,25 @@ object Similarity {
       .orderBy(col("dist").asc, col(idCol).asc)
   }
 
-  /** IVF query: score only the nProbe cells whose centroids are nearest the
-    * probe (cosine), then brute-force inside them. */
+  /** IVF query: score only the nProbe cells whose centroids are nearest
+    * the probe, then brute-force inside them. Cell selection uses the
+    * SAME squared-L2 metric [[nearestCentroid]] assigned the corpus with —
+    * ranking probe cells by a different metric (an earlier version used
+    * cosine) can exclude the very cell holding the true neighbors
+    * whenever centroid norms differ, which they always do (centroids are
+    * means, never unit-norm). Standard IVF probes with the assignment
+    * metric for exactly this reason. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
       idCol: String, probe: Seq[Double], k: Int, nProbe: Int,
       excludeId: Option[Long] = None): DataFrame = {
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    def d2(a: Seq[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
     }
     val cells = centroids.zipWithIndex
-      .map { case (c, i) => (i, cos(c.toSeq, probe)) }
-      .sortBy { case (i, s) => (-s, i) }
+      .map { case (c, i) => (i, d2(probe, c)) }
+      .sortBy { case (i, s) => (s, i) }
       .take(nProbe).map(_._1)
     val p = array(probe.map(lit): _*)
     val base = excludeId.fold(assigned)(x => assigned.filter(col(idCol) =!= x))

@@ -24,7 +24,15 @@ case class KeyedId(key: Long, id: Long)
 class TopKByKey(k: Int) extends Aggregator[KeyedId, Seq[KeyedId], Seq[Long]] {
   require(k > 0, s"top-k width must be positive, got $k")
 
-  private val desc: Ordering[KeyedId] = Ordering.by(x => (-x.key, x.id))
+  // no negation: -Long.MinValue IS Long.MinValue (overflow), which would
+  // rank the smallest possible key as the largest. Compare key descending
+  // directly, then id ascending.
+  private val desc: Ordering[KeyedId] = new Ordering[KeyedId] {
+    override def compare(a: KeyedId, b: KeyedId): Int = {
+      val byKey = java.lang.Long.compare(b.key, a.key) // DESC
+      if (byKey != 0) byKey else java.lang.Long.compare(a.id, b.id) // ASC
+    }
+  }
 
   override def zero: Seq[KeyedId] = Vector.empty
 

@@ -68,7 +68,15 @@ object Stateful {
           val out = Seq.newBuilder[TransitionPair]
           ordered.foreach { e =>
             last.foreach(l => out += TransitionPair(uid, l.tpe, e.event_type))
-            last = Some(LastEvent(e.ts, e.event_id, e.event_type))
+            // monotone state: an event arriving LATE across a batch
+            // boundary still pairs (arrival-order semantics — append
+            // mode cannot retract) but must not regress the carried
+            // "latest event", or every subsequent pair would chain off
+            // stale state. In production the watermark bounds how late
+            // this case can occur.
+            if (last.forall(l => Ordering[(Long, Long)].lt(
+                (micros(l.ts), l.event_id), (micros(e.ts), e.event_id))))
+              last = Some(LastEvent(e.ts, e.event_id, e.event_type))
           }
           last.foreach(state.update)
           out.result().iterator
@@ -108,7 +116,15 @@ object Stateful {
             if (e.event_type == "purchase")
               out += Attribution(e.event_id, uid, lastView.map(_.event_id),
                 lastView.map(v => micros(e.ts) - micros(v.ts)))
-            if (e.event_type == "view")
+            if (e.event_type == "view" &&
+                // monotone state: a view arriving LATE (earlier event time
+                // than the carried one) must not regress the carried
+                // "latest view" — later purchases would be credited to an
+                // older touch than the batch twin computes. Late data
+                // beyond this guard is the append-mode watermark
+                // trade-off, as with every streaming twin here.
+                lastView.forall(v => Ordering[(Long, Long)].lt(
+                  (micros(v.ts), v.event_id), (micros(e.ts), e.event_id))))
               lastView = Some(LastView(e.ts, e.event_id))
           }
           lastView.foreach(state.update)
@@ -126,7 +142,13 @@ object Stateful {
           val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
           var n = prev.n_events
           var total = prev.total_value
-          evs.foreach { e => n += 1; total += e.value }
+          // sorted fold, not iterator order: the group iterator's order
+          // follows shuffle-read order, and double addition is not
+          // commutative in the last ulp — the same determinism rule the
+          // sibling operators apply (and PageRank's sorted-fold sums)
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            n += 1; total += e.value
+          }
           val next = UserTotals(uid, n, total)
           state.update(next)
           Iterator(next)

@@ -17,6 +17,17 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 4L))
   }
 
+  test("exact dedup passes NULL-content rows through instead of collapsing them") {
+    val docs = Seq(
+      (1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("x")), (4L, Some("x"))).toDF("doc_id", "text")
+    val kept = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    // unknown content is never equal to unknown content: both NULL rows
+    // survive; the real duplicates still collapse
+    assert(kept.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("exact dedup is idempotent") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
     val once = Dedup.exact(docs, col("text"), col("doc_id"))

@@ -57,6 +57,13 @@ class SeriesSpec extends SparkSpec {
     assert(r.map(_._3) === Seq(1, 0, 0, 1))
   }
 
+  test("olsFit on constant x returns NULL slope/r2, never NaN or Infinity") {
+    val xy = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("x", "y")
+    val r = Series.olsFit(xy, "x", "y").head()
+    assert(r.isNullAt(r.fieldIndex("slope")))
+    assert(r.isNullAt(r.fieldIndex("r2")))
+  }
+
   test("dailyStreaks matches brute force on seeded random activity sets") {
     val rnd = new scala.util.Random(42)
     val rows = Seq.fill(400) {

@@ -46,6 +46,15 @@ class TopKSpec extends SparkSpec {
     assert(agg.finish(merged) === Seq(0L, 3L, 9L))
   }
 
+  test("Long.MinValue keys rank last, not first (no negation overflow)") {
+    val agg = new TopKByKey(2)
+    val buf = Seq(KeyedId(Long.MinValue, 1L), KeyedId(5L, 2L), KeyedId(9L, 3L))
+      .foldLeft(agg.zero)(agg.reduce)
+    // −Long.MinValue overflows to itself; a negating ordering would rank
+    // the smallest key as the LARGEST and return id 1 here
+    assert(agg.finish(buf) === Seq(3L, 2L))
+  }
+
   test("aggregation is partial (ObjectHashAggregate map-side combine in plan)") {
     val top2 = TopK.topK(2)
     val df = sample.repartition(4).groupBy("g").agg(top2(col("key"), col("id")))

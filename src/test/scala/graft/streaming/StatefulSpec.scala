@@ -92,6 +92,25 @@ class StatefulSpec extends SparkSpec {
     assert(batch === streamed)
   }
 
+  test("a late-arriving view never regresses the carried latest-view state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Stateful.lastTouchAttribution(mem.toDS())
+      .writeStream.format("memory").queryName("lateattr").outputMode("append").start()
+    try {
+      mem.addData(Event(5, ts("2024-01-01 10:30:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2 delivers an OLDER view late — state must stay at event 5
+      mem.addData(Event(2, ts("2024-01-01 10:00:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(9, ts("2024-01-01 11:00:00"), 1, "purchase", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("lateattr")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(rows === Seq((9L, 1L, Some(5L), Some(30L * 60L * 1000000L))))
+  }
+
   test("streaming attribution credits the carried view across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
