@@ -43,13 +43,27 @@ object Bench {
       .filter(_.nonEmpty)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // A throwing query must NOT be recorded as a (fast) success: its
+    // pass is dropped, the failure is printed to stderr (the driver's
+    // captured tail), and a query failing EVERY pass lands in a
+    // "failed" list instead of the timings — a breakage can never read
+    // as a speedup.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = (1 to passes).flatMap { _ =>
-      named.map { case (name, fn) =>
+      named.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAIL $name: ${e.getMessage}")
+            failed += name
+            None
+        }
       }
     }.groupBy(_._1).map { case (name, ts) => name -> ts.map(_._2).min }
+    failed --= results.keys // failed only if NO pass succeeded
     // The contract line: {"metric",...,"queries":{ALL queries},...}. At
     // ~100 queries it runs ~2.4 kB — LONGER than the driver's ~2000-char
     // stdout-tail capture, which is why BENCH_r1–r3 all recorded
@@ -67,8 +81,17 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Extra fields are backward-compatible for a JSON parser: "subset"
+    // marks a BENCH_ONLY-filtered run (its total covers only the filtered
+    // queries), "failed" lists queries that completed NO pass.
+    val extras =
+      (if (only.isDefined) List(""""subset":true""") else Nil) ++
+        (if (failed.nonEmpty)
+          List(failed.mkString("\"failed\":[\"", "\",\"", "\"]"))
+        else Nil)
+    val extraStr = if (extras.isEmpty) "" else extras.mkString(",", ",", "")
     def line(qs: String): String =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"$extraStr}"""
     println(line(fmt(results.toSeq.sortBy(_._1))))
     println(line(fmt(results.toSeq.sortBy(-_._2).take(10))))
     spark.stop()

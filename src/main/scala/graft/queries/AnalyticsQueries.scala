@@ -190,8 +190,12 @@ object AnalyticsQueries {
     "q_heavy_hitters",
     (s, d) => {
       import graft.Tables
+      // materialize-once barrier: THREE consumers read this stream (the
+      // exact-top aggregate, the count-min sketch pass, the total count)
+      // — uncached, the CPU-heavy tokenize+explode would run three times
       val toks = Tables.fanOut(s, documents(s, d))
         .select(explode(graft.ops.Text.tokens(col("text"))).as("t"))
+        .cache()
       val exactTop = toks.groupBy("t")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("t").asc)

@@ -130,7 +130,11 @@ object CurationQueries {
   val kmeansAssign = QuerySpec(
     "q_kmeans_assign",
     (s, d) =>
-      Similarity.kmeansAssign(embeddings(s, d), "vec_id", "embedding", k = 8)
+      // fanOut: the per-row distance folds are interpreted HOF lambdas
+      // (dims × k per row) — on the single-split scan they'd run in ONE
+      // task (the ivfAssign convention fans out for the same reason)
+      Similarity.kmeansAssign(fanOut(s, embeddings(s, d)),
+          "vec_id", "embedding", k = 8)
         .orderBy("vec_id"),
     Some("""
       WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec

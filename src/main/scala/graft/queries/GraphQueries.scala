@@ -105,7 +105,11 @@ object GraphQueries {
         .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
       val wedges = deg.agg(
         count(lit(1)).as("n_nodes"),
-        (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("wedges"))
+        // integer DIV, not `/`: true division promotes the long sum to
+        // double, silently losing exactness past 2^53 (a degree-1e8
+        // super-node at real scale); d(d−1) is always even so DIV is
+        // exact. (The long sum itself overflows only past 2^63.)
+        expr("sum(deg * (deg - 1)) DIV 2").as("wedges"))
       val counts = e.agg(count(lit(1)).as("n_edges"))
         .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
       wedges.crossJoin(counts)

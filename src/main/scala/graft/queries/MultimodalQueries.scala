@@ -24,7 +24,9 @@ object MultimodalQueries {
                                       list_transform(string_split(text, ''),
                                                      c -> CAST(ascii(c) AS BIGINT))),
                          (a, b) -> (a * 31 + b) % 1000000007) AS payload_fp,
-             CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER) AS fake_width
+             CAST(CASE WHEN length(text) = 0 THEN 1
+                       ELSE (ascii(substr(text, 1, 1)) % 64) + 1
+                  END AS INTEGER) AS fake_width
       FROM documents
       ORDER BY doc_id
     """))

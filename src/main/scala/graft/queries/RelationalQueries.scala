@@ -233,22 +233,70 @@ object RelationalQueries {
 
   /** A3: Pearson correlation. The reference loops one `stat.corr` job per
     * column (untitled.py:162-165); here ALL correlations compute in one
-    * scan/aggregate — the single-pass rewrite SURVEY §3.2 calls for. */
+    * scan/aggregate — the single-pass rewrite SURVEY §3.2 calls for.
+    *
+    * NOT the built-in corr(): its streaming co-moment merge is
+    * partition-order-dependent float arithmetic, so the 6th rounded
+    * decimal could flip across layouts/engines near a boundary. Instead,
+    * the sufficient statistics accumulate as DECIMAL(38,18) casts of the
+    * exact double products (order-free, tie-free — the q_linreg_multi
+    * argument) and each correlation is one fixed IEEE sequence
+    * (n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²)) both engines
+    * replay identically. */
   val corrMatrix = QuerySpec(
     "q_corr",
-    (s, d) =>
+    (s, d) => {
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      val (q, p, dc, t) = (col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      def corrOf(sx: String, sy: String, sxy: String, sxx: String,
+          syy: String) = round(
+        (col("n") * col(sxy) - col(sx) * col(sy)) /
+          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+            sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
       lineitem(s, d)
         .agg(
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
-          round(corr(col("l_extendedprice"), col("l_tax")), 6).as("corr_price_tax"),
-          count(lit(1)).as("n_rows")),
+          count(lit(1)).cast("double").as("n"),
+          dsum(q).as("sq"), dsum(p).as("sp"), dsum(dc).as("sd"),
+          dsum(t).as("st"),
+          dsum(q * q).as("sqq"), dsum(p * p).as("spp"),
+          dsum(dc * dc).as("sdd"), dsum(t * t).as("stt"),
+          dsum(q * p).as("sqp"), dsum(q * dc).as("sqd"),
+          dsum(p * t).as("spt"))
+        .select(
+          corrOf("sq", "sp", "sqp", "sqq", "spp").as("corr_qty_price"),
+          corrOf("sq", "sd", "sqd", "sqq", "sdd").as("corr_qty_disc"),
+          corrOf("sp", "st", "spt", "spp", "stt").as("corr_price_tax"),
+          col("n").cast("long").as("n_rows"))
+    },
     Some("""
-      SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-             round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
-             round(corr(l_extendedprice, l_tax), 6) AS corr_price_tax,
-             count(*) AS n_rows
-      FROM lineitem
+      WITH s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sq,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sp,
+               CAST(sum(CAST(l_discount AS DECIMAL(38,18))) AS DOUBLE) AS sd,
+               CAST(sum(CAST(l_tax AS DECIMAL(38,18))) AS DOUBLE) AS st,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sqq,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS spp,
+               CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,18))) AS DOUBLE) AS sdd,
+               CAST(sum(CAST(l_tax * l_tax AS DECIMAL(38,18))) AS DOUBLE) AS stt,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sqp,
+               CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,18))) AS DOUBLE) AS sqd,
+               CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(38,18))) AS DOUBLE) AS spt
+        FROM lineitem
+      )
+      SELECT round((n * sqp - sq * sp)
+                   / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+               AS corr_qty_price,
+             round((n * sqd - sq * sd)
+                   / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+               AS corr_qty_disc,
+             round((n * spt - sp * st)
+                   / (sqrt(n * spp - sp * sp) * sqrt(n * stt - st * st)), 6)
+               AS corr_price_tax,
+             CAST(n AS BIGINT) AS n_rows
+      FROM s
     """))
 
   /** A4/M4: RMSE as a plain aggregate (untitled.py:238-240 — the reference

@@ -167,7 +167,10 @@ object SeriesQueries {
   val mad = QuerySpec(
     "q_mad",
     (s, d) => {
-      val med = lineitem(s, d)
+      // fanOut: the exact median buffers every group value — on the
+      // single-split parquet scan that is ONE task (the q_groupby_median
+      // serial-stage cliff); fan out before the percentile buffers build
+      val med = fanOut(s, lineitem(s, d))
         .groupBy("l_returnflag")
         .agg(median(col("l_extendedprice")).as("med_price"))
       fanOut(s, lineitem(s, d))
