@@ -65,13 +65,25 @@ object GraftFunctions {
         name, builder, "scala_udf")
     }
 
+  /** Call-surface caveats surfaced through `DESCRIBE FUNCTION` — the one
+    * place a SQL user sees semantics the type signature can't carry. */
+  private val usageDocs: Map[String, String] = Map(
+    "jaro_winkler" ->
+      ("jaro_winkler(a, b) - Jaro-Winkler similarity of two strings, " +
+        "computed over UTF-8 BYTES: exact for ASCII; multi-byte codepoints " +
+        "are matched byte-wise, so non-ASCII input gets byte-level (not " +
+        "codepoint-level) similarity."))
+
   /** Builders shaped for SparkSessionExtensions.injectFunction. */
   private[functions] def injectable
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     builders.map { case (name, builder) =>
-      (FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name),
-        builder)
+      val info = usageDocs.get(name) match {
+        case Some(usage) =>
+          new ExpressionInfo("graft.functions", null, name, usage, "")
+        case None => new ExpressionInfo("graft.functions", name)
+      }
+      (FunctionIdentifier(name), info, builder)
     }
 }
 

@@ -23,9 +23,16 @@ object Dedup {
     * content" never equals "unknown content", the same reasoning as SQL
     * NULL inequality. */
   def exact(df: DataFrame, text: Column, tiebreak: Column): DataFrame = {
+    // Three-arm coalesce: content hash → per-row tiebreak key → last-resort
+    // per-row physical id. The middle arm is itself NULL when the tiebreaker
+    // is NULL, and without the third arm all NULL-content+NULL-tiebreak rows
+    // would share the window's single NULL partition and collapse to one
+    // arbitrary survivor — the exact silent collapse this key exists to
+    // prevent.
     val key = coalesce(
       md5(lower(trim(text))),
-      concat(lit("__null__"), tiebreak.cast("string")))
+      concat(lit("__null__"), tiebreak.cast("string")),
+      concat(lit("__row__"), monotonically_increasing_id().cast("string")))
     val w = Window.partitionBy(key).orderBy(tiebreak)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -32,6 +32,9 @@ object Quality {
       }
 
   def checkBlock(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    // explode(array()) of zero structs types as array<null> and the
+    // `select("r.*")` fails ANALYSIS — reject the misuse loudly instead.
+    require(checks.nonEmpty, "checkBlock needs at least one rule")
     val aggs = ruleAggs(checks, "__n", "__v_")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = checks.map { case (nm, _) =>

@@ -54,15 +54,26 @@ object LevenshteinPruning extends Rule[LogicalPlan] {
     }
 
   /** All four orientations of a thresholded comparison: lev ≤ k, lev < k,
-    * k ≥ lev, k > lev. */
+    * k ≥ lev, k > lev.
+    *
+    * Restricted to the 2-arg `levenshtein(a, b)` form
+    * (`lev.threshold.isEmpty`): the 3-arg `levenshtein(a, b, t)` returns −1
+    * when the distance exceeds t, so `levenshtein(a, b, t) <= k` is TRUE for
+    * over-threshold rows while the length guard would be false when the
+    * length gap exceeds k — injecting the guard there would silently drop
+    * rows the predicate keeps. */
   private def rewrite(cond: Expression): Expression = cond.transformUp {
-    case cmp @ LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType)) =>
+    case cmp @ LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType))
+        if lev.threshold.isEmpty =>
       guardOnce(lev, k, strict = false, cmp).getOrElse(cmp)
-    case cmp @ LessThan(lev: Levenshtein, k @ Literal(_, IntegerType)) =>
+    case cmp @ LessThan(lev: Levenshtein, k @ Literal(_, IntegerType))
+        if lev.threshold.isEmpty =>
       guardOnce(lev, k, strict = true, cmp).getOrElse(cmp)
-    case cmp @ GreaterThanOrEqual(k @ Literal(_, IntegerType), lev: Levenshtein) =>
+    case cmp @ GreaterThanOrEqual(k @ Literal(_, IntegerType), lev: Levenshtein)
+        if lev.threshold.isEmpty =>
       guardOnce(lev, k, strict = false, cmp).getOrElse(cmp)
-    case cmp @ GreaterThan(k @ Literal(_, IntegerType), lev: Levenshtein) =>
+    case cmp @ GreaterThan(k @ Literal(_, IntegerType), lev: Levenshtein)
+        if lev.threshold.isEmpty =>
       guardOnce(lev, k, strict = true, cmp).getOrElse(cmp)
   }
 

@@ -68,6 +68,22 @@ class LevenshteinPruningSpec extends SparkSpec {
     }
   }
 
+  test("3-arg thresholded levenshtein is NOT rewritten, results unchanged") {
+    // levenshtein(a, b, t) returns -1 past the threshold, so `<= k` KEEPS
+    // over-threshold rows; a length guard would wrongly drop them.
+    val parts = graft.Tables.part(spark, Sf001)
+    val pred = "levenshtein(p_name, 'red widget', 3) <= 8"
+    val plain = parts.filter(expr(pred))
+      .select("p_partkey").as[Long].collect().sorted
+    assert(plain.nonEmpty) // the -1 rows must be present to make the test real
+    withRule {
+      val guarded = parts.filter(expr(pred))
+      val opt = guarded.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("abs"), opt) // no guard on the 3-arg form
+      assert(guarded.select("p_partkey").as[Long].collect().sorted === plain)
+    }
+  }
+
   test("guard never changes the kept set on random string pairs") {
     val rnd = new scala.util.Random(11)
     val pairs = (1L to 200L).map { i =>
