@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.ZValue.z_value
@@ -22,13 +21,16 @@ object StorageQueries {
     * partkey AND suppkey simultaneously; a single-column sort would bound
     * one and leave the other spanning the full domain.
     *
-    * Scale shape: the z key is a per-row expression; at 100 TB the write
-    * path is `repartitionByRange($"z") .sortWithinPartitions($"z")` —
-    * shuffle-parallel, no global window. The ntile here stands in for the
-    * range partitioner only because tile BOUNDARIES must be reproducible
-    * bit-for-bit for the DuckDB oracle (range-partitioner boundaries are
-    * sampled); it is the oracle-portability compromise, not the layout
-    * plan. */
+    * Scale shape: the fact table is `repartitionByRange(z, …)` — the same
+    * shuffle a production z-order WRITE pays — and the tile id is computed
+    * arithmetically from [[graft.ops.Ranks.globalRank]]'s dense rank
+    * (range exchange + partition-LOCAL row_number + broadcast offsets), so
+    * NO row of lineitem ever passes through a single-task global
+    * sort/window. [[graft.ops.Ranks.ntileFromRank]] reproduces ntile's
+    * row-position tile boundaries bit-for-bit, which is what keeps the
+    * window-function oracle while the plan stays shuffle-parallel
+    * (PlanSpec asserts the absence of any unpartitioned Window over the
+    * scan). */
   val zorder = QuerySpec(
     "q_zorder",
     (s, d) => {
@@ -36,10 +38,13 @@ object StorageQueries {
         col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"),
         z_value(col("l_partkey"), col("l_suppkey")).as("z"))
-      val w = Window.orderBy(
-        col("z"), col("l_orderkey"), col("l_linenumber"))
-      keyed
-        .withColumn("tile", ntile(16).over(w))
+      val nParts = s.sessionState.conf.numShufflePartitions
+      graft.ops.Ranks
+        .globalRank(keyed,
+          Seq(col("z"), col("l_orderkey"), col("l_linenumber")),
+          nParts, "__rk", totalCol = Some("__n"))
+        .withColumn("tile",
+          graft.ops.Ranks.ntileFromRank(col("__rk"), col("__n"), 16))
         .groupBy("tile")
         .agg(
           count(lit(1)).as("n_rows"),

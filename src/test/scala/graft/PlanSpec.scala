@@ -225,6 +225,22 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("*("), plan(df))
   }
 
+  test("z-order tiling has no single-task window or sort over the scan") {
+    // the scale hazard this query exists to avoid: an unpartitioned
+    // Window (or global Sort) would funnel every lineitem row through one
+    // task. Every Window in the plan must carry a partition spec; the
+    // only whole-plan ordering allowed is the 16-row output presentation.
+    val df = SparkEntry.queries("q_zorder")(spark, Sf001)
+    df.collect()
+    val unpartitionedWindows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitionedWindows.isEmpty,
+      unpartitionedWindows.mkString("\n"))
+    assert(plan(df).contains("Exchange hashpartitioning(__gr_bkt"), plan(df))
+  }
+
   test("hash split is one scan into one partial-then-final aggregate") {
     val df = SparkEntry.queries("q_hash_split")(spark, Sf001)
     df.collect()

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The distributed rank must equal the single-task window forms
+  * bit-for-bit — that equivalence is what lets range-partitioned plans
+  * keep their window-function oracles. */
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomDf(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    // duplicate-heavy keys: ranks must still be total via the id tiebreak
+    (1 to n).map(i => (i.toLong, rnd.nextInt(7), rnd.nextInt(1000)))
+      .toDF("id", "k", "v")
+  }
+
+  test("globalRank equals row_number over a global window") {
+    for ((n, parts) <- Seq((0, 4), (1, 4), (37, 4), (500, 8), (500, 1000))) {
+      val df = randomDf(n, seed = n + parts)
+      val expected = df
+        .withColumn("rk", row_number().over(Window.orderBy(col("k"), col("id"))))
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      val got = Ranks
+        .globalRank(df, Seq(col("k"), col("id")), parts, "rk")
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"n=$n parts=$parts")
+    }
+  }
+
+  test("ntileFromRank equals ntile over a global window, all fill levels") {
+    // n < t, n = t, n multiple of t, n mod t ≠ 0 — every ntile size class
+    for ((n, t) <- Seq((5, 16), (16, 16), (64, 16), (37, 16), (1000, 7))) {
+      val df = randomDf(n, seed = 11 * n + t)
+      val w = Window.orderBy(col("k"), col("id"))
+      val expected = df
+        .withColumn("tile", ntile(t).over(w))
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      val got = Ranks
+        .globalRank(df, Seq(col("k"), col("id")), 6, "rk",
+          totalCol = Some("n"))
+        .withColumn("tile", Ranks.ntileFromRank(col("rk"), col("n"), t))
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      assert(got === expected, s"n=$n t=$t")
+    }
+  }
+
+  test("rank column is dense, 1-based, and preserves input columns") {
+    val df = randomDf(200, seed = 3)
+    val out = Ranks.globalRank(df, Seq(col("k"), col("id")), 5, "rk")
+    assert(out.columns.sorted === Array("id", "k", "rk", "v"))
+    val ranks = out.select("rk").as[Long].collect().sorted
+    assert(ranks === (1L to 200L).toArray)
+  }
+}
