@@ -94,20 +94,78 @@ object Dedup {
     * the corpus by a canonical content key, compare each record only to
     * the next `w−1` in sorted order. The third classic blocking scheme
     * next to the posting join (exact, Σ df² work) and LSH banding
-    * (probabilistic): join-free — ONE sort, `w−1` lead() taps, a bounded
-    * explode — and near-identical records sort adjacently by
-    * construction of the key.
+    * (probabilistic) — `w−1` lead() taps and a bounded explode, with
+    * near-identical records sorting adjacently by construction of the key.
     *
-    * The window here is a single global sort; the 100 TB form is
-    * `repartitionByRange(key)` + sortWithinPartitions with the last `w−1`
-    * rows of each partition replicated into the next (boundary overlap) —
-    * same candidates, no single-partition window. Emitted pairs carry
-    * exact-integer Jaccard in jaccardPairs' inclusion–exclusion form;
-    * id_a is the sort-order-earlier record (NOT necessarily id_a < id_b).
+    * This is the boundary-overlap scale form: [[Ranks.globalRank]] gives
+    * every row a dense rank in (key, id) order with NO global window
+    * (literal-cutpoint buckets + partition-local row_number), rows are
+    * grouped into fixed-size RANK BLOCKS, and the first `w−1` rows of
+    * each block are replicated into the predecessor block so every
+    * anchor sees its full neighborhood. Ranks are dense, so each block's
+    * partition holds exactly the contiguous rank range
+    * [bB+1, (b+1)B+w−1] once — `lead(k)` is precisely "the row with rank
+    * rk+k" whether it is a base row or a boundary copy, and the pair set
+    * equals the single-sort form's bit-for-bit (DedupSpec proves it on
+    * random corpora, including blocks smaller than w−1's reach). Window
+    * memory is bounded by `blockSize + w − 1` rows per task.
+    *
+    * Emitted pairs carry exact-integer Jaccard in jaccardPairs'
+    * inclusion–exclusion form; id_a is the sort-order-earlier record
+    * (NOT necessarily id_a < id_b).
     *
     * `shCol` must hold DISTINCT shingles (callers array_distinct). */
   def sortedNeighborhood(docs: DataFrame, idCol: String, shCol: String,
-      w: Int): DataFrame = {
+      w: Int, blockSize: Int = 1 << 16): DataFrame = {
+    require(w >= 2, s"window w=$w must be at least 2")
+    require(blockSize >= w,
+      s"blockSize=$blockSize must be at least w=$w so a neighborhood " +
+        "never spans more than two blocks")
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = docs.select(
+      array_join(array_sort(col(shCol)), " ").as("__k"),
+      col(idCol).as("__id"), col(shCol).as("__sh"))
+    val ranked = Ranks
+      .globalRank(base, Seq(col("__k"), col("__id")), nParts, "__rk")
+      .drop("__k")
+    val posInBlk = (col("__rk") - 1) % blockSize
+    val blkOf = ((col("__rk") - 1 - posInBlk) / blockSize).cast("long")
+    val home = ranked
+      .withColumn("__blk", blkOf)
+      .withColumn("__anchor", lit(true))
+    // first w−1 rows of block b, replicated into block b−1 as lead-only
+    // targets: dense ranks make the copy exact, with no dependence on
+    // how many rows a physical partition happened to receive
+    val copies = home
+      .filter(col("__blk") > 0 && posInBlk < (w - 1))
+      .withColumn("__blk", col("__blk") - 1)
+      .withColumn("__anchor", lit(false))
+    val win = Window.partitionBy("__blk").orderBy("__rk")
+    home.unionByName(copies)
+      .withColumn("__nbrs",
+        array((1 until w).map(k =>
+          lead(struct(col("__id").as("id"), col("__sh").as("sh")), k)
+            .over(win)): _*))
+      .filter(col("__anchor"))
+      .select(col("__id").as("id_a"), col("__sh").as("sh_a"),
+        explode(col("__nbrs")).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(col("id_a"), col("nb.id").as("id_b"),
+        size(array_intersect(col("sh_a"), col("nb.sh"))).cast("long")
+          .as("common"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("nb.sh")).cast("long").as("sz_b"))
+      .filter(col("common") > 0)
+      .withColumn("jac",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+  }
+
+  /** The single-global-window SNM form — one task sorts the whole corpus,
+    * so this is test-only: DedupSpec's ground truth for proving the
+    * blocked form's pair set equal. */
+  private[graft] def sortedNeighborhoodGlobal(docs: DataFrame, idCol: String,
+      shCol: String, w: Int): DataFrame = {
     require(w >= 2, s"window w=$w must be at least 2")
     val key = array_join(array_sort(col(shCol)), " ")
     val win = Window.orderBy(key, col(idCol))

@@ -1009,8 +1009,12 @@ object TextQueries {
   val snmDedup = QuerySpec(
     "q_snm_dedup",
     (s, d) =>
+      // blockSize 256 forces multi-block + boundary replication even at
+      // sf0.001 — the registered query runs the actual scale path, not a
+      // degenerate single block
       Dedup.sortedNeighborhood(
-          shingledDocs(s, d).select("doc_id", "sh"), "doc_id", "sh", w = 4)
+          shingledDocs(s, d).select("doc_id", "sh"), "doc_id", "sh", w = 4,
+          blockSize = 256)
         .select("id_a", "id_b", "jac")
         .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
         .limit(25),

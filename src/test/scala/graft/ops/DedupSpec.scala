@@ -120,4 +120,28 @@ class DedupSpec extends SparkSpec {
     assert(snm.nonEmpty)
     snm.foreach { case (k, j) => assert(exact.get(k).contains(j), s"$k") }
   }
+
+  test("blocked SNM pair set equals the global-window form on random corpora") {
+    // the boundary-overlap scale form must emit EXACTLY the single-sort
+    // pairs — exercised across block sizes that force neighborhoods to
+    // span block boundaries (blockSize barely above w) and duplicate-heavy
+    // sort keys (4-symbol alphabet → many identical shingle bags)
+    val rnd = new scala.util.Random(17)
+    for ((n, w, blockSize) <- Seq((300, 4, 4), (300, 2, 2), (157, 5, 7),
+        (64, 3, 64), (3, 4, 8))) {
+      val docs = (1 to n).map { i =>
+        val nSh = 1 + rnd.nextInt(4)
+        (i.toLong, (0 until nSh).map(_ =>
+          ('a' + rnd.nextInt(4)).toChar.toString).distinct)
+      }.toDF("doc_id", "sh")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df
+        .select("id_a", "id_b", "common", "sz_a", "sz_b", "jac")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      val blocked = pairs(
+        Dedup.sortedNeighborhood(docs, "doc_id", "sh", w, blockSize))
+      val global = pairs(
+        Dedup.sortedNeighborhoodGlobal(docs, "doc_id", "sh", w))
+      assert(blocked === global, s"n=$n w=$w blockSize=$blockSize")
+    }
+  }
 }
