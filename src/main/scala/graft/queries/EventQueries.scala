@@ -387,15 +387,21 @@ object EventQueries {
     * (exact count) and monetary (decimal-accumulated, cast to double
     * once), then quintile labels and the composite RFM segment.
     *
-    * The quintile window is GLOBAL but runs over the AGGREGATED user
-    * table — |users| rows, not |events| (here 0.15% of the input). At
-    * a scale where even that doesn't fit one partition, the documented
-    * swap is percentile cutpoints (approx at 100 TB) broadcast back as
-    * range predicates — same labels, no global sort. */
+    * Scale form: each quintile label comes from [[graft.ops.Ranks]] —
+    * literal-cutpoint buckets + a partition-LOCAL row_number, then
+    * ntile-by-arithmetic — so even a billions-of-users aggregate never
+    * passes through a single-task window (the three `ntile(5) OVER
+    * (ORDER BY …)` this replaces funneled the whole user table through
+    * one partition, three times; PlanSpec asserts none remain). DESC
+    * metrics rank by their negation; the user_id tiebreak sits inside
+    * the rank order, so ties split EXACTLY as the window form's — which
+    * is why the ntile-based oracle is unchanged. The user aggregate is
+    * lazily localCheckpoint'ed first: the three rank passes then read
+    * one materialization instead of re-aggregating events six times for
+    * their count/cutpoint jobs. */
   val rfm = QuerySpec(
     "q_rfm",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val agg = events(s, d)
         .groupBy("user_id")
         .agg(
@@ -403,16 +409,26 @@ object EventQueries {
           sum(col("value").cast("decimal(18,4)")).cast("double")
             .as("monetary"),
           max(col("ts")).as("last_ts"))
+        .localCheckpoint(false)
       val mx = agg.agg(max(col("last_ts")).as("now_ts"))
-      val wr = Window.orderBy(col("last_ts").desc, col("user_id"))
-      val wf = Window.orderBy(col("frequency").desc, col("user_id"))
-      val wm = Window.orderBy(col("monetary").desc, col("user_id"))
+      val nParts = s.sessionState.conf.numShufflePartitions
+      // ntile(5) OVER (ORDER BY key DESC, user_id) ≡ ntileFromRank over
+      // the (-key, user_id) ascending rank — bit-identical, ties included
+      def quintile(negKey: org.apache.spark.sql.Column, name: String) =
+        graft.ops.Ranks
+          .globalRank(agg.select(col("user_id"), negKey.as("__key")),
+            Seq(col("__key"), col("user_id")), nParts, "__rk",
+            totalCol = Some("__n"))
+          .select(col("user_id"),
+            graft.ops.Ranks.ntileFromRank(col("__rk"), col("__n"), 5)
+              .cast("long").as(name))
+      val r = quintile(lit(0L) - unix_micros(col("last_ts")), "r_quintile")
+      val f = quintile(lit(0L) - col("frequency"), "f_quintile")
+      val m = quintile(lit(0.0) - col("monetary"), "m_quintile")
       agg.crossJoin(broadcast(mx))
         .withColumn("recency_hours",
           expr("(unix_micros(now_ts) - unix_micros(last_ts)) DIV 3600000000"))
-        .withColumn("r_quintile", ntile(5).over(wr).cast("long"))
-        .withColumn("f_quintile", ntile(5).over(wf).cast("long"))
-        .withColumn("m_quintile", ntile(5).over(wm).cast("long"))
+        .join(r, "user_id").join(f, "user_id").join(m, "user_id")
         .withColumn("rfm_segment",
           (col("r_quintile") * 100 + col("f_quintile") * 10 +
             col("m_quintile")).cast("long"))

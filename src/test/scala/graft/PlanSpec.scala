@@ -241,6 +241,17 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("Exchange hashpartitioning(__gr_bkt"), plan(df))
   }
 
+  test("RFM quintiles have no single-task window over the user table") {
+    val df = SparkEntry.queries("q_rfm")(spark, Sf001)
+    df.collect()
+    val unpartitionedWindows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitionedWindows.isEmpty,
+      unpartitionedWindows.mkString("\n"))
+  }
+
   test("SNM dedup has no single-task window — all windows are block-partitioned") {
     val df = SparkEntry.queries("q_snm_dedup")(spark, Sf001)
     df.collect()
