@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives over edge-list DataFrames (the dedup /
@@ -68,18 +69,23 @@ object Graph {
     * out-degree, and every node has an in-neighbor, so there is no
     * dangling-mass term.
     *
-    * Determinism contract: the per-node contribution sum folds a SORTED
-    * collected list (`aggregate(array_sort(collect_list(…)))`), making
-    * every iteration a fixed IEEE sequence any engine reproduces — a
-    * partition-order `sum(double)` would drift in the last ulp and
-    * compound across iterations. The buffer is one node's in-neighbor
-    * list, bounded by max degree; at 100 TB a plain `sum` (last-ulp
-    * noise accepted) or a two-level sorted-segment fold is the swap —
-    * the sorted fold here is the ORACLE-portability choice.
+    * Determinism contract: every contribution sum is a fixed IEEE
+    * sequence any engine replays — a partition-order `sum(double)` would
+    * drift in the last ulp and compound across iterations. The sequence
+    * is a TWO-LEVEL sorted-segment fold: contributions get a
+    * deterministic position per node (row_number by (c, src) — a
+    * partitioned, spill-safe window), segments of `segSize` positions
+    * fold sorted lists (buffer ≤ segSize), and the segment sums fold in
+    * segment order (buffer ≤ ⌈maxDeg/segSize⌉). A single-level
+    * `aggregate(array_sort(collect_list(…)))` needs the WHOLE in-neighbor
+    * list in one aggregation buffer — on a power-law graph, a
+    * single-hot-key OOM; with segSize ≈ √maxDeg both levels stay small
+    * no matter how hot the node.
     *
     * Returns (id, deg, rank) for every node. */
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85, segSize: Int = 1 << 16): DataFrame = {
+    require(segSize >= 2, s"segSize=$segSize must be at least 2")
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
     // distinct() like bfsHops: a duplicate edge or a (b,a) mirror in the
     // input would otherwise double-count adjacencies — wrong degrees and
@@ -99,10 +105,22 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = und
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
-      val sums = contrib.groupBy("id")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"),
+          col("src"))
+      // (c, src) is a total order per node (src unique among in-neighbors)
+      val pos = contrib.withColumn("__rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("c"), col("src"))))
+      val segSums = pos
+        .groupBy(col("id"),
+          (((col("__rn") - 1 - ((col("__rn") - 1) % segSize)) / segSize))
+            .cast("long").as("__seg"))
         .agg(aggregate(array_sort(collect_list(col("c"))),
           lit(0.0), (acc, x) => acc + x).as("s"))
+      val sums = segSums.groupBy("id")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("__seg").as("seg"),
+            col("s").as("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("s"))
       ranks = deg.crossJoin(broadcast(n))
         .join(sums, Seq("id"), "left")
         .select(col("id"), col("deg"),

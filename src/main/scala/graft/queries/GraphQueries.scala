@@ -145,17 +145,20 @@ object GraphQueries {
 
   /** 3-iteration PageRank over the co-occurrence graph, top-20 by rank.
     * Every iteration is one edge join + one aggregate over the (small)
-    * graph; the contribution sums fold SORTED lists so all three
-    * iterations are a fixed IEEE sequence the oracle replays exactly
-    * (Graph.pageRank scaladoc). The teleport term is written (1.0−0.85)/n
-    * on BOTH sides — the literal 0.15 is a different double than
-    * 1.0−0.85, and the difference would compound across iterations.
-    * Output ranks round once at 1e-9. */
+    * graph; the contribution sums are TWO-LEVEL sorted-segment folds
+    * (Graph.pageRank scaladoc) — a fixed IEEE sequence the oracle
+    * replays term-for-term below (same row_number segmentation, same
+    * within-segment sort, same segment-order outer fold; segSize 8 on
+    * both sides so the multi-segment path actually runs at test scale).
+    * The teleport term is written (1.0−0.85)/n on BOTH sides — the
+    * literal 0.15 is a different double than 1.0−0.85, and the
+    * difference would compound across iterations. Output ranks round
+    * once at 1e-9. */
   val pagerank = QuerySpec(
     "q_pagerank",
     (s, d) => {
       val e = freqEdges(s, d).cache() // shares the hops/triangles entry
-      Graph.pageRank(e, "a", "b", iters = 3, damping = 0.85)
+      Graph.pageRank(e, "a", "b", iters = 3, damping = 0.85, segSize = 8)
         .select(col("id").as("part_id"), col("deg"),
           round(col("rank"), 9).as("rank"))
         .orderBy(round(col("rank"), 9).desc, col("part_id").asc)
@@ -169,18 +172,39 @@ object GraphQueries {
               FROM und GROUP BY 1),
       n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
       r0 AS (SELECT id, deg, 1.0 / n AS rank FROM deg CROSS JOIN n),
-      c1 AS (SELECT e.dst AS id, list_sum(list_sort(list(r.rank / r.deg))) AS s
-             FROM und e JOIN r0 r ON r.id = e.src GROUP BY 1),
+      p1 AS (SELECT e.dst AS id, r.rank / r.deg AS c,
+                    row_number() OVER (PARTITION BY e.dst
+                      ORDER BY r.rank / r.deg, e.src) AS rn
+             FROM und e JOIN r0 r ON r.id = e.src),
+      g1 AS (SELECT id, (rn - 1) // 8 AS seg,
+                    list_sum(list_sort(list(c))) AS s
+             FROM p1 GROUP BY 1, 2),
+      c1 AS (SELECT id, list_sum(list(s ORDER BY seg)) AS s
+             FROM g1 GROUP BY 1),
       r1 AS (SELECT d.id, d.deg,
                     (1.0 - 0.85) / n.n + 0.85 * coalesce(c1.s, 0.0) AS rank
              FROM deg d CROSS JOIN n LEFT JOIN c1 ON c1.id = d.id),
-      c2 AS (SELECT e.dst AS id, list_sum(list_sort(list(r.rank / r.deg))) AS s
-             FROM und e JOIN r1 r ON r.id = e.src GROUP BY 1),
+      p2 AS (SELECT e.dst AS id, r.rank / r.deg AS c,
+                    row_number() OVER (PARTITION BY e.dst
+                      ORDER BY r.rank / r.deg, e.src) AS rn
+             FROM und e JOIN r1 r ON r.id = e.src),
+      g2 AS (SELECT id, (rn - 1) // 8 AS seg,
+                    list_sum(list_sort(list(c))) AS s
+             FROM p2 GROUP BY 1, 2),
+      c2 AS (SELECT id, list_sum(list(s ORDER BY seg)) AS s
+             FROM g2 GROUP BY 1),
       r2 AS (SELECT d.id, d.deg,
                     (1.0 - 0.85) / n.n + 0.85 * coalesce(c2.s, 0.0) AS rank
              FROM deg d CROSS JOIN n LEFT JOIN c2 ON c2.id = d.id),
-      c3 AS (SELECT e.dst AS id, list_sum(list_sort(list(r.rank / r.deg))) AS s
-             FROM und e JOIN r2 r ON r.id = e.src GROUP BY 1),
+      p3 AS (SELECT e.dst AS id, r.rank / r.deg AS c,
+                    row_number() OVER (PARTITION BY e.dst
+                      ORDER BY r.rank / r.deg, e.src) AS rn
+             FROM und e JOIN r2 r ON r.id = e.src),
+      g3 AS (SELECT id, (rn - 1) // 8 AS seg,
+                    list_sum(list_sort(list(c))) AS s
+             FROM p3 GROUP BY 1, 2),
+      c3 AS (SELECT id, list_sum(list(s ORDER BY seg)) AS s
+             FROM g3 GROUP BY 1),
       r3 AS (SELECT d.id, d.deg,
                     (1.0 - 0.85) / n.n + 0.85 * coalesce(c3.s, 0.0) AS rank
              FROM deg d CROSS JOIN n LEFT JOIN c3 ON c3.id = d.id)

@@ -55,4 +55,39 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r(1L) - 0.5) < 1e-15)
     assert(math.abs(r(2L) - 0.5) < 1e-15)
   }
+
+  test("pageRank: segment fold is partition-invariant and segSize-stable at oracle precision") {
+    // random power-law-ish graph: a handful of hubs (every node attaches
+    // to a random low id) → hot in-neighbor lists, the case the bounded
+    // segment fold exists for
+    val rnd = new scala.util.Random(23)
+    val edges = (2L to 120L).flatMap { v =>
+      val hub = 1L + rnd.nextInt(math.max(1, (v / 10).toInt))
+      val extra = 1L + rnd.nextInt((v - 1).toInt)
+      Seq((math.min(hub, v), math.max(hub, v)),
+        (math.min(extra, v), math.max(extra, v)))
+    }.distinct.filter(e => e._1 != e._2).toDF("a", "b")
+    def run(df: org.apache.spark.sql.DataFrame, segSize: Int) =
+      Graph.pageRank(df, "a", "b", iters = 3, segSize = segSize)
+        .select(col("id"), round(col("rank"), 9).as("r"))
+        .as[(Long, Double)].collect().toMap
+    // bitwise determinism across physical layouts: the fixed fold
+    // sequence may not depend on partitioning
+    val base = Graph.pageRank(edges, "a", "b", iters = 3, segSize = 4)
+      .select(col("id"), col("rank")).as[(Long, Double)].collect().toMap
+    val shuffled = Graph.pageRank(edges.repartition(13), "a", "b",
+        iters = 3, segSize = 4)
+      .select(col("id"), col("rank")).as[(Long, Double)].collect().toMap
+    assert(base === shuffled) // EXACT doubles, no tolerance
+    // different segment sizes reassociate the float sum — identical at
+    // the 1e-9 precision the query emits (ulp-level drift only)
+    val seg4 = run(edges, 4)
+    val segBig = run(edges, 1 << 16)
+    assert(seg4.keySet === segBig.keySet)
+    seg4.foreach { case (id, r) =>
+      assert(math.abs(r - segBig(id)) < 1e-9, s"node $id: $r vs ${segBig(id)}")
+    }
+    // mass still conserves through the two-level fold
+    assert(math.abs(seg4.values.sum - 1.0) < 1e-9)
+  }
 }
