@@ -68,13 +68,40 @@ object Dedup {
     * Output keeps the raw set sizes alongside jac — `common` (|A∩B|),
     * `sz_a`, `sz_b` — so asymmetric scores (containment |A∩B|/min|·|,
     * overlap coefficients) derive from the SAME posting join instead of
-    * paying a second pass. */
+    * paying a second pass.
+    *
+    * `maxDf` is the hot-shingle document-frequency cap — the standard
+    * skew guard for posting joins: ONE Zipf-head shingle shared by m
+    * docs contributes m² join rows, so at real-corpus scale an uncapped
+    * join OOMs on exactly the shingles that carry the least similarity
+    * signal. Postings whose (block, shingle) df exceeds the cap are
+    * dropped BEFORE the self-join (work bounded by Σ_{df≤cap} df²);
+    * `common` then undercounts pairs that shared a capped shingle, so
+    * jac becomes a LOWER bound of the true Jaccard — capped pairs are a
+    * subset of exact pairs, any pair whose capped jac clears a threshold
+    * truly clears it, and pairs sharing no capped shingle score exactly
+    * (DedupSpec proves all three). Set-size columns stay the FULL set
+    * sizes. */
   def jaccardPairs(docs: DataFrame, id: String, shingleCol: String,
-      blockCols: Seq[String]): DataFrame = {
-    val posts = docs
+      blockCols: Seq[String], maxDf: Option[Int] = None): DataFrame = {
+    val allPosts = docs
       .select((blockCols.map(col) :+ col(id) :+
         size(col(shingleCol)).as("__sz") :+
         explode(col(shingleCol)).as("__sh")): _*)
+    val posts = maxDf match {
+      case None => allPosts
+      case Some(cap) =>
+        require(cap >= 1, s"maxDf=$cap must be at least 1")
+        // df per (block, shingle): postings are distinct per doc, so a
+        // plain count is the document frequency. The survivor join keys
+        // match the pair join's, so the exchange is reused.
+        val surviving = allPosts
+          .groupBy((blockCols :+ "__sh").map(col): _*)
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .drop("__df")
+        allPosts.join(surviving, blockCols :+ "__sh")
+    }
     def sided(side: String) =
       posts.toDF(posts.columns.map {
         case `id` => s"id_$side"

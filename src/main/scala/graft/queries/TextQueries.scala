@@ -61,15 +61,19 @@ object TextQueries {
 
   /** E2 exact path: top-25 most-similar document pairs by 3-word-shingle
     * Jaccard, blocked by lang (the blocking key both bounds the O(n²) pair
-    * space and mirrors a real dedup pipeline's partitioning). Candidates
-    * are pairs sharing ≥1 shingle (jac > 0) — the inverted index never
-    * materializes disjoint pairs, and the oracle filters identically, so
-    * the two sides agree even when a block has fewer than 25 overlapping
-    * pairs. */
+    * space and mirrors a real dedup pipeline's partitioning), with the
+    * HOT-SHINGLE DF CAP live (maxDf 8): postings whose shingle appears in
+    * more than 8 docs of a block are dropped before the self-join — the
+    * skew guard that keeps Σ df² bounded when one Zipf-head shingle shows
+    * up in millions of docs. The cap binds at sf0.1 (max df 14), and the
+    * oracle replays the SAME capped posting join, so the jac values agree
+    * even where the cap bites. Pairs sharing only capped shingles never
+    * materialize on either side. */
   val dedupNear = QuerySpec(
     "q_dedup_near",
     (s, d) => {
-      jacPairs(s, d)
+      Dedup.jaccardPairs(shingledDocs(s, d), "doc_id", "sh", Seq("lang"),
+          maxDf = Some(8))
         .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
         .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
         .limit(25)
@@ -85,14 +89,22 @@ object TextQueries {
                      list_filter(string_split_regex(lower(text), '\W+'),
                                  t -> t <> '') AS toks
               FROM documents)
-      )
-      SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
-             CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-                  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                       / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
-             END AS jac
-      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh)) > 0
+      ),
+      posts AS (SELECT doc_id, lang, len(sh) AS sz, unnest(sh) AS s FROM sh),
+      keep AS (SELECT lang, s FROM
+                 (SELECT lang, s, count(*) AS df FROM posts GROUP BY 1, 2)
+               WHERE df <= 8),
+      fp AS (SELECT p.doc_id, p.lang, p.sz, p.s
+             FROM posts p JOIN keep k ON k.lang = p.lang AND k.s = p.s),
+      pr AS (SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+             FROM fp a JOIN fp b
+               ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4, 5)
+      SELECT lang, id_a, id_b,
+             CAST(common AS DOUBLE) / CAST(sz_a + sz_b - common AS DOUBLE)
+               AS jac
+      FROM pr
       ORDER BY jac DESC, id_a ASC, id_b ASC
       LIMIT 25
     """))

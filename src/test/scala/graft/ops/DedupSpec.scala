@@ -121,6 +121,43 @@ class DedupSpec extends SparkSpec {
     snm.foreach { case (k, j) => assert(exact.get(k).contains(j), s"$k") }
   }
 
+  test("df-capped jaccardPairs: lower bound, subset, exact where the cap is idle") {
+    // corpus with one Zipf-head shingle ("the") in every doc plus random
+    // tails — the exact shape the cap exists for
+    val rnd = new scala.util.Random(31)
+    val docs = (1 to 60).map { i =>
+      val tail = (0 until 2 + rnd.nextInt(4))
+        .map(_ => s"w${rnd.nextInt(40)}").distinct
+      (i.toLong, ("the" +: tail).distinct)
+    }.toDF("doc_id", "sh").withColumn("all", lit(1))
+    def pairs(maxDf: Option[Int]) =
+      Dedup.jaccardPairs(docs, "doc_id", "sh", Seq("all"), maxDf)
+        .select("id_a", "id_b", "common", "jac")
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (a, b, c, j) => (a, b) -> ((c, j)) }.toMap
+    val exact = pairs(None)
+    val capped = pairs(Some(10)) // "the" has df 60 → dropped; tails survive
+    assert(capped.nonEmpty && capped.size < exact.size) // cap really bit
+    capped.foreach { case (k, (cc, cj)) =>
+      val (ec, ej) = exact(k) // subset: every capped pair is a real pair
+      assert(cc <= ec && cj <= ej + 1e-15, s"$k")
+    }
+    // recall at a threshold: every pair the capped join scores ≥ t truly
+    // scores ≥ t (the lower-bound property, stated as the user sees it)
+    val t = 0.3
+    capped.filter(_._2._2 >= t).keys.foreach { k =>
+      assert(exact(k)._2 >= t, s"$k")
+    }
+    // pairs sharing NO capped shingle score bit-identically: rebuild the
+    // corpus without the hot shingle — the cap must then be a no-op
+    val cold = docs.withColumn("sh", array_remove(col("sh"), "the"))
+    def coldPairs(maxDf: Option[Int]) =
+      Dedup.jaccardPairs(cold, "doc_id", "sh", Seq("all"), maxDf)
+        .select("id_a", "id_b", "common", "jac")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(coldPairs(Some(10)) === coldPairs(None))
+  }
+
   test("blocked SNM pair set equals the global-window form on random corpora") {
     // the boundary-overlap scale form must emit EXACTLY the single-sort
     // pairs — exercised across block sizes that force neighborhoods to
