@@ -59,5 +59,60 @@ object MultimodalQueries {
       ORDER BY doc_id, frame_idx
     """))
 
-  val all: Seq[QuerySpec] = Seq(multimodal, frameSample)
+  /** REAL image decode through the gate: every doc_id deterministically
+    * becomes a valid binary-PPM payload (dims and flat channel colors are
+    * arithmetic in doc_id), built executor-side as actual P6 bytes; the
+    * engine then runs parse → channel-mean decode AND parse → 2×
+    * nearest-neighbor resize → re-encode → re-parse. The oracle computes
+    * the SAME dims/means/halved-dims from doc_id arithmetic alone — a
+    * broken header grammar, channel interleave, or resize geometry
+    * hash-mismatches loudly. (Flat colors pin the channel means exactly;
+    * gradient images are covered by MultimodalSpec's randomized
+    * round-trip properties.) */
+  val imageDecode = QuerySpec(
+    "q_image_decode",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (id % 16 + 1).toInt
+            val h = ((id * 7) % 16 + 1).toInt
+            val r = ((id * 37) % 256).toByte
+            val g = ((id * 57 + 11) % 256).toByte
+            val b = ((id * 97 + 29) % 256).toByte
+            val rgb = new Array[Byte](3 * w * h)
+            var i = 0
+            while (i < rgb.length) {
+              rgb(i) = r; rgb(i + 1) = g; rgb(i + 2) = b; i += 3
+            }
+            (id, Multimodal.encodePpm(w, h, rgb))
+          }
+        }
+        .toDF("doc_id", "payload")
+      val halved = Multimodal
+        .decodeImages(s, Multimodal.resizePpm(s, packed, 2))
+        .select(col("doc_id"), col("width").as("half_width"),
+          col("height").as("half_height"))
+      Multimodal.decodeImages(s, packed)
+        .join(halved, "doc_id")
+        .select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+          "half_width", "half_height")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+             CAST((doc_id * 7) % 16 + 1 AS INTEGER) AS height,
+             CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_r,
+             CAST((doc_id * 57 + 11) % 256 AS DOUBLE) AS mean_g,
+             CAST((doc_id * 97 + 29) % 256 AS DOUBLE) AS mean_b,
+             CAST((doc_id % 16 + 1 + 1) // 2 AS INTEGER) AS half_width,
+             CAST(((doc_id * 7) % 16 + 1 + 1) // 2 AS INTEGER) AS half_height
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[QuerySpec] = Seq(multimodal, frameSample, imageDecode)
 }

@@ -22,6 +22,82 @@ class MultimodalSpec extends SparkSpec {
     assert(r(1).getInt(3) === 1) // ceil(2/2)
   }
 
+  test("PPM round-trip: encode → decode recovers dims and exact channel means") {
+    val rnd = new scala.util.Random(41)
+    val images = (1L to 30L).map { id =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      (id, w, h, rgb)
+    }
+    val packed = images.map { case (id, w, h, rgb) =>
+      (id, Multimodal.encodePpm(w, h, rgb))
+    }.toDF("doc_id", "payload")
+    val got = Multimodal.decodeImages(spark, packed)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got.size === images.size)
+    images.foreach { case (id, w, h, rgb) =>
+      val n = w * h
+      def mean(c: Int) =
+        rgb.indices.collect { case i if i % 3 == c => rgb(i) & 0xFF }
+          .map(_.toLong).sum.toDouble / n
+      val (gw, gh, mr, mg, mb) = got(id)
+      assert((gw, gh) === ((w, h)), s"img $id dims")
+      assert(mr === mean(0) && mg === mean(1) && mb === mean(2), s"img $id means")
+    }
+  }
+
+  test("PPM parser: header grammar accepted, malformed payloads rejected") {
+    val px = Array[Byte](1, 2, 3, 4, 5, 6)
+    // comments + mixed whitespace in the header are legal P6
+    val commented =
+      ("P6 # a comment\n# another\n 2\t1 # dims\n255\n").getBytes("US-ASCII") ++ px
+    val hd = Multimodal.parsePpm(commented)
+    assert(hd.map(h => (h.width, h.height, h.maxVal)) === Some((2, 1, 255)))
+    assert(Multimodal.parsePpm("plain text".getBytes) === None)
+    assert(Multimodal.parsePpm("P6".getBytes) === None)
+    // truncated pixel plane and trailing garbage both fail the
+    // exact-length rule (the text-corpus false-positive guard)
+    assert(Multimodal.parsePpm(commented.dropRight(1)) === None)
+    assert(Multimodal.parsePpm(commented :+ 0.toByte) === None)
+    // 16-bit PPM (maxval > 255) is out of scope — rejected, not garbled
+    assert(Multimodal.parsePpm(
+      "P6\n1 1\n65535\n".getBytes("US-ASCII") ++ px) === None)
+  }
+
+  test("PPM resize: nearest-neighbor geometry, ceil dims, valid re-encode") {
+    // 4×3 gradient: pixel (x,y) = (x*10+y, 100+x, 200+y) — unambiguous
+    // source coordinates so a geometry bug moves a value, not a duplicate
+    val (w, h) = (4, 3)
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = 3 * (y * w + x)
+      rgb(i) = (x * 10 + y).toByte
+      rgb(i + 1) = (100 + x).toByte
+      rgb(i + 2) = (200 + y).toByte
+    }
+    val packed = Seq((7L, Multimodal.encodePpm(w, h, rgb)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizePpm(spark, packed, factor = 2).collect()
+    assert(out.length === 1)
+    val hd = Multimodal.parsePpm(out(0).getAs[Array[Byte]]("payload"))
+    assert(hd.map(x => (x.width, x.height)) === Some((2, 2))) // ceil(4/2), ceil(3/2)
+    val bytes = out(0).getAs[Array[Byte]]("payload")
+    val plane = bytes.drop(hd.get.pixelStart)
+    // out(x,y) = in(2x, 2y): (0,0),(2,0),(0,2),(2,2)
+    val expect = Seq((0, 0), (2, 0), (0, 2), (2, 2)).flatMap { case (x, y) =>
+      val i = 3 * (y * w + x)
+      Seq(rgb(i), rgb(i + 1), rgb(i + 2))
+    }
+    assert(plane.toSeq === expect)
+    // identity factor re-encodes the identical image
+    val same = Multimodal.resizePpm(spark, packed, factor = 1).collect()
+    assert(same(0).getAs[Array[Byte]]("payload").toSeq ===
+      Multimodal.encodePpm(w, h, rgb).toSeq)
+  }
+
   test("frame sampling keeps every Nth full frame and drops the partial tail") {
     val f = Multimodal.sampleFrames(spark, packed, frameBytes = 64, every = 2)
       .orderBy("doc_id", "frame_idx").collect()
