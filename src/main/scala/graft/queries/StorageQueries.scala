@@ -139,5 +139,56 @@ object StorageQueries {
       ORDER BY o_orderpriority
     """))
 
-  val all: Seq[QuerySpec] = Seq(zorder, bucketJoin)
+  /** Skew-safe join through the gate: three quarters of the events
+    * collapse onto ONE deliberately hot join key, and the join runs
+    * [[graft.ops.Skew.saltedJoin]] — fact rows salt deterministically
+    * into 16 sub-keys, the dim replicates per salt, so the hot key
+    * spreads over 16 reducers instead of pinning one. The dim carries a
+    * shuffle_hash hint: un-hinted, AQE would broadcast the small dim and
+    * quietly erase the very shuffle the salting exists to protect
+    * (broadcast IS the right call when the dim fits — this query pins
+    * the planner-invisible case where it doesn't). Result-identical to
+    * the plain join, which is exactly what the oracle runs; PlanSpec
+    * asserts the salt is in the executed join and no broadcast crept in. */
+  val skewJoin = QuerySpec(
+    "q_skew_join",
+    (s, d) => {
+      val fact = events(s, d).select(
+        when(pmod(col("user_id"), lit(4)) < 3, lit(-1L))
+          .otherwise(col("user_id")).as("hot_key"),
+        col("event_id"), col("value"))
+      val dim = fact.select("hot_key").distinct()
+        .withColumn("seg",
+          when(col("hot_key") === -1L, lit("hot"))
+            .otherwise(concat(lit("seg_"),
+              pmod(col("hot_key"), lit(7)).cast("string"))))
+        .hint("shuffle_hash")
+      graft.ops.Skew.saltedJoin(fact, dim, "hot_key", salts = 16,
+          col("event_id"))
+        .groupBy("seg")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+        .orderBy("seg")
+    },
+    Some("""
+      WITH fact AS (
+        SELECT CASE WHEN user_id % 4 < 3 THEN -1 ELSE user_id END AS hot_key,
+               event_id, value
+        FROM events
+      ),
+      dim AS (
+        SELECT DISTINCT hot_key,
+               CASE WHEN hot_key = -1 THEN 'hot'
+                    ELSE 'seg_' || CAST(hot_key % 7 AS VARCHAR) END AS seg
+        FROM fact
+      )
+      SELECT seg, count(*) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM fact JOIN dim USING (hot_key)
+      GROUP BY seg
+      ORDER BY seg
+    """))
+
+  val all: Seq[QuerySpec] = Seq(zorder, bucketJoin, skewJoin)
 }

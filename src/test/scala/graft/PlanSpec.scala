@@ -252,6 +252,18 @@ class PlanSpec extends SparkSpec {
       unpartitionedWindows.mkString("\n"))
   }
 
+  test("skew join executes the salted rewrite as a shuffle join, not broadcast") {
+    val df = SparkEntry.queries("q_skew_join")(spark, Sf001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    // the salt must be part of the executed join keys, and the join must
+    // stay shuffled — a broadcast would erase the skew the query pins
+    assert(finalPlan.contains("__salt"), finalPlan)
+    assert(finalPlan.contains("ShuffledHashJoin"), finalPlan)
+    assert(!finalPlan.contains("BroadcastHashJoin"), finalPlan)
+  }
+
   test("SNM dedup has no single-task window — all windows are block-partitioned") {
     val df = SparkEntry.queries("q_snm_dedup")(spark, Sf001)
     df.collect()
