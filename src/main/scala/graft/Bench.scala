@@ -94,6 +94,18 @@ object Bench {
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"$extraStr}"""
     println(line(fmt(results.toSeq.sortBy(_._1))))
     println(line(fmt(results.toSeq.sortBy(-_._2).take(10))))
+    // File artifact with ALL per-query timings: the driver's ~2000-char
+    // stdout tail truncates the full line, so round-over-round regression
+    // checks read this instead of depending on tail-capture luck. Skipped
+    // for subset runs — a partial sweep must never overwrite the record
+    // of a full one.
+    if (only.isEmpty) {
+      val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      java.nio.file.Files.write(out,
+        (line(fmt(results.toSeq.sortBy(_._1))) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
+    }
     spark.stop()
   }
 }
