@@ -93,14 +93,20 @@ object Dedup {
       case Some(cap) =>
         require(cap >= 1, s"maxDf=$cap must be at least 1")
         // df per (block, shingle): postings are distinct per doc, so a
-        // plain count is the document frequency. The survivor join keys
-        // match the pair join's, so the exchange is reused.
-        val surviving = allPosts
+        // plain count (map-side combinable) is the document frequency.
+        // Filter by ANTI-joining against the shingles that EXCEED the cap,
+        // not inner-joining against the survivors: the hot set is the Zipf
+        // HEAD (≤ total_postings/cap keys by pigeonhole, tiny in practice)
+        // while the survivor set is nearly every distinct shingle — at
+        // corpus scale the survivor join's build side is itself corpus-
+        // sized, and Spark can broadcast the hot set so capped postings
+        // drop map-side with no extra shuffle of the posting stream.
+        val hot = allPosts
           .groupBy((blockCols :+ "__sh").map(col): _*)
           .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap)
+          .filter(col("__df") > cap)
           .drop("__df")
-        allPosts.join(surviving, blockCols :+ "__sh")
+        allPosts.join(hot, blockCols :+ "__sh", "left_anti")
     }
     def sided(side: String) =
       posts.toDF(posts.columns.map {
