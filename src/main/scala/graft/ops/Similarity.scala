@@ -79,37 +79,23 @@ object Similarity {
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
     val centroids = localKMeans(sample, nCells, iters = 10, seed = 42L)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val withD = graft.Tables.fanOut(spark, emb)
-      .withColumn("__vd", asDouble(col("embedding")))
-    val outSchema = withD.schema.add("cluster", org.apache.spark.sql.types.IntegerType)
-    val vIdx = withD.schema.fieldIndex("__vd")
-    val assigned = withD.mapPartitions { it =>
-      val cs = bc.value
-      it.map { r =>
-        val v = r.getSeq[Double](vIdx).toArray
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ nearestCentroid(v, cs))
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-      .drop("__vd")
+    // Codegen'd assignment: the centroid table ships as a plan reference
+    // object and the argmin runs inside whole-stage codegen — no row-wise
+    // mapPartitions, no InternalRow→Row round-trip, pipeline stays fused
+    // from the parquet scan through the cluster-id projection.
+    val assigned = graft.Tables.fanOut(spark, emb)
+      .withColumn("cluster",
+        graft.functions.NearestCentroid.nearest_centroid(
+          asDouble(col("embedding")), centroids))
     (assigned, centroids)
   }
 
-  /** Index of the squared-L2-nearest centroid — the ONE definition shared
-    * by quantizer training and corpus assignment (divergence between the
-    * two would silently skew cell populations). Object-method references
-    * are serialization-safe in task closures. */
-  private[ops] def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
-    var best = 0; var bd = Double.MaxValue; var c = 0
-    while (c < centroids.length) {
-      var d = 0.0; var i = 0
-      val ctr = centroids(c)
-      while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-      if (d < bd) { bd = d; best = c }
-      c += 1
-    }
-    best
-  }
+  /** Index of the squared-L2-nearest centroid — delegates to the ONE
+    * metric kernel [[graft.functions.NearestCentroid.compute]] shared by
+    * quantizer training and the codegen'd corpus assignment (divergence
+    * between the two would silently skew cell populations). */
+  private[ops] def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int =
+    graft.functions.NearestCentroid.compute(v, centroids)
 
   /** Seeded local Lloyd's k-means (euclidean) over a bounded sample —
     * the quantizer trainer. Deterministic: init picks k sample points by

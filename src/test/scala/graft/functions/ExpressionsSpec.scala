@@ -59,4 +59,32 @@ class ExpressionsSpec extends SparkSpec {
     val h = Seq(Seq.empty[String]).toDF("t").select(simhash64(col("t"))).head().getLong(0)
     assert(h === 0L)
   }
+
+  test("NearestCentroid: argmin by squared L2, ties to lowest index, null propagates") {
+    import graft.functions.NearestCentroid.nearest_centroid
+    val cs = Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0))
+    val df = Seq(
+      Some(Array(1.0, 1.0)),   // nearest origin -> 0
+      Some(Array(9.0, 1.0)),   // nearest (10,0) -> 1
+      Some(Array(1.0, 9.0)),   // nearest (0,10) -> 2
+      Some(Array(5.0, 0.0)),   // equidistant from 0 and 1 -> tie to 0
+      None)
+      .toDF("v")
+      .select(nearest_centroid(col("v"), cs).as("c"))
+    val rows = df.collect()
+    assert(rows.take(4).map(_.getInt(0)).toSeq === Seq(0, 1, 2, 0))
+    assert(rows(4).isNullAt(0))
+  }
+
+  test("NearestCentroid: codegen'd plan agrees with the driver-local kernel per row") {
+    import graft.functions.NearestCentroid.nearest_centroid
+    val rnd = new scala.util.Random(7)
+    val cs = Array.fill(5)(Array.fill(8)(rnd.nextGaussian()))
+    val vecs = Seq.fill(100)(Array.fill(8)(rnd.nextGaussian()))
+    val got = vecs.toDF("v")
+      .select(nearest_centroid(col("v"), cs).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    val want = vecs.map(v => NearestCentroid.compute(v, cs))
+    assert(got === want)
+  }
 }
