@@ -27,23 +27,36 @@ final case class ImageFeatures(
     mean_g: Double,
     mean_b: Double)
 
+/** Typed features decoded from a real audio payload. */
+final case class AudioFeatures(
+    doc_id: Long,
+    n_channels: Int,
+    sample_rate: Int,
+    n_frames: Int,
+    peak: Int,
+    mean_abs: Double)
+
 /** Multimodal-column plumbing (SURVEY §2b E6 / training-pipeline surface):
   * media as opaque `binary` payloads + typed metadata, with decode /
   * feature-extraction running batch-wise on executors via `mapPartitions`
   * over a typed Dataset — the Scala-native equivalent of a Pandas-UDF
   * decode stage.
   *
-  * The image path is REAL for the one format a bare JVM can parse without
-  * codec libraries: binary PPM (P6, the uncompressed Netpbm format) —
-  * [[Multimodal.parsePpm]] / [[Multimodal.encodePpm]] /
+  * The image and audio paths are REAL for the formats a bare JVM can
+  * parse without codec libraries: binary PPM (P6, the uncompressed
+  * Netpbm format) — [[Multimodal.parsePpm]] / [[Multimodal.encodePpm]] /
   * [[Multimodal.resizePpm]] do actual byte-format work (header grammar
   * with comments, exact pixel-plane length, channel-interleaved RGB,
-  * nearest-neighbor downsample that re-emits a valid P6). Compressed
-  * formats (JPEG/PNG/audio/video) remain deterministic stubs in
-  * [[Multimodal.decodeFeatures]] — no codecs exist in this container —
-  * but swapping one in changes only that function body: the binary column
-  * schema, partition-parallel batch iteration, and typed Encoder output
-  * are the same plumbing the PPM path already exercises end-to-end.
+  * nearest-neighbor downsample that re-emits a valid P6) — and RIFF/WAVE
+  * 16-bit PCM — [[Multimodal.parseWav]] / [[Multimodal.encodeWav]] /
+  * [[Multimodal.resampleWav]] walk the chunk container (unknown chunks
+  * skipped by declared size with word alignment) and decimate real
+  * interleaved frames. Compressed formats (JPEG/PNG/MP3/video) remain
+  * deterministic stubs in [[Multimodal.decodeFeatures]] — no codecs
+  * exist in this container — but swapping one in changes only that
+  * function body: the binary column schema, partition-parallel batch
+  * iteration, and typed Encoder output are the same plumbing the PPM
+  * and WAV paths already exercise end-to-end.
   *
   * Scale: payloads never pass through the driver; a partition processes its
   * media in a streaming iterator (no per-partition materialization), so
@@ -220,6 +233,171 @@ object Multimodal {
               y += 1
             }
             (id, encodePpm(ow, oh, out))
+          }
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Parsed WAV header: PCM stream geometry and where the sample data
+    * lives in the payload. */
+  final case class WavHeader(numChannels: Int, sampleRate: Int,
+      dataStart: Int, dataLen: Int) {
+    def nFrames: Int = dataLen / (2 * numChannels)
+  }
+
+  /** Parse a RIFF/WAVE payload holding 16-bit little-endian PCM — the
+    * audio sibling of [[parsePpm]], a REAL chunk-walk over the container
+    * format: `RIFF` magic + declared size, `WAVE` form type, then chunks
+    * in any order with unknown ones (LIST, fact, …) skipped via their
+    * declared size padded to even (the RIFF word-alignment rule). Accepts
+    * exactly `fmt ` with audioFormat 1 (PCM), 16 bits/sample, a
+    * consistent blockAlign, and a `data` chunk fully contained in the
+    * payload whose length is a whole number of frames. Everything else →
+    * None, so non-audio payloads fall through to the stub path instead of
+    * mis-decoding — the same false-positive discipline as the PPM
+    * exact-plane-length rule (arbitrary text never carries a coherent
+    * chunk walk). */
+  private[graft] def parseWav(bytes: Array[Byte]): Option[WavHeader] = {
+    def u16(i: Int): Int =
+      (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long =
+      (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+        ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+    def tag(i: Int, t: String): Boolean =
+      bytes(i) == t(0).toByte && bytes(i + 1) == t(1).toByte &&
+        bytes(i + 2) == t(2).toByte && bytes(i + 3) == t(3).toByte
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int)] = None // (channels, rate)
+    var data: Option[(Int, Int)] = None // (start, len)
+    while (i + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val sz = u32(i + 4)
+      val body = i + 8
+      if (sz > bytes.length - body) return None // lying chunk size
+      val len = sz.toInt
+      if (tag(i, "fmt ")) {
+        if (len < 16) return None
+        val audioFormat = u16(body)
+        val ch = u16(body + 2)
+        val rate = u32(body + 4)
+        val blockAlign = u16(body + 12)
+        val bits = u16(body + 14)
+        if (audioFormat != 1 || bits != 16 || ch < 1 ||
+            blockAlign != 2 * ch || rate < 1 || rate > Int.MaxValue)
+          return None
+        fmt = Some((ch, rate.toInt))
+      } else if (tag(i, "data")) {
+        data = Some((body, len))
+      }
+      i = body + len + (len & 1) // odd chunk bodies carry a pad byte
+    }
+    for {
+      (ch, rate) <- fmt
+      (start, len) <- data
+      if len % (2 * ch) == 0
+    } yield WavHeader(ch, rate, start, len)
+  }
+
+  /** Emit a valid 16-bit PCM RIFF/WAVE payload from channel-interleaved
+    * samples (frame-major, little-endian) — the canonical 44-byte-header
+    * encoding every audio tool accepts. */
+  private[graft] def encodeWav(numChannels: Int, sampleRate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(numChannels >= 1 && samples.length % numChannels == 0,
+      s"samples (${samples.length}) must be a whole number of " +
+        s"$numChannels-channel frames")
+    val dataLen = 2 * samples.length
+    val out = new Array[Byte](44 + dataLen)
+    def putTag(i: Int, t: String): Unit = {
+      var j = 0
+      while (j < 4) { out(i + j) = t(j).toByte; j += 1 }
+    }
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def put32(i: Int, v: Long): Unit = {
+      var j = 0
+      while (j < 4) { out(i + j) = ((v >> (8 * j)) & 0xFF).toByte; j += 1 }
+    }
+    putTag(0, "RIFF"); put32(4, 36L + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16L)
+    put16(20, 1); put16(22, numChannels); put32(24, sampleRate.toLong)
+    put32(28, sampleRate.toLong * 2 * numChannels) // byte rate
+    put16(32, 2 * numChannels); put16(34, 16)
+    putTag(36, "data"); put32(40, dataLen.toLong)
+    var s = 0
+    while (s < samples.length) {
+      put16(44 + 2 * s, samples(s) & 0xFFFF); s += 1
+    }
+    out
+  }
+
+  /** 16-bit LE sample at index `s` of the data chunk, sign-extended. */
+  @inline private def sampleAt(bytes: Array[Byte], hd: WavHeader, s: Int): Int =
+    ((bytes(hd.dataStart + 2 * s) & 0xFF) |
+      (bytes(hd.dataStart + 2 * s + 1) << 8)).toShort.toInt
+
+  /** Real audio decode over (doc_id, payload) rows: parse the RIFF
+    * container, accumulate exact integer |sample| sums and the peak over
+    * the PCM plane, emit stream geometry + amplitude stats — one output
+    * row per decodable payload (undecodable rows drop, as in
+    * [[decodeImages]]). mean_abs is an exact-integer ratio evaluated once
+    * in double, so any engine computing the same division agrees. */
+  def decodeAudio(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseWav(bytes).map { hd =>
+            val n = hd.dataLen / 2
+            var sumAbs = 0L
+            var peak = 0
+            var s = 0
+            while (s < n) {
+              val v = math.abs(sampleAt(bytes, hd, s))
+              sumAbs += v
+              if (v > peak) peak = v
+              s += 1
+            }
+            AudioFeatures(id, hd.numChannels, hd.sampleRate, hd.nFrames,
+              peak, if (n == 0) 0.0 else sumAbs.toDouble / n)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Real audio downsample by an integer factor: keep every `factor`-th
+    * FRAME (all channels of it), divide the declared sample rate by the
+    * same factor, re-emit a valid WAV — decode → transform → re-encode,
+    * the actual resample-pipeline shape (a production resampler would
+    * filter before decimating; geometry and container discipline are
+    * identical). Undecodable payloads drop. */
+  def resampleWav(spark: SparkSession, packed: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, s"resample factor must be positive, got $factor")
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseWav(bytes).map { hd =>
+            val ch = hd.numChannels
+            val outFrames = (hd.nFrames + factor - 1) / factor
+            val out = new Array[Short](outFrames * ch)
+            var f = 0
+            while (f < outFrames) {
+              var c = 0
+              while (c < ch) {
+                out(f * ch + c) = sampleAt(bytes, hd, f * factor * ch + c).toShort
+                c += 1
+              }
+              f += 1
+            }
+            (id, encodeWav(ch, math.max(1, hd.sampleRate / factor), out))
           }
         }
       }

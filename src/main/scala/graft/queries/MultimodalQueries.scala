@@ -114,5 +114,64 @@ object MultimodalQueries {
       ORDER BY doc_id
     """))
 
-  val all: Seq[QuerySpec] = Seq(multimodal, frameSample, imageDecode)
+  /** REAL audio decode through the gate — the WAV sibling of
+    * q_image_decode: every doc_id deterministically becomes a valid
+    * RIFF/WAVE 16-bit PCM payload (channel count, sample rate, frame
+    * count and a ±a square-wave amplitude are arithmetic in doc_id),
+    * built executor-side as actual little-endian bytes; the engine then
+    * runs chunk-walk parse → peak/mean-abs decode AND parse → 2× frame
+    * decimation → re-encode → re-parse. The oracle computes the SAME
+    * geometry and amplitude stats from doc_id arithmetic alone — a broken
+    * chunk walk, sample sign-extension, or decimation geometry
+    * hash-mismatches loudly. (The constant |sample| pins mean_abs
+    * exactly; random waveforms are covered by MultimodalSpec's
+    * round-trip properties.) */
+  val audioDecode = QuerySpec(
+    "q_audio_decode",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val ch = (id % 2 + 1).toInt
+            val rate = (8000 + (id % 4) * 4000).toInt
+            val nFrames = (id % 32 + 1).toInt
+            val a = ((id * 31) % 1000).toInt
+            val samples = new Array[Short](nFrames * ch)
+            var f = 0
+            while (f < nFrames) {
+              val v = (if (f % 2 == 0) a else -a).toShort
+              var c = 0
+              while (c < ch) { samples(f * ch + c) = v; c += 1 }
+              f += 1
+            }
+            (id, Multimodal.encodeWav(ch, rate, samples))
+          }
+        }
+        .toDF("doc_id", "payload")
+      val halved = Multimodal
+        .decodeAudio(s, Multimodal.resampleWav(s, packed, 2))
+        .select(col("doc_id"), col("n_frames").as("half_frames"),
+          col("sample_rate").as("half_rate"))
+      Multimodal.decodeAudio(s, packed)
+        .join(halved, "doc_id")
+        .select("doc_id", "n_channels", "sample_rate", "n_frames", "peak",
+          "mean_abs", "half_frames", "half_rate")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+             CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+             CAST(doc_id % 32 + 1 AS INTEGER) AS n_frames,
+             CAST((doc_id * 31) % 1000 AS INTEGER) AS peak,
+             CAST((doc_id * 31) % 1000 AS DOUBLE) AS mean_abs,
+             CAST((doc_id % 32 + 1 + 1) // 2 AS INTEGER) AS half_frames,
+             CAST((8000 + (doc_id % 4) * 4000) // 2 AS INTEGER) AS half_rate
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[QuerySpec] = Seq(multimodal, frameSample, imageDecode, audioDecode)
 }

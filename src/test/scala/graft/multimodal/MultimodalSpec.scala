@@ -98,6 +98,73 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.encodePpm(w, h, rgb).toSeq)
   }
 
+  test("WAV round-trip: encode → decode recovers geometry and exact amplitude stats") {
+    val rnd = new scala.util.Random(43)
+    val clips = (1L to 30L).map { id =>
+      val ch = 1 + rnd.nextInt(3)
+      val rate = 4000 + rnd.nextInt(44100)
+      val nFrames = 1 + rnd.nextInt(200)
+      val samples = Array.fill(nFrames * ch)((rnd.nextInt(65536) - 32768).toShort)
+      (id, ch, rate, samples)
+    }
+    val packed = clips.map { case (id, ch, rate, s) =>
+      (id, Multimodal.encodeWav(ch, rate, s))
+    }.toDF("doc_id", "payload")
+    val got = Multimodal.decodeAudio(spark, packed)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    assert(got.size === clips.size)
+    clips.foreach { case (id, ch, rate, s) =>
+      val peak = s.map(v => math.abs(v.toInt)).max
+      val meanAbs = s.map(v => math.abs(v.toInt).toLong).sum.toDouble / s.length
+      assert(got(id) === ((ch, rate, s.length / ch, peak, meanAbs)), s"clip $id")
+    }
+  }
+
+  test("WAV parser: chunk walk skips unknown chunks, rejects malformed payloads") {
+    val good = Multimodal.encodeWav(2, 8000, Array[Short](100, -100, 32767, -32768))
+    val hd = Multimodal.parseWav(good)
+    assert(hd.map(h => (h.numChannels, h.sampleRate, h.nFrames)) === Some((2, 8000, 2)))
+    // an unknown odd-sized LIST chunk between fmt and data must be skipped
+    // via declared-size + pad (the RIFF word-alignment rule)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ "abc".getBytes("US-ASCII") :+ 0.toByte
+    val withList = good.take(36) ++ list ++ good.drop(36)
+    assert(Multimodal.parseWav(withList)
+      .map(h => (h.numChannels, h.nFrames)) === Some((2, 2)))
+    assert(Multimodal.parseWav("RIFF but not audio text".getBytes) === None)
+    assert(Multimodal.parseWav(good.take(40)) === None) // no data chunk reach
+    // a data chunk whose declared size overruns the payload is a lie, not
+    // a shorter clip
+    val lying = good.clone(); lying(40) = (lying(40) + 8).toByte
+    assert(Multimodal.parseWav(lying) === None)
+    // non-PCM (format tag 3 = float) rejected, not garbled
+    val float32 = good.clone(); float32(20) = 3
+    assert(Multimodal.parseWav(float32) === None)
+  }
+
+  test("WAV resample: frame decimation keeps whole frames and halves the rate") {
+    // 2-channel, 5 frames; frame f carries (10f, -10f) — unambiguous
+    // source frames so a geometry bug moves a value
+    val samples = (0 until 5).flatMap(f => Seq((10 * f).toShort, (-10 * f).toShort)).toArray
+    val packed = Seq((9L, Multimodal.encodeWav(2, 8000, samples)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resampleWav(spark, packed, 2).collect()
+    val bytes = out(0).getAs[Array[Byte]]("payload")
+    val hd = Multimodal.parseWav(bytes).get
+    assert((hd.numChannels, hd.sampleRate, hd.nFrames) === ((2, 4000, 3)))
+    // kept frames 0, 2, 4 with BOTH channels intact
+    val kept = (0 until 6).map { s =>
+      (((bytes(hd.dataStart + 2 * s) & 0xFF) |
+        (bytes(hd.dataStart + 2 * s + 1) << 8)).toShort)
+    }
+    assert(kept === Seq[Short](0, 0, 20, -20, 40, -40))
+    // identity factor re-encodes the identical clip
+    val same = Multimodal.resampleWav(spark, packed, 1).collect()
+    assert(same(0).getAs[Array[Byte]]("payload").toSeq ===
+      Multimodal.encodeWav(2, 8000, samples).toSeq)
+  }
+
   test("frame sampling keeps every Nth full frame and drops the partial tail") {
     val f = Multimodal.sampleFrames(spark, packed, frameBytes = 64, every = 2)
       .orderBy("doc_id", "frame_idx").collect()
