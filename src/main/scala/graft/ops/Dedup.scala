@@ -123,6 +123,42 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))
   }
 
+  /** Incremental near-dup: score an INCOMING batch against an EXISTING
+    * corpus — the daily-ingest shape a production dedup actually runs
+    * (nobody re-self-joins 100 TB because a day of data arrived). Same
+    * inverted-index inclusion–exclusion as [[jaccardPairs]], but the join
+    * is asymmetric and that asymmetry is the scale design: the incoming
+    * batch's postings are BROADCAST (a batch is small by construction —
+    * its postings are bounded by batch_docs · shingles_per_doc), so the
+    * corpus side streams through ONE scan with no shuffle at all; the
+    * only exchange in the plan is the pair aggregation, whose input is
+    * just the matched candidate rows (Σ over shared shingles of
+    * df_corpus · df_batch), not the corpus. Pairs sharing zero shingles
+    * never materialize, exactly as in the self-join form.
+    *
+    * Output: (blockCols…, id_new, id_old, common, sz_new, sz_old, jac) —
+    * one row per (incoming, corpus) pair sharing ≥ 1 shingle.
+    *
+    * Both shingle columns must hold DISTINCT shingles (callers
+    * array_distinct). A batch too large to broadcast falls back to
+    * [[jaccardPairs]] semantics by unioning and self-joining — at that
+    * point it is not an increment, it is a corpus. */
+  def incrementalJaccardPairs(corpus: DataFrame, incoming: DataFrame,
+      id: String, shingleCol: String, blockCols: Seq[String]): DataFrame = {
+    def posts(df: DataFrame, side: String) = df.select(
+      (blockCols.map(col) :+ col(id).as(s"id_$side") :+
+        size(col(shingleCol)).as(s"sz_$side") :+
+        explode(col(shingleCol)).as("__sh")): _*)
+    posts(corpus, "old")
+      .join(broadcast(posts(incoming, "new")), blockCols :+ "__sh")
+      .groupBy((blockCols :+ "id_new" :+ "id_old" :+ "sz_new" :+ "sz_old")
+        .map(col): _*)
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac",
+        col("common").cast("double") /
+          (col("sz_new") + col("sz_old") - col("common")).cast("double"))
+  }
+
   /** Sorted-neighborhood near-dup candidates (Hernández–Stolfo SNM): sort
     * the corpus by a canonical content key, compare each record only to
     * the next `w−1` in sorted order. The third classic blocking scheme

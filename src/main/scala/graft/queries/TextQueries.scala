@@ -1093,10 +1093,57 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** Incremental near-dup: the 5% of docs with doc_id ≡ 0 (mod 20) play
+    * the incoming daily batch, the rest the existing corpus; top-25
+    * (batch, corpus) pairs by 3-shingle Jaccard, lang-blocked. The plan
+    * shape is the point (and PlanSpec asserts it): the batch's postings
+    * BROADCAST, the corpus postings stream through the join with no
+    * shuffle, and the only exchange feeds the candidate-pair aggregate —
+    * the "day of data vs 100 TB corpus" dedup a production pipeline runs
+    * instead of re-self-joining the world. Within-batch dups are the
+    * self-join operators' job (q_dedup_near et al.), not this one's. */
+  val incrementalDedup = QuerySpec(
+    "q_incremental_dedup",
+    (s, d) => {
+      val sh = shingledDocs(s, d)
+      val incoming = sh.filter(col("doc_id") % 20 === 0)
+      val corpus = sh.filter(col("doc_id") % 20 =!= 0)
+      Dedup.incrementalJaccardPairs(corpus, incoming, "doc_id", "sh", Seq("lang"))
+        .select(col("lang"), col("id_new"), col("id_old"), col("jac"))
+        .orderBy(col("jac").desc, col("id_new").asc, col("id_old").asc)
+        .limit(25)
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      ),
+      posts AS (SELECT doc_id, lang, len(sh) AS sz, unnest(sh) AS s FROM sh),
+      pr AS (SELECT n.lang AS lang, n.doc_id AS id_new, o.doc_id AS id_old,
+                    n.sz AS sz_new, o.sz AS sz_old, count(*) AS common
+             FROM posts n JOIN posts o
+               ON n.lang = o.lang AND n.s = o.s
+             WHERE n.doc_id % 20 = 0 AND o.doc_id % 20 <> 0
+             GROUP BY 1, 2, 3, 4, 5)
+      SELECT lang, id_new, id_old,
+             CAST(common AS DOUBLE) / CAST(sz_new + sz_old - common AS DOUBLE)
+               AS jac
+      FROM pr
+      ORDER BY jac DESC, id_new ASC, id_old ASC
+      LIMIT 25
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
     substringDedup, containment, bigramLm, giniDiversity, featureHash,
-    snmDedup, sqlCustomFuncs)
+    snmDedup, sqlCustomFuncs, incrementalDedup)
 }

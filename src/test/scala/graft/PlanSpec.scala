@@ -138,6 +138,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("incremental dedup broadcasts the batch postings; the corpus never shuffle-joins") {
+    // the daily-ingest asymmetry: the batch side is small by construction,
+    // so the posting join must be a broadcast — the corpus's only exchange
+    // feeds the candidate-pair aggregate. A sort-merge or shuffled-hash
+    // join here means the corpus paid a full posting shuffle.
+    val p = plan(SparkEntry.queries("q_incremental_dedup")(spark, Sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("unpivot plans a single Expand over one scan, not a self-union") {
     val df = SparkEntry.queries("q_unpivot")(spark, Sf001)
     val p = plan(df)

@@ -158,6 +158,33 @@ class DedupSpec extends SparkSpec {
     assert(coldPairs(Some(10)) === coldPairs(None))
   }
 
+  test("incremental pairs equal the batch×corpus slice of the self-join pairs") {
+    val rnd = new scala.util.Random(23)
+    val docs = (1 to 80).map { i =>
+      val nSh = 1 + rnd.nextInt(5)
+      (i.toLong, (0 until nSh).map(_ => s"s${rnd.nextInt(25)}").distinct,
+        if (i % 7 == 0) "a" else "b")
+    }.toDF("doc_id", "sh", "lang")
+    val incoming = docs.filter(col("doc_id") % 4 === 0)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val got = Dedup
+      .incrementalJaccardPairs(corpus, incoming, "doc_id", "sh", Seq("lang"))
+      .select("lang", "id_new", "id_old", "common", "sz_new", "sz_old", "jac")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSet
+    // ground truth: the full self-join, restricted to (incoming, corpus)
+    // pairs and re-oriented new-first (jaccardPairs emits id_a < id_b)
+    val self = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq("lang"))
+      .select("lang", "id_a", "id_b", "common", "sz_a", "sz_b", "jac")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    val want = self.flatMap { case (l, a, b, c, sa, sb, j) =>
+      val (aIn, bIn) = (a % 4 == 0, b % 4 == 0)
+      if (aIn && !bIn) Some((l, a, b, c, sa, sb, j))
+      else if (bIn && !aIn) Some((l, b, a, c, sb, sa, j))
+      else None // both-in-batch and both-in-corpus pairs are out of scope
+    }.toSet
+    assert(got === want)
+  }
+
   test("blocked SNM pair set equals the global-window form on random corpora") {
     // the boundary-overlap scale form must emit EXACTLY the single-sort
     // pairs — exercised across block sizes that force neighborhoods to
