@@ -186,6 +186,48 @@ object SimilarityQueries {
       ORDER BY probe_id, rank
     """))
 
+  /** E3 compressed-domain path: product quantization (Faiss IVF-PQ's
+    * compression half) — codebooks from the bounded key-hash sample,
+    * corpus encoded to an m-byte code column, then the two-stage query:
+    * ADC scan over CODES ONLY (literal lookup tables, never touching the
+    * stored embedding — at 100 TB that's scanning m bytes/vector instead
+    * of 4·dim) followed by exact re-rank of the 512-row shortlist. The
+    * code assignment is engine-specific → verdict oracle (q_similarity_ann
+    * pattern): recall of the re-ranked top-20 vs the exact euclidean
+    * top-20, measured 20/20/18 at sf0.001/0.01/0.1, pinned ≥ 12 (the
+    * near-uniform synthetic embeddings are PQ's worst case; clustered
+    * real corpora quantize far tighter). */
+  val similarityPq = QuerySpec(
+    "q_similarity_pq",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val probe = Similarity.probeVector(emb, "vec_id", ProbeId)
+      val books = Similarity.pqTrain(s, emb, m = 8, k = 16)
+      val encoded = Similarity.pqEncode(s, emb, books)
+      val approx = Similarity.pqTopK(encoded, books, "vec_id", probe,
+        k = 20, shortlist = 512, excludeId = Some(ProbeId))
+      val p = array(probe.map(lit): _*)
+      val exact = emb.filter(col("vec_id") =!= ProbeId)
+        .withColumn("d2",
+          aggregate(
+            zip_with(Similarity.asDouble(col("embedding")), p,
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x))
+        .orderBy(col("d2").asc, col("vec_id").asc).limit(20)
+      val hits = approx.select("vec_id")
+        .join(exact.select("vec_id"), "vec_id")
+        .agg(count(lit(1)).as("__hits"))
+      emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
+        .select(
+          col("n_vectors"), lit(20).as("k"),
+          (col("__hits") >= 12).cast("int").as("recall_ok"))
+    },
+    Some("""
+      SELECT count(*) AS n_vectors, 20 AS k, 1 AS recall_ok
+      FROM embeddings
+    """))
+
   val all: Seq[QuerySpec] = Seq(
-    similarityTopk, similarityAnn, similarityLsh, dedupEmbed, batchAnn)
+    similarityTopk, similarityAnn, similarityLsh, dedupEmbed, batchAnn,
+    similarityPq)
 }

@@ -44,6 +44,38 @@ class EntrySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("PQ: codes are well-formed and ADC+re-rank recall >= 0.6 vs exact top-20") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, Sf001)
+    val probe = Similarity.probeVector(emb, "vec_id", 0L)
+    val books = Similarity.pqTrain(spark, emb, m = 8, k = 16)
+    assert(books.length === 8 && books.forall(_.forall(_.length === 8)))
+    val encoded = Similarity.pqEncode(spark, emb, books)
+    // every vector gets an m-entry code with entries in [0, k)
+    assert(encoded.filter(size(col("code")) =!= 8).count() === 0)
+    assert(encoded.filter(exists(col("code"),
+      c => c < 0 || c >= 16)).count() === 0)
+    // encode agrees with the driver-local kernel on a spot-checked row
+    val row = encoded.filter(col("vec_id") === 1L)
+      .select(transform(col("embedding"), x => x.cast("double")), col("code"))
+      .head()
+    val v = row.getSeq[Double](0).toArray
+    val want = (0 until 8).map(s => graft.functions.NearestCentroid.compute(
+      java.util.Arrays.copyOfRange(v, s * 8, (s + 1) * 8), books(s)))
+    assert(row.getSeq[Int](1) === want)
+    val p = array(probe.map(lit): _*)
+    val exact = emb.filter(col("vec_id") =!= 0L)
+      .withColumn("d2",
+        aggregate(zip_with(transform(col("embedding"), x => x.cast("double")), p,
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.pqTopK(encoded, books, "vec_id", probe, 20, 512, Some(0L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall $recall too low")
+  }
+
   test("multimodal decode: features align with payload bytes") {
     val packed = multimodal.Multimodal.packDocuments(Tables.documents(spark, Sf001))
     val feats = multimodal.Multimodal.decodeFeatures(spark, packed)
