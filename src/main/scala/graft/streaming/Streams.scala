@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, explode, expr, size}
 import graft.ops.Windows
 
 /** Structured-Streaming twins of the batch event queries (SURVEY §2b E7).
@@ -80,6 +80,29 @@ object Streams {
     * routed stream out to per-split sinks. */
   def routeBySplit(records: DataFrame, keyCol: String): DataFrame =
     records.withColumn("split", graft.ops.Router.hashSplit(col(keyCol)))
+
+  /** Stream-static posting probe: the streaming half of incremental
+    * near-dup ([[graft.ops.Dedup.incrementalJaccardPairs]]) — an
+    * in-flight document stream's exploded shingles equi-join the STATIC
+    * corpus posting list. Structured Streaming runs a stream-static
+    * inner join STATELESS (the static side is an ordinary table, nothing
+    * buffers, append mode, no watermark), so this stage adds zero state
+    * store; at 100 TB the static postings are the persisted inverted
+    * index the batch dedup already maintains. The pair AGGREGATION
+    * (count of shared shingles → Jaccard) is per-doc×corpus by
+    * construction — no cross-batch state can exist — so production runs
+    * it per micro-batch via `foreachBatch` on the batch operator itself;
+    * StreamingSpec proves both halves equal their batch twins.
+    *
+    * `docs` needs (doc_id, lang, sh) with distinct shingles; `corpus`
+    * the same, static. Output: one row per (stream doc, corpus doc,
+    * shared shingle). */
+  def corpusPostingMatches(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    def posts(df: DataFrame, side: String) = df.select(
+      col("lang"), col("doc_id").as(s"id_$side"),
+      size(col("sh")).as(s"sz_$side"), explode(col("sh")).as("__sh"))
+    posts(docs, "new").join(posts(corpus, "old"), Seq("lang", "__sh"))
+  }
 
   /** Streaming data-quality monitor: the stream sibling of
     * graft.ops.Quality.checkBlock — per-window violation counts for a

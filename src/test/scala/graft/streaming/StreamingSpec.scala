@@ -109,6 +109,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-static posting probe equals the batch join; foreachBatch pairs equal the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "en", Seq("a b c", "b c d", "x y z")),
+      (101L, "en", Seq("a b c", "q r s")),
+      (102L, "de", Seq("a b c"))) // other block — must never match "en" docs
+      .toDF("doc_id", "lang", "sh")
+    val batch1 = Seq((1L, "en", Seq("a b c", "b c d")))
+    val batch2 = Seq((2L, "en", Seq("q r s")), (3L, "de", Seq("a b c")))
+    val mem = MemoryStream[(Long, String, Seq[String])]
+    val docs = mem.toDF().toDF("doc_id", "lang", "sh")
+    // half 1: the stateless stream-static join, append mode, no watermark
+    val q = Streams.corpusPostingMatches(docs, corpus)
+      .writeStream.format("memory").queryName("t_probe").outputMode("append").start()
+    // half 2: per-micro-batch pair aggregation via the BATCH operator
+    val pairBatches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long, Double)]]
+    val q2 = docs.writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      pairBatches += graft.ops.Dedup
+        .incrementalJaccardPairs(corpus, b, "doc_id", "sh", Seq("lang"))
+        .select("id_new", "id_old", "common", "jac")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      ()
+    }.start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable(); q2.processAllAvailable()
+    } finally { q.stop(); q2.stop() }
+    val streamed = spark.table("t_probe")
+      .select("id_new", "id_old", "__sh").as[(Long, Long, String)]
+      .collect().toSet
+    val batchTwin = Streams
+      .corpusPostingMatches((batch1 ++ batch2).toDF("doc_id", "lang", "sh"), corpus)
+      .select("id_new", "id_old", "__sh").as[(Long, Long, String)]
+      .collect().toSet
+    assert(streamed === batchTwin)
+    assert(streamed.contains((3L, 102L, "a b c"))) // de block matches de only
+    assert(!streamed.exists { case (n, o, _) => n == 1L && o == 102L })
+    // the per-batch pairs, unioned, equal the batch operator on all rows
+    val streamedPairs = pairBatches.flatten.toSet
+    val batchPairs = graft.ops.Dedup
+      .incrementalJaccardPairs(corpus,
+        (batch1 ++ batch2).toDF("doc_id", "lang", "sh"), "doc_id", "sh", Seq("lang"))
+      .select("id_new", "id_old", "common", "jac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamedPairs === batchPairs)
+    // doc 1 vs corpus 100: shares both its shingles → jac 2/(2+3-2)
+    assert(streamedPairs.contains((1L, 100L, 2L, 2.0 / 3.0)))
+  }
+
   test("streaming hash-split routes exactly like the batch split on the same keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
