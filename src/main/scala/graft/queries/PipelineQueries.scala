@@ -449,8 +449,119 @@ object PipelineQueries {
       ORDER BY cid
     """))
 
+  /** Hashed-n-gram importance weights for targeted data selection — the
+    * DSIR shape (Xie et al. 2023: score raw docs by how target-like their
+    * hashed n-gram distribution is, no classifier, no vocabulary pass).
+    * Target distribution comes from a small designated slice (sources
+    * src0–src2 stand in for "high-quality domain sample"); both the
+    * target and corpus distributions are add-one-smoothed counts over 256
+    * md5-derived buckets.
+    *
+    * Log-free for the bit-exact gate: the paper's Σ log(t/c) becomes the
+    * arithmetic MEAN of per-occurrence probability ratios — each ratio is
+    * ONE IEEE division of exact integer products (counts ≤ 1e6 × 1e6
+    * stays under 2^53), per-doc means go through the tie-free
+    * DECIMAL(38,18) sum. Ranks target-like docs the same way; no libm.
+    *
+    * Scale shape: the bucket table is 256 rows and the totals row is ONE
+    * row — both broadcast; the corpus side is an embarrassingly parallel
+    * map + one map-side-combinable per-doc aggregate. Zero global state:
+    * this is why hashed importance weighting works at 100 TB where a
+    * vocabulary-keyed variant would need a giant dictionary. */
+  val importanceWeight = QuerySpec(
+    "q_importance_weight",
+    (s, d) => {
+      val isTarget = col("source").isin("src0", "src1", "src2")
+      val occ = fanOut(s, documents(s, d))
+        .select(col("doc_id"), col("source"),
+          explode(Text.tokens(col("text"))).as("t"))
+        .withColumn("h", md5(col("t")))
+        .withColumn("b",
+          ((expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16 +
+            (expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1))
+            .cast("int"))
+        .select("doc_id", "source", "b")
+        .cache()
+      val buckets = occ.groupBy("b").agg(count(lit(1)).as("c_cnt"))
+        .join(occ.filter(isTarget).groupBy("b")
+          .agg(count(lit(1)).as("t_cnt")), Seq("b"), "left")
+        .select(col("b"), col("c_cnt"),
+          coalesce(col("t_cnt"), lit(0L)).as("t_cnt"))
+      val totals = occ.agg(count(lit(1)).as("c_tot"),
+        sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("t_tot"))
+      val r = ((col("t_cnt") + 1L) * (col("c_tot") + 256L)).cast("double") /
+        ((col("c_cnt") + 1L) * (col("t_tot") + 256L)).cast("double")
+      val per = occ.join(broadcast(buckets), "b")
+        .crossJoin(broadcast(totals))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(r.cast("decimal(38,18)")).as("rsum"))
+      documents(s, d).select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          // round(9) absorbs the engines' differing DECIMAL→DOUBLE cast
+          // rounding (JVM correctly rounded, DuckDB double-rounds through
+          // int128); `keep` derives from the ROUNDED weight so the
+          // threshold compare cannot flip on a last-ulp difference
+          when(col("n_tok").isNull, lit(0.0))
+            .otherwise(round(col("rsum").cast("double")
+              / col("n_tok").cast("double"), 9)).as("weight"))
+        .withColumn("keep",
+          (col("weight") > 1.0).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH occ AS (
+        SELECT doc_id, source,
+               CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(h, 2, 1)) - 1
+                    AS INTEGER) AS b
+        FROM (
+          SELECT doc_id, source, md5(t) AS h
+          FROM (SELECT doc_id, source,
+                       unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                          x -> x <> '')) AS t
+                FROM documents)
+        )
+      ),
+      buckets AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS c_cnt,
+               CAST(coalesce(sum(CASE WHEN source IN ('src0','src1','src2')
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_cnt
+        FROM occ GROUP BY b
+      ),
+      totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS c_tot,
+               CAST(coalesce(sum(CASE WHEN source IN ('src0','src1','src2')
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_tot
+        FROM occ
+      ),
+      per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               sum(CAST(CAST((t_cnt + 1) * (c_tot + 256) AS DOUBLE)
+                        / CAST((c_cnt + 1) * (t_tot + 256) AS DOUBLE)
+                        AS DECIMAL(38,18))) AS rsum
+        FROM occ JOIN buckets USING (b) CROSS JOIN totals
+        GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(n_tok, 0) AS n_tok,
+             CASE WHEN n_tok IS NULL THEN 0.0
+                  ELSE round(CAST(rsum AS DOUBLE) / CAST(n_tok AS DOUBLE), 9)
+             END AS weight,
+             CAST(CASE WHEN n_tok IS NULL THEN 0
+                       WHEN round(CAST(rsum AS DOUBLE) / CAST(n_tok AS DOUBLE),
+                                  9) > 1.0
+                       THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY d.doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     exportShards,
     hashSplit, chunkDocs, packSequences, domainCap, globalShuffle,
-    truncateTokens, mixtureWeights, sourceDrift, ragIndex)
+    truncateTokens, mixtureWeights, sourceDrift, ragIndex,
+    importanceWeight)
 }

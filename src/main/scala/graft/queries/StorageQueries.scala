@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.ZValue.z_value
@@ -190,5 +191,50 @@ object StorageQueries {
       ORDER BY seg
     """))
 
-  val all: Seq[QuerySpec] = Seq(zorder, bucketJoin, skewJoin)
+  /** Small-file compaction PLAN — the write-side maintenance job that
+    * keeps a 100 TB table readable: greedy next-fit bin-packing of each
+    * partition's files into target-size output groups (docs stand in for
+    * files, n_chars for bytes, source for the table partition; target
+    * 2000 keeps every SF multi-bin). Bin id is pure integer arithmetic
+    * over the EXCLUSIVE running total — floor(prev_bytes / target) — so
+    * a file larger than the target still closes its own bin and the
+    * assignment is deterministic under any physical ordering.
+    *
+    * Scale shape: the window is partitioned BY the table partition and
+    * ordered by file id — per-partition file counts are bounded (the
+    * small-file problem is per-directory, ~1e3–1e4 manifest entries), so
+    * no global sort ever materializes; the output is the manifest the
+    * rewrite job consumes, grouped to one row per planned output file. */
+  val compaction = QuerySpec(
+    "q_compaction",
+    (s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d).select("source", "doc_id", "n_chars")
+        .withColumn("cum", sum("n_chars").over(w) - col("n_chars"))
+        .withColumn("bin", expr("cum DIV 2000"))
+        .groupBy("source", "bin")
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum("n_chars").as("bytes"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "bin")
+    },
+    Some("""
+      WITH b AS (
+        SELECT source, doc_id, n_chars,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_chars AS cum
+        FROM documents
+      )
+      SELECT source, CAST(cum // 2000 AS BIGINT) AS bin,
+             count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b
+      GROUP BY source, bin
+      ORDER BY source, bin
+    """))
+
+  val all: Seq[QuerySpec] = Seq(zorder, bucketJoin, skewJoin, compaction)
 }

@@ -908,6 +908,89 @@ object TextQueries {
       LIMIT 30
     """))
 
+  /** Per-document LM fluency score — the perplexity-filter shape (CCNet
+    * trains a corpus LM and keeps the docs the model finds predictable)
+    * re-expressed LOG-FREE so the score survives the cross-engine hash
+    * gate: every per-bigram conditional probability P(w2|w1) = c(bg)/c(w1·)
+    * is ONE IEEE division of exact integers (bit-identical in any engine),
+    * the per-doc mean goes through the decimal-sum trick (each double cast
+    * to DECIMAL(38,18) — tie-free — summed exactly, order-free), and the
+    * doc's weakest link min P is an order-free min over exact doubles.
+    * ln() never appears: libm last-ulp drift is what keeps real perplexity
+    * out of a bit-exact gate, and the mean/min conditional probability
+    * ranks docs for filtering just as monotonically.
+    *
+    * Scale shape: the LM is a map-side-combinable bigram count (vocab²
+    * upper bound, corpus-frequency distributed), doc occurrences join it
+    * on the bigram key — plain hash joins on aggregated keys, no global
+    * state, no windows. Self-scoring keeps every doc bigram present in
+    * the LM, so the join is inner and lossless; docs under 2 tokens
+    * surface with n_bigrams = 0 via the left join at the end. */
+  val lmScore = QuerySpec(
+    "q_lm_score",
+    (s, d) => {
+      val occ = fanOut(s, documents(s, d))
+        .select(col("doc_id"),
+          explode(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
+        .cache()
+      val lm = occ.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val starts = lm.groupBy("w1").agg(sum("cnt").as("c1"))
+      val p = col("cnt").cast("double") / col("c1").cast("double")
+      val per = occ.join(lm, "bg").join(starts, "w1")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(p.cast("decimal(38,18)")).as("psum"),
+          min(p).as("min_p"))
+      documents(s, d).select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          // the DECIMAL(38,18)→DOUBLE cast is correctly rounded on the
+          // JVM but double-rounds through int128 in DuckDB — round(9)
+          // absorbs the last-ulp drift (house rule: round a fixed IEEE
+          // sequence, never a partition-order-dependent one)
+          when(col("n_bigrams").isNull, lit(0.0))
+            .otherwise(round(col("psum").cast("double")
+              / col("n_bigrams").cast("double"), 9)).as("mean_p"),
+          coalesce(col("min_p"), lit(0.0)).as("min_p"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH occ AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                        i -> array_to_string(toks[i:i+1], ' '))) AS bg
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      ),
+      lm AS (SELECT bg, split_part(bg, ' ', 1) AS w1,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM occ GROUP BY bg),
+      starts AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1
+                 FROM lm GROUP BY w1),
+      per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               sum(CAST(CAST(cnt AS DOUBLE) / CAST(c1 AS DOUBLE)
+                        AS DECIMAL(38,18))) AS psum,
+               min(CAST(cnt AS DOUBLE) / CAST(c1 AS DOUBLE)) AS min_p
+        FROM occ JOIN lm USING (bg) JOIN starts USING (w1)
+        GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(n_bigrams, 0) AS n_bigrams,
+             CASE WHEN n_bigrams IS NULL THEN 0.0
+                  ELSE round(CAST(psum AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 9)
+             END AS mean_p,
+             coalesce(min_p, 0.0) AS min_p
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY d.doc_id
+    """))
+
   /** Token-distribution Gini impurity per doc — 1 − Σ pᵢ² , the
     * log-free diversity signal (entropy's exactly-computable sibling:
     * ln() is banned from compared floats because libm last-ulp differs
@@ -1144,6 +1227,6 @@ object TextQueries {
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
-    substringDedup, containment, bigramLm, giniDiversity, featureHash,
-    snmDedup, sqlCustomFuncs, incrementalDedup)
+    substringDedup, containment, bigramLm, lmScore, giniDiversity,
+    featureHash, snmDedup, sqlCustomFuncs, incrementalDedup)
 }

@@ -409,6 +409,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython"), p)
   }
 
+  test("compaction plan windows per table-partition — never a global sort") {
+    val df = SparkEntry.queries("q_compaction")(spark, Sf001)
+    df.collect()
+    val unpartitionedWindows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitionedWindows.isEmpty, unpartitionedWindows.mkString("\n"))
+  }
+
+  test("LM scoring joins on aggregated keys with map-side partial counts") {
+    val p = plan(SparkEntry.queries("q_lm_score")(spark, Sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the bigram LM build must partial-aggregate before its shuffle — the
+    // exploded occurrence stream is the biggest intermediate at 100 TB
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("importance weighting broadcasts the 256-bucket and totals sides") {
+    val df = SparkEntry.queries("q_importance_weight")(spark, Sf001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("kmeans assignment broadcasts the centroid side and combines map-side") {
     val df = SparkEntry.queries("q_kmeans_assign")(spark, Sf001)
     val p = plan(df)

@@ -79,4 +79,27 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(again === page)
   }
+
+  test("importance weights rank the target slice above the rest on average") {
+    // the DSIR sanity check: docs whose source DEFINED the target
+    // distribution must average a higher weight than the rest (their own
+    // hashed-n-gram mass is what the target counts were built from)
+    val w = PipelineQueries.importanceWeight.run(spark, Sf001)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("tgt", col("source").isin("src0", "src1", "src2"))
+      .groupBy("tgt").agg(avg("weight").as("aw"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(w(true) > w(false), s"target ${w(true)} vs rest ${w(false)}")
+  }
+
+  test("importance keep flag is exactly weight > 1 and empty docs weigh 0") {
+    val iw = PipelineQueries.importanceWeight.run(spark, Sf001).cache()
+    val bad = iw.filter(
+      (col("keep") === 1) =!= (col("weight") > 1.0)).count()
+    assert(bad === 0)
+    val inconsistent = iw.filter(
+      col("n_tok") === 0 && (col("weight") =!= 0.0 || col("keep") =!= 0)).count()
+    assert(inconsistent === 0)
+    iw.unpersist()
+  }
 }
