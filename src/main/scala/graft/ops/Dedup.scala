@@ -99,14 +99,18 @@ object Dedup {
         // HEAD (≤ total_postings/cap keys by pigeonhole, tiny in practice)
         // while the survivor set is nearly every distinct shingle — at
         // corpus scale the survivor join's build side is itself corpus-
-        // sized, and Spark can broadcast the hot set so capped postings
-        // drop map-side with no extra shuffle of the posting stream.
+        // sized. The broadcast hint is explicit: hot's size ESTIMATE
+        // derives from its full exploded child, so static planning would
+        // pick a shuffled anti-join (re-shuffling the whole posting
+        // stream — the exact cost the cap exists to avoid) and only
+        // maybe AQE-downgrade it; hinted, capped postings drop map-side
+        // with no extra exchange on the posting stream.
         val hot = allPosts
           .groupBy((blockCols :+ "__sh").map(col): _*)
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") > cap)
           .drop("__df")
-        allPosts.join(hot, blockCols :+ "__sh", "left_anti")
+        allPosts.join(broadcast(hot), blockCols :+ "__sh", "left_anti")
     }
     def sided(side: String) =
       posts.toDF(posts.columns.map {
@@ -140,15 +144,25 @@ object Dedup {
     * one row per (incoming, corpus) pair sharing ≥ 1 shingle.
     *
     * Both shingle columns must hold DISTINCT shingles (callers
-    * array_distinct). A batch too large to broadcast falls back to
-    * [[jaccardPairs]] semantics by unioning and self-joining — at that
-    * point it is not an increment, it is a corpus. */
+    * array_distinct). The broadcast is UNCONDITIONAL: a batch whose
+    * postings exceed the broadcast/driver limits fails loudly rather
+    * than silently shuffling the corpus — at that size it is not an
+    * increment, it is a corpus, and the caller should run
+    * [[jaccardPairs]] on the union instead. */
+  /** Exploded posting projection — (blockCols…, id_<side>, sz_<side>,
+    * __sh) — shared by the batch incremental join and the streaming
+    * probe ([[graft.streaming.Streams.corpusPostingMatches]]) so the two
+    * halves cannot drift on shingle/size semantics. */
+  private[graft] def postings(df: DataFrame, id: String, shingleCol: String,
+      blockCols: Seq[String], side: String): DataFrame = df.select(
+    (blockCols.map(col) :+ col(id).as(s"id_$side") :+
+      size(col(shingleCol)).as(s"sz_$side") :+
+      explode(col(shingleCol)).as("__sh")): _*)
+
   def incrementalJaccardPairs(corpus: DataFrame, incoming: DataFrame,
       id: String, shingleCol: String, blockCols: Seq[String]): DataFrame = {
-    def posts(df: DataFrame, side: String) = df.select(
-      (blockCols.map(col) :+ col(id).as(s"id_$side") :+
-        size(col(shingleCol)).as(s"sz_$side") :+
-        explode(col(shingleCol)).as("__sh")): _*)
+    def posts(df: DataFrame, side: String) =
+      postings(df, id, shingleCol, blockCols, side)
     posts(corpus, "old")
       .join(broadcast(posts(incoming, "new")), blockCols :+ "__sh")
       .groupBy((blockCols :+ "id_new" :+ "id_old" :+ "sz_new" :+ "sz_old")

@@ -413,10 +413,18 @@ object EventQueries {
       val mx = agg.agg(max(col("last_ts")).as("now_ts"))
       val nParts = s.sessionState.conf.numShufflePartitions
       // ntile(5) OVER (ORDER BY key DESC, user_id) ≡ ntileFromRank over
-      // the (-key, user_id) ascending rank — bit-identical, ties included
+      // the (-key, user_id) ascending rank — bit-identical, ties included.
+      // A NULL metric (all-NULL-value user ⇒ monetary = sum(NULL) = NULL)
+      // must rank LAST: both the window form's `desc` and the oracle's
+      // DESC default to NULLS LAST, while a raw ascending rank would put
+      // NULL first — so the key coalesces to Double.MaxValue (beyond any
+      // real metric; the long keys stay under 2^53 so the double cast is
+      // order-exact), keeping NULL users in the worst quintile with the
+      // same user_id tiebreak among themselves.
       def quintile(negKey: org.apache.spark.sql.Column, name: String) =
         graft.ops.Ranks
-          .globalRank(agg.select(col("user_id"), negKey.as("__key")),
+          .globalRank(agg.select(col("user_id"),
+            coalesce(negKey.cast("double"), lit(Double.MaxValue)).as("__key")),
             Seq(col("__key"), col("user_id")), nParts, "__rk",
             totalCol = Some("__n"))
           .select(col("user_id"),

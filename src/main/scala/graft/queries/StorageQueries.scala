@@ -22,10 +22,14 @@ object StorageQueries {
     * partkey AND suppkey simultaneously; a single-column sort would bound
     * one and leave the other spanning the full domain.
     *
-    * Scale shape: the fact table is `repartitionByRange(z, …)` — the same
-    * shuffle a production z-order WRITE pays — and the tile id is computed
-    * arithmetically from [[graft.ops.Ranks.globalRank]]'s dense rank
-    * (range exchange + partition-LOCAL row_number + broadcast offsets), so
+    * Scale shape: the fact table range-clusters on z through
+    * [[graft.ops.Ranks.globalRank]]'s literal-CUTPOINT buckets — a hash
+    * exchange on the precomputed bucket id (PlanSpec pins
+    * `hashpartitioning(__gr_bkt`), deliberately NOT a sampled
+    * `repartitionByRange` (Ranks documents why: the range exchange
+    * re-samples nondeterministically per run) — and the tile id is
+    * computed arithmetically from the dense rank
+    * (bucket exchange + partition-LOCAL row_number + broadcast offsets), so
     * NO row of lineitem ever passes through a single-task global
     * sort/window. [[graft.ops.Ranks.ntileFromRank]] reproduces ntile's
     * row-position tile boundaries bit-for-bit, which is what keeps the

@@ -94,15 +94,16 @@ object Streams {
     * it per micro-batch via `foreachBatch` on the batch operator itself;
     * StreamingSpec proves both halves equal their batch twins.
     *
-    * `docs` needs (doc_id, lang, sh) with distinct shingles; `corpus`
-    * the same, static. Output: one row per (stream doc, corpus doc,
-    * shared shingle). */
-  def corpusPostingMatches(docs: DataFrame, corpus: DataFrame): DataFrame = {
-    def posts(df: DataFrame, side: String) = df.select(
-      col("lang"), col("doc_id").as(s"id_$side"),
-      size(col("sh")).as(s"sz_$side"), explode(col("sh")).as("__sh"))
-    posts(docs, "new").join(posts(corpus, "old"), Seq("lang", "__sh"))
-  }
+    * `docs` needs (doc_id, blockCols…, sh) with distinct shingles;
+    * `corpus` the same, static. Output: one row per (stream doc, corpus
+    * doc, shared shingle). The posting projection is
+    * [[graft.ops.Dedup.postings]] — the SAME builder the batch
+    * incremental join uses, so the two halves cannot drift. */
+  def corpusPostingMatches(docs: DataFrame, corpus: DataFrame,
+      blockCols: Seq[String] = Seq("lang")): DataFrame =
+    graft.ops.Dedup.postings(docs, "doc_id", "sh", blockCols, "new")
+      .join(graft.ops.Dedup.postings(corpus, "doc_id", "sh", blockCols, "old"),
+        blockCols :+ "__sh")
 
   /** Streaming data-quality monitor: the stream sibling of
     * graft.ops.Quality.checkBlock — per-window violation counts for a

@@ -47,6 +47,28 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("q_rfm's NULL-metric quintile pattern matches ntile desc NULLS LAST") {
+    // the regression: `ntile OVER (ORDER BY m DESC)` puts NULL metrics
+    // LAST (worst quintile) in Spark and DuckDB, but a raw ascending rank
+    // of the negated key would put NULL first — q_rfm coalesces the key
+    // to Double.MaxValue, which must reproduce the window form exactly
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 300).map { i =>
+      (i.toLong, if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(50).toDouble))
+    }.toDF("id", "m")
+    val expected = df
+      .withColumn("q", ntile(5).over(Window.orderBy(col("m").desc, col("id"))))
+      .select("id", "q").as[(Long, Int)].collect().toMap
+    val got = Ranks
+      .globalRank(
+        df.withColumn("__key",
+          coalesce(lit(0.0) - col("m"), lit(Double.MaxValue))),
+        Seq(col("__key"), col("id")), 6, "rk", totalCol = Some("n"))
+      .withColumn("q", Ranks.ntileFromRank(col("rk"), col("n"), 5))
+      .select("id", "q").as[(Long, Int)].collect().toMap
+    assert(got === expected)
+  }
+
   test("rank column is dense, 1-based, and preserves input columns") {
     val df = randomDf(200, seed = 3)
     val out = Ranks.globalRank(df, Seq(col("k"), col("id")), 5, "rk")
