@@ -396,4 +396,56 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }
+
+  /** Exact-substring dedup with DOCUMENT RECONSTRUCTION (the transform
+    * half of Lee et al.'s substring dedup — q_substring_dedup only
+    * REPORTS duplication; this one rewrites the corpus): texts are cut
+    * into fixed `width`-word chunks, every chunk occurrence except the
+    * globally FIRST (lowest (doc, position)) is deleted, and each doc's
+    * surviving chunks are stitched back in position order.
+    *
+    * Scale shape: chunking is a bounded explode (⌈words/width⌉ rows per
+    * doc, never quadratic); the first-occurrence winner per chunk is ONE
+    * map-side-combinable `min(struct(doc, pos))` aggregate keyed on the
+    * chunk's md5 (bounded key width no matter how long the chunk is);
+    * flag-back is an equi-join on that digest; reconstruction is a
+    * per-doc aggregate whose buffer holds at most the doc's own chunks.
+    * Nothing in the plan is pairwise and every shuffle key (digest,
+    * doc id) hash-partitions evenly.
+    *
+    * Returns (idCol, n_chunks, n_removed, new_text) for every input doc;
+    * a doc whose every chunk was seen earlier collapses to new_text = "".
+    */
+  def chunkRewrite(docs: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    require(width >= 1, s"chunk width=$width must be at least 1")
+    val nChunks = floor(
+      (size(col("__ws")) + lit(width - 1)).cast("double") / lit(width))
+      .cast("long")
+    val chunks = docs
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(0L), nChunks - 1)).as("cpos"))
+      .select(col(idCol), col("cpos"),
+        array_join(
+          slice(col("__ws"), (col("cpos") * width + 1).cast("int"), lit(width)),
+          " ").as("chunk"))
+      .withColumn("__dg", md5(col("chunk")))
+    val firsts = chunks
+      .groupBy("__dg")
+      .agg(min(struct(col(idCol), col("cpos"))).as("__f"))
+    chunks.join(firsts, Seq("__dg"))
+      .withColumn("__keep",
+        col(idCol) === col(s"__f.$idCol") && col("cpos") === col("__f.cpos"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("cpos"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").as("new_text"))
+  }
 }

@@ -368,4 +368,47 @@ object Similarity {
       .agg(min(struct(col("__d2"), col("__cid"))).as("__m"))
       .select(col(idCol), col("__m.__cid").as("cid"), col("__m.__d2").as("d2"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then prune near-duplicate PAIRS only within each cluster —
+    * a row is dropped when any SAME-CLUSTER peer with a smaller id has
+    * cosine ≥ `threshold` (keep-lowest-id, the deterministic stand-in for
+    * the paper's keep-farthest-from-centroid; both keep exactly one per
+    * tight neighborhood).
+    *
+    * Scale shape: clustering bounds the candidate space exactly like
+    * lang-blocking bounds [[graft.ops.Dedup.jaccardPairs]] — pair work is
+    * Σ_c |c|², never N², and each cluster's pairs co-locate under one
+    * hash-partition key (`cid`), so the quadratic stage shards evenly
+    * when k is sized to the corpus (k ≈ N / target_cluster_size; the
+    * paper runs k = 11k on 5B embeddings). The scoring kernel is the
+    * codegen'd [[graft.functions.CosineSim]] single-pass fused
+    * dot+norms; the assignment pass is [[kmeansAssign]]'s broadcast
+    * nested-loop (no shuffle on the corpus side).
+    *
+    * Returns one row per vector: (idCol, cid, n_dups, keep) where
+    * n_dups = smaller-id in-cluster neighbors at ≥ threshold and
+    * keep = 1 iff n_dups = 0. Cosines are rounded to 6 decimals BEFORE
+    * the threshold compare so the verdict is engine-portable. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val assigned = kmeansAssign(emb, idCol, vecCol, k)
+      .select(col(idCol), col("cid"))
+    val vecs = emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .join(assigned, Seq(idCol))
+    def side(n: String) = vecs.select(col("cid"),
+      col(idCol).as(s"id_$n"), col("__v").as(s"v_$n"))
+    val dups = side("a").join(side("b"), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", round(
+        graft.functions.CosineSim.cosine_sim(col("v_a"), col("v_b")), 6))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("id_b").as(idCol))
+      .agg(count(lit(1)).as("n_dups"))
+    assigned.join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).cast("int").as("keep"))
+  }
 }

@@ -227,7 +227,52 @@ object SimilarityQueries {
       FROM embeddings
     """))
 
+  /** SemDeDup semantic dedup — cluster-then-prune over the embedding
+    * space (Similarity.semDedup scaladoc has the 100 TB shape: pair work
+    * is Σ|cluster|², k sized to the corpus). k = 8 deterministic
+    * lowest-id seeds, threshold 0.42 (the synthetic embeddings are
+    * near-uniform — max in-cluster cosine ≈ 0.49 — so a web-corpus 0.9x
+    * threshold would drop nothing; 0.42 exercises real drops at every
+    * SF). Fully SQL-expressible: the oracle replays the same assignment
+    * and the same rounded-cosine prune. */
+  val semDedup = QuerySpec(
+    "q_semdedup",
+    (s, d) =>
+      Similarity.semDedup(fanOut(s, embeddings(s, d)),
+          "vec_id", "embedding", k = 8, threshold = 0.42)
+        .orderBy("vec_id"),
+    Some("""
+      WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                 FROM embeddings ORDER BY vec_id LIMIT 8),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               round(list_sum(list_transform(
+                     list_zip(e.embedding::DOUBLE[], c.cvec),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+        FROM embeddings e CROSS JOIN c
+      ),
+      a AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cid ASC) AS rn
+              FROM d) WHERE rn = 1),
+      v AS (SELECT a.vec_id, a.cid, e.embedding::DOUBLE[] AS vv
+            FROM a JOIN embeddings e USING (vec_id)),
+      p AS (SELECT y.vec_id, count(*) AS n_dups
+            FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            WHERE round(list_inner_product(x.vv, y.vv)
+                        / (sqrt(list_inner_product(x.vv, x.vv))
+                           * sqrt(list_inner_product(y.vv, y.vv))), 6)
+                  >= 0.42
+            GROUP BY y.vec_id)
+      SELECT a.vec_id, a.cid, coalesce(p.n_dups, 0) AS n_dups,
+             CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS keep
+      FROM a LEFT JOIN p USING (vec_id)
+      ORDER BY vec_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     similarityTopk, similarityAnn, similarityLsh, dedupEmbed, batchAnn,
-    similarityPq)
+    similarityPq, semDedup)
 }

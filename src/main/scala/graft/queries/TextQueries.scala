@@ -1223,10 +1223,49 @@ object TextQueries {
       LIMIT 25
     """))
 
+  /** Substring dedup as a TRANSFORM (Dedup.chunkRewrite scaladoc has the
+    * 100 TB shape): 5-word chunks, global first occurrence survives,
+    * docs stitched back in position order. Width 5 because the synthetic
+    * corpus draws from a ~30-word vocabulary — wide enough that repeats
+    * are real phrases, narrow enough that every SF exercises removals
+    * (320 duplicated chunks at sf0.01). The oracle replays the identical
+    * first-wins rule with a window rank; its PARTITION key is the chunk
+    * text while the engine keys on the chunk's md5 — same equivalence
+    * classes, bounded shuffle width. */
+  val chunkRewrite = QuerySpec(
+    "q_chunk_rewrite",
+    (s, d) =>
+      Dedup.chunkRewrite(fanOut(s, documents(s, d)), "doc_id", "text",
+          width = 5)
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      ch AS (
+        SELECT doc_id, cpos,
+               array_to_string(ws[cpos*5+1 : cpos*5+5], ' ') AS chunk
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(0, (len(ws)+4)//5 - 1)) AS cpos
+              FROM w)
+      ),
+      r AS (SELECT doc_id, cpos, chunk,
+                   row_number() OVER (PARTITION BY chunk
+                                      ORDER BY doc_id, cpos) AS rn
+            FROM ch)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                                 ORDER BY cpos), '') AS new_text
+      FROM r
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
-    featureHash, snmDedup, sqlCustomFuncs, incrementalDedup)
+    featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite)
 }

@@ -168,4 +168,42 @@ class CurationSpec extends SparkSpec {
     assert(assigned.filter(col("d2") < 0).count() === 0L)
     assert(assigned.filter(col("d2") === 0.0 && col("vec_id") < 8).count() === 8L)
   }
+
+  // --- semDedup ---------------------------------------------------------
+
+  test("semDedup: drops only smaller-id in-cluster neighbors over threshold") {
+    // cluster 0 (seed id 0 at origin-ish): 0, 2, 3 near-identical → 0 kept,
+    //   2 and 3 dropped (2 has 1 dup peer: 0; 3 has 2: 0 and 2)
+    // cluster 1 (seed id 1): 4 is same-direction (cos 1.0) → dropped;
+    //   5 is in cluster 1 but at cos ≈ 0.936 < 0.95 to both → kept
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0f, 10f, 0f)),
+      (2L, Seq(1f, 0.01f, 0f)),
+      (3L, Seq(1f, -0.01f, 0f)),
+      (4L, Seq(0f, 5f, 0f)),
+      (5L, Seq(0f, 8f, 3f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(emb, "vec_id", "embedding", k = 2,
+        threshold = 0.95)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(r === Seq(
+      (0L, 0L, 0L, 1), (1L, 1L, 0L, 1), (2L, 0L, 1L, 0),
+      (3L, 0L, 2L, 0), (4L, 1L, 1L, 0), (5L, 1L, 0L, 1)))
+  }
+
+  test("semDedup: cross-cluster near-dups are NOT dropped (blocking bound)") {
+    // 0 and 1 are parallel (cos = 1) but seed different clusters — SemDeDup
+    // only prunes within a cluster, so both survive
+    val emb = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(2f, 0f)),
+      (2L, Seq(1.5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(emb, "vec_id", "embedding", k = 2,
+        threshold = 0.99)
+    assert(r.filter(col("vec_id") === 0 || col("vec_id") === 1)
+      .filter(col("keep") === 1).count() === 2L)
+  }
 }

@@ -208,4 +208,36 @@ class DedupSpec extends SparkSpec {
       assert(blocked === global, s"n=$n w=$w blockSize=$blockSize")
     }
   }
+
+  test("chunkRewrite: first occurrence survives, later copies deleted, " +
+      "docs stitched in position order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // chunks: "a b c" (first), "d e f" (first)
+      (2L, "a b c x y z"),      // "a b c" dup of doc1 → removed; "x y z" kept
+      (3L, "a b c"),            // whole doc is a dup → collapses to ""
+      (4L, "x y"))              // short doc, one partial chunk, unique
+      .toDF("doc_id", "text")
+    val r = Dedup.chunkRewrite(docs, "doc_id", "text", width = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r === Seq(
+      (1L, 2L, 0L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 1L, 1L, ""),
+      (4L, 1L, 0L, "x y")))
+  }
+
+  test("chunkRewrite: total words conserved = kept + removed chunks") {
+    val docs = Seq(
+      (10L, "p q r p q r p q r"),  // self-repeating doc: chunk 0 kept,
+                                   // chunks 1,2 are copies of chunk 0
+      (11L, "p q r s"))
+      .toDF("doc_id", "text")
+    val r = Dedup.chunkRewrite(docs, "doc_id", "text", width = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r === Seq(
+      (10L, 3L, 2L, "p q r"),
+      (11L, 2L, 1L, "s")))
+  }
 }
