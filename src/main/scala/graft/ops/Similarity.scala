@@ -161,22 +161,30 @@ object Similarity {
     * whenever centroid norms differ, which they always do (centroids are
     * means, never unit-norm). Standard IVF probes with the assignment
     * metric for exactly this reason. */
-  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
-      idCol: String, probe: Seq[Double], k: Int, nProbe: Int,
-      excludeId: Option[Long] = None): DataFrame = {
+  /** The nProbe cell ids nearest the probe by the ASSIGNMENT metric
+    * (squared L2), ties to the lower cell id — driver-side over the
+    * (tiny) centroid table, shared by every IVF-probed query path. */
+  private def probeCells(centroids: Array[Array[Double]],
+      probe: Seq[Double], nProbe: Int): Seq[Int] = {
     def d2(a: Seq[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    val cells = centroids.zipWithIndex
+    centroids.zipWithIndex
       .map { case (c, i) => (i, d2(probe, c)) }
       .sortBy { case (i, s) => (s, i) }
-      .take(nProbe).map(_._1)
+      .take(nProbe).map(_._1).toSeq
+  }
+
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+      idCol: String, probe: Seq[Double], k: Int, nProbe: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cells = probeCells(centroids, probe, nProbe)
     val p = array(probe.map(lit): _*)
     val base = excludeId.fold(assigned)(x => assigned.filter(col(idCol) =!= x))
     base
-      .filter(col("cluster").isInCollection(cells.toSeq))
+      .filter(col("cluster").isInCollection(cells))
       .withColumn("cos", round(cosine_sim(asDouble(col("embedding")), p), 6))
       .select(col(idCol), col("label"), col("cluster"), col("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
@@ -276,6 +284,26 @@ object Similarity {
       .orderBy(col("d2").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("label"), col("d2"))
+  }
+
+  /** IVF-PQ: the full Faiss-style two-level index — coarse IVF cells
+    * prune WHICH vectors are scanned, PQ codes prune WHAT is read per
+    * vector. The probe ranks cells with the assignment metric
+    * ([[probeCells]], same as [[ivfTopK]]), the ADC + exact-re-rank
+    * stages are [[pqTopK]] verbatim over just the probed cells' rows.
+    * At 100 TB the two multiply: nProbe/nCells of the corpus × m bytes
+    * per vector — the scan reads ~(8/1024)·(8/256) of the raw data,
+    * and the cell filter is a partition-prunable predicate when the
+    * encoded table is written clustered by cell (Sinks.rangeClustered).
+    * `assigned` must carry both the `cluster` column (ivfAssign) and
+    * the `code` column (pqEncode). */
+  def ivfPqTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], idCol: String,
+      probe: Seq[Double], k: Int, nProbe: Int, shortlist: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cells = probeCells(centroids, probe, nProbe)
+    pqTopK(assigned.filter(col("cluster").isInCollection(cells)),
+      codebooks, idCol, probe, k, shortlist, excludeId)
   }
 
   /** Sparse cosine similarity join over TOKEN-COUNT vectors via an

@@ -227,6 +227,43 @@ object SimilarityQueries {
       FROM embeddings
     """))
 
+  /** E3 scale path, the full two-level index: IVF cells × PQ codes
+    * (Similarity.ivfPqTopK scaladoc has the 100 TB multiply: the scan
+    * touches nProbe/nCells of the rows and m bytes of each). Membership
+    * is doubly engine-specific (cell carving × codebook geometry) →
+    * the q_similarity_ann verdict shape, recall pinned vs the exact
+    * euclidean top-20 computed in-plan. */
+  val ivfPq = QuerySpec(
+    "q_ivf_pq",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val probe = Similarity.probeVector(emb, "vec_id", ProbeId)
+      val (assigned, centroids) = Similarity.ivfAssign(s, emb, nCells = 16)
+      val books = Similarity.pqTrain(s, emb, m = 8, k = 16)
+      val encoded = Similarity.pqEncode(s, assigned, books)
+      val approx = Similarity.ivfPqTopK(encoded, centroids, books, "vec_id",
+        probe, k = 20, nProbe = 8, shortlist = 256, excludeId = Some(ProbeId))
+      val p = array(probe.map(lit): _*)
+      val exact = emb.filter(col("vec_id") =!= ProbeId)
+        .withColumn("d2",
+          aggregate(
+            zip_with(Similarity.asDouble(col("embedding")), p,
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x))
+        .orderBy(col("d2").asc, col("vec_id").asc).limit(20)
+      val hits = approx.select("vec_id")
+        .join(exact.select("vec_id"), "vec_id")
+        .agg(count(lit(1)).as("__hits"))
+      emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
+        .select(
+          col("n_vectors"), lit(20).as("k"),
+          (col("__hits") >= 10).cast("int").as("recall_ok"))
+    },
+    Some("""
+      SELECT count(*) AS n_vectors, 20 AS k, 1 AS recall_ok
+      FROM embeddings
+    """))
+
   /** SemDeDup semantic dedup — cluster-then-prune over the embedding
     * space (Similarity.semDedup scaladoc has the 100 TB shape: pair work
     * is Σ|cluster|², k sized to the corpus). k = 8 deterministic
@@ -274,5 +311,5 @@ object SimilarityQueries {
 
   val all: Seq[QuerySpec] = Seq(
     similarityTopk, similarityAnn, similarityLsh, dedupEmbed, batchAnn,
-    similarityPq, semDedup)
+    similarityPq, semDedup, ivfPq)
 }

@@ -76,6 +76,27 @@ class EntrySpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall $recall too low")
   }
 
+  test("IVF-PQ: two-level prune recall >= 0.5 vs exact euclidean top-20") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, Sf001)
+    val probe = Similarity.probeVector(emb, "vec_id", 0L)
+    val (assigned, centroids) = Similarity.ivfAssign(spark, emb, 16)
+    val books = Similarity.pqTrain(spark, emb, m = 8, k = 16)
+    val encoded = Similarity.pqEncode(spark, assigned, books)
+    val p = array(probe.map(lit): _*)
+    val exact = emb.filter(col("vec_id") =!= 0L)
+      .withColumn("d2",
+        aggregate(zip_with(transform(col("embedding"), x => x.cast("double")), p,
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfPqTopK(encoded, centroids, books, "vec_id",
+        probe, 20, 8, 256, Some(0L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall too low")
+  }
+
   test("multimodal decode: features align with payload bytes") {
     val packed = multimodal.Multimodal.packDocuments(Tables.documents(spark, Sf001))
     val feats = multimodal.Multimodal.decodeFeatures(spark, packed)
