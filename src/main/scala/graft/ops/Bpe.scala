@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge TRAINING (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * vocabulary-induction loop every subword tokenizer runs before a model
+  * ever trains.
+  *
+  * Scale shape — the same reason HF/SentencePiece trainers are feasible
+  * at all, made distributed: the loop never touches the corpus after the
+  * first pass. Round 0 reduces 100 TB of text to the WORD-FREQUENCY
+  * table (distinct words × count — map-side-combinable aggregate,
+  * bounded by vocabulary not corpus size), and every merge round then
+  * runs over that table only: pair counting is a bounded explode
+  * (|word|−1 rows per word) into a map-side-combinable integer sum; the
+  * argmax is a single-row `max(struct(freq, l, r))` reduce (ONE pair
+  * crosses to the driver per round — the only driver traffic in the
+  * loop); the merge rewrite is a map-only pass through the codegen'd
+  * [[graft.functions.BpeMerge]] kernel. `localCheckpoint` truncates the
+  * per-round lineage exactly as in [[Graph.pageRank]].
+  *
+  * Determinism contract: counts are exact integers, and frequency ties
+  * break to the lexicographically GREATEST (l, r) — binary UTF8
+  * ordering, identical in any engine (HF breaks ties by insertion
+  * order, which only that implementation can replay).
+  *
+  * Returns the merge table (step, lhs, rhs, freq) — step 1-based, freq
+  * the pair count at selection time. Stops early (fewer rows) if the
+  * word table runs out of adjacent pairs.
+  */
+object Bpe {
+
+  def train(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges=$nMerges must be at least 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+      .select(
+        transform(sequence(lit(1), length(col("__w"))),
+          i => col("__w").substr(i, lit(1))).as("syms"),
+        col("__cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("__cnt"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(
+              element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("__cnt")).as("freq"))
+        .agg(max(struct(col("freq"), col("l"), col("r"))).as("m"))
+        .select(col("m.freq"), col("m.l"), col("m.r"))
+        .collect()
+      if (top.isEmpty || top(0).isNullAt(0)) exhausted = true
+      else {
+        val (freq, l, r) =
+          (top(0).getLong(0), top(0).getString(1), top(0).getString(2))
+        merges += ((step, l, r, freq))
+        words = words
+          .withColumn("syms",
+            graft.functions.BpeMerge.bpe_merge(col("syms"), lit(l), lit(r)))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "freq")
+  }
+}

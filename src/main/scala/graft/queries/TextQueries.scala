@@ -1262,10 +1262,87 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** One unrolled BPE round in the oracle's dialect, step `i`: pair
+    * counts → argmax (freq DESC, then lexicographically greatest pair)
+    * → greedy non-overlapping merge. The merge's sequential "skip the
+    * position a previous match consumed" rule is relational here: a run
+    * of CONSECUTIVE matching positions only exists when lhs = rhs (a
+    * same-symbol run), and greedy left-to-right then merges exactly the
+    * odd offsets within each run — gaps-and-islands (grp = pos − rank)
+    * plus a parity test replays the kernel bit-for-bit. */
+  private def bpeStepSql(i: Int): String = s"""
+      x$i AS (SELECT w, cnt, string_split(w, ' ') AS ls FROM s$i),
+      p$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+                SELECT ls[pos] AS l, ls[pos+1] AS r, cnt
+                FROM (SELECT cnt, ls,
+                             unnest(generate_series(1, len(ls)-1)) AS pos
+                      FROM x$i WHERE len(ls) >= 2) AS e$i) AS pe$i
+              GROUP BY l, r),
+      m$i AS (SELECT l, r, freq FROM p$i
+              ORDER BY freq DESC, l DESC, r DESC LIMIT 1),
+      q$i AS (SELECT w, cnt, pos, ls[pos] AS sym,
+                     CASE WHEN pos < len(ls) AND ls[pos] = m.l
+                               AND ls[pos+1] = m.r
+                          THEN 1 ELSE 0 END AS mt
+              FROM (SELECT w, cnt, ls,
+                           unnest(generate_series(1, len(ls))) AS pos
+                    FROM x$i) AS t$i, m$i AS m),
+      g$i AS (SELECT w, cnt, pos, sym, mt,
+                     CASE WHEN mt = 1
+                          THEN pos - row_number() OVER (PARTITION BY w, mt
+                                                        ORDER BY pos)
+                          ELSE -1 END AS grp
+              FROM q$i),
+      h$i AS (SELECT w, cnt, pos, sym, mt,
+                     CASE WHEN mt = 1
+                          THEN row_number() OVER (PARTITION BY w, grp
+                                                  ORDER BY pos)
+                          ELSE 0 END AS rin
+              FROM g$i),
+      o$i AS (SELECT ow, cnt, pos,
+                     CASE WHEN mg = 1 THEN sym || nxt
+                          WHEN lag(mg) OVER (PARTITION BY ow ORDER BY pos) = 1
+                          THEN NULL
+                          ELSE sym END AS outsym
+              FROM (SELECT w AS ow, cnt, pos, sym,
+                           CASE WHEN mt = 1 AND rin % 2 = 1
+                                THEN 1 ELSE 0 END AS mg,
+                           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                    FROM h$i) AS i$i),
+      s${i + 1} AS (SELECT string_agg(outsym, ' ' ORDER BY pos) AS w,
+                           any_value(cnt) AS cnt
+                    FROM o$i GROUP BY ow)"""
+
+  /** Distributed BPE merge training over the corpus vocabulary
+    * (Bpe.train scaladoc carries the 100 TB shape: after one corpus
+    * reduce to the word-frequency table, every round is bounded by
+    * VOCABULARY size, with one pair crossing to the driver per round).
+    * The oracle replays all 8 rounds exactly — [[bpeStepSql]] unrolls
+    * the loop as chained CTEs, so even this iterative trainer is
+    * hash-gated end-to-end rather than verdict-pinned. */
+  val bpeLearn = QuerySpec(
+    "q_bpe_learn",
+    (s, d) => graft.ops.Bpe.train(documents(s, d), "text", nMerges = 8),
+    Some(s"""
+      WITH w0 AS (
+        SELECT raw, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS raw FROM documents) AS u0
+        WHERE raw <> '' GROUP BY raw),
+      s1 AS (SELECT rtrim(regexp_replace(raw, '(.)', '\\1 ', 'g')) AS w, cnt
+             FROM w0),
+      ${(1 to 8).map(bpeStepSql).mkString(",")}
+      SELECT * FROM (
+        ${(1 to 8)
+          .map(i => s"SELECT $i AS step, l AS lhs, r AS rhs, freq FROM m$i")
+          .mkString(" UNION ALL ")}
+      ) AS res ORDER BY step
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
-    featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite)
+    featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
+    bpeLearn)
 }
