@@ -32,15 +32,19 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  def train(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  /** The shared loop: returns the merge list and the FINAL word table
+    * (__w = original word, syms = its post-merge tokenization, __cnt).
+    * The word table doubles as the ENCODE dictionary: training already
+    * tokenized every distinct corpus word, so encoding is a join — the
+    * corpus is never re-merged (see [[encode]]). */
+  private def trainCore(docs: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges=$nMerges must be at least 1")
-    val spark = docs.sparkSession
-    import spark.implicits._
     var words = docs
       .select(explode(split(col(textCol), " ")).as("__w"))
       .filter(col("__w") =!= "")
       .groupBy("__w").agg(count(lit(1)).as("__cnt"))
-      .select(
+      .select(col("__w"),
         transform(sequence(lit(1), length(col("__w"))),
           i => col("__w").substr(i, lit(1))).as("syms"),
         col("__cnt"))
@@ -73,6 +77,40 @@ object Bpe {
         step += 1
       }
     }
-    merges.toSeq.toDF("step", "lhs", "rhs", "freq")
+    (merges.toSeq, words)
+  }
+
+  def train(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainCore(docs, textCol, nMerges)._1.toDF("step", "lhs", "rhs", "freq")
+  }
+
+  /** BPE ENCODE: per-document subword statistics under the trained
+    * merges. The corpus is tokenized by JOINING each word against the
+    * trainer's final word table — at 100 TB the dictionary is bounded
+    * by vocabulary (broadcastable for natural languages; a plain hash
+    * join otherwise) and the corpus streams through once, instead of
+    * paying nMerges rewrite passes over every document. Every corpus
+    * word is in the dictionary by construction (same corpus trained).
+    *
+    * Returns (idCol, n_words, n_tokens, n_chars, compression) where
+    * compression = chars per token — THE metric tokenizer quality is
+    * judged on. One double division over exact ints: engine-portable. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val (_, words) = trainCore(docs, textCol, nMerges)
+    val dict = words.select(col("__w"), size(col("syms")).cast("long").as("__nt"))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .join(broadcast(dict), Seq("__w"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(length(col("__w")).cast("long")).as("n_chars"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_tokens").cast("double"))
   }
 }

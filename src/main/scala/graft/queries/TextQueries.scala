@@ -1338,11 +1338,46 @@ object TextQueries {
       ) AS res ORDER BY step
     """))
 
+  /** BPE encode — per-doc subword stats under the 8 trained merges
+    * (Bpe.encode scaladoc: encoding is a bounded-dictionary join, the
+    * corpus streams once). The oracle extends the same unrolled s-chain
+    * one step further: the final word table IS the dictionary, the
+    * original word recovered by stripping the symbol separators. */
+  val bpeEncode = QuerySpec(
+    "q_bpe_encode",
+    (s, d) =>
+      graft.ops.Bpe.encode(documents(s, d), "doc_id", "text", nMerges = 8)
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH w0 AS (
+        SELECT raw, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS raw FROM documents) AS u0
+        WHERE raw <> '' GROUP BY raw),
+      s1 AS (SELECT rtrim(regexp_replace(raw, '(.)', '\\1 ', 'g')) AS w, cnt
+             FROM w0),
+      ${(1 to 8).map(bpeStepSql).mkString(",")},
+      dict AS (SELECT replace(w, ' ', '') AS word,
+                      CAST(len(string_split(w, ' ')) AS BIGINT) AS nt
+               FROM s9),
+      dw AS (SELECT doc_id, raw AS word FROM (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS raw
+               FROM documents) AS x WHERE raw <> '')
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(len(word)) AS BIGINT) AS n_chars,
+             CAST(sum(len(word)) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)
+               AS compression
+      FROM dw JOIN dict USING (word)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
-    bpeLearn)
+    bpeLearn, bpeEncode)
 }

@@ -72,6 +72,31 @@ class BpeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("encode matches a naive re-merge of every document") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("spark", "scala", "stream", "batch", "merge", "a", "bb")
+    val texts = (1 to 40).map(_ =>
+      (1 to (1 + rnd.nextInt(8))).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = naiveBpe(texts, nMerges = 5).map { case (_, l, r, _) => (l, r) }
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      val toks = ws.map { w =>
+        merges.foldLeft(w.map(_.toString).toVector) {
+          case (syms, (l, r)) => mergeOne(syms, l, r)
+        }.length.toLong
+      }
+      (i.toLong, ws.length.toLong, toks.sum, ws.map(_.length.toLong).sum)
+    }
+    val got = Bpe.encode(docs, "doc_id", "text", nMerges = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_tokens", "n_chars")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
   test("train stops early when no adjacent pairs remain") {
     // single-char words only → after 0 possible merges... actually one
     // pair ("a","a") exists in "aa"; after merging it the table is all
