@@ -445,4 +445,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
   }
+
+  test("semdedup pair stage joins on the cluster id — no cross product") {
+    // the quadratic stage must be an equi-join on cid (Σ|cluster|² work),
+    // never an unkeyed pairwise product over the corpus
+    val p = plan(SparkEntry.queries("q_semdedup")(spark, Sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("cid") ||
+        l.contains("ShuffledHashJoin") && l.contains("cid") ||
+        l.contains("BroadcastHashJoin") && l.contains("cid")), p)
+  }
+
+  test("chunk rewrite has no global window or single-task sort") {
+    // first-occurrence is a digest-keyed aggregate + equi-join; the
+    // reconstruction groups by doc — nothing funnels through one task
+    val p = plan(SparkEntry.queries("q_chunk_rewrite")(spark, Sf001))
+    assert(!p.contains("Window ["), p) // no WindowExec at all
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bpe encode joins the corpus against a broadcast dictionary") {
+    val df = SparkEntry.queries("q_bpe_encode")(spark, Sf001)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
