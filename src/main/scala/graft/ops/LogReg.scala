@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed logistic regression by Newton's method (IRLS) — the
+  * quality-classifier trainer a curation pipeline runs over its labeled
+  * sample (fastText-style quality heads, CCNet's LM filter head).
+  *
+  * Scale shape: each Newton iteration is ONE map-side-combinable
+  * aggregate over the corpus producing the d(d+1)/2 Hessian entries
+  * X'RX, the d-vector gradient X'(y−p), and the log-loss — (d²+3d)/2+1
+  * numbers total, independent of corpus size. The d×d solve happens at
+  * the driver (d is the feature count — single digits; nobody
+  * distributes a 4×4 matrix inverse). No row ever leaves its partition;
+  * the weight vector ships back as plan literals for the next pass.
+  * This is exactly MLlib's own treeAggregate shape for GLMs, written
+  * openly.
+  *
+  * Determinism contract: every aggregated term is cast to
+  * DECIMAL(38,18) BEFORE summing — decimal sums are exact and
+  * order-free, so the fitted weights are bit-identical on any partition
+  * layout (a raw double sum would drift with partitioning and compound
+  * across iterations). The per-row sigmoid/log are pure functions of
+  * (w, x): deterministic given the previous round's exact sums.
+  */
+object LogReg {
+
+  final case class Fit(weights: Array[Double], losses: Array[Double],
+      gradNorms: Array[Double])
+
+  private def decSum(c: Column): Column =
+    sum(c.cast("decimal(38,18)")).cast("double")
+
+  /** `xCols` are the raw feature columns (numeric); an intercept is
+    * prepended. `yCol` must be 0/1. Returns per-iteration losses
+    * (length iters+1: initial loss first) and gradient norms. */
+  def train(feats: DataFrame, yCol: String, xCols: Seq[String],
+      iters: Int, ridge: Double = 1e-9): Fit = {
+    require(iters >= 1, s"iters=$iters must be at least 1")
+    val d = xCols.size + 1
+    var w = Array.fill(d)(0.0)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val gradNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def x(i: Int): Column = if (i == 0) lit(1.0) else col(xCols(i - 1)).cast("double")
+    for (_ <- 0 until iters) {
+      val z = (1 until d).map(i => x(i) * w(i)).foldLeft(lit(w(0)): Column)(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val y = col(yCol).cast("double")
+      val hCols = for (i <- 0 until d; j <- i until d)
+        yield decSum(x(i) * x(j) * p * (lit(1.0) - p)).as(s"h_${i}_$j")
+      val gCols = (0 until d).map(i => decSum(x(i) * (y - p)).as(s"g_$i"))
+      val lossCol = decSum(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
+        .as("loss")
+      val aggs = hCols ++ gCols :+ lossCol
+      val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val h = Array.ofDim[Double](d, d)
+      var c = 0
+      for (i <- 0 until d; j <- i until d) {
+        h(i)(j) = row.getDouble(c); h(j)(i) = h(i)(j); c += 1
+      }
+      val g = Array.tabulate(d)(i => row.getDouble(c + i))
+      losses += row.getDouble(c + d)
+      gradNorms += math.sqrt(g.map(v => v * v).sum)
+      for (i <- 0 until d) h(i)(i) += ridge
+      val delta = solve(h, g)
+      w = Array.tabulate(d)(i => w(i) + delta(i))
+    }
+    // final loss + gradient under the converged weights
+    val z = (1 until d).map(i => x(i) * w(i)).foldLeft(lit(w(0)): Column)(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val y = col(yCol).cast("double")
+    val gCols = (0 until d).map(i => decSum(x(i) * (y - p)).as(s"g_$i"))
+    val aggs2 = gCols :+
+      decSum(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))).as("loss")
+    val row2 = feats.agg(aggs2.head, aggs2.tail: _*).collect()(0)
+    losses += row2.getDouble(d)
+    gradNorms += math.sqrt((0 until d).map(i => {
+      val v = row2.getDouble(i); v * v
+    }).sum)
+    Fit(w, losses.toArray, gradNorms.toArray)
+  }
+
+  /** Gaussian elimination with partial pivoting — deterministic, d ≤ 10. */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val d = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (k <- 0 until d) {
+      var piv = k
+      for (i <- k + 1 until d) if (math.abs(a(i)(k)) > math.abs(a(piv)(k))) piv = i
+      val tmp = a(k); a(k) = a(piv); a(piv) = tmp
+      val tb = b(k); b(k) = b(piv); b(piv) = tb
+      require(math.abs(a(k)(k)) > 1e-300, "singular Hessian")
+      for (i <- k + 1 until d) {
+        val f = a(i)(k) / a(k)(k)
+        for (j <- k until d) a(i)(j) -= f * a(k)(j)
+        b(i) -= f * b(k)
+      }
+    }
+    val xv = new Array[Double](d)
+    for (i <- d - 1 to 0 by -1) {
+      var s = b(i)
+      for (j <- i + 1 until d) s -= a(i)(j) * xv(j)
+      xv(i) = s / a(i)(i)
+    }
+    xv
+  }
+}

@@ -171,5 +171,49 @@ object QualityQueries {
       FROM p CROSS JOIN a
     """))
 
-  val all: Seq[QuerySpec] = Seq(dqChecks, snapshotDiff, joinSizeEstimate)
+  /** Quality-classifier training: distributed Newton/IRLS logistic
+    * regression (LogReg.train scaladoc carries the 100 TB shape — one
+    * bounded aggregate per iteration, a 4×4 solve at the driver).
+    * Features are exact text statistics, label = "is English". The
+    * fitted weights are engine-specific (per-row sigmoid/log
+    * transcendentals don't hash-match across engines' libm), so the
+    * compared output is the exact label/count twin plus in-plan
+    * verdicts — the q_gbt_predict pattern; LogRegSpec proves the fit
+    * against a driver-local reference and the monotone-loss property. */
+  val qualityLogreg = QuerySpec(
+    "q_quality_logreg",
+    (s, d) => {
+      val feats = documents(s, d).select(
+        (col("lang") === "en").cast("int").as("y"),
+        size(split(col("text"), " ")).cast("double").as("x_words"),
+        size(array_distinct(split(col("text"), " "))).cast("double")
+          .as("x_uniq"),
+        length(col("text")).cast("double").as("x_chars"))
+      val fit = graft.ops.LogReg.train(feats, "y", Seq("x_words", "x_uniq", "x_chars"),
+        iters = 3)
+      val lossesDec = fit.losses.map(v => !v.isNaN && !v.isInfinite)
+      val monotone = fit.losses.sliding(2).forall(p => p(1) <= p(0) + 1e-12)
+      val gradOk = fit.gradNorms.last < 1e-3
+      val finite = fit.weights.forall(v => !v.isNaN && !v.isInfinite) &&
+        lossesDec.forall(identity)
+      documents(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("lang") === "en").cast("bigint")).as("n_en"))
+        .select(col("n_docs"), col("n_en"),
+          lit(3).as("n_iters"),
+          lit(if (monotone) 1 else 0).as("loss_decreasing"),
+          lit(if (gradOk) 1 else 0).as("grad_ok"),
+          lit(if (finite) 1 else 0).as("weights_finite"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en,
+             3 AS n_iters, 1 AS loss_decreasing, 1 AS grad_ok,
+             1 AS weights_finite
+      FROM documents
+    """))
+
+  val all: Seq[QuerySpec] =
+    Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg)
 }
