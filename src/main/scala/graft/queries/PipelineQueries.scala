@@ -559,9 +559,36 @@ object PipelineQueries {
       ORDER BY d.doc_id
     """))
 
+  /** Weighted sample without replacement, derandomized (Router.aresKey
+    * scaladoc has the portability argument): top-50 docs by the A-ES
+    * key with weight = n_chars — long docs oversampled in proportion.
+    * TakeOrdered top-k (PlanSpec-checked elsewhere for the same shape),
+    * membership a pure function of the key → incremental-arrival-safe
+    * exactly like q_hash_split. */
+  val weightedSample = QuerySpec(
+    "q_weighted_sample",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          graft.ops.Router.aresKey(col("doc_id"), col("n_chars")).as("__k"))
+        .orderBy(col("__k").desc, col("doc_id"))
+        .limit(50)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               ln( (('0x' || substr(md5('ws42:' || CAST(doc_id AS VARCHAR)),
+                                    1, 12))::BIGINT + 1)
+                   / 281474976710656.0 ) / n_chars AS k
+        FROM documents
+        ORDER BY k DESC, doc_id LIMIT 50) AS t
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     exportShards,
     hashSplit, chunkDocs, packSequences, domainCap, globalShuffle,
     truncateTokens, mixtureWeights, sourceDrift, ragIndex,
-    importanceWeight)
+    importanceWeight, weightedSample)
 }

@@ -102,4 +102,23 @@ class PipelineSpec extends SparkSpec {
     assert(inconsistent === 0)
     iw.unpersist()
   }
+
+  test("weighted sample is partition-invariant and weight-sensitive") {
+    import spark.implicits._
+    // pure function of (key, weight): layout cannot change membership
+    val docs = (1L to 400L).map(i => (i, 10L + (i % 37))).toDF("doc_id", "n_chars")
+    def sample(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        graft.ops.Router.aresKey(col("doc_id"), col("n_chars")).as("k"))
+      .orderBy(col("k").desc, col("doc_id")).limit(50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sample(docs.repartition(1)) === sample(docs.repartition(32)))
+    // an overwhelming weight forces inclusion: ln(u)/w → 0⁻ as w → ∞,
+    // beating every finite-weight key with u < 1
+    val heavy = docs.withColumn("n_chars",
+      when(col("doc_id") === 123L, lit(1000000000L)).otherwise(col("n_chars")))
+    assert(sample(heavy).contains(123L))
+    // equal weights reduce to a plain top-k by hash — exactly 50 rows
+    assert(sample(docs.withColumn("n_chars", lit(1L))).size === 50)
+  }
 }
