@@ -1373,11 +1373,87 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** BM25 retrieval (Robertson–Spärck Jones; Lucene's ln(1+·) idf so
+    * common terms never go negative) — top-15 docs for a fixed 3-term
+    * query, k1 = 1.2, b = 0.75. The sparse-retrieval sibling of
+    * q_sparse_cosine: tf comes from a term-filtered token explode (the
+    * IN-list prunes at the scan), df/N/avgdl are three tiny aggregates
+    * broadcast back, and the top-k is a TakeOrdered — at 100 TB this is
+    * one filtered pass over the posting-shaped data, no global state.
+    *
+    * Score portability: mul/div are correctly rounded IEEE everywhere,
+    * so the ONLY cross-engine drift is ln's last ulp (≈1e-15 relative);
+    * the compared output is therefore integer-only (ids + exact tf/dl
+    * stats) with the score used for SELECTION, where the measured
+    * rank-15/16 margin is ≥ 7.6e-5 on every SF — ten orders above the
+    * noise (the aresKey discipline; the house rule keeps ln out of
+    * compared floats). Both engines spell the score with IDENTICAL
+    * expression text/associativity, so even the ulp drift is confined
+    * to ln itself. */
+  val bm25 = QuerySpec(
+    "q_bm25",
+    (s, d) => {
+      val terms = Seq("vector", "stream", "hash")
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = documents(s, d).agg(count(lit(1)).as("n"))
+        .crossJoin(dl.agg(
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+      val tf = toks.filter(col("t").isin(terms: _*))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val score = idf * col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("__s", score)
+        .groupBy("doc_id")
+        .agg(sum(col("__s")).as("__score"),
+          count(lit(1)).as("n_terms"),
+          sum(col("tf")).as("tf_sum"),
+          first(col("dl")).as("dl"))
+        .orderBy(col("__score").desc, col("doc_id"))
+        .limit(15)
+        .select("doc_id", "n_terms", "tf_sum", "dl")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks
+             GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl)
+                         AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM toks
+             WHERE t IN ('vector', 'stream', 'hash') GROUP BY doc_id, t),
+      df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+      sc AS (SELECT tf.doc_id,
+                    sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) )
+                      AS score,
+                    CAST(count(*) AS BIGINT) AS n_terms,
+                    CAST(sum(tf.tf) AS BIGINT) AS tf_sum,
+                    any_value(dl.dl) AS dl
+             FROM tf JOIN df USING (t) JOIN dl USING (doc_id)
+                  CROSS JOIN stats s
+             GROUP BY tf.doc_id)
+      SELECT doc_id, n_terms, tf_sum, dl FROM (
+        SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 15) AS top
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
-    bpeLearn, bpeEncode)
+    bpeLearn, bpeEncode, bm25)
 }
