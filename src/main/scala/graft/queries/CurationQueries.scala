@@ -153,5 +153,85 @@ object CurationQueries {
       SELECT vec_id, cid, d2 FROM a WHERE rn = 1 ORDER BY vec_id
     """))
 
-  val all: Seq[QuerySpec] = Seq(boilerplate, contextWindows, gopher, kmeansAssign)
+  /** Curriculum ordering: difficulty quintiles (LM fluency score — low
+    * mean_p = hard) interleaved round-robin into an epoch order, so each
+    * training window sees the full difficulty spectrum (anti-curriculum
+    * clustering is the failure mode this prevents). Scale shape: the
+    * difficulty score is q_lm_score's plan verbatim; the quintile is
+    * [[graft.ops.Ranks.globalRank]] + ntileFromRank (literal-cutpoint
+    * buckets + partition-local row_number — NO global window over the
+    * corpus); the within-quintile position falls out of the same dense
+    * rank arithmetically, so the interleave costs nothing beyond the
+    * rank exchange. epoch_pos = (rank_in_quintile − 1)·5 + quintile:
+    * scanning epoch_pos ascending alternates quintiles 1,2,3,4,5,1,…
+    *
+    * ntile tile boundaries are replayed exactly (first n%5 tiles carry
+    * ⌈n/5⌉ rows): RanksSpec proves ntileFromRank ≡ ntile, and the tile
+    * START offset here uses the same floor-division identities. */
+  val curriculum = QuerySpec(
+    "q_curriculum",
+    (s, d) => {
+      import org.apache.spark.sql.Column
+      val scored = TextQueries.lmScore.run(s, d).select(col("doc_id"), col("mean_p"))
+      val nParts = s.sessionState.conf.numShufflePartitions
+      val ranked = graft.ops.Ranks.globalRank(scored,
+        Seq(col("mean_p"), col("doc_id")), nParts, "__rk",
+        totalCol = Some("__n"))
+      def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+      val qsize = idiv(col("__n"), lit(5L))
+      val rem = (col("__n") % 5).cast("long")
+      val start = when(col("quintile") <= rem,
+          (col("quintile") - 1) * (qsize + 1) + 1)
+        .otherwise(rem * (qsize + 1) + (col("quintile") - 1 - rem) * qsize + 1)
+      ranked
+        .withColumn("quintile",
+          graft.ops.Ranks.ntileFromRank(col("__rk"), col("__n"), 5).cast("long"))
+        .withColumn("epoch_pos",
+          (col("__rk") - start) * 5 + col("quintile"))
+        .select("doc_id", "quintile", "epoch_pos")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH occ AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                        i -> array_to_string(toks[i:i+1], ' '))) AS bg
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      ),
+      lm AS (SELECT bg, split_part(bg, ' ', 1) AS w1,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM occ GROUP BY bg),
+      starts AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1
+                 FROM lm GROUP BY w1),
+      per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               sum(CAST(CAST(cnt AS DOUBLE) / CAST(c1 AS DOUBLE)
+                        AS DECIMAL(38,18))) AS psum
+        FROM occ JOIN lm USING (bg) JOIN starts USING (w1)
+        GROUP BY doc_id
+      ),
+      scored AS (
+        SELECT d.doc_id,
+               CASE WHEN n_bigrams IS NULL THEN 0.0
+                    ELSE round(CAST(psum AS DOUBLE)
+                               / CAST(n_bigrams AS DOUBLE), 9)
+               END AS mean_p
+        FROM documents d LEFT JOIN per USING (doc_id)
+      ),
+      rk AS (SELECT doc_id, mean_p,
+                    ntile(5) OVER (ORDER BY mean_p, doc_id) AS quintile
+             FROM scored)
+      SELECT doc_id, quintile,
+             (row_number() OVER (PARTITION BY quintile
+                                 ORDER BY mean_p, doc_id) - 1) * 5 + quintile
+               AS epoch_pos
+      FROM rk
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[QuerySpec] =
+    Seq(boilerplate, contextWindows, gopher, kmeansAssign, curriculum)
 }

@@ -169,6 +169,22 @@ class CurationSpec extends SparkSpec {
     assert(assigned.filter(col("d2") === 0.0 && col("vec_id") < 8).count() === 8L)
   }
 
+  // --- curriculum -------------------------------------------------------
+
+  test("curriculum: epoch order interleaves all five difficulty quintiles") {
+    val r = graft.queries.CurationQueries.curriculum.run(spark, Sf001)
+      .orderBy("epoch_pos")
+      .select("quintile", "epoch_pos")
+      .as[(Long, Long)].collect().toSeq
+    // positions are distinct and the first full cycle hits 1..5 in order
+    assert(r.map(_._2).distinct.size === r.size)
+    assert(r.take(5).map(_._1) === Seq(1L, 2L, 3L, 4L, 5L))
+    // every run of 5 consecutive positions covers ≥ 4 distinct quintiles
+    // (tails of short tiles may drop one) — no difficulty clustering
+    val clustered = r.map(_._1).sliding(5).count(w => w.distinct.size < 4)
+    assert(clustered === 0, s"$clustered clustered windows")
+  }
+
   // --- semDedup ---------------------------------------------------------
 
   test("semDedup: drops only smaller-id in-cluster neighbors over threshold") {
