@@ -214,6 +214,91 @@ object QualityQueries {
       FROM documents
     """))
 
+  /** Poisson bootstrap CI for a corpus metric (mean doc length) —
+    * uncertainty quantification over the pipeline's own statistics, the
+    * way a 100 TB job actually bootstraps (Chamandy et al. 2012,
+    * "Estimating Uncertainty for Massive Data Streams": per-record
+    * Poisson(1) weights instead of true resampling, so each of the B
+    * replicas is ONE map-side-combinable weighted sum — no resample
+    * materialization, no shuffle beyond a B-row aggregate).
+    *
+    * Derandomized like hashSplit/aresKey: the Poisson draw inverts a
+    * HARDCODED CDF ladder (literals below, correctly-rounded decimal →
+    * double parses identically in any engine) on the md5-uniform
+    * u(b, doc) — weights are pure functions of (replica, key), so the
+    * whole CI is bit-reproducible. Every weighted sum is exact integer
+    * arithmetic; each replica estimate is one IEEE division; the CI
+    * bounds are fixed order statistics (3rd/98th of B = 100) over that
+    * 100-row aggregate — a global window over an aggregated table, per
+    * the house rule. */
+  val bootstrap = QuerySpec(
+    "q_bootstrap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = (conv(substring(md5(concat(col("b").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), 1, 12), 16, 10).cast("bigint")
+        + lit(1)) / lit(281474976710656.0)
+      val w = when(col("u") <= 0.36787944117144233, 0L)
+        .when(col("u") <= 0.7357588823428847, 1L)
+        .when(col("u") <= 0.9196986029286058, 2L)
+        .when(col("u") <= 0.9810118431238463, 3L)
+        .when(col("u") <= 0.9963401531726563, 4L)
+        .when(col("u") <= 0.9994058151824183, 5L)
+        .otherwise(6L)
+      val reps = documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(1), lit(100))).as("b"))
+        .withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg((sum(col("w") * col("n_chars")).cast("double")
+          / sum(col("w")).cast("double")).as("est"))
+      val ranked = reps.withColumn("rn",
+        row_number().over(Window.orderBy(col("est"), col("b"))))
+      val lo = ranked.filter(col("rn") === 3)
+        .select(round(col("est"), 9).as("ci_lo"))
+      val hi = ranked.filter(col("rn") === 98)
+        .select(round(col("est"), 9).as("ci_hi"))
+      val point = documents(s, d).agg(
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 9)
+          .as("mean_chars"),
+        count(lit(1)).as("n_docs"))
+      point.crossJoin(lo).crossJoin(hi)
+        .select(col("n_docs"), col("mean_chars"), col("ci_lo"), col("ci_hi"))
+    },
+    Some("""
+      WITH reps AS (
+        SELECT b,
+               CAST(sum(w * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                 AS est
+        FROM (
+          SELECT doc_id, n_chars, b,
+                 CASE WHEN u <= 0.36787944117144233 THEN 0
+                      WHEN u <= 0.7357588823428847 THEN 1
+                      WHEN u <= 0.9196986029286058 THEN 2
+                      WHEN u <= 0.9810118431238463 THEN 3
+                      WHEN u <= 0.9963401531726563 THEN 4
+                      WHEN u <= 0.9994058151824183 THEN 5
+                      ELSE 6 END AS w
+          FROM (
+            SELECT doc_id, n_chars, b,
+                   (('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 12))
+                      ::BIGINT + 1) / 281474976710656.0 AS u
+            FROM documents, (SELECT unnest(generate_series(1, 100)) AS b) AS bs
+          ) AS wu
+        ) AS ww
+        GROUP BY b
+      ),
+      ranked AS (SELECT est, row_number() OVER (ORDER BY est, b) AS rn
+                 FROM reps)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT round(CAST(sum(n_chars) AS DOUBLE) / count(*), 9)
+              FROM documents) AS mean_chars,
+             (SELECT round(est, 9) FROM ranked WHERE rn = 3) AS ci_lo,
+             (SELECT round(est, 9) FROM ranked WHERE rn = 98) AS ci_hi
+    """))
+
   val all: Seq[QuerySpec] =
-    Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg)
+    Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap)
 }

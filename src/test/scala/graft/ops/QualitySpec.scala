@@ -62,4 +62,17 @@ class QualitySpec extends SparkSpec {
       .as[(Int, String)].collect().toSeq
     assert(r === Seq((1, "unchanged"), (2, "changed")))
   }
+
+  test("bootstrap CI brackets the point estimate and is rerun-stable") {
+    val q = graft.queries.QualityQueries.bootstrap
+    val r1 = q.run(spark, Sf001).collect()(0)
+    val (n, mean, lo, hi) =
+      (r1.getLong(0), r1.getDouble(1), r1.getDouble(2), r1.getDouble(3))
+    assert(n > 0)
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket $mean")
+    assert(hi - lo < mean, "95% CI of a 500-doc mean must be tight")
+    // pure function of (replica, key): a rerun is bit-identical
+    val r2 = q.run(spark, Sf001).collect()(0)
+    assert(r1 === r2)
+  }
 }
