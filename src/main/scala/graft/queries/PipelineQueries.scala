@@ -586,9 +586,47 @@ object PipelineQueries {
       ORDER BY doc_id
     """))
 
+  /** Uniform negative sampling for contrastive training — k = 4
+    * derandomized negatives per anchor: neg = md5-uniform(anchor, j)
+    * mod N over the dense id space, +1 shift on self-collision. Pure
+    * map — no join, no shuffle, no RNG state: pairs are a function of
+    * (anchor, j, N), so epochs are reproducible and incremental reruns
+    * emit identical pairs. At 100 TB ids aren't dense — the production
+    * form first compacts them with ONE [[graft.ops.Ranks.globalRank]]
+    * pass and samples in rank space; the sampling map itself is
+    * unchanged. */
+  val negativeSample = QuerySpec(
+    "q_negative_sample",
+    (s, d) => {
+      val n = lit(500L) // dense 0..N−1 id space, fixed across SFs
+      val h = conv(substring(md5(concat(lit("neg42:"),
+          col("doc_id").cast("string"), lit(":"), col("j").cast("string"))),
+        1, 12), 16, 10).cast("bigint")
+      val raw = pmod(h, n)
+      documents(s, d)
+        .select(col("doc_id"), explode(sequence(lit(1), lit(4))).as("j"))
+        .withColumn("neg_id",
+          when(raw === col("doc_id"), pmod(raw + 1, n)).otherwise(raw))
+        .select("doc_id", "j", "neg_id")
+        .orderBy("doc_id", "j")
+    },
+    Some("""
+      SELECT doc_id, j,
+             CASE WHEN raw = doc_id THEN (raw + 1) % 500 ELSE raw END
+               AS neg_id
+      FROM (
+        SELECT doc_id, j,
+               ('0x' || substr(md5('neg42:' || CAST(doc_id AS VARCHAR) || ':'
+                                   || CAST(j AS VARCHAR)), 1, 12))::BIGINT
+                 % 500 AS raw
+        FROM documents, (SELECT unnest(generate_series(1, 4)) AS j) AS js
+      ) AS t
+      ORDER BY doc_id, j
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     exportShards,
     hashSplit, chunkDocs, packSequences, domainCap, globalShuffle,
     truncateTokens, mixtureWeights, sourceDrift, ragIndex,
-    importanceWeight, weightedSample)
+    importanceWeight, weightedSample, negativeSample)
 }

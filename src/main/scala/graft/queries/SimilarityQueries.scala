@@ -309,7 +309,65 @@ object SimilarityQueries {
       ORDER BY vec_id
     """))
 
+  /** Hard-negative mining (contrastive training's other half, the
+    * DPR/E5 recipe): for each of the 20 anchor vectors, the single
+    * MOST-similar corpus vector with a DIFFERENT label — semantically
+    * close but known-wrong, the negatives that actually move a
+    * contrastive loss. The anchor set broadcasts (bounded by
+    * construction — mining batches, not the corpus); the corpus streams
+    * once through the codegen'd CosineSim; the per-anchor argmax is a
+    * map-side-combinable `max(struct(cos, −id))` — same shape as
+    * q_batch_ann, plus the label-disagreement predicate. Cosines
+    * rounded to 6 before the argmax so selection and the compared score
+    * are engine-portable. */
+  val hardNegatives = QuerySpec(
+    "q_hard_negatives",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 20).select(
+        col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        Similarity.asDouble(col("embedding")).as("a_vec"))
+      val corpus = e.select(
+        col("vec_id").as("neg_id"), col("label").as("n_label"),
+        Similarity.asDouble(col("embedding")).as("n_vec"))
+      corpus.crossJoin(broadcast(anchors))
+        .filter(col("n_label") =!= col("a_label"))
+        .withColumn("cos", round(
+          graft.functions.CosineSim.cosine_sim(col("a_vec"), col("n_vec")), 6))
+        .groupBy("anchor_id")
+        .agg(max(struct(col("cos"), (lit(0L) - col("neg_id")).as("nid")))
+          .as("__m"))
+        .select(col("anchor_id"), (lit(0L) - col("__m.nid")).as("neg_id"),
+          col("__m.cos").as("cos"))
+        .orderBy("anchor_id")
+    },
+    Some("""
+      SELECT anchor_id, neg_id, cos FROM (
+        SELECT a.vec_id AS anchor_id, n.vec_id AS neg_id,
+               round(list_inner_product(a.embedding::DOUBLE[],
+                                        n.embedding::DOUBLE[])
+                     / (sqrt(list_inner_product(a.embedding::DOUBLE[],
+                                                a.embedding::DOUBLE[]))
+                        * sqrt(list_inner_product(n.embedding::DOUBLE[],
+                                                  n.embedding::DOUBLE[]))), 6)
+                 AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round(
+                                    list_inner_product(a.embedding::DOUBLE[],
+                                                       n.embedding::DOUBLE[])
+                                    / (sqrt(list_inner_product(a.embedding::DOUBLE[],
+                                                               a.embedding::DOUBLE[]))
+                                       * sqrt(list_inner_product(n.embedding::DOUBLE[],
+                                                                 n.embedding::DOUBLE[]))), 6)
+                                    DESC, n.vec_id ASC) AS rn
+        FROM embeddings a JOIN embeddings n
+          ON a.label <> n.label
+        WHERE a.vec_id < 20
+      ) AS t WHERE rn = 1
+      ORDER BY anchor_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     similarityTopk, similarityAnn, similarityLsh, dedupEmbed, batchAnn,
-    similarityPq, semDedup, ivfPq)
+    similarityPq, semDedup, ivfPq, hardNegatives)
 }
