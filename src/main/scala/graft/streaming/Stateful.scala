@@ -132,6 +132,72 @@ object Stateful {
         })
   }
 
+  /** A document row for the streaming reservoir. */
+  final case class DocRow(doc_id: Long, lang: String, n_chars: Long)
+
+  final case class ReservoirEntry(key: Double, doc_id: Long, n_chars: Long)
+
+  /** Per-group reservoir state: the current top-k entries plus a count
+    * of every row ever seen (the count lets a consumer pick the FINAL
+    * emission per group out of an update-mode sink). */
+  final case class ReservoirState(n_seen: Long, members: Seq[ReservoirEntry])
+
+  final case class ReservoirOut(lang: String, n_seen: Long, doc_id: Long,
+      n_chars: Long, key: Double)
+
+  /** Streaming weighted reservoir — the stream twin of
+    * q_weighted_sample: per group (lang), maintain the k best rows by
+    * the SAME Efraimidis–Spirakis key `ln(u)/w` the batch sampler
+    * computes ([[graft.ops.Router.aresKey]]; the kernel below replays
+    * md5 → 12 hex digits → (v+1)/2⁴⁸ → ln(u)/w bit-for-bit, and
+    * StatefulSpec cross-checks it against the Spark expression). Because
+    * the key is a pure function of (doc, weight), the operator is
+    * REPLAY-IDEMPOTENT: a reprocessed row computes the same key and the
+    * doc_id-dedup in the merge makes it a no-op — the reservoir after
+    * any prefix of the stream equals the batch top-k over the rows seen,
+    * which no RNG-based reservoir can promise.
+    *
+    * State per group is exactly k entries + one counter — constant, no
+    * timeout needed; each update emits the group's full current
+    * reservoir (update mode), stamped with n_seen so the final
+    * emission is identifiable downstream. */
+  def weightedReservoir(docs: Dataset[DocRow], k: Int): Dataset[ReservoirOut] = {
+    require(k >= 1, s"k=$k must be at least 1")
+    implicit val stateEnc = Encoders.product[ReservoirState]
+    implicit val outEnc = Encoders.product[ReservoirOut]
+    implicit val strEnc = Encoders.STRING
+    docs
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (lang: String, rows: Iterator[DocRow], state: GroupState[ReservoirState]) => {
+          val prev = state.getOption.getOrElse(ReservoirState(0L, Seq.empty))
+          val fresh = rows.toSeq
+          val merged = (prev.members ++ fresh.map(r =>
+              ReservoirEntry(aresKeyLocal(r.doc_id, r.n_chars), r.doc_id, r.n_chars)))
+            .groupBy(_.doc_id).map(_._2.head).toSeq // replay dedup
+            .sortBy(e => (-e.key, e.doc_id))
+            .take(k)
+          val next = ReservoirState(prev.n_seen + fresh.size, merged)
+          state.update(next)
+          merged.iterator.map(e =>
+            ReservoirOut(lang, next.n_seen, e.doc_id, e.n_chars, e.key))
+        })
+  }
+
+  /** Executor-side replica of Router.aresKey's column expression — same
+    * md5, same 12-hex-digit uniform, same ln(u)/w. */
+  private[streaming] def aresKeyLocal(docId: Long, weight: Long,
+      salt: String = "ws42:"): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt$docId".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val v = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    // StrictMath, not Math: Catalyst's Logarithm expression evaluates
+    // through StrictMath.log, and the two differ in the last ulp on some
+    // inputs — StatefulSpec pins bit-equality against the column form
+    StrictMath.log((v + 1) / 281474976710656.0) / weight
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     implicit val stateEnc = Encoders.product[UserTotals]
     implicit val longEnc = Encoders.scalaLong

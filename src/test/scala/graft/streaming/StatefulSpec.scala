@@ -138,4 +138,54 @@ class StatefulSpec extends SparkSpec {
       (4L, 2L, None, None),
       (5L, 1L, Some(2L), Some(25L * 60L * 1000000L))))
   }
+
+  test("aresKeyLocal replays the Router.aresKey column expression bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 200L).map(i => (i, 10L + (i % 23))).toDF("doc_id", "w")
+    val fromExpr = df
+      .select(col("doc_id"), graft.ops.Router.aresKey(col("doc_id"), col("w")))
+      .as[(Long, Double)].collect().toMap
+    (1L to 200L).foreach { i =>
+      assert(Stateful.aresKeyLocal(i, 10L + (i % 23)) === fromExpr(i), s"doc $i")
+    }
+  }
+
+  test("streaming weighted reservoir equals the batch top-k after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val batch1 = (1L to 30L).map(i => Stateful.DocRow(i, if (i % 2 == 0) "en" else "de", 10 + i))
+    val batch2 = (31L to 60L).map(i => Stateful.DocRow(i, if (i % 2 == 0) "en" else "de", 200 - i))
+    val mem = MemoryStream[Stateful.DocRow]
+    val q = Stateful.weightedReservoir(mem.toDS(), k = 5)
+      .writeStream.format("memory").queryName("resv").outputMode("update").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // replayed rows must be a no-op (pure-function keys + doc dedup)
+      mem.addData(batch1.take(10): _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // final emission per lang = rows at that lang's max n_seen
+    val emitted = spark.table("resv")
+    val finals = emitted
+      .withColumn("mx", max(col("n_seen")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .filter(col("n_seen") === col("mx"))
+      .select("lang", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    // batch twin: top-5 by the same key over ALL distinct rows, per lang
+    val all = (batch1 ++ batch2).map(r => (r.doc_id, r.lang, r.n_chars)).toDF("doc_id", "lang", "n_chars")
+    val want = all
+      .withColumn("key", graft.ops.Router.aresKey(col("doc_id"), col("n_chars")))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("key").desc, col("doc_id"))))
+      .filter(col("rn") <= 5)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    assert(finals === want)
+    // replay didn't inflate the seen count's membership: reservoirs hold k
+    finals.values.foreach(s => assert(s.size === 5))
+  }
 }
