@@ -164,6 +164,49 @@ object ExtendedQueries {
       LIMIT 20
     """))
 
+  /** Record linkage (Fellegi–Sunter shape, end to end): block candidate
+    * pairs on an equi-key (nation), score each pair with the codegen'd
+    * JaroWinkler kernel (calibrated bit-exact to DuckDB's
+    * jaro_winkler_similarity — see JaroWinkler.scala), keep each
+    * customer's BEST-scoring supplier via a map-side-combinable
+    * `max(struct(jw, −key))` argmax, and threshold on the ROUNDED score
+    * so the accept/reject decision can't flip on a ulp. The supplier
+    * side broadcasts (it's the small dim); pair work is Σ per-block
+    * |C_b|·|S_b|, never |C|·|S| — at 100 TB the block key gets finer
+    * (sorted-neighborhood keys or name-gram LSH, both shipped as
+    * operators here) but the join/argmax shape is unchanged. */
+  val recordLinkage = QuerySpec(
+    "q_record_linkage",
+    (s, d) => {
+      val c = customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey").as("nk"))
+      val su = supplier(s, d).select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey").as("nk"))
+      c.join(broadcast(su), "nk")
+        .withColumn("jw", round(graft.functions.JaroWinkler.jaro_winkler(
+          col("c_name"), col("s_name")), 6))
+        .groupBy("c_custkey")
+        .agg(max(struct(col("jw"), (lit(0L) - col("s_suppkey")).as("nk2")))
+          .as("__m"))
+        .select(col("c_custkey"), (lit(0L) - col("__m.nk2")).as("s_suppkey"),
+          col("__m.jw").as("jw"))
+        .filter(col("jw") >= 0.78)
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, s_suppkey, jw FROM (
+        SELECT c.c_custkey, s.s_suppkey,
+               round(jaro_winkler_similarity(c.c_name, s.s_name), 6) AS jw,
+               row_number() OVER (
+                 PARTITION BY c.c_custkey
+                 ORDER BY round(jaro_winkler_similarity(c.c_name, s.s_name), 6)
+                   DESC, s.s_suppkey ASC) AS rn
+        FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+      ) AS t
+      WHERE rn = 1 AND jw >= 0.78
+      ORDER BY c_custkey
+    """))
+
   /** Mergeable-sketch rollup — the pre-aggregation pattern distinct
     * counts need at 100 TB: one DataSketches HLL sketch per DAY (the
     * granularity you'd persist), then weekly distinct-user estimates by
@@ -1088,5 +1131,6 @@ object ExtendedQueries {
     topkPerKey, unpivot, mapExplode, windowFuncs, scalarFuncs,
     crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce,
     dateSpine, typedAgg, rangeFrame, intervalJoin, schemaProfile,
-    correlatedAgg, winsorize, samplePerKey, sketchRollup, jaroWinklerMatch)
+    correlatedAgg, winsorize, samplePerKey, sketchRollup, jaroWinklerMatch,
+    recordLinkage)
 }
