@@ -462,8 +462,132 @@ object AnalyticsQueries {
       ORDER BY l_returnflag
     """))
 
+  /** Audience-overlap cardinality via KMV sketches (graft.ops.Kmv): how
+    * many distinct users sit in BOTH high-value segments ("purchased
+    * > 150" ∩ "clicked > 150") — the set-INTERSECTION estimate an HLL
+    * union can never produce (q_sketch_rollup's sketch only unions).
+    * Four rows: each segment, their union, their intersection; per row
+    * the exact distinct count next to the sketch estimate.
+    *
+    * Everything is derandomized md5 arithmetic (Kmv scaladoc), so unlike
+    * the HLL/CMS queries this needs NO verdict columns: the DuckDB
+    * oracle replays the sketch itself (rank ≤ k over the same 48-bit
+    * hashes) and the estimates compare EXACTLY. k = 64 and the test
+    * corpora are sized so the sf0.001/sf0.01 runs exercise the
+    * sketch-is-complete branch while sf0.1 (segments ~700, union ~1100)
+    * exercises the true estimator branch — both rules hash-gated.
+    *
+    * Scale shape: one distinct-ize shuffle of the filtered (seg, user)
+    * pairs, then every sketch is a k-bounded TopK AGGREGATE (map-side
+    * partial buffers — no window, no global sort), and all combination
+    * math runs on four single-row frames. The 48-bit hash space caps
+    * collision probability at n²/2⁴⁹ per segment — and a collision is
+    * deterministic md5 arithmetic, identical in both engines, so the
+    * gate could not flake even if one occurred. */
+  val kmvOverlap = QuerySpec(
+    "q_kmv_overlap",
+    (s, d) => {
+      import graft.ops.Kmv
+      val k = 64
+      val base = events(s, d)
+        .filter(col("value") > 150 && col("event_type").isin("purchase", "click"))
+        .select(
+          when(col("event_type") === "purchase", "A").otherwise("B").as("seg"),
+          col("user_id"))
+        .distinct()
+        .withColumn("h", Kmv.hash48(col("user_id")))
+        .cache() // three consumers: per-seg sketches, union sketch, exact ∩
+      val segSk = Kmv.sketchCols(k, col("h"))
+      val perSeg = base.groupBy("seg").agg(segSk.head, segSk.tail: _*)
+      val a = perSeg.filter(col("seg") === "A")
+        .select(col("hs").as("hs_a"), col("n").as("n_a"))
+      val b = perSeg.filter(col("seg") === "B")
+        .select(col("hs").as("hs_b"), col("n").as("n_b"))
+      val uniSk = Kmv.sketchCols(k, col("h"))
+      val u = base.select("user_id", "h").distinct()
+        .agg(uniSk.head, uniSk.tail: _*)
+        .select(col("hs").as("hs_u"), col("n").as("n_u"))
+      val i = base.groupBy("user_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 2)
+        .agg(count(lit(1)).as("n_i"))
+      a.crossJoin(b).crossJoin(u).crossJoin(i)
+        .withColumn("est_a", Kmv.estimate(k, "hs_a", "n_a"))
+        .withColumn("est_b", Kmv.estimate(k, "hs_b", "n_b"))
+        .withColumn("est_u", Kmv.estimate(k, "hs_u", "n_u"))
+        .withColumn("rho",
+          size(array_intersect(col("hs_u"),
+            array_intersect(col("hs_a"), col("hs_b")))).cast("long"))
+        .withColumn("est_i",
+          when(col("n_u") < k, col("rho"))
+            .otherwise(expr(s"(rho * est_u) DIV $k")))
+        .select(explode(array(
+          struct(lit("purchase_hi").as("segment"), col("n_a").as("n_exact"),
+            col("est_a").as("kmv_est")),
+          struct(lit("click_hi").as("segment"), col("n_b").as("n_exact"),
+            col("est_b").as("kmv_est")),
+          struct(lit("union").as("segment"), col("n_u").as("n_exact"),
+            col("est_u").as("kmv_est")),
+          struct(lit("intersect").as("segment"), col("n_i").as("n_exact"),
+            col("est_i").as("kmv_est")))).as("r"))
+        .select("r.*")
+        .orderBy("segment")
+    },
+    Some("""
+      WITH base AS (
+        SELECT DISTINCT
+               CASE WHEN event_type = 'purchase' THEN 'A' ELSE 'B' END AS seg,
+               user_id
+        FROM events
+        WHERE value > 150 AND event_type IN ('purchase', 'click')
+      ),
+      h AS (
+        SELECT seg, user_id,
+               ('0x' || substr(md5('kmv42:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM base
+      ),
+      segr AS (SELECT seg, h,
+                      row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+               FROM h),
+      segs AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                      max(CASE WHEN rn = 64 THEN h END) AS hk
+               FROM segr GROUP BY seg),
+      ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+             FROM (SELECT DISTINCT user_id, h FROM h)),
+      un AS (SELECT CAST(count(*) AS BIGINT) AS n_u,
+                    max(CASE WHEN rn = 64 THEN h END) AS hk_u
+             FROM ur),
+      rho AS (SELECT CAST(count(*) AS BIGINT) AS rho
+              FROM (SELECT h FROM ur WHERE rn <= 64) u
+              JOIN (SELECT h FROM segr WHERE seg = 'A' AND rn <= 64) a USING (h)
+              JOIN (SELECT h FROM segr WHERE seg = 'B' AND rn <= 64) b USING (h)),
+      ni AS (SELECT CAST(count(*) AS BIGINT) AS n_i
+             FROM (SELECT user_id FROM base GROUP BY user_id HAVING count(*) = 2)),
+      est AS (SELECT seg, n,
+                     CASE WHEN n < 64 THEN n
+                          ELSE 17732923532771328 // (hk + 1) END AS est
+              FROM segs),
+      eu AS (SELECT n_u,
+                    CASE WHEN n_u < 64 THEN n_u
+                         ELSE 17732923532771328 // (hk_u + 1) END AS est_u
+             FROM un)
+      SELECT segment, n_exact, kmv_est FROM (
+        SELECT 'purchase_hi' AS segment, n AS n_exact, est AS kmv_est
+        FROM est WHERE seg = 'A'
+        UNION ALL
+        SELECT 'click_hi', n, est FROM est WHERE seg = 'B'
+        UNION ALL
+        SELECT 'union', n_u, est_u FROM eu
+        UNION ALL
+        SELECT 'intersect', (SELECT n_i FROM ni),
+               (SELECT CASE WHEN u.n_u < 64 THEN r.rho
+                            ELSE (r.rho * e.est_u) // 64 END
+                FROM rho r, un u, eu e)
+      )
+      ORDER BY segment
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg,
     cube, explodeTokens, upsert, heavyHitters, bloomProbe, incrementalAgg,
-    bloomJoin)
+    bloomJoin, kmvOverlap)
 }
