@@ -470,7 +470,58 @@ object EventQueries {
       ORDER BY user_id
     """))
 
+  /** Recency-weighted engagement score — the feed-ranking / training-data
+    * reweighting primitive "recent activity counts more", derandomized so
+    * the decayed float is EXACT: weight(age) = 2^(30−age) is a dyadic
+    * integer (no transcendental pow), the per-user sum is pure BIGINT
+    * arithmetic, and the final score divides once by 2³⁰ — a power of
+    * two, so the double conversion is lossless in both engines.
+    * Selection (top-100) orders by the INTEGER sum, never the float.
+    *
+    * The anchor date is collected driver-side and embedded as a plan
+    * literal (the q_bloom_join / heavy-hitters "query parameter"
+    * precedent): at 100 TB the anchor is a pipeline parameter and the
+    * age-window predicate prunes the date-partitioned event log to the
+    * last 31 days before anything shuffles. The aggregate is map-side
+    * combinable (sum/count), the top-100 a TakeOrdered — no window, no
+    * global sort. */
+  val decayScore = QuerySpec(
+    "q_decay_score",
+    (s, d) => {
+      val anchor = events(s, d).agg(max(to_date(col("ts")))).head.getDate(0)
+      events(s, d)
+        .withColumn("age", datediff(lit(anchor), to_date(col("ts"))))
+        .filter(col("age").between(0, 30))
+        .withColumn("wt", expr("shiftleft(CAST(1 AS BIGINT), 30 - age)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("wt")).as("scaled"))
+        .orderBy(col("scaled").desc, col("user_id").asc)
+        .limit(100)
+        .select(col("user_id"), col("n_events"),
+          (col("scaled") / lit(1073741824.0)).as("score"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS a FROM events),
+      w AS (
+        SELECT user_id,
+               CAST(1 AS BIGINT)
+                 << (30 - date_diff('day', CAST(ts AS DATE),
+                                    (SELECT a FROM anchor))) AS wt
+        FROM events
+        WHERE date_diff('day', CAST(ts AS DATE), (SELECT a FROM anchor))
+              BETWEEN 0 AND 30
+      ),
+      agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                     sum(wt) AS scaled
+              FROM w GROUP BY user_id),
+      top AS (SELECT * FROM agg ORDER BY scaled DESC, user_id LIMIT 100)
+      SELECT user_id, n_events, CAST(scaled AS DOUBLE) / 1073741824.0 AS score
+      FROM top
+      ORDER BY user_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
-    scd2, cohortRetention, attribution, outlierIqr, rfm)
+    scd2, cohortRetention, attribution, outlierIqr, rfm, decayScore)
 }
