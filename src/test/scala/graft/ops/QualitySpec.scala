@@ -75,4 +75,23 @@ class QualitySpec extends SparkSpec {
     val r2 = q.run(spark, Sf001).collect()(0)
     assert(r1 === r2)
   }
+
+  test("k-anonymity: no row below the group-size floor keeps its quasi values") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.QualityQueries.kAnonymity.run(spark, Sf001)
+    val total = graft.Tables.customer(spark, Sf001).count()
+    assert(rows.count() === total, "every customer must appear exactly once")
+    // the invariant under test: unsafe ⇒ masked, safe ⇒ unmasked
+    assert(rows.filter(col("is_safe") === 0 &&
+      (col("segment_out") =!= "*" || col("band_out") =!= "*")).count() === 0)
+    assert(rows.filter(col("is_safe") === 1 &&
+      (col("segment_out") === "*" || col("band_out") === "*")).count() === 0)
+    // group_n is the true size of each surviving (segment, band) group
+    val recount = rows.filter(col("is_safe") === 1)
+      .groupBy("segment_out", "band_out")
+      .agg(count(lit(1)).as("again"), max("group_n").as("claimed"),
+        min("group_n").as("claimed2"))
+    assert(recount.filter(col("again") =!= col("claimed") ||
+      col("again") =!= col("claimed2")).count() === 0)
+  }
 }
