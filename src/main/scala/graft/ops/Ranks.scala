@@ -100,7 +100,7 @@ object Ranks {
     * bounded key-hash sample (never `.sample()`/`limit()` — those change
     * with layout). NULL keys are excluded: they sort first and therefore
     * always belong to bucket 0, which is where [[bucketOf]] sends them. */
-  private def sampleCutpoints(df: DataFrame, key: Column,
+  private[ops] def sampleCutpoints(df: DataFrame, key: Column,
       nParts: Int): IndexedSeq[Any] = {
     if (nParts == 1) return Vector.empty
     val keyOnly = df.select(key.as("__gr_k"))
@@ -149,7 +149,7 @@ object Ranks {
     * otherwise-branch and land in bucket 0 — consistent with
     * NULLS FIRST ascending order. Equal keys always share a bucket, so
     * bucket order extends the sort order. */
-  private def bucketOf(key: Column, bounds: IndexedSeq[Any]): Column = {
+  private[ops] def bucketOf(key: Column, bounds: IndexedSeq[Any]): Column = {
     def go(lo: Int, hi: Int): Column =
       if (lo == hi) lit(lo)
       else {

@@ -232,6 +232,47 @@ object CurationQueries {
       ORDER BY doc_id
     """))
 
+  /** Pareto-frontier data selection (graft.ops.Frontier): the documents
+    * no other document beats on BOTH length (token count) and lexical
+    * diversity (distinct tokens) — the skyline a curation pass keeps
+    * when two quality axes trade off. Distributed window-free form
+    * (bucketed suffix-max, Frontier scaladoc); the oracle is the classic
+    * sorted running-max replay, which the bucketed plan must equal
+    * bit-for-bit. PlanSpec asserts no unpartitioned Window survives. */
+  val paretoFront = QuerySpec(
+    "q_pareto_front",
+    (s, d) => {
+      val feats = fanOut(s, documents(s, d))
+        .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(array_distinct(col("toks"))).cast("long").as("n_dist"))
+      graft.ops.Frontier.paretoMax(feats, "doc_id", "n_toks", "n_dist")
+        .orderBy("n_toks")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS toks
+        FROM documents
+      ),
+      f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
+            FROM t),
+      r AS (SELECT *, row_number() OVER (PARTITION BY n_toks
+                        ORDER BY n_dist DESC, doc_id ASC) AS rn
+            FROM f),
+      c AS (SELECT doc_id, n_toks, n_dist FROM r WHERE rn = 1),
+      s AS (SELECT *, coalesce(max(n_dist) OVER (ORDER BY n_toks DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -9223372036854775808) AS smax
+            FROM c)
+      SELECT doc_id, n_toks, n_dist FROM s WHERE n_dist > smax
+      ORDER BY n_toks
+    """))
+
   val all: Seq[QuerySpec] =
-    Seq(boilerplate, contextWindows, gopher, kmeansAssign, curriculum)
+    Seq(boilerplate, contextWindows, gopher, kmeansAssign, curriculum,
+      paretoFront)
 }

@@ -251,6 +251,17 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("Exchange hashpartitioning(__gr_bkt"), plan(df))
   }
 
+  test("pareto frontier has no single-task window — every Window is bucket-partitioned") {
+    val df = SparkEntry.queries("q_pareto_front")(spark, Sf001)
+    df.collect()
+    val unpartitionedWindows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitionedWindows.isEmpty,
+      unpartitionedWindows.mkString("\n"))
+  }
+
   test("RFM quintiles have no single-task window over the user table") {
     val df = SparkEntry.queries("q_rfm")(spark, Sf001)
     df.collect()

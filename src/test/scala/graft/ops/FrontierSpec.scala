@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-local truth: per-x representative (max y, min id), then keep
+    * reps no other rep dominates (x' > x with y' ≥ y). */
+  private def bruteForce(rows: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val reps = rows.groupBy(_._2).map { case (_, g) =>
+      g.minBy(r => (-r._3, r._1))
+    }.toSeq
+    reps.filter(r => !reps.exists(o => o._2 > r._2 && o._3 >= r._3)).toSet
+  }
+
+  test("pareto frontier equals brute force on random data at several partition counts") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 300L).map(id =>
+      (id, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val expect = bruteForce(rows)
+    for (parts <- Seq(1, 3, 13); nBuckets <- Seq(1, 4, 32)) {
+      val df = rows.toDF("id", "x", "y").repartition(parts)
+      val got = Frontier.paretoMax(df, "id", "x", "y", nBuckets)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expect, s"parts=$parts nBuckets=$nBuckets")
+    }
+  }
+
+  test("frontier y-values strictly decrease as x increases") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(id =>
+      (id, rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+    val got = Frontier.paretoMax(rows.toDF("id", "x", "y"), "id", "x", "y")
+      .orderBy("x").as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 < b._2 && a._3 > b._3, s"$a then $b")
+      case _ => ()
+    }
+    // the global max-x and max-y representatives always survive
+    val maxX = rows.map(_._2).max
+    val maxY = rows.map(_._3).max
+    assert(got.last._2 === maxX)
+    assert(got.head._3 === maxY)
+  }
+
+  test("single point, duplicate points, and all-equal-x degeneracies") {
+    val one = Frontier.paretoMax(Seq((5L, 3L, 4L)).toDF("id", "x", "y"),
+      "id", "x", "y").as[(Long, Long, Long)].collect()
+    assert(one.toSeq === Seq((5L, 3L, 4L)))
+    // equal (x, y): smallest id is the representative
+    val dup = Frontier.paretoMax(
+      Seq((9L, 3L, 4L), (2L, 3L, 4L)).toDF("id", "x", "y"),
+      "id", "x", "y").as[(Long, Long, Long)].collect()
+    assert(dup.toSeq === Seq((2L, 3L, 4L)))
+    // all same x: only the best y survives
+    val vert = Frontier.paretoMax(
+      Seq((1L, 3L, 1L), (2L, 3L, 9L), (3L, 3L, 5L)).toDF("id", "x", "y"),
+      "id", "x", "y").as[(Long, Long, Long)].collect()
+    assert(vert.toSeq === Seq((2L, 3L, 9L)))
+  }
+
+  test("NULL x or y rows are excluded, not crashed on") {
+    val df = Seq(
+      (1L, Some(3L), Some(4L)),
+      (2L, None, Some(9L)),
+      (3L, Some(5L), None)).toDF("id", "x", "y")
+    val got = Frontier.paretoMax(df, "id", "x", "y")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 3L, 4L)))
+  }
+}
