@@ -242,11 +242,15 @@ object CurationQueries {
   val paretoFront = QuerySpec(
     "q_pareto_front",
     (s, d) => {
+      // cached: the frontier's cutpoint sample (count + collect) and the
+      // final pass would otherwise each rerun the CPU-heavy tokenize —
+      // the feature table is 3 longs/doc, the shingledDocs persist move
       val feats = fanOut(s, documents(s, d))
         .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_toks"),
           size(array_distinct(col("toks"))).cast("long").as("n_dist"))
+        .cache()
       graft.ops.Frontier.paretoMax(feats, "doc_id", "n_toks", "n_dist")
         .orderBy("n_toks")
     },
