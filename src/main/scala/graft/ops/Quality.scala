@@ -96,4 +96,26 @@ object Quality {
           .otherwise(lit("changed")))
       .select(col(key), col("change_type"))
   }
+
+  /** Two-sided geometric noise (the DISCRETE Laplace — the geometric
+    * mechanism of Ghosh–Roughgarden–Sundararajan 2009) with α = 1/2
+    * (ε = ln 2), truncated at ±6, from a 48-bit uniform integer `v`:
+    * P(X=0) = 1/3, P(X=±j) = (1/3)·2⁻ʲ. The inverse CDF is a HARDCODED
+    * integer threshold ladder (round(F·2⁴⁸) literals — the q_bootstrap
+    * Poisson-ladder discipline), so the draw is bit-reproducible and
+    * engine-portable: no float, no transcendental, no RNG state. */
+  def geometricNoise(v: Column): Column =
+    when(v < 2932031007403L, -6L)
+      .when(v < 5864062014805L, -5L)
+      .when(v < 11728124029611L, -4L)
+      .when(v < 23456248059221L, -3L)
+      .when(v < 46912496118443L, -2L)
+      .when(v < 93824992236885L, -1L)
+      .when(v < 187649984473771L, 0L)
+      .when(v < 234562480592213L, 1L)
+      .when(v < 258018728651435L, 2L)
+      .when(v < 269746852681045L, 3L)
+      .when(v < 275610914695851L, 4L)
+      .when(v < 278542945703253L, 5L)
+      .otherwise(6L)
 }

@@ -352,7 +352,69 @@ object QualityQueries {
       ORDER BY c_custkey
     """))
 
+  /** Differentially-private count release via the GEOMETRIC mechanism
+    * (Ghosh–Roughgarden–Sundararajan 2009 — the discrete Laplace): each
+    * per-segment count is published with two-sided geometric noise,
+    * α = e^(−ε) = 1/2 (ε = ln 2), truncated at ±6 (tail mass 2⁻⁶·2/3).
+    * The sibling release gate to q_k_anonymity: suppression hides small
+    * groups, DP noise protects the counts themselves.
+    *
+    * Derandomized exactly like q_bootstrap's Poisson weights: noise
+    * inverts a HARDCODED integer CDF ladder (thresholds are
+    * round(F·2⁴⁸), spelled as literals in BOTH engines) on the 48-bit
+    * md5 integer of the group key — bit-reproducible, engine-portable,
+    * zero floats anywhere. A seeded release is the industry-standard
+    * reproducible-DP form; the ladder IS the mechanism, the seed choice
+    * is the only thing derandomized. n_true rides along because this is
+    * the correctness gate's view, not the published artifact.
+    *
+    * Scale shape: ONE map-side-combinable count per segment; the noise
+    * is arithmetic on the 5-row aggregate. */
+  val dpCounts = QuerySpec(
+    "q_dp_counts",
+    (s, d) => {
+      val v = conv(substring(md5(concat(lit("dp42:"), col("event_type"))),
+        1, 12), 16, 10).cast("bigint")
+      events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("v", v)
+        .withColumn("noise", Quality.geometricNoise(col("v")))
+        .select(col("event_type"), col("n_true"), col("noise"),
+          (col("n_true") + col("noise")).as("n_noisy"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+        FROM events GROUP BY event_type
+      ),
+      nz AS (
+        SELECT event_type, n_true,
+               CASE WHEN v < 2932031007403 THEN -6
+                    WHEN v < 5864062014805 THEN -5
+                    WHEN v < 11728124029611 THEN -4
+                    WHEN v < 23456248059221 THEN -3
+                    WHEN v < 46912496118443 THEN -2
+                    WHEN v < 93824992236885 THEN -1
+                    WHEN v < 187649984473771 THEN 0
+                    WHEN v < 234562480592213 THEN 1
+                    WHEN v < 258018728651435 THEN 2
+                    WHEN v < 269746852681045 THEN 3
+                    WHEN v < 275610914695851 THEN 4
+                    WHEN v < 278542945703253 THEN 5
+                    ELSE 6 END AS noise
+        FROM (SELECT event_type, n_true,
+                     ('0x' || substr(md5('dp42:' || event_type), 1, 12))::BIGINT AS v
+              FROM c)
+      )
+      SELECT event_type, n_true, CAST(noise AS BIGINT) AS noise,
+             n_true + noise AS n_noisy
+      FROM nz
+      ORDER BY event_type
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
-      kAnonymity)
+      kAnonymity, dpCounts)
 }

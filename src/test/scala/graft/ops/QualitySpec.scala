@@ -76,6 +76,35 @@ class QualitySpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("geometric noise ladder: boundary mapping, symmetry, and P(0) = 1/3") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val D = 281474976710656L // 2^48
+    // exact boundary semantics: v strictly below a threshold takes its
+    // rung; v equal to it takes the next
+    val bounds = Seq(
+      0L -> -6L, 2932031007403L -> -5L, 93824992236884L -> -1L,
+      93824992236885L -> 0L, 187649984473770L -> 0L,
+      187649984473771L -> 1L, (D - 1) -> 6L)
+    val got = bounds.map(_._1).toDF("v")
+      .select(col("v"), Quality.geometricNoise(col("v")).as("nz"))
+      .as[(Long, Long)].collect().toMap
+    bounds.foreach { case (v, want) => assert(got(v) === want, s"v=$v") }
+    // distributional sanity over an md5-uniform key stream
+    val vs = (1 to 6000).toDF("k")
+      .select(conv(substring(md5(concat(lit("t:"), col("k"))), 1, 12), 16, 10)
+        .cast("bigint").as("v"))
+      .select(Quality.geometricNoise(col("v")).as("nz"))
+      .as[Long].collect()
+    val mean = vs.sum.toDouble / vs.length
+    assert(math.abs(mean) < 0.1, s"mean=$mean")
+    val p0 = vs.count(_ == 0L).toDouble / vs.length
+    assert(math.abs(p0 - 1.0 / 3) < 0.03, s"p0=$p0")
+    val p1 = vs.count(_ == 1L).toDouble / vs.length
+    val pm1 = vs.count(_ == -1L).toDouble / vs.length
+    assert(math.abs(p1 - 1.0 / 6) < 0.03 && math.abs(pm1 - 1.0 / 6) < 0.03)
+  }
+
   test("k-anonymity: no row below the group-size floor keeps its quasi values") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.QualityQueries.kAnonymity.run(spark, Sf001)
