@@ -172,7 +172,11 @@ object CurationQueries {
     "q_curriculum",
     (s, d) => {
       import org.apache.spark.sql.Column
-      val scored = TextQueries.lmScore.run(s, d).select(col("doc_id"), col("mean_p"))
+      // cached: globalRank's bounded build-time jobs (count + cutpoint
+      // sample) would otherwise each rerun the whole LM-scoring pipeline
+      // — the scored frame is 2 columns/doc (the pareto-feats move)
+      val scored = TextQueries.lmScore.run(s, d)
+        .select(col("doc_id"), col("mean_p")).cache()
       val nParts = s.sessionState.conf.numShufflePartitions
       val ranked = graft.ops.Ranks.globalRank(scored,
         Seq(col("mean_p"), col("doc_id")), nParts, "__rk",
