@@ -184,6 +184,63 @@ object Stateful {
         })
   }
 
+  /** One KMV sketch member: 48-bit hash + the user it came from. */
+  final case class KmvEntry(h: Long, user_id: Long)
+
+  /** Streaming KMV state: the k smallest distinct-user hashes seen so
+    * far (ALL hashes while fewer than k distinct users have arrived). */
+  final case class KmvState(members: Seq[KmvEntry])
+
+  /** One estimate emission per group per micro-batch. */
+  final case class KmvOut(event_type: String, sketch_size: Int, est: Long)
+
+  /** Streaming distinct-user cardinality per event type via the KMV
+    * sketch ([[graft.ops.Kmv]] is the batch twin): state is the k
+    * smallest md5-derived user hashes — constant size, mergeable, and
+    * REPLAY-IDEMPOTENT for the same reason the weighted reservoir is:
+    * the hash is a pure function of the user, so a reprocessed event
+    * re-derives the same entry and the user-dedup makes it a no-op.
+    * Unlike a streaming `approx_count_distinct`, the carried sketch can
+    * be INTERSECTED with another segment's downstream (Kmv scaladoc).
+    *
+    * Estimate rule is the batch rule verbatim: while the sketch holds
+    * fewer than k members it IS the distinct set (est = size); at k the
+    * integer estimator (k−1)·2⁴⁸ DIV (h₍k₎+1) applies. StatefulSpec
+    * proves the post-any-prefix emission equals the batch operator on
+    * the same rows. */
+  def kmvDistinct(events: Dataset[Event], k: Int): Dataset[KmvOut] = {
+    require(k >= 2, s"sketch width k=$k must be at least 2")
+    implicit val stateEnc = Encoders.product[KmvState]
+    implicit val outEnc = Encoders.product[KmvOut]
+    implicit val strEnc = Encoders.STRING
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (tpe: String, rows: Iterator[Event], state: GroupState[KmvState]) => {
+          val prev = state.getOption.getOrElse(KmvState(Seq.empty))
+          val merged = (prev.members ++ rows.map(e =>
+              KmvEntry(kmvHashLocal(e.user_id), e.user_id)))
+            .groupBy(_.user_id).map(_._2.head).toSeq // distinct users
+            .sortBy(e => (e.h, e.user_id))
+            .take(k)
+          state.update(KmvState(merged))
+          val est =
+            if (merged.size < k) merged.size.toLong
+            else ((k - 1).toLong * graft.ops.Kmv.HashDomain) /
+              (merged.last.h + 1)
+          Iterator.single(KmvOut(tpe, merged.size, est))
+        })
+  }
+
+  /** Executor-side replica of Kmv.hash48's column expression. */
+  private[streaming] def kmvHashLocal(userId: Long,
+      salt: String = "kmv42:"): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt$userId".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 12), 16)
+  }
+
   /** Executor-side replica of Router.aresKey's column expression — same
     * md5, same 12-hex-digit uniform, same ln(u)/w. */
   private[streaming] def aresKeyLocal(docId: Long, weight: Long,

@@ -139,6 +139,63 @@ class StatefulSpec extends SparkSpec {
       (5L, 1L, Some(2L), Some(25L * 60L * 1000000L))))
   }
 
+  test("kmvHashLocal replays the Kmv.hash48 column expression bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 200L).toDF("user_id")
+    val fromExpr = df
+      .select(col("user_id"), graft.ops.Kmv.hash48(col("user_id")))
+      .as[(Long, Long)].collect().toMap
+    (1L to 200L).foreach { i =>
+      assert(Stateful.kmvHashLocal(i) === fromExpr(i), s"user $i")
+    }
+  }
+
+  test("streaming KMV estimate equals the batch sketch after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val k = 8
+    def ev(id: Long, uid: Long, tpe: String) =
+      Event(id, ts("2024-01-01 10:00:00"), uid, tpe, 1.0)
+    // batch1: 5 distinct users per type (below k) — complete-set branch;
+    // batch2: pushes "click" to 40 distinct users — estimator branch
+    val batch1 = (1L to 5L).flatMap(u =>
+      Seq(ev(u, u, "click"), ev(100 + u, u, "view")))
+    val batch2 = (6L to 40L).map(u => ev(200 + u, u, "click"))
+    val mem = MemoryStream[Event]
+    val q = Stateful.kmvDistinct(mem.toDS(), k)
+      .writeStream.format("memory").queryName("kmv").outputMode("update").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      val mid = spark.table("kmv").as[Stateful.KmvOut].collect()
+        .map(o => o.event_type -> o).toMap
+      // below k: the sketch IS the distinct set
+      assert(mid("click").est === 5L && mid("click").sketch_size === 5)
+      assert(mid("view").est === 5L)
+      mem.addData(batch1.take(4): _*) // replay must be a no-op
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // final emission per type (last micro-batch that touched it)
+    val emissions = spark.table("kmv").as[Stateful.KmvOut].collect()
+    val finalClick = emissions.filter(_.event_type == "click").last
+    // batch twin over all distinct click users via the column pipeline
+    val users = (batch1 ++ batch2).filter(_.event_type == "click")
+      .map(_.user_id).distinct
+    val sk = graft.ops.Kmv.sketchCols(k, col("h"))
+    val want = users.toDF("user_id")
+      .withColumn("h", graft.ops.Kmv.hash48(col("user_id")))
+      .agg(sk.head, sk.tail: _*)
+      .withColumn("est", graft.ops.Kmv.estimate(k, "hs", "n"))
+      .select("est").as[Long].head()
+    assert(finalClick.est === want)
+    assert(finalClick.sketch_size === k)
+    // replay did not corrupt the view sketch either
+    val finalView = emissions.filter(_.event_type == "view").last
+    assert(finalView.est === 5L)
+  }
+
   test("aresKeyLocal replays the Router.aresKey column expression bit-for-bit") {
     import org.apache.spark.sql.functions._
     val df = (1L to 200L).map(i => (i, 10L + (i % 23))).toDF("doc_id", "w")
