@@ -35,10 +35,15 @@ object Frontier {
 
   /** Frontier rows of `df` maximizing (`xCol`, `yCol`), both LONG-typed
     * and non-null (caller filters). `idCol` is the unique deterministic
-    * tie-break; exactly one row per surviving x is returned, carrying
-    * the per-x representative (max y, then min id). */
+    * tie-break and must exceed Long.MinValue (the min-id argmax negates
+    * it, and −Long.MinValue overflows to itself — the TopKByKey caveat);
+    * exactly one row per surviving x is returned, carrying the per-x
+    * representative (max y, then min id). */
   def paretoMax(df: DataFrame, idCol: String, xCol: String, yCol: String,
       nParts: Int = 32): DataFrame = {
+    // cached: the cutpoint sample below runs a count + a collect over
+    // this reduction before the bmax and final branches read it again —
+    // uncached, the groupBy shuffle (and everything upstream) runs 4×
     val cand = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol))
@@ -46,24 +51,31 @@ object Frontier {
         .as("__pf_best"))
       .select(col(xCol), col(s"__pf_best.$yCol").as(yCol),
         (lit(0L) - col("__pf_best.__pf_nid")).as(idCol))
+      .cache()
     val bounds = Ranks.sampleCutpoints(cand, col(xCol), nParts)
     val keyed = cand.withColumn("__pf_bkt", Ranks.bucketOf(col(xCol), bounds))
     val bmax = keyed.groupBy("__pf_bkt").agg(max(col(yCol)).as("__pf_bmax"))
     val above = bmax.select(col("__pf_bkt").as("__pf_abkt"),
       col("__pf_bmax").as("__pf_amax"))
-    // suffix max from strictly HIGHER buckets; MinValue stands in for
-    // "no higher bucket" so `greatest` never sees a NULL
+    // suffix max from strictly HIGHER buckets; NULL (not a MinValue
+    // sentinel) means "no higher bucket" — a sentinel would wrongly drop
+    // a legitimate y = Long.MinValue frontier row
     val suffix = bmax
       .join(broadcast(above), col("__pf_abkt") > col("__pf_bkt"), "left")
       .groupBy("__pf_bkt")
-      .agg(coalesce(max("__pf_amax"), lit(Long.MinValue)).as("__pf_smax"))
+      .agg(max("__pf_amax").as("__pf_smax"))
     val w = Window.partitionBy("__pf_bkt").orderBy(col(xCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // greatest() SKIPS nulls, so a row with no dominator on one side is
+    // judged against the other alone; with neither (the global max-x
+    // row in the top bucket) the comparison is NULL and the coalesce
+    // keeps the row
     keyed
       .join(broadcast(suffix), "__pf_bkt")
-      .withColumn("__pf_rmax",
-        coalesce(max(col(yCol)).over(w), lit(Long.MinValue)))
-      .filter(col(yCol) > greatest(col("__pf_smax"), col("__pf_rmax")))
+      .withColumn("__pf_rmax", max(col(yCol)).over(w))
+      .filter(coalesce(
+        col(yCol) > greatest(col("__pf_smax"), col("__pf_rmax")),
+        lit(true)))
       .select(idCol, xCol, yCol)
   }
 }

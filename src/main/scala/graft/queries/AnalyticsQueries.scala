@@ -480,10 +480,12 @@ object AnalyticsQueries {
     * Scale shape: one distinct-ize shuffle of the filtered (seg, user)
     * pairs, then every sketch is a k-bounded TopK AGGREGATE (map-side
     * partial buffers — no window, no global sort), and all combination
-    * math runs on four single-row frames. The 48-bit hash space caps
-    * collision probability at n²/2⁴⁹ per segment — and a collision is
-    * deterministic md5 arithmetic, identical in both engines, so the
-    * gate could not flake even if one occurred. */
+    * math runs on four single-row frames. 48-bit hash collisions
+    * (~n²/2⁴⁹ per segment, none on these corpora) are handled with SET
+    * semantics on BOTH sides — array_intersect here, DISTINCT-before-
+    * join in the oracle's rho — so a collided value counts once each
+    * way; h₍k₎ itself is position-based and agrees because both engines
+    * rank the identical hash multiset. */
   val kmvOverlap = QuerySpec(
     "q_kmv_overlap",
     (s, d) => {
@@ -499,10 +501,17 @@ object AnalyticsQueries {
         .cache() // three consumers: per-seg sketches, union sketch, exact ∩
       val segSk = Kmv.sketchCols(k, col("h"))
       val perSeg = base.groupBy("seg").agg(segSk.head, segSk.tail: _*)
-      val a = perSeg.filter(col("seg") === "A")
-        .select(col("hs").as("hs_a"), col("n").as("n_a"))
-      val b = perSeg.filter(col("seg") === "B")
-        .select(col("hs").as("hs_b"), col("n").as("n_b"))
+      // left-join against the literal segment list: an EMPTY segment
+      // must yield (empty sketch, n = 0), not annihilate the crossJoin
+      // chain — the oracle's VALUES left joins mirror this
+      import s.implicits._
+      def segRow(name: String, hsOut: String, nOut: String) =
+        Seq(name).toDF("seg").join(perSeg, Seq("seg"), "left")
+          .select(
+            coalesce(col("hs"), array().cast("array<bigint>")).as(hsOut),
+            coalesce(col("n"), lit(0L)).as(nOut))
+      val a = segRow("A", "hs_a", "n_a")
+      val b = segRow("B", "hs_b", "n_b")
       val uniSk = Kmv.sketchCols(k, col("h"))
       val u = base.select("user_id", "h").distinct()
         .agg(uniSk.head, uniSk.tail: _*)
@@ -557,9 +566,9 @@ object AnalyticsQueries {
                     max(CASE WHEN rn = 64 THEN h END) AS hk_u
              FROM ur),
       rho AS (SELECT CAST(count(*) AS BIGINT) AS rho
-              FROM (SELECT h FROM ur WHERE rn <= 64) u
-              JOIN (SELECT h FROM segr WHERE seg = 'A' AND rn <= 64) a USING (h)
-              JOIN (SELECT h FROM segr WHERE seg = 'B' AND rn <= 64) b USING (h)),
+              FROM (SELECT DISTINCT h FROM ur WHERE rn <= 64) u
+              JOIN (SELECT DISTINCT h FROM segr WHERE seg = 'A' AND rn <= 64) a USING (h)
+              JOIN (SELECT DISTINCT h FROM segr WHERE seg = 'B' AND rn <= 64) b USING (h)),
       ni AS (SELECT CAST(count(*) AS BIGINT) AS n_i
              FROM (SELECT user_id FROM base GROUP BY user_id HAVING count(*) = 2)),
       est AS (SELECT seg, n,
@@ -571,10 +580,12 @@ object AnalyticsQueries {
                          ELSE 17732923532771328 // (hk_u + 1) END AS est_u
              FROM un)
       SELECT segment, n_exact, kmv_est FROM (
-        SELECT 'purchase_hi' AS segment, n AS n_exact, est AS kmv_est
-        FROM est WHERE seg = 'A'
+        SELECT 'purchase_hi' AS segment, coalesce(n, 0) AS n_exact,
+               coalesce(est, 0) AS kmv_est
+        FROM (VALUES ('A')) v(seg) LEFT JOIN est USING (seg)
         UNION ALL
-        SELECT 'click_hi', n, est FROM est WHERE seg = 'B'
+        SELECT 'click_hi', coalesce(n, 0), coalesce(est, 0)
+        FROM (VALUES ('B')) v(seg) LEFT JOIN est USING (seg)
         UNION ALL
         SELECT 'union', n_u, est_u FROM eu
         UNION ALL

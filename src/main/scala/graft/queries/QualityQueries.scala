@@ -373,12 +373,10 @@ object QualityQueries {
   val dpCounts = QuerySpec(
     "q_dp_counts",
     (s, d) => {
-      val v = conv(substring(md5(concat(lit("dp42:"), col("event_type"))),
-        1, 12), 16, 10).cast("bigint")
       events(s, d)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_true"))
-        .withColumn("v", v)
+        .withColumn("v", graft.ops.Kmv.hash48(col("event_type"), "dp42:"))
         .withColumn("noise", Quality.geometricNoise(col("v")))
         .select(col("event_type"), col("n_true"), col("noise"),
           (col("n_true") + col("noise")).as("n_noisy"))

@@ -232,23 +232,26 @@ object Stateful {
         })
   }
 
-  /** Executor-side replica of Kmv.hash48's column expression. */
-  private[streaming] def kmvHashLocal(userId: Long,
-      salt: String = "kmv42:"): Long = {
+  /** Executor-side replica of the house 48-bit md5 hash (Kmv.hash48 /
+    * the aresKey uniform): md5(salt + key) → first 12 hex digits →
+    * long. ONE definition serves every local twin so a padding/charset
+    * fix can never drift between them. */
+  private def hex48Local(salt: String, key: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$salt$userId".getBytes("UTF-8"))
+    val hex = md.digest((salt + key).getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     java.lang.Long.parseLong(hex.substring(0, 12), 16)
   }
+
+  /** Executor-side replica of Kmv.hash48's column expression. */
+  private[streaming] def kmvHashLocal(userId: Long,
+      salt: String = "kmv42:"): Long = hex48Local(salt, userId.toString)
 
   /** Executor-side replica of Router.aresKey's column expression — same
     * md5, same 12-hex-digit uniform, same ln(u)/w. */
   private[streaming] def aresKeyLocal(docId: Long, weight: Long,
       salt: String = "ws42:"): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$salt$docId".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    val v = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    val v = hex48Local(salt, docId.toString)
     // StrictMath, not Math: Catalyst's Logarithm expression evaluates
     // through StrictMath.log, and the two differ in the last ulp on some
     // inputs — StatefulSpec pins bit-equality against the column form

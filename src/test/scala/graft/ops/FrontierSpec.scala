@@ -63,6 +63,18 @@ class FrontierSpec extends SparkSpec {
     assert(vert.toSeq === Seq((2L, 3L, 9L)))
   }
 
+  test("y = Long.MinValue is a valid frontier value, not a dropped sentinel") {
+    val one = Frontier.paretoMax(
+      Seq((1L, 10L, Long.MinValue)).toDF("id", "x", "y"),
+      "id", "x", "y").as[(Long, Long, Long)].collect()
+    assert(one.toSeq === Seq((1L, 10L, Long.MinValue)))
+    // with a real dominator the MinValue row still loses
+    val two = Frontier.paretoMax(
+      Seq((1L, 10L, Long.MinValue), (2L, 11L, 0L)).toDF("id", "x", "y"),
+      "id", "x", "y").orderBy("x").as[(Long, Long, Long)].collect()
+    assert(two.toSeq === Seq((2L, 11L, 0L)))
+  }
+
   test("NULL x or y rows are excluded, not crashed on") {
     val df = Seq(
       (1L, Some(3L), Some(4L)),
