@@ -232,6 +232,62 @@ object Stateful {
         })
   }
 
+  /** Misra–Gries summary state: at most k counters plus the number of
+    * rows consumed so far (the error bound needs both). */
+  final case class MgState(items: Seq[String], counts: Seq[Long], n_seen: Long)
+
+  /** One summary entry emitted after a micro-batch. */
+  final case class MgOut(event_type: String, item: String, est: Long,
+      n_seen: Long)
+
+  /** Streaming heavy hitters per event type via the MISRA–GRIES summary
+    * (the deterministic frequent-items sketch; SpaceSaving's ancestor):
+    * at most k counters per group — arrival increments its counter,
+    * inserts while there is room, otherwise decrements ALL counters and
+    * evicts zeros. Guarantees, proven in StatefulSpec against exact
+    * counts: est(x) ≤ f(x) ≤ est(x) + (N − Σest)/(k+1), and every item
+    * with f(x) > N/(k+1) is IN the summary — the hot-token tracker that
+    * needs k counters where a per-item hashmap needs the vocabulary.
+    * The batch CMS query (q_heavy_hitters) is the probe-style twin;
+    * Misra–Gries needs no probe list, which is what a STREAM needs.
+    *
+    * Unlike the KMV/reservoir twins this summary is ORDER-sensitive
+    * (not replay-idempotent), so each batch's rows fold in (ts,
+    * event_id) order — deterministic for a fixed stream, and the
+    * in-memory sort is bounded by one group's rows in one BATCH (the
+    * eventTransitions caveat). */
+  def misraGries(events: Dataset[Event], k: Int): Dataset[MgOut] = {
+    require(k >= 1, s"summary width k=$k must be at least 1")
+    implicit val stateEnc = Encoders.product[MgState]
+    implicit val outEnc = Encoders.product[MgOut]
+    implicit val strEnc = Encoders.STRING
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (tpe: String, rows: Iterator[Event], state: GroupState[MgState]) => {
+          val prev = state.getOption.getOrElse(MgState(Seq.empty, Seq.empty, 0L))
+          var counters = prev.items.zip(prev.counts).toMap
+          val fresh = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          fresh.foreach { e =>
+            val item = e.user_id.toString
+            counters.get(item) match {
+              case Some(c) => counters = counters.updated(item, c + 1)
+              case None if counters.size < k =>
+                counters = counters.updated(item, 1L)
+              case None =>
+                counters = counters.iterator
+                  .map { case (i, c) => i -> (c - 1) }
+                  .filter(_._2 > 0L).toMap
+            }
+          }
+          val sorted = counters.toSeq.sortBy { case (i, c) => (-c, i) }
+          val next = MgState(sorted.map(_._1), sorted.map(_._2),
+            prev.n_seen + fresh.size)
+          state.update(next)
+          sorted.iterator.map { case (i, c) => MgOut(tpe, i, c, next.n_seen) }
+        })
+  }
+
   /** Executor-side replica of the house 48-bit md5 hash (Kmv.hash48 /
     * the aresKey uniform): md5(salt + key) → first 12 hex digits →
     * long. ONE definition serves every local twin so a padding/charset

@@ -196,6 +196,61 @@ class StatefulSpec extends SparkSpec {
     assert(finalView.est === 5L)
   }
 
+  test("streaming Misra-Gries: fold equality, frequency bounds, hot items present") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    // skewed stream: user 1 hot, user 2 warm, a long tail of singletons
+    var id = 0L
+    def ev(uid: Long): Event = {
+      id += 1
+      Event(id, ts("2024-01-01 10:00:00"), uid, "click", 1.0)
+    }
+    val batch1 = (1 to 20).map(_ => ev(1)) ++ (1 to 8).map(_ => ev(2)) ++
+      (3L to 12L).map(ev)
+    val batch2 = (1 to 10).map(_ => ev(1)) ++ (1 to 7).map(_ => ev(2)) ++
+      (13L to 22L).map(ev)
+    val mem = MemoryStream[Event]
+    val q = Stateful.misraGries(mem.toDS(), k)
+      .writeStream.format("memory").queryName("mg").outputMode("update").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = (batch1 ++ batch2).sortBy(e => (e.ts.getTime, e.event_id))
+    val n = all.size.toLong
+    val exact = all.groupBy(_.user_id.toString).map { case (u, xs) =>
+      u -> xs.size.toLong
+    }
+    // final emission = rows at the maximal n_seen
+    val emitted = spark.table("mg").as[Stateful.MgOut].collect()
+    val finals = emitted.filter(_.n_seen == n).map(o => o.item -> o.est).toMap
+    assert(finals.nonEmpty && finals.size <= k)
+    // 1. fold equality: the streamed summary IS the sequential MG fold
+    var local = Map.empty[String, Long]
+    all.foreach { e =>
+      val item = e.user_id.toString
+      local.get(item) match {
+        case Some(c) => local = local.updated(item, c + 1)
+        case None if local.size < k => local = local.updated(item, 1L)
+        case None => local = local.iterator.map { case (i, c) => i -> (c - 1) }
+          .filter(_._2 > 0L).toMap
+      }
+    }
+    assert(finals === local)
+    // 2. Misra-Gries bounds: est <= f <= est + (N - sum est)/(k+1)
+    val slack = (n - finals.values.sum) / (k + 1)
+    finals.foreach { case (item, est) =>
+      val f = exact(item)
+      assert(est <= f && f <= est + slack, s"item $item est=$est f=$f slack=$slack")
+    }
+    // 3. every item with f > N/(k+1) is in the summary
+    exact.filter(_._2 > n / (k + 1)).keys.foreach { hot =>
+      assert(finals.contains(hot), s"hot item $hot missing")
+    }
+  }
+
   test("aresKeyLocal replays the Router.aresKey column expression bit-for-bit") {
     import org.apache.spark.sql.functions._
     val df = (1L to 200L).map(i => (i, 10L + (i % 23))).toDF("doc_id", "w")
