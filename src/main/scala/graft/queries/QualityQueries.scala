@@ -412,7 +412,103 @@ object QualityQueries {
       ORDER BY event_type
     """))
 
+  /** Two-proportion z-test (χ²(1) form) over user conversion — the
+    * experimentation-analytics primitive, with ZERO division anywhere:
+    * significance is the cross-multiplied integer inequality
+    *
+    *   (x_a·n_b − x_b·n_a)² · (n_a+n_b) · 10000
+    *     >  38415 · n_a·n_b · s · (n_a+n_b−s)        (s = x_a+x_b)
+    *
+    * which is exactly z² > 3.8415 (95%, pooled variance) with every
+    * denominator multiplied through — so the accept/reject bit is exact
+    * integer arithmetic in BOTH engines (Spark widens in decimal(38,0),
+    * the oracle in HUGEINT; only the BIT is compared, never a float).
+    * Degenerate cells (s = 0 or s = n) make both sides 0 → not
+    * significant, no special case. The widened products stay ≤ ~10²⁰
+    * here; at billions of users divide out the common factors first.
+    *
+    * Two experiments ride one pass: the md5 A/A split (a true null —
+    * its verdict must stay 0, the false-positive guardrail) and the
+    * heavy-vs-light cohort comparison (a real effect — significant once
+    * sf0.1 provides the power; under-powered and honestly 0 at the
+    * small SFs). Each experiment is ONE map-side-combinable conditional
+    * aggregate over the cached per-user frame; the test itself is
+    * arithmetic on a single row. */
+  val abTest = QuerySpec(
+    "q_ab_test",
+    (s, d) => {
+      val ev = events(s, d)
+      val convUsers = ev
+        .filter(col("event_type") === "purchase" && col("value") > 100)
+        .select("user_id").distinct().withColumn("cv", lit(1L))
+      val perUser = ev.groupBy("user_id").agg(count(lit(1)).as("ne"))
+        .join(convUsers, Seq("user_id"), "left")
+        .select(
+          coalesce(col("cv"), lit(0L)).as("conv"),
+          when(substring(md5(concat(lit("ab42:"),
+            col("user_id").cast("string"))), 1, 2) < "80", "A")
+            .otherwise("B").as("split"),
+          when(col("ne") > 66, "A").otherwise("B").as("cohort"))
+        .cache() // two experiment aggregates read it
+      def cells(expCol: org.apache.spark.sql.Column, name: String) =
+        perUser.agg(
+          sum(when(expCol === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(expCol === "A", col("conv")).otherwise(0L)).as("x_a"),
+          sum(when(expCol === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(expCol === "B", col("conv")).otherwise(0L)).as("x_b"))
+          .select(lit(name).as("experiment"),
+            col("n_a"), col("x_a"), col("n_b"), col("x_b"))
+      val d38 = "decimal(38,0)"
+      val diff = (col("x_a") * col("n_b") - col("x_b") * col("n_a")).cast(d38)
+      val lhs = diff * diff *
+        ((col("n_a") + col("n_b")) * lit(10000L)).cast(d38)
+      val sTot = col("x_a") + col("x_b")
+      val rhs = (lit(38415L).cast(d38) * (col("n_a") * col("n_b")).cast(d38)) *
+        (sTot.cast(d38) * (col("n_a") + col("n_b") - sTot).cast(d38))
+      cells(col("split"), "aa_split")
+        .unionByName(cells(col("cohort"), "heavy_vs_light"))
+        .withColumn("significant", (lhs > rhs).cast("int"))
+        .orderBy("experiment")
+    },
+    Some("""
+      WITH cnt AS (SELECT user_id, count(*) AS ne FROM events GROUP BY user_id),
+      conv AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value > 100),
+      base AS (
+        SELECT CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END AS conv,
+               CASE WHEN substr(md5('ab42:' || CAST(c.user_id AS VARCHAR)), 1, 2)
+                    < '80' THEN 'A' ELSE 'B' END AS split,
+               CASE WHEN ne > 66 THEN 'A' ELSE 'B' END AS cohort
+        FROM cnt c LEFT JOIN conv v USING (user_id)
+      ),
+      cells AS (
+        SELECT 'aa_split' AS experiment,
+               CAST(sum(CASE WHEN split = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN split = 'A' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+               CAST(sum(CASE WHEN split = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN split = 'B' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        FROM base
+        UNION ALL
+        SELECT 'heavy_vs_light',
+               CAST(sum(CASE WHEN cohort = 'A' THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN cohort = 'A' THEN conv ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN cohort = 'B' THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN cohort = 'B' THEN conv ELSE 0 END) AS BIGINT)
+        FROM base
+      )
+      SELECT experiment, n_a, x_a, n_b, x_b,
+             CAST(CASE WHEN
+               CAST(x_a*n_b - x_b*n_a AS HUGEINT)
+                 * CAST(x_a*n_b - x_b*n_a AS HUGEINT)
+                 * (n_a + n_b) * 10000
+               > CAST(38415 AS HUGEINT) * n_a * n_b
+                 * (x_a + x_b) * (n_a + n_b - x_a - x_b)
+             THEN 1 ELSE 0 END AS INTEGER) AS significant
+      FROM cells
+      ORDER BY experiment
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
-      kAnonymity, dpCounts)
+      kAnonymity, dpCounts, abTest)
 }

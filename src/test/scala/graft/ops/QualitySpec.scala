@@ -105,6 +105,23 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(p1 - 1.0 / 6) < 0.03 && math.abs(pm1 - 1.0 / 6) < 0.03)
   }
 
+  test("ab test: the A/A split never reports significance; cells partition the users") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.QualityQueries.abTest.run(spark, Sf001).collect()
+    assert(rows.length === 2)
+    val aa = rows.find(_.getString(0) == "aa_split").get
+    assert(aa.getAs[Int]("significant") === 0,
+      "a hash split of one population is a true null — flagging it is a false positive")
+    // each experiment's cells cover every user exactly once
+    val users = graft.Tables.events(spark, Sf001)
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === users)
+      assert(r.getAs[Long]("x_a") <= r.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("x_b") <= r.getAs[Long]("n_b"))
+    }
+  }
+
   test("k-anonymity: no row below the group-size floor keeps its quasi values") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.QualityQueries.kAnonymity.run(spark, Sf001)
