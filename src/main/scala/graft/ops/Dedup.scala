@@ -205,12 +205,21 @@ object Dedup {
       s"blockSize=$blockSize must be at least w=$w so a neighborhood " +
         "never spans more than two blocks")
     val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // The canonical key is DOCUMENT-sized; bucketing globalRank on it
+    // directly would collect document-sized cutpoint literals to the
+    // driver and compare them per row. A 128-char prefix leads the sort
+    // instead: prefix order is consistent with full byte order and equal
+    // prefixes defer to the full key next in the sort spec, so the total
+    // order — and therefore every rank and pair — is unchanged, while
+    // cutpoint literals and per-row compares stay bounded.
     val base = docs.select(
       array_join(array_sort(col(shCol)), " ").as("__k"),
       col(idCol).as("__id"), col(shCol).as("__sh"))
+      .withColumn("__kp", substring(col("__k"), 1, 128))
     val ranked = Ranks
-      .globalRank(base, Seq(col("__k"), col("__id")), nParts, "__rk")
-      .drop("__k")
+      .globalRank(base, Seq(col("__kp"), col("__k"), col("__id")), nParts,
+        "__rk")
+      .drop("__k", "__kp")
     val posInBlk = (col("__rk") - 1) % blockSize
     val blkOf = ((col("__rk") - 1 - posInBlk) / blockSize).cast("long")
     val home = ranked

@@ -43,6 +43,17 @@ object LogReg {
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     val gradNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
     def x(i: Int): Column = if (i == 0) lit(1.0) else col(xCols(i - 1)).cast("double")
+    // Per-row negative log-likelihood, saturation-safe: the naive
+    // y·ln(p) + (1−y)·ln(1−p) NULLs the whole row when the OPPOSITE
+    // side saturates (Spark ln(0) = NULL and 0 · NULL = NULL), silently
+    // shrinking the loss aggregate. Branch on y so only the relevant
+    // side is evaluated, and floor the argument so exact saturation
+    // yields a large finite penalty (ln 1e-300 ≈ −690.8) instead of a
+    // dropped row. Identical values on unsaturated rows (y is exactly
+    // 0/1, so the cross-term always vanishes).
+    def nll(p: Column, y: Column): Column =
+      lit(0.0) - when(y === 1.0, log(greatest(p, lit(1e-300))))
+        .otherwise(log(greatest(lit(1.0) - p, lit(1e-300))))
     for (_ <- 0 until iters) {
       val z = (1 until d).map(i => x(i) * w(i)).foldLeft(lit(w(0)): Column)(_ + _)
       val p = lit(1.0) / (lit(1.0) + exp(-z))
@@ -50,8 +61,7 @@ object LogReg {
       val hCols = for (i <- 0 until d; j <- i until d)
         yield decSum(x(i) * x(j) * p * (lit(1.0) - p)).as(s"h_${i}_$j")
       val gCols = (0 until d).map(i => decSum(x(i) * (y - p)).as(s"g_$i"))
-      val lossCol = decSum(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
-        .as("loss")
+      val lossCol = decSum(nll(p, y)).as("loss")
       val aggs = hCols ++ gCols :+ lossCol
       val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
       val h = Array.ofDim[Double](d, d)
@@ -71,8 +81,7 @@ object LogReg {
     val p = lit(1.0) / (lit(1.0) + exp(-z))
     val y = col(yCol).cast("double")
     val gCols = (0 until d).map(i => decSum(x(i) * (y - p)).as(s"g_$i"))
-    val aggs2 = gCols :+
-      decSum(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))).as("loss")
+    val aggs2 = gCols :+ decSum(nll(p, y)).as("loss")
     val row2 = feats.agg(aggs2.head, aggs2.tail: _*).collect()(0)
     losses += row2.getDouble(d)
     gradNorms += math.sqrt((0 until d).map(i => {

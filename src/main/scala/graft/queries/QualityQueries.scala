@@ -255,15 +255,18 @@ object QualityQueries {
           / sum(col("w")).cast("double")).as("est"))
       val ranked = reps.withColumn("rn",
         row_number().over(Window.orderBy(col("est"), col("b"))))
-      val lo = ranked.filter(col("rn") === 3)
-        .select(round(col("est"), 9).as("ci_lo"))
-      val hi = ranked.filter(col("rn") === 98)
-        .select(round(col("est"), 9).as("ci_hi"))
+      // ONE pass over the replica pipeline: both CI bounds come from the
+      // same filtered aggregate (previously lo and hi were independent
+      // subplans, each re-running the doc × 100-replica explode)
+      val ci = ranked.filter(col("rn").isin(3, 98))
+        .agg(
+          min(when(col("rn") === 3, round(col("est"), 9))).as("ci_lo"),
+          min(when(col("rn") === 98, round(col("est"), 9))).as("ci_hi"))
       val point = documents(s, d).agg(
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 9)
           .as("mean_chars"),
         count(lit(1)).as("n_docs"))
-      point.crossJoin(lo).crossJoin(hi)
+      point.crossJoin(ci)
         .select(col("n_docs"), col("mean_chars"), col("ci_lo"), col("ci_hi"))
     },
     Some("""

@@ -1284,9 +1284,15 @@ object TextQueries {
                      CASE WHEN pos < len(ls) AND ls[pos] = m.l
                                AND ls[pos+1] = m.r
                           THEN 1 ELSE 0 END AS mt
+              -- LEFT JOIN ON TRUE, not a cross join: when merges exhaust
+              -- before the unrolled rounds do, m$i is EMPTY and a cross
+              -- join would wipe the word table (s${i + 1} empty, the
+              -- encode dictionary with it); the left join keeps every
+              -- word with NULL m.l/m.r -> mt = 0 -> the round is an
+              -- identity rewrite, matching the trainer's early stop
               FROM (SELECT w, cnt, ls,
                            unnest(generate_series(1, len(ls))) AS pos
-                    FROM x$i) AS t$i, m$i AS m),
+                    FROM x$i) AS t$i LEFT JOIN m$i AS m ON TRUE),
       g$i AS (SELECT w, cnt, pos, sym, mt,
                      CASE WHEN mt = 1
                           THEN pos - row_number() OVER (PARTITION BY w, mt

@@ -138,8 +138,13 @@ object Stateful {
   final case class ReservoirEntry(key: Double, doc_id: Long, n_chars: Long)
 
   /** Per-group reservoir state: the current top-k entries plus a count
-    * of every row ever seen (the count lets a consumer pick the FINAL
-    * emission per group out of an update-mode sink). */
+    * of every DELIVERY consumed (the count lets a consumer pick the
+    * FINAL emission per group out of an update-mode sink). NOTE: n_seen
+    * is a delivery counter, not a distinct-row counter — the MEMBERSHIP
+    * is replay-idempotent, but a redelivered row still increments
+    * n_seen (bounded state cannot remember every evicted id); don't use
+    * it as an inclusion-probability denominator under at-least-once
+    * delivery. */
   final case class ReservoirState(n_seen: Long, members: Seq[ReservoirEntry])
 
   final case class ReservoirOut(lang: String, n_seen: Long, doc_id: Long,
@@ -159,8 +164,10 @@ object Stateful {
     *
     * State per group is exactly k entries + one counter — constant, no
     * timeout needed; each update emits the group's full current
-    * reservoir (update mode), stamped with n_seen so the final
-    * emission is identifiable downstream. */
+    * reservoir (update mode), stamped with the monotone n_seen delivery
+    * counter so the final emission is identifiable downstream (see the
+    * ReservoirState caveat: replays keep MEMBERSHIP intact but do
+    * advance the counter). */
   def weightedReservoir(docs: Dataset[DocRow], k: Int): Dataset[ReservoirOut] = {
     require(k >= 1, s"k=$k must be at least 1")
     implicit val stateEnc = Encoders.product[ReservoirState]

@@ -88,6 +88,22 @@ class LogRegSpec extends SparkSpec {
     assert(w1.toSeq === w32.toSeq) // bit-identical, not approximately
   }
 
+  test("saturated sigmoid keeps the loss finite over every row (no NULL drop)") {
+    // huge unscaled feature drives p to exactly 1.0/0.0 within an
+    // iteration — the regime where y·ln(p)+(1−y)·ln(1−p) NULLed rows
+    val df = (0 until 100).map { i =>
+      val x1 = if (i % 2 == 0) 5000.0 else -5000.0
+      (if (x1 > 0) 1.0 else 0.0, x1)
+    }.toDF("y", "x1")
+    val fit = LogReg.train(df, "y", Seq("x1"), iters = 3)
+    assert(fit.losses.forall(l => !l.isNaN && !l.isInfinite),
+      fit.losses.mkString(","))
+    // perfectly separable: the final loss must be (near) zero, which a
+    // row-dropping aggregate would also fake — so ALSO check the first
+    // loss is the full-corpus ln(2) sum, proving no row vanished
+    assert(math.abs(fit.losses.head - 100 * math.log(2)) < 1e-9)
+  }
+
   test("learns a separating direction on separable data") {
     // y = 1 iff x1 >= 5: weight on x1 must come out positive and the
     // model must classify the training set well after 4 iterations
