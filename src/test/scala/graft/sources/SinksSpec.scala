@@ -108,4 +108,21 @@ class SinksSpec extends SparkSpec {
     val decoded = graft.multimodal.Multimodal.decodeFeatures(spark, packed)
     assert(decoded.count() === 2)
   }
+
+  test("parquet schema evolution: mergeSchema unions columns, old files backfill NULL") {
+    // the ingest reality at 100 TB: yesterday's files lack the column
+    // added today. mergeSchema reads both generations as one table —
+    // new columns NULL-backfill on old files; without the flag the read
+    // keeps a single footer's schema instead of the union.
+    val dir = Files.createTempDirectory("evolve").toString
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/t/gen=1")
+    Seq((2L, "y", 9L)).toDF("id", "a", "b").write.parquet(s"$dir/t/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.sorted.toSeq === Seq("a", "b", "gen", "id"))
+    val rows = merged.select("id", "b").orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.toSeq === Seq((1L, None), (2L, Some(9L))))
+    // filters on the evolved column still push down and skip old files
+    assert(merged.filter(col("b") === 9L).count() === 1)
+  }
 }
