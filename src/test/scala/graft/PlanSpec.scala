@@ -251,6 +251,12 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("Exchange hashpartitioning(__gr_bkt"), plan(df))
   }
 
+  test("decay score selects its top-100 via TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q_decay_score")(spark, Sf001)
+    df.collect()
+    assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
+  }
+
   test("pareto frontier has no single-task window — every Window is bucket-partitioned") {
     val df = SparkEntry.queries("q_pareto_front")(spark, Sf001)
     df.collect()
