@@ -50,10 +50,16 @@ object LogReg {
     // side is evaluated, and floor the argument so exact saturation
     // yields a large finite penalty (ln 1e-300 ≈ −690.8) instead of a
     // dropped row. Identical values on unsaturated rows (y is exactly
-    // 0/1, so the cross-term always vanishes).
+    // 0/1, so the cross-term always vanishes). The leading isNotNull
+    // guard has no otherwise-branch, so a NULL-feature or NULL-label
+    // row stays NULL and is EXCLUDED from the loss sum — consistent
+    // with the gradient/Hessian sums, which exclude it arithmetically
+    // (greatest() skips NULLs, so the floor alone would smuggle such a
+    // row back into the loss as a spurious max penalty).
     def nll(p: Column, y: Column): Column =
-      lit(0.0) - when(y === 1.0, log(greatest(p, lit(1e-300))))
-        .otherwise(log(greatest(lit(1.0) - p, lit(1e-300))))
+      when(p.isNotNull && y.isNotNull,
+        lit(0.0) - when(y === 1.0, log(greatest(p, lit(1e-300))))
+          .otherwise(log(greatest(lit(1.0) - p, lit(1e-300)))))
     for (_ <- 0 until iters) {
       val z = (1 until d).map(i => x(i) * w(i)).foldLeft(lit(w(0)): Column)(_ + _)
       val p = lit(1.0) / (lit(1.0) + exp(-z))

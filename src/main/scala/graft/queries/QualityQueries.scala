@@ -424,19 +424,22 @@ object QualityQueries {
     *
     * which is exactly z² > 3.8415 (95%, pooled variance) with every
     * denominator multiplied through — so the accept/reject bit is exact
-    * integer arithmetic in BOTH engines (Spark widens in decimal(38,0),
-    * the oracle in HUGEINT; only the BIT is compared, never a float).
-    * Degenerate cells (s = 0 or s = n) make both sides 0 → not
-    * significant, no special case. The widened products stay ≤ ~10²⁰
-    * here; at billions of users divide out the common factors first.
+    * integer arithmetic in BOTH engines (Spark widens EVERY operand to
+    * decimal(38,0) before the first multiply — a Long product would
+    * silently wrap past 2⁶³ — the oracle computes in HUGEINT; only the
+    * BIT is compared, never a float). Degenerate cells (s = 0 or s = n)
+    * make both sides 0 → not significant, no special case. The widened
+    * products stay ≤ ~10²⁰ here and decimal overflow is a loud NULL,
+    * not a wrong bit; at billions of users divide out the common
+    * factors first.
     *
     * Two experiments ride one pass: the md5 A/A split (a true null —
     * its verdict must stay 0, the false-positive guardrail) and the
     * heavy-vs-light cohort comparison (a real effect — significant once
     * sf0.1 provides the power; under-powered and honestly 0 at the
-    * small SFs). Each experiment is ONE map-side-combinable conditional
-    * aggregate over the cached per-user frame; the test itself is
-    * arithmetic on a single row. */
+    * small SFs). BOTH experiments' cells ride one map-side-combinable
+    * conditional aggregate over one pass of the per-user frame; the
+    * test itself is arithmetic on that single row. */
   val abTest = QuerySpec(
     "q_ab_test",
     (s, d) => {
@@ -452,24 +455,34 @@ object QualityQueries {
             col("user_id").cast("string"))), 1, 2) < "80", "A")
             .otherwise("B").as("split"),
           when(col("ne") > 66, "A").otherwise("B").as("cohort"))
-        .cache() // two experiment aggregates read it
-      def cells(expCol: org.apache.spark.sql.Column, name: String) =
-        perUser.agg(
-          sum(when(expCol === "A", 1L).otherwise(0L)).as("n_a"),
-          sum(when(expCol === "A", col("conv")).otherwise(0L)).as("x_a"),
-          sum(when(expCol === "B", 1L).otherwise(0L)).as("n_b"),
-          sum(when(expCol === "B", col("conv")).otherwise(0L)).as("x_b"))
-          .select(lit(name).as("experiment"),
-            col("n_a"), col("x_a"), col("n_b"), col("x_b"))
+      // ONE aggregate computes both experiments' 8 cells — no cache, no
+      // second pass; the two output rows explode from the single row
+      def c(expCol: String, grp: String, of: org.apache.spark.sql.Column) =
+        sum(when(col(expCol) === grp, of).otherwise(0L))
+      val one = perUser.agg(
+        c("split", "A", lit(1L)).as("sp_n_a"), c("split", "A", col("conv")).as("sp_x_a"),
+        c("split", "B", lit(1L)).as("sp_n_b"), c("split", "B", col("conv")).as("sp_x_b"),
+        c("cohort", "A", lit(1L)).as("co_n_a"), c("cohort", "A", col("conv")).as("co_x_a"),
+        c("cohort", "B", lit(1L)).as("co_n_b"), c("cohort", "B", col("conv")).as("co_x_b"))
+      def row(name: String, p: String) = struct(
+        lit(name).as("experiment"),
+        col(s"${p}_n_a").as("n_a"), col(s"${p}_x_a").as("x_a"),
+        col(s"${p}_n_b").as("n_b"), col(s"${p}_x_b").as("x_b"))
+      // every operand widens to decimal(38,0) BEFORE the first multiply:
+      // a Long product would silently WRAP past 2⁶³ (~3e9 users/arm)
+      // while the oracle's HUGEINT stays exact — decimal from the start
+      // overflows to NULL loudly instead of flipping the bit silently
       val d38 = "decimal(38,0)"
-      val diff = (col("x_a") * col("n_b") - col("x_b") * col("n_a")).cast(d38)
+      def dd(name: String) = col(name).cast(d38)
+      val diff = dd("x_a") * dd("n_b") - dd("x_b") * dd("n_a")
       val lhs = diff * diff *
-        ((col("n_a") + col("n_b")) * lit(10000L)).cast(d38)
-      val sTot = col("x_a") + col("x_b")
-      val rhs = (lit(38415L).cast(d38) * (col("n_a") * col("n_b")).cast(d38)) *
-        (sTot.cast(d38) * (col("n_a") + col("n_b") - sTot).cast(d38))
-      cells(col("split"), "aa_split")
-        .unionByName(cells(col("cohort"), "heavy_vs_light"))
+        ((dd("n_a") + dd("n_b")) * lit(10000L).cast(d38))
+      val sTot = dd("x_a") + dd("x_b")
+      val rhs = lit(38415L).cast(d38) * dd("n_a") * dd("n_b") *
+        sTot * (dd("n_a") + dd("n_b") - sTot)
+      one.select(explode(array(
+          row("aa_split", "sp"), row("heavy_vs_light", "co"))).as("r"))
+        .select("r.*")
         .withColumn("significant", (lhs > rhs).cast("int"))
         .orderBy("experiment")
     },
