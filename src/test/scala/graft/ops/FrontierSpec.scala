@@ -63,6 +63,26 @@ class FrontierSpec extends SparkSpec {
     assert(vert.toSeq === Seq((2L, 3L, 9L)))
   }
 
+  test("property: frontier equals brute force over many random shapes") {
+    // 12 deterministic seeds spanning dense-collision and sparse regimes,
+    // random sizes and bucket counts — the single-dataset test's
+    // many-worlds extension
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed * 1000 + 7)
+      val n = 20 + rnd.nextInt(120)
+      val range = 1 + rnd.nextInt(if (seed % 2 == 0) 8 else 200)
+      val rows = (1L to n.toLong).map(id =>
+        (id, rnd.nextInt(range).toLong, rnd.nextInt(range).toLong))
+      val nBuckets = 1 + rnd.nextInt(40)
+      val got = Frontier.paretoMax(
+          rows.toDF("id", "x", "y").repartition(1 + rnd.nextInt(7)),
+          "id", "x", "y", nBuckets)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === bruteForce(rows),
+        s"seed=$seed n=$n range=$range nBuckets=$nBuckets")
+    }
+  }
+
   test("y = Long.MinValue is a valid frontier value, not a dropped sentinel") {
     val one = Frontier.paretoMax(
       Seq((1L, 10L, Long.MinValue)).toDF("id", "x", "y"),
