@@ -624,9 +624,98 @@ object PipelineQueries {
       ORDER BY doc_id, j
     """))
 
+  /** The last mile of the assembly pipeline: text → integer TOKEN-ID
+    * sequences against the built vocabulary (q_vocab_build's exact
+    * ranking — top-200 by count desc, token asc), unknown tokens → id 0.
+    * Per doc: token/UNK counts plus the md5 of the comma-joined id
+    * sequence in position order — the q_truncate_tokens fingerprint
+    * discipline, so the full sequence is hash-gated without an array
+    * column in the compared output.
+    *
+    * Scale shape: the vocab is BROADCAST (bounded by vocabulary size by
+    * construction); tokenize + posexplode are map-side; the only
+    * corpus shuffle is the per-doc reassembly groupBy, whose state is
+    * bounded by one document's tokens. The vocab-candidate window rides
+    * the same aggregated-table exception q_vocab_build documents.
+    * Empty-token docs keep a row (md5 of the empty string) via the
+    * left join from the full document list. */
+  val tokenizeIds = QuerySpec(
+    "q_tokenize_ids",
+    (s, d) => {
+      val counts = fanOut(s, documents(s, d))
+        .select(explode(Text.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("t").asc)
+      val vocab = counts
+        .withColumn("tok_id", row_number().over(w))
+        .filter(col("tok_id") <= 200)
+        .select("t", "tok_id")
+      val ids = fanOut(s, documents(s, d))
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .withColumnRenamed("col", "t")
+        .join(broadcast(vocab), Seq("t"), "left")
+        .withColumn("id", coalesce(col("tok_id"), lit(0)))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("tok_id").isNull, 1L).otherwise(0L)).as("n_unk"),
+          md5(concat_ws(",",
+            transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+              x => x.getField("id").cast("string")))).as("ids_md5"))
+      documents(s, d).select("doc_id")
+        .join(ids, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+          coalesce(col("ids_md5"), md5(lit(""))).as("ids_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                        x -> x <> '')) AS t
+              FROM documents)
+        GROUP BY t
+      ),
+      vocab AS (
+        SELECT t, tok_id FROM (
+          SELECT t, row_number() OVER (ORDER BY cnt DESC, t ASC) AS tok_id
+          FROM counts
+        ) WHERE tok_id <= 200
+      ),
+      tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS toks
+        FROM documents
+      ),
+      pe AS (
+        SELECT doc_id, unnest(toks) AS t,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM tok WHERE len(toks) > 0
+      ),
+      ids AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unk,
+               md5(string_agg(CAST(coalesce(tok_id, 0) AS VARCHAR), ','
+                              ORDER BY pos)) AS ids_md5
+        FROM pe LEFT JOIN vocab USING (t)
+        GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(n_tokens, 0) AS n_tokens,
+             coalesce(n_unk, 0) AS n_unk,
+             coalesce(ids_md5, md5('')) AS ids_md5
+      FROM documents d LEFT JOIN ids USING (doc_id)
+      ORDER BY d.doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     exportShards,
     hashSplit, chunkDocs, packSequences, domainCap, globalShuffle,
     truncateTokens, mixtureWeights, sourceDrift, ragIndex,
-    importanceWeight, weightedSample, negativeSample)
+    importanceWeight, weightedSample, negativeSample, tokenizeIds)
 }
