@@ -134,4 +134,83 @@ object Graph {
     deg.unpersist()
     ranks
   }
+
+  /** Large-star: every node u rewires its strictly-LARGER neighbors to
+    * m(u) = min(Γ(u) ∪ {u}). Small-star: every node u rewires its
+    * not-larger neighbors (and itself) to the min of that down-set.
+    * Edges live in canonical (hi, lo) form — both phases provably emit
+    * only hi > lo rows, so the symmetric view is materialized ONCE per
+    * large-star, never stored. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+      .union(e.select(col("lo").as("u"), col("hi").as("v")))
+    // min is map-side combinable: a power-law hub's Γ(u) never sits in
+    // one buffer, unlike a collect_list formulation
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u")) // rewire larger neighbors only
+      .select(col("v").as("hi"), col("m").as("lo")) // m ≤ u < v: canonical
+      .distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    // canonical (hi, lo) IS the down-directed view: N⁻(hi) = {lo…}
+    val mins = e.groupBy("hi").agg(min("lo").as("m"))
+    val rewired = e.join(mins, "hi")
+      .filter(col("lo") =!= col("m")) // m itself keeps no self-edge
+      .select(col("lo").as("hi"), col("m").as("lo")) // lo > m: canonical
+    rewired.union(mins.select(col("hi"), col("m").as("lo"))).distinct()
+  }
+
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the 100 TB CC. [[Dedup.components]]' min-label
+    * propagation needs O(component diameter) rounds: a 10⁹-node chain of
+    * pairwise near-dups (common in crawl data — chained boilerplate
+    * edits) would need 10⁹ join rounds. Star contraction halves path
+    * lengths every alternation, converging in O(log n) rounds on ANY
+    * topology, and every phase is two map-side-combinable aggregates +
+    * one co-partitioned join + one distinct over the EDGE list — no
+    * per-node neighbor buffer, so a power-law hub costs rows, never
+    * memory. Lineage truncates per round (localCheckpoint), and the
+    * fixpoint check is one count + one left-anti probe of the new edge
+    * set against the old (equal cardinality + containment ⇒ set
+    * equality), over the shrinking edge frame.
+    *
+    * Returns (labels, rounds): labels = (id, rep) for every node
+    * incident to ≥ 1 pair, rep = component MIN id (identical contract to
+    * [[Dedup.components]] — GraphSpec proves equality on random graphs);
+    * rounds = alternations actually run. Self-pairs and duplicate /
+    * mirrored pairs are normalized away; NULL endpoints are dropped. */
+  def twoStarComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 30): (DataFrame, Int) = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    var e = pairs
+      .select(greatest(a, b).as("hi"), least(a, b).as("lo"))
+      .filter(col("hi") > col("lo")) // drops self-pairs and NULLs
+      .distinct()
+      .localCheckpoint()
+    var prevN = e.count()
+    var stable = prevN == 0L // the empty graph is already a star forest
+    var rounds = 0
+    while (!stable && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextN = next.count()
+      stable = nextN == prevN &&
+        next.join(e, Seq("hi", "lo"), "left_anti").isEmpty
+      e = next
+      prevN = nextN
+      rounds += 1
+    }
+    require(stable,
+      s"two-star components did not converge in $maxRounds rounds — " +
+        "pathological id topology; raise maxRounds")
+    // a converged edge set is a star forest: (hi → lo=rep), reps implicit
+    val reps = e.select(col("lo")).distinct()
+    val labels = e.select(col("hi").as("id"), col("lo").as("rep"))
+      .union(reps.select(col("lo").as("id"), col("lo").as("rep")))
+    (labels, rounds)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ops.{Dedup, Text}
+import graft.ops.{Dedup, Graph, Text}
 import graft.functions.RollingHash.rolling_hash
 import graft.functions.SimHash64.simhash64
 
@@ -703,6 +703,93 @@ object TextQueries {
              CAST(count(*) OVER (PARTITION BY rep_id) AS BIGINT) AS n_members
       FROM cc
       ORDER BY doc_id
+    """))
+
+  /** Full-corpus cluster LABELING via the O(log n)-round two-star CC
+    * ([[graft.ops.Graph.twoStarComponents]], Kiveris 2014) — what a
+    * production dedup actually materializes: EVERY document carries its
+    * component's min-id as cluster_id (singletons label themselves), a
+    * canonical-survivor flag, and the cluster size. q_dedup_clusters
+    * gates the min-label sibling on pair-incident nodes only; this query
+    * gates the star-contraction algorithm end-to-end against the same
+    * recursive-CTE transitive closure — two independent algorithms, one
+    * oracle, and the two-star form is the one that survives a 10⁹-node
+    * near-dup chain (O(component diameter) rounds vs O(log n)).
+    *
+    * Scale shape: component rounds touch only the pair graph (≪ corpus);
+    * the corpus sees exactly two equi-joins — label attach and size
+    * attach, both against graph-sized frames (AQE broadcasts them when
+    * they fit; NO corpus-wide window/shuffle for sizes: cluster_size
+    * comes from a groupBy over the LABELS frame, singletons coalesce
+    * to 1). */
+  val ccLabels = QuerySpec(
+    "q_cc_labels",
+    (s, d) => {
+      val pairs = jacPairs(s, d).filter(col("jac") >= 0.5)
+      val (labels, _) = Graph.twoStarComponents(pairs, "id_a", "id_b")
+      val lab = labels.select(col("id").as("doc_id"),
+        col("rep").as("cluster_id"))
+      val sizes = lab.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      documents(s, d).select("doc_id")
+        .join(lab, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .join(sizes, Seq("cluster_id"), "left")
+        .select(
+          col("doc_id"),
+          col("cluster_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      ),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) > 0
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5
+      ),
+      nodes AS (
+        SELECT DISTINCT id FROM (
+          SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+      ),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+      ),
+      reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+      ),
+      cc AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a),
+      lab AS (
+        SELECT d.doc_id, coalesce(cc.rep_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc USING (doc_id)
+      ),
+      sizes AS (
+        SELECT rep_id AS cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY rep_id
+      )
+      SELECT lab.doc_id, lab.cluster_id,
+             coalesce(sizes.cluster_size, 1) AS cluster_size,
+             CAST(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END
+                  AS INTEGER) AS is_canonical
+      FROM lab LEFT JOIN sizes USING (cluster_id)
+      ORDER BY lab.doc_id
     """))
 
   /** Vocabulary build with an exact coverage curve: top-200 tokens by
@@ -1461,5 +1548,5 @@ object TextQueries {
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
-    bpeLearn, bpeEncode, bm25)
+    bpeLearn, bpeEncode, bm25, ccLabels)
 }

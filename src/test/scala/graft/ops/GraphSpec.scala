@@ -90,4 +90,50 @@ class GraphSpec extends SparkSpec {
     // mass still conserves through the two-level fold
     assert(math.abs(seg4.values.sum - 1.0) < 1e-9)
   }
+
+  test("twoStarComponents: equals min-label components on random graphs") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 25
+      // sparse random graph: ~n edges → a mix of multi-node components,
+      // chains, and isolated pairs, across several density regimes
+      val raw = (1 to n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }
+      // include self-pairs and mirrored duplicates: normalization fodder
+      val pairs = (raw ++ raw.take(5).map(_.swap) ++ Seq((7L, 7L)))
+        .toDF("id_a", "id_b")
+      val viaLabels = Dedup.components(
+          pairs.filter(col("id_a") =!= col("id_b")), "id_a", "id_b",
+          maxIter = 200)
+        .as[(Long, Long)].collect().toMap
+      val (labels, _) = Graph.twoStarComponents(pairs, "id_a", "id_b")
+      val viaStars = labels.as[(Long, Long)].collect().toMap
+      assert(viaStars === viaLabels, s"trial $trial diverged")
+    }
+  }
+
+  test("twoStarComponents: O(log n) rounds on a path where min-label needs O(n)") {
+    // a 96-node chain: min-label propagation moves the root label one
+    // hop per round (components(maxIter=90) would still be unconverged);
+    // star contraction halves path lengths per alternation
+    val path = (0L until 95L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Graph.twoStarComponents(path, "id_a", "id_b")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size === 96)
+    assert(got.values.forall(_ == 0L)) // one component, min-id rep
+    assert(rounds <= 12, s"expected O(log n) alternations, got $rounds")
+    // the sibling really is O(diameter): the same chain must refuse at a
+    // round budget far above the two-star count
+    intercept[IllegalArgumentException] {
+      Dedup.components(path, "id_a", "id_b", maxIter = 40).collect()
+    }
+  }
+
+  test("twoStarComponents: empty pair set yields empty labels, zero rounds") {
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val (labels, rounds) = Graph.twoStarComponents(none, "id_a", "id_b")
+    assert(labels.isEmpty)
+    assert(rounds === 0)
+  }
 }
