@@ -127,6 +127,99 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))
   }
 
+  /** Candidate pairs under PREFIX FILTERING (Chaudhuri 2006 SSJoin /
+    * Bayardo 2007 AllPairs): order every set's tokens by one global
+    * canonical order (document frequency ascending, token ascending —
+    * rarest first), index only each set's first |x| − ⌈t·|x|⌉ + 1 tokens,
+    * and join postings on THOSE prefixes only. Two sets with
+    * Jaccard ≥ t = tNum/tDen must share a prefix token under any common
+    * order: if A∩B missed A's p-token prefix, the intersection fits in
+    * A's last ⌈t|A|⌉ − 1 tokens, so |A∩B| ≤ ⌈t|A|⌉ − 1 < t·|A| ≤ t·|A∪B|
+    * — below threshold. So the candidate set has NO false negatives, and
+    * the join's work drops from Σ_token df² to Σ df_prefix², where
+    * prefixes are by construction the RAREST tokens — the Zipf head that
+    * makes the unfiltered posting join explode is exactly what prefix
+    * filtering never indexes. This is the exactness-preserving
+    * alternative to [[jaccardPairs]]' maxDf cap (which turns jac into a
+    * lower bound); the length filter t·|A| ≤ |B| ≤ |A|/t (exact integer
+    * cross-multiplication, no division) prunes candidates further.
+    *
+    * The df table and the per-doc rank window are the price of the
+    * global order: one map-side-combinable count per (block, token) and
+    * one doc-partitioned window (buffer bounded by the doc's own tokens,
+    * never the corpus). Returns distinct (blockCols…, id_a, id_b),
+    * id_a < id_b. */
+  private[graft] def prefixCandidates(docs: DataFrame, id: String,
+      shingleCol: String, blockCols: Seq[String], tNum: Int,
+      tDen: Int): DataFrame = {
+    require(tNum >= 1 && tNum <= tDen,
+      s"threshold $tNum/$tDen must lie in (0, 1]")
+    val posts = docs
+      .filter(size(col(shingleCol)) > 0)
+      .select((blockCols.map(col) :+ col(id) :+
+        size(col(shingleCol)).cast("long").as("__sz") :+
+        explode(col(shingleCol)).as("__sh")): _*)
+    val dfTab = posts
+      .groupBy((blockCols :+ "__sh").map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+    val w = Window
+      .partitionBy((blockCols.map(col) :+ col(id)): _*)
+      .orderBy(col("__df").asc, col("__sh").asc)
+    val prefix = posts.join(dfTab, blockCols :+ "__sh")
+      .withColumn("__rn", row_number().over(w))
+      // p = sz − ⌈t·sz⌉ + 1, with ⌈t·sz⌉ = (tNum·sz + tDen − 1) DIV tDen
+      .filter(col("__rn") <=
+        col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+      .select((blockCols.map(col) :+ col(id) :+ col("__sz") :+
+        col("__sh")): _*)
+    def sided(side: String) =
+      prefix.toDF(prefix.columns.map {
+        case `id` => s"id_$side"
+        case "__sz" => s"sz_$side"
+        case c => c
+      }: _*)
+    sided("a").join(sided("b"), blockCols :+ "__sh")
+      .filter(col("id_a") < col("id_b"))
+      // Jaccard ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|; integer
+      // cross-multiplied so no float threshold can flip on a ulp
+      .filter(col("sz_a") * tDen >= col("sz_b") * tNum &&
+        col("sz_b") * tDen >= col("sz_a") * tNum)
+      .select((blockCols :+ "id_a" :+ "id_b").map(col): _*)
+      .distinct()
+  }
+
+  /** Exact threshold similarity join via [[prefixCandidates]]: candidates
+    * are verified with a full `array_intersect` (per-pair cost
+    * |A| + |B|, and the candidate list is prefix-pruned — never the
+    * quadratic pair space), thresholded by exact integer
+    * cross-multiplication: jac ≥ tNum/tDen ⇔
+    * common·tDen ≥ tNum·(sz_a + sz_b − common). Output equals
+    * `jaccardPairs(...).filter(jac ≥ t)` pair-for-pair (DedupSpec proves
+    * it on random corpora) — same answer, prefix-bounded work.
+    *
+    * `shingleCol` must hold DISTINCT shingles (callers array_distinct). */
+  def prefixJaccardPairs(docs: DataFrame, id: String, shingleCol: String,
+      blockCols: Seq[String], tNum: Int, tDen: Int): DataFrame = {
+    val cand = prefixCandidates(docs, id, shingleCol, blockCols, tNum, tDen)
+    val sets = docs.select(col(id), col(shingleCol))
+    cand
+      .join(sets.withColumnRenamed(id, "id_a")
+        .withColumnRenamed(shingleCol, "__sh_a"), "id_a")
+      .join(sets.withColumnRenamed(id, "id_b")
+        .withColumnRenamed(shingleCol, "__sh_b"), "id_b")
+      .withColumn("common",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"))
+      .withColumn("sz_a", size(col("__sh_a")).cast("long"))
+      .withColumn("sz_b", size(col("__sh_b")).cast("long"))
+      .filter(col("common") * tDen >=
+        (col("sz_a") + col("sz_b") - col("common")) * tNum)
+      .withColumn("jac",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .select((blockCols :+ "id_a" :+ "id_b" :+ "common" :+ "sz_a" :+
+        "sz_b" :+ "jac").map(col): _*)
+  }
+
   /** Incremental near-dup: score an INCOMING batch against an EXISTING
     * corpus — the daily-ingest shape a production dedup actually runs
     * (nobody re-self-joins 100 TB because a day of data arrived). Same

@@ -109,6 +109,51 @@ object TextQueries {
       LIMIT 25
     """))
 
+  /** E2 prefix-filter path: ALL pairs with Jaccard ≥ 1/2, exact, via
+    * AllPairs/PPJoin prefix filtering ([[graft.ops.Dedup.prefixJaccardPairs]])
+    * — the exactness-preserving hot-shingle mitigation: only each doc's
+    * |x| − ⌈|x|/2⌉ + 1 RAREST shingles (global df-ascending order) are
+    * indexed, so the Zipf-head shingles that blow up the unfiltered
+    * posting join never enter it, yet the threshold answer is provably
+    * identical (no false negatives — the prefix lemma in the operator's
+    * scaladoc; DedupSpec proves pair-set equality with the unfiltered
+    * join on random corpora). The oracle runs the UNFILTERED posting
+    * join + integer-exact threshold: same answer certifies the pruning
+    * sound end-to-end. */
+  val prefixJoin = QuerySpec(
+    "q_prefix_join",
+    (s, d) =>
+      Dedup.prefixJaccardPairs(shingledDocs(s, d), "doc_id", "sh",
+          Seq("lang"), tNum = 1, tDen = 2)
+        .orderBy("lang", "id_a", "id_b"),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      ),
+      posts AS (SELECT doc_id, lang, len(sh) AS sz, unnest(sh) AS s FROM sh),
+      pr AS (SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+             FROM posts a JOIN posts b
+               ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4, 5)
+      SELECT lang, id_a, id_b,
+             CAST(common AS BIGINT) AS common,
+             CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b,
+             CAST(common AS DOUBLE) / CAST(sz_a + sz_b - common AS DOUBLE)
+               AS jac
+      FROM pr
+      WHERE common * 2 >= sz_a + sz_b - common
+      ORDER BY lang, id_a, id_b
+    """))
+
   /** Shared oracle CTE: exact lang-blocked shingle-Jaccard pairs at a
     * threshold — the DuckDB-recomputable ground truth both LSH queries
     * verify against. Kept as one Scala val so the Spark plan and the SQL
@@ -1548,5 +1593,5 @@ object TextQueries {
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
-    bpeLearn, bpeEncode, bm25, ccLabels)
+    bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin)
 }

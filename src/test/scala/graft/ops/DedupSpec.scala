@@ -158,6 +158,58 @@ class DedupSpec extends SparkSpec {
     assert(coldPairs(Some(10)) === coldPairs(None))
   }
 
+  test("prefix-filtered pairs equal the unfiltered threshold join exactly") {
+    // the AllPairs lemma end-to-end: at several thresholds and corpus
+    // shapes (incl. a Zipf-head token in most docs — the case the prefix
+    // skips), the prefix-filtered join's output must be IDENTICAL to
+    // brute-force jaccardPairs + threshold, pair for pair and value for
+    // value
+    val rnd = new scala.util.Random(47)
+    for ((n, vocab, tNum, tDen) <- Seq((80, 25, 1, 2), (60, 12, 2, 3),
+        (120, 40, 1, 3), (50, 8, 9, 10))) {
+      val docs = (1 to n).map { i =>
+        val tail = (0 until 1 + rnd.nextInt(5))
+          .map(_ => s"w${rnd.nextInt(vocab)}")
+        val sh = (if (i % 3 != 0) "the" +: tail else tail).distinct
+        (i.toLong, sh, if (i % 5 == 0) "a" else "b")
+      }.toDF("doc_id", "sh", "lang")
+      val got = Dedup
+        .prefixJaccardPairs(docs, "doc_id", "sh", Seq("lang"), tNum, tDen)
+        .select("lang", "id_a", "id_b", "common", "sz_a", "sz_b", "jac")
+        .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSet
+      val want = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq("lang"))
+        .filter(col("common") * tDen >=
+          (col("sz_a") + col("sz_b") - col("common")) * tNum)
+        .select(col("lang"), col("id_a"), col("id_b"), col("common"),
+          col("sz_a").cast("long"), col("sz_b").cast("long"), col("jac"))
+        .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(got === want, s"n=$n vocab=$vocab t=$tNum/$tDen")
+    }
+  }
+
+  test("prefix filtering prunes candidates but never final pairs") {
+    // the hot token sits in EVERY doc: the unfiltered posting join pays
+    // n²/2 candidate rows for it, the prefix join must index none of it
+    // (df-max tokens sort last, prefixes keep the rare head)
+    val rnd = new scala.util.Random(53)
+    val docs = (1 to 40).map { i =>
+      val tail = (0 until 2 + rnd.nextInt(3)).map(_ => s"w${rnd.nextInt(30)}")
+      (i.toLong, ("the" +: tail).distinct, "x")
+    }.toDF("doc_id", "sh", "lang")
+    val cand = Dedup
+      .prefixCandidates(docs, "doc_id", "sh", Seq("lang"), 1, 2).count()
+    val full = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq("lang")).count()
+    assert(cand < full, s"prefix candidates $cand did not prune vs $full")
+    // and every surviving threshold pair is among the candidates
+    val fin = Dedup
+      .prefixJaccardPairs(docs, "doc_id", "sh", Seq("lang"), 1, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val candSet = Dedup
+      .prefixCandidates(docs, "doc_id", "sh", Seq("lang"), 1, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fin.subsetOf(candSet))
+  }
+
   test("incremental pairs equal the batch×corpus slice of the self-join pairs") {
     val rnd = new scala.util.Random(23)
     val docs = (1 to 80).map { i =>
