@@ -404,6 +404,263 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Parsed AVI video stream: geometry, timing, and where each
+    * uncompressed `00db` frame body lives in the payload. */
+  final case class AviHeader(width: Int, height: Int, microsPerFrame: Int,
+      frames: Vector[(Int, Int)]) {
+    /** BI_RGB rows pad to 4-byte boundaries. */
+    def rowStride: Int = (3 * width + 3) & ~3
+    def nFrames: Int = frames.length
+  }
+
+  /** Parse a RIFF/AVI payload holding an uncompressed 24-bit BI_RGB
+    * `vids` stream — the VIDEO sibling of [[parseWav]], a real two-level
+    * chunk walk: `RIFF` magic + `AVI ` form, top-level `LIST` chunks
+    * (unknown chunks skipped by declared size, word-aligned), the `hdrl`
+    * list yielding `avih` (frame timing, declared frame count, dims) and
+    * the first `strl` whose `strh` is fccType `vids` with a
+    * BITMAPINFOHEADER `strf` (BI_RGB, 24-bit), then the `movi` list
+    * yielding every `00db` frame chunk. Strictness is the false-positive
+    * guard, as everywhere in this family: dims must agree between `avih`
+    * and `strf`, every frame chunk must be EXACTLY rowStride·height
+    * bytes, the declared total must equal the frames found, and any
+    * lying chunk size rejects the payload — arbitrary bytes never
+    * survive a coherent two-level walk. */
+  private[graft] def parseAvi(bytes: Array[Byte]): Option[AviHeader] = {
+    def u16(i: Int): Int =
+      (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long =
+      (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+        ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+    def tag(i: Int, t: String): Boolean =
+      bytes(i) == t(0).toByte && bytes(i + 1) == t(1).toByte &&
+        bytes(i + 2) == t(2).toByte && bytes(i + 3) == t(3).toByte
+    if (bytes.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    val riffLen = u32(4)
+    if (riffLen < 4 || riffLen > bytes.length - 8L) return None
+    var avih: Option[(Int, Long, Int, Int)] = None // µs/frame, total, w, h
+    var vids: Option[(Int, Int)] = None // strf (w, h), BI_RGB 24-bit only
+    var curStrlVids = false // does the CURRENT strl's strh say `vids`?
+    var frames = Vector.newBuilder[(Int, Int)]
+    var nFrames = 0
+    var ok = true
+    // walk [from, until) as a chunk sequence; `inside` names the list we
+    // are in ("", hdrl, strl, movi) — two levels is the whole grammar
+    def walk(from: Int, until: Int, inside: String): Unit = {
+      var i = from
+      while (ok && i + 8 <= until) {
+        val sz = u32(i + 4)
+        val body = i + 8
+        if (sz > until - body) { ok = false } // lying chunk size
+        else {
+          val len = sz.toInt
+          if (tag(i, "LIST") && len >= 4) {
+            if (inside == "" && tag(body, "hdrl"))
+              walk(body + 4, body + len, "hdrl")
+            else if (inside == "hdrl" && tag(body, "strl")) {
+              curStrlVids = false
+              walk(body + 4, body + len, "strl")
+            }
+            else if (inside == "" && tag(body, "movi"))
+              walk(body + 4, body + len, "movi")
+            // other lists (odml, INFO) skip as opaque
+          } else if (inside == "hdrl" && tag(i, "avih")) {
+            if (len < 56) ok = false
+            else {
+              val mpf = u32(body)
+              val total = u32(body + 16)
+              val w = u32(body + 32); val h = u32(body + 36)
+              if (mpf < 1 || mpf > Int.MaxValue || w < 1 || h < 1 ||
+                  w > (1 << 20) || h > (1 << 20)) ok = false
+              else avih = Some((mpf.toInt, total, w.toInt, h.toInt))
+            }
+          } else if (inside == "strl" && tag(i, "strh")) {
+            if (len >= 8 && tag(body, "vids")) {
+              // only the FIRST video stream is accepted; a second one is
+              // outside this decoder's contract
+              if (vids.nonEmpty) ok = false else curStrlVids = true
+            }
+          } else if (inside == "strl" && tag(i, "strf") && curStrlVids &&
+              vids.isEmpty) {
+            // BITMAPINFOHEADER: biSize, biWidth, biHeight, planes,
+            // bitcount, compression
+            if (len >= 40) {
+              val bw = u32(body + 4); val bh = u32(body + 8)
+              val bits = u16(body + 14); val comp = u32(body + 16)
+              if (comp == 0 && bits == 24 && bw >= 1 && bh >= 1 &&
+                  bw <= (1 << 20) && bh <= (1 << 20))
+                vids = Some((bw.toInt, bh.toInt))
+            }
+          } else if (inside == "movi" && tag(i, "00db")) {
+            frames += ((body, len))
+            nFrames += 1
+          }
+          i = body + len + (len & 1) // odd bodies carry a pad byte
+        }
+      }
+    }
+    walk(12, 8 + riffLen.toInt, "")
+    if (!ok) return None
+    for {
+      (mpf, total, aw, ah) <- avih
+      (bw, bh) <- vids
+      if aw == bw && ah == bh
+      fs = frames.result()
+      if total == fs.length && fs.nonEmpty
+      stride = (3 * bw + 3) & ~3
+      if fs.forall(_._2 == stride * bh)
+    } yield AviHeader(bw, bh, mpf, fs)
+  }
+
+  /** Emit a valid single-stream uncompressed-BI_RGB AVI from raw frame
+    * planes (each exactly rowStride·height bytes, bottom-up BGR rows as
+    * DIBs store them) — RIFF(`AVI ` LIST(hdrl avih LIST(strl strh strf))
+    * LIST(movi 00db…)), the canonical minimal container every AVI tool
+    * accepts. */
+  private[graft] def encodeAvi(w: Int, h: Int, microsPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val stride = (3 * w + 3) & ~3
+    require(w >= 1 && h >= 1 && microsPerFrame >= 1 && frames.nonEmpty,
+      s"invalid AVI geometry w=$w h=$h mpf=$microsPerFrame n=${frames.size}")
+    require(frames.forall(_.length == stride * h),
+      s"every frame must be exactly $stride*$h bytes")
+    val frameBytes = stride * h
+    val hdrlLen = 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40 // form+avih+strl
+    val moviLen = 4 + frames.size * (8 + frameBytes + (frameBytes & 1))
+    val riffLen = 4 + 8 + hdrlLen + 8 + moviLen
+    val out = new Array[Byte](8 + riffLen)
+    var i = 0
+    def putTag(t: String): Unit = {
+      var j = 0
+      while (j < 4) { out(i + j) = t(j).toByte; j += 1 }
+      i += 4
+    }
+    def put16(v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 2
+    }
+    def put32(v: Long): Unit = {
+      var j = 0
+      while (j < 4) { out(i + j) = ((v >> (8 * j)) & 0xFF).toByte; j += 1 }
+      i += 4
+    }
+    putTag("RIFF"); put32(riffLen.toLong); putTag("AVI ")
+    putTag("LIST"); put32(hdrlLen.toLong); putTag("hdrl")
+    putTag("avih"); put32(56L)
+    put32(microsPerFrame.toLong) // dwMicroSecPerFrame
+    put32(0L); put32(0L); put32(0L) // maxBytesPerSec, padding, flags
+    put32(frames.size.toLong) // dwTotalFrames
+    put32(0L); put32(1L) // initialFrames, streams
+    put32(frameBytes.toLong) // suggestedBufferSize
+    put32(w.toLong); put32(h.toLong)
+    put32(0L); put32(0L); put32(0L); put32(0L) // reserved
+    putTag("LIST"); put32((4 + 8 + 56 + 8 + 40).toLong); putTag("strl")
+    putTag("strh"); put32(56L)
+    putTag("vids"); putTag("DIB ")
+    put32(0L); put32(0L); put32(0L) // flags, prio+lang, initialFrames
+    put32(microsPerFrame.toLong); put32(1000000L) // scale, rate
+    put32(0L) // start
+    put32(frames.size.toLong) // length in frames
+    put32(frameBytes.toLong) // suggestedBufferSize
+    put32(0xFFFFFFFFL) // quality (default)
+    put32(0L) // sampleSize
+    put16(0); put16(0); put16(w); put16(h) // rcFrame
+    putTag("strf"); put32(40L)
+    put32(40L) // biSize
+    put32(w.toLong); put32(h.toLong)
+    put16(1); put16(24) // planes, bitcount
+    put32(0L) // BI_RGB
+    put32(frameBytes.toLong) // biSizeImage
+    put32(0L); put32(0L); put32(0L); put32(0L) // resolution, clr
+    putTag("LIST"); put32(moviLen.toLong); putTag("movi")
+    frames.foreach { f =>
+      putTag("00db"); put32(f.length.toLong)
+      System.arraycopy(f, 0, out, i, f.length)
+      i += f.length + (f.length & 1) // keep RIFF word alignment
+    }
+    require(i == out.length, s"encoder wrote $i of ${out.length} bytes")
+    out
+  }
+
+  /** Typed features decoded from a real video payload. */
+  final case class VideoFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      micros_per_frame: Int,
+      mean_b: Double,
+      mean_g: Double,
+      mean_r: Double)
+
+  /** Real video decode over (doc_id, payload) rows: two-level RIFF walk,
+    * then exact integer channel sums over every frame's pixel rows —
+    * STRIDE PADDING EXCLUDED (the bytes a naive flat mean would corrupt
+    * the stats with), bottom-up row order irrelevant to channel means.
+    * One output row per decodable payload; undecodable rows drop, as in
+    * [[decodeImages]]/[[decodeAudio]]. Each mean is an exact-integer
+    * ratio evaluated once in double. */
+  def decodeVideo(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseAvi(bytes).map { hd =>
+            val stride = hd.rowStride
+            var sb = 0L; var sg = 0L; var sr = 0L
+            hd.frames.foreach { case (off, _) =>
+              var y = 0
+              while (y < hd.height) {
+                var x = 0
+                val row = off + y * stride
+                while (x < hd.width) {
+                  val p = row + 3 * x // DIB pixel order is B, G, R
+                  sb += bytes(p) & 0xFF
+                  sg += bytes(p + 1) & 0xFF
+                  sr += bytes(p + 2) & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+            }
+            val nPx = hd.width.toLong * hd.height * hd.nFrames
+            VideoFeatures(id, hd.width, hd.height, hd.nFrames,
+              hd.microsPerFrame, sb.toDouble / nPx, sg.toDouble / nPx,
+              sr.toDouble / nPx)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Real temporal downsample: keep every `every`-th frame, multiply the
+    * per-frame duration by the same factor (constant wall-clock
+    * duration), re-emit a valid AVI — decode → transform → re-encode,
+    * the video sibling of [[resampleWav]]. Undecodable payloads drop. */
+  def decimateAvi(spark: SparkSession, packed: DataFrame, every: Int): DataFrame = {
+    require(every > 0, s"decimation factor must be positive, got $every")
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseAvi(bytes).map { hd =>
+            val kept = hd.frames.zipWithIndex
+              .collect { case ((off, len), f) if f % every == 0 =>
+                java.util.Arrays.copyOfRange(bytes, off, off + len)
+              }
+            (id, encodeAvi(hd.width, hd.height,
+              math.min(hd.microsPerFrame.toLong * every,
+                Int.MaxValue).toInt, kept))
+          }
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** Resize stage: binary → binary, executor-side (a real image resize
     * changes only the body — the stub keeps every `factor`-th byte, the
     * degenerate nearest-neighbor downsample). Demonstrates that media

@@ -173,5 +173,97 @@ object MultimodalQueries {
       ORDER BY doc_id
     """))
 
-  val all: Seq[QuerySpec] = Seq(multimodal, frameSample, imageDecode, audioDecode)
+  /** REAL video decode through the gate — the AVI sibling completing the
+    * image/audio/video triple: every doc_id deterministically becomes a
+    * valid single-stream uncompressed-BI_RGB AVI (dims, frame count,
+    * per-frame timing, and a flat per-FRAME BGR color are arithmetic in
+    * doc_id), built executor-side as actual RIFF bytes; the engine then
+    * runs the two-level chunk walk → stride-aware channel means AND
+    * parse → 2× frame decimation → re-encode → re-parse → means over the
+    * KEPT frames. The oracle computes the same geometry and channel
+    * means from doc_id arithmetic alone (exact integer sums, one IEEE
+    * division each) — a broken list walk, BGR order, stride handling, or
+    * a decimation that keeps the wrong frames hash-mismatches loudly.
+    * Colors varying per FRAME (not per pixel) make the post-decimation
+    * mean pin frame SELECTION, not just the count. */
+  val videoDecode = QuerySpec(
+    "q_video_decode",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (id % 6 + 2).toInt
+            val h = ((id * 3) % 5 + 2).toInt
+            val n = (id % 4 + 2).toInt
+            val mpf = ((id % 3 + 1) * 20000).toInt
+            val stride = (3 * w + 3) & ~3
+            val frames = (0 until n).map { f =>
+              val b = ((id * 11 + f * 17) % 256).toByte
+              val g = ((id * 29 + f * 23 + 7) % 256).toByte
+              val r = ((id * 41 + f * 31 + 13) % 256).toByte
+              val fr = new Array[Byte](stride * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = y * stride + 3 * x
+                  fr(p) = b; fr(p + 1) = g; fr(p + 2) = r
+                  x += 1
+                }
+                y += 1
+              }
+              fr
+            }
+            (id, Multimodal.encodeAvi(w, h, mpf, frames))
+          }
+        }
+        .toDF("doc_id", "payload")
+      val halved = Multimodal
+        .decodeVideo(s, Multimodal.decimateAvi(s, packed, 2))
+        .select(col("doc_id"), col("n_frames").as("half_frames"),
+          col("micros_per_frame").as("half_mpf"),
+          col("mean_b").as("half_mean_b"))
+      Multimodal.decodeVideo(s, packed)
+        .join(halved, "doc_id")
+        .select("doc_id", "width", "height", "n_frames", "micros_per_frame",
+          "mean_b", "mean_g", "mean_r", "half_frames", "half_mpf",
+          "half_mean_b")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               CAST(doc_id % 6 + 2 AS BIGINT) AS w,
+               CAST((doc_id * 3) % 5 + 2 AS BIGINT) AS h,
+               CAST(doc_id % 4 + 2 AS BIGINT) AS n
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(w AS INTEGER) AS width,
+             CAST(h AS INTEGER) AS height,
+             CAST(n AS INTEGER) AS n_frames,
+             CAST((doc_id % 3 + 1) * 20000 AS INTEGER) AS micros_per_frame,
+             CAST(w * h * list_sum(list_transform(range(0, n),
+                    f -> (doc_id * 11 + f * 17) % 256)) AS DOUBLE)
+               / CAST(w * h * n AS DOUBLE) AS mean_b,
+             CAST(w * h * list_sum(list_transform(range(0, n),
+                    f -> (doc_id * 29 + f * 23 + 7) % 256)) AS DOUBLE)
+               / CAST(w * h * n AS DOUBLE) AS mean_g,
+             CAST(w * h * list_sum(list_transform(range(0, n),
+                    f -> (doc_id * 41 + f * 31 + 13) % 256)) AS DOUBLE)
+               / CAST(w * h * n AS DOUBLE) AS mean_r,
+             CAST((n + 1) // 2 AS INTEGER) AS half_frames,
+             CAST((doc_id % 3 + 1) * 40000 AS INTEGER) AS half_mpf,
+             CAST(w * h * list_sum(list_transform(
+                    list_filter(range(0, n), f -> f % 2 = 0),
+                    f -> (doc_id * 11 + f * 17) % 256)) AS DOUBLE)
+               / CAST(w * h * ((n + 1) // 2) AS DOUBLE) AS half_mean_b
+      FROM g
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[QuerySpec] =
+    Seq(multimodal, frameSample, imageDecode, audioDecode, videoDecode)
 }

@@ -165,6 +165,117 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.encodeWav(2, 8000, samples).toSeq)
   }
 
+  test("AVI round-trip: encode → decode recovers geometry and exact channel means") {
+    val rnd = new scala.util.Random(47)
+    val vids = (1L to 20L).map { id =>
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(10)
+      val n = 1 + rnd.nextInt(6)
+      val mpf = 1 + rnd.nextInt(100000)
+      val stride = (3 * w + 3) & ~3
+      val frames = Seq.fill(n)(Array.fill(stride * h)(rnd.nextInt(256).toByte))
+      (id, w, h, n, mpf, frames)
+    }
+    val packed = vids.map { case (id, w, h, _, mpf, fr) =>
+      (id, Multimodal.encodeAvi(w, h, mpf, fr))
+    }.toDF("doc_id", "payload")
+    val got = Multimodal.decodeVideo(spark, packed)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got.size === vids.size)
+    vids.foreach { case (id, w, h, n, mpf, frames) =>
+      val stride = (3 * w + 3) & ~3
+      // stride-aware reference means: padding bytes EXCLUDED
+      var sb = 0L; var sg = 0L; var sr = 0L
+      for (fr <- frames; y <- 0 until h; x <- 0 until w) {
+        sb += fr(y * stride + 3 * x) & 0xFF
+        sg += fr(y * stride + 3 * x + 1) & 0xFF
+        sr += fr(y * stride + 3 * x + 2) & 0xFF
+      }
+      val nPx = w.toLong * h * n
+      assert(got(id) === ((w, h, n, mpf, sb.toDouble / nPx,
+        sg.toDouble / nPx, sr.toDouble / nPx)), s"vid $id")
+    }
+  }
+
+  test("AVI decode excludes stride padding from the channel means") {
+    // w = 3 → 9 pixel bytes, stride 12: three pad bytes per row. Poison
+    // the padding with 0xFF — a naive flat mean moves, a stride-aware
+    // one does not.
+    val (w, h) = (3, 2)
+    val stride = (3 * w + 3) & ~3
+    val frame = Array.fill(stride * h)(0.toByte)
+    for (y <- 0 until h) {
+      for (x <- 0 until w) {
+        frame(y * stride + 3 * x) = 10 // B
+        frame(y * stride + 3 * x + 1) = 20 // G
+        frame(y * stride + 3 * x + 2) = 30 // R
+      }
+      for (p <- 3 * w until stride) frame(y * stride + p) = 0xFF.toByte
+    }
+    val packed = Seq((5L, Multimodal.encodeAvi(w, h, 40000, Seq(frame))))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.decodeVideo(spark, packed).collect()(0)
+    assert((r.getDouble(5), r.getDouble(6), r.getDouble(7)) ===
+      ((10.0, 20.0, 30.0)))
+  }
+
+  test("AVI parser: junk chunks skipped, malformed and non-video payloads rejected") {
+    val stride = (3 * 2 + 3) & ~3
+    val good = Multimodal.encodeAvi(2, 2, 33333,
+      Seq(Array.fill(stride * 2)(7.toByte)))
+    assert(Multimodal.parseAvi(good).map(h =>
+      (h.width, h.height, h.nFrames)) === Some((2, 2, 1)))
+    // an unknown odd-sized chunk before hdrl must skip via size + pad
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ "abc".getBytes("US-ASCII") :+ 0.toByte
+    val withJunk = (good.take(12) ++ junk ++ good.drop(12)).clone()
+    // patch the RIFF size for the 12 inserted bytes
+    val newLen = (withJunk.length - 8).toLong
+    for (j <- 0 until 4)
+      withJunk(4 + j) = ((newLen >> (8 * j)) & 0xFF).toByte
+    assert(Multimodal.parseAvi(withJunk).map(h =>
+      (h.width, h.height, h.nFrames)) === Some((2, 2, 1)))
+    assert(Multimodal.parseAvi("RIFF but not a movie".getBytes) === None)
+    assert(Multimodal.parseAvi(good.take(60)) === None) // truncated
+    // frame chunk whose size lies past the payload end
+    val lying = good.clone()
+    val frameSzOff = good.length - (stride * 2) - 4
+    lying(frameSzOff) = (lying(frameSzOff) + 64).toByte
+    assert(Multimodal.parseAvi(lying) === None)
+    // WAV payloads are not videos and vice versa
+    val wav = Multimodal.encodeWav(1, 8000, Array[Short](1, 2, 3, 4))
+    assert(Multimodal.parseAvi(wav) === None)
+    assert(Multimodal.parseWav(good) === None)
+  }
+
+  test("AVI decimation keeps the right frames and re-encodes a valid container") {
+    // 5 frames, frame f is flat value 10·f — selection bugs move a mean
+    val (w, h) = (2, 3)
+    val stride = (3 * w + 3) & ~3
+    val frames = (0 until 5).map { f =>
+      val fr = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        fr(y * stride + 3 * x + c) = (10 * f).toByte
+      fr
+    }
+    val packed = Seq((3L, Multimodal.encodeAvi(w, h, 20000, frames)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decimateAvi(spark, packed, 2).collect()
+    val hd = Multimodal.parseAvi(out(0).getAs[Array[Byte]]("payload")).get
+    assert((hd.width, hd.height, hd.nFrames, hd.microsPerFrame) ===
+      ((2, 3, 3, 40000)))
+    val dec = Multimodal.decodeVideo(spark,
+      Multimodal.decimateAvi(spark, packed, 2)).collect()(0)
+    // kept frames 0, 2, 4 → mean flat value (0 + 20 + 40) / 3
+    assert(dec.getDouble(5) === 20.0)
+    // identity factor re-encodes the byte-identical container
+    val same = Multimodal.decimateAvi(spark, packed, 1).collect()
+    assert(same(0).getAs[Array[Byte]]("payload").toSeq === Multimodal
+      .encodeAvi(w, h, 20000, frames).toSeq)
+  }
+
   test("frame sampling keeps every Nth full frame and drops the partial tail") {
     val f = Multimodal.sampleFrames(spark, packed, frameBytes = 64, every = 2)
       .orderBy("doc_id", "frame_idx").collect()
