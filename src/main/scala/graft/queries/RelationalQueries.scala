@@ -60,6 +60,67 @@ object RelationalQueries {
       ORDER BY 1, 2, 3
     """))
 
+  /** The canonical warehouse STAR join (TPC-H Q5 shape): fact (lineitem)
+    * against orders, customer, supplier, nation, region with a region
+    * filter, a year filter, and the local-supplier condition
+    * c_nationkey = s_nationkey — six tables, one aggregate.
+    *
+    * Scale shape: region⋈nation (25 rows) folds into one broadcast dim;
+    * customer and supplier broadcast explicitly (at 100 TB customer may
+    * outgrow the broadcast threshold, at which point AQE downgrades that
+    * ONE join to shuffle — the fact stream itself still shuffles at most
+    * once, on the orders key). The region/year predicates prune BEFORE
+    * any join (Catalyst pushes them into the dim scans), so the fact
+    * rows that survive to the aggregate are exactly the matching ones —
+    * the plan a warehouse optimizer should produce, asserted in
+    * PlanSpec (no sort-merge join, no cartesian, dims broadcast). */
+  val starJoin = QuerySpec(
+    "q_star_join",
+    (s, d) => {
+      val asiaNations = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = customer(s, d)
+        .join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = orders(s, d)
+        .filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), col("o_custkey"))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name")
+    },
+    Some("""
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+      GROUP BY n_name
+      ORDER BY n_name
+    """))
+
   /** S4+S5: whitespace-run tokenization + positional column selection
     * (untitled.py:44-47,77). The reference rewrites runs of spaces to commas
     * and selects tokens by index; here `split` + `getItem`/`element_at`. */
@@ -540,5 +601,6 @@ object RelationalQueries {
   val all: Seq[QuerySpec] = Seq(
     monthlyRollup, parseText, sentinelNull, notnullFilter, rangeFilter,
     joinInner, semiJoin, groupbyMedian, corrMatrix, rmse, latestPerKey,
-    topk, unionAll, concatLabel, regexStrip, dateParse, sqlAgg, dateArith)
+    topk, unionAll, concatLabel, regexStrip, dateParse, sqlAgg, dateArith,
+    starJoin)
 }

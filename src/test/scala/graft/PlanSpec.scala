@@ -107,6 +107,23 @@ class PlanSpec extends SparkSpec {
       finalPlan.contains("BroadcastHashJoin"), finalPlan)
   }
 
+  test("star join broadcasts every dimension; the fact stream never sort-merges") {
+    // TPC-H Q5 shape: region+nation fold into one broadcast, customer and
+    // supplier broadcast explicitly — the executed plan must contain only
+    // broadcast joins (three of them reach the fact stream), no
+    // SortMergeJoin, no cartesian, and the only hash exchanges are the
+    // orders-key join and the final aggregate's
+    val df = SparkEntry.queries("q_star_join")(spark, Sf001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"dims must broadcast, not sort-merge\n$finalPlan")
+    val bhj = finalPlan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"expected >= 3 broadcast joins, got $bhj\n$finalPlan")
+  }
+
   test("range frame window shares one hash shuffle (final sort is range, not hash)") {
     val df = SparkEntry.queries("q_range_frame")(spark, Sf001)
     df.collect()
