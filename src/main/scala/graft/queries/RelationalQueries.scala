@@ -65,15 +65,17 @@ object RelationalQueries {
     * filter, a year filter, and the local-supplier condition
     * c_nationkey = s_nationkey — six tables, one aggregate.
     *
-    * Scale shape: region⋈nation (25 rows) folds into one broadcast dim;
-    * customer and supplier broadcast explicitly (at 100 TB customer may
-    * outgrow the broadcast threshold, at which point AQE downgrades that
-    * ONE join to shuffle — the fact stream itself still shuffles at most
-    * once, on the orders key). The region/year predicates prune BEFORE
-    * any join (Catalyst pushes them into the dim scans), so the fact
-    * rows that survive to the aggregate are exactly the matching ones —
-    * the plan a warehouse optimizer should produce, asserted in
-    * PlanSpec (no sort-merge join, no cartesian, dims broadcast). */
+    * Scale shape: ONLY the provably tiny dim (region⋈nation, 25 rows)
+    * carries an explicit broadcast hint — an explicit hint is never
+    * downgraded, so pinning it on customer or supplier would force an
+    * executor-OOM broadcast at 100 TB. Those two joins stay UN-hinted:
+    * AQE broadcasts them at any scale where they fit (it does at every
+    * test SF — PlanSpec asserts the all-broadcast plan) and falls back
+    * to a shuffle join exactly when they outgrow the threshold, leaving
+    * the fact stream shuffling at most once per oversized dim. The
+    * region/year predicates prune BEFORE any join (Catalyst pushes them
+    * into the dim scans), so the fact rows that survive to the aggregate
+    * are exactly the matching ones. */
   val starJoin = QuerySpec(
     "q_star_join",
     (s, d) => {
@@ -92,9 +94,8 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_suppkey"),
           col("l_extendedprice"), col("l_discount"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supplier(s, d)
-            .select(col("s_suppkey"), col("s_nationkey"))),
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
