@@ -124,6 +124,23 @@ class PlanSpec extends SparkSpec {
     assert(bhj >= 3, s"expected >= 3 broadcast joins, got $bhj\n$finalPlan")
   }
 
+  test("prefix-filtered join is equi-joins end to end — no cross product") {
+    // candidate generation (prefix⋈prefix on the token), verification
+    // (candidates⋈arrays on the ids): every join must hash on keys
+    val p = plan(SparkEntry.queries("q_prefix_join")(spark, Sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pca covariance self-joins co-located on the row id, dims broadcast back") {
+    val p = plan(SparkEntry.queries("q_pca")(spark, Sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the (i, j) cell join keys on __pid — a hash join, never a loop
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // first moments (64 rows) ship back as a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("range frame window shares one hash shuffle (final sort is range, not hash)") {
     val df = SparkEntry.queries("q_range_frame")(spark, Sf001)
     df.collect()
