@@ -321,6 +321,89 @@ object Stateful {
     StrictMath.log((v + 1) / 281474976710656.0) / weight
   }
 
+  /** One streamed embedding row (dims as doubles for the Encoder; the
+    * batch loader's float→double cast is value-exact). */
+  final case class VecRow(vec_id: Long, dims: Seq[Double])
+
+  /** Per-segment covariance partial after a micro-batch: n rows absorbed
+    * plus the d first moments and d(d+1)/2 second moments as EXACT
+    * decimals, flattened sums-first then row-major upper triangle. */
+  final case class CovPartial(seg: Int, n: Long, stats: Seq[BigDecimal])
+
+  /** Spark's double→DECIMAL(38,18) cast, replayed locally: Catalyst casts
+    * through BigDecimal(double) — the SHORTEST decimal representation
+    * (Double.toString), not the exact binary expansion — then rounds
+    * half-up to scale 18. Divergence here would silently break the
+    * stream≡batch equality, so StatefulSpec pins this function against
+    * the column cast bit-for-bit. */
+  private[streaming] def decimal18Local(x: Double): BigDecimal =
+    BigDecimal(java.lang.Double.toString(x))
+      .setScale(18, scala.math.BigDecimal.RoundingMode.HALF_UP)
+
+  /** Streaming covariance sketch over the leading `d` embedding
+    * dimensions — the drift monitor a live embedding pipeline runs next
+    * to [[graft.ops.Pca]]'s batch PCA: per segment (vec_id mod
+    * `segments` — state shards across executors like every keyed state
+    * here), the state is the exact decimal sufficient statistics
+    * (n, Σx_i, Σx_i·x_j), constant-size per segment (d + d(d+1)/2
+    * decimals), and every micro-batch emits the segment's partial.
+    * Decimal sums are exact and order-free, so partials MERGE by plain
+    * addition: summing all segments after ANY prefix of batches is
+    * bit-identical to the batch decimal aggregate over the rows arrived
+    * so far (StatefulSpec proves it per batch), which is exactly
+    * [[graft.ops.Pca.covariance]]'s input — the streaming and batch
+    * covariance can never drift apart.
+    *
+    * Delivery contract: counts absorb every delivered row (the
+    * weightedReservoir n_seen caveat) — exactly-once under Structured
+    * Streaming's checkpointed state; an at-least-once source needs a
+    * dedup-within-watermark upstream. */
+  /** Carried covariance-sketch state (object-level for the Encoder). */
+  final case class CovState(n: Long, stats: Seq[BigDecimal])
+
+  def covarianceSketch(vecs: Dataset[VecRow], d: Int,
+      segments: Int): Dataset[CovPartial] = {
+    require(d >= 1 && segments >= 1,
+      s"dims d=$d and segments=$segments must be positive")
+    implicit val stateEnc = Encoders.product[CovState]
+    implicit val outEnc = Encoders.product[CovPartial]
+    implicit val intEnc = Encoders.scalaInt
+    val width = d + d * (d + 1) / 2
+    val zero = BigDecimal(0).setScale(18)
+    vecs
+      .groupByKey(v => math.floorMod(v.vec_id, segments.toLong).toInt)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (seg: Int, rows: Iterator[VecRow], state: GroupState[CovState]) => {
+          val prev = state.getOption.getOrElse(
+            CovState(0L, Vector.fill(width)(zero)))
+          var n = prev.n
+          val acc = prev.stats.toArray
+          rows.foreach { v =>
+            require(v.dims.length >= d,
+              s"vector ${v.vec_id} has ${v.dims.length} dims, sketch needs $d")
+            n += 1
+            var i = 0
+            while (i < d) {
+              acc(i) = acc(i) + decimal18Local(v.dims(i))
+              i += 1
+            }
+            var c = d
+            i = 0
+            while (i < d) {
+              var j = i
+              while (j < d) {
+                acc(c) = acc(c) + decimal18Local(v.dims(i) * v.dims(j))
+                c += 1; j += 1
+              }
+              i += 1
+            }
+          }
+          val next = CovState(n, acc.toVector)
+          state.update(next)
+          Iterator.single(CovPartial(seg, n, next.stats))
+        })
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     implicit val stateEnc = Encoders.product[UserTotals]
     implicit val longEnc = Encoders.scalaLong

@@ -300,4 +300,69 @@ class StatefulSpec extends SparkSpec {
     // replay didn't inflate the seen count's membership: reservoirs hold k
     finals.values.foreach(s => assert(s.size === 5))
   }
+
+  test("decimal18Local replays Spark's double→decimal(38,18) cast bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(61)
+    val xs = Seq(0.1, -0.1, 1.0 / 3.0, 2.0, -1e-17, 123.456e10,
+      4.9e-324, -4.9e-324) ++ Seq.fill(200)(rnd.nextGaussian() * 100)
+    val fromCast = xs.toDF("x")
+      .select(col("x"), col("x").cast("decimal(38,18)"))
+      .collect().map(r => r.getDouble(0) -> r.getDecimal(1)).toMap
+    xs.foreach { x =>
+      assert(Stateful.decimal18Local(x).bigDecimal
+        .compareTo(fromCast(x)) === 0, s"x=$x")
+    }
+  }
+
+  test("streaming covariance partials merge to the batch decimal sums after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val d = 4
+    val rnd = new scala.util.Random(67)
+    def batch(ids: Range) = ids.map(i =>
+      Stateful.VecRow(i.toLong, Seq.fill(6)(rnd.nextGaussian() * 3)))
+    val batches = Seq(batch(1 to 30), batch(31 to 45), batch(46 to 100))
+    val mem = MemoryStream[Stateful.VecRow]
+    val q = Stateful.covarianceSketch(mem.toDS(), d, segments = 3)
+      .writeStream.format("memory").queryName("cov").outputMode("update")
+      .start()
+    try {
+      var arrived = Seq.empty[Stateful.VecRow]
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        arrived = arrived ++ b
+        // latest partial per segment, merged by plain decimal addition
+        val parts = spark.table("cov").as[Stateful.CovPartial].collect()
+          .groupBy(_.seg).map(_._2.last).toSeq
+        val width = d + d * (d + 1) / 2
+        val merged = parts.map(_.stats).foldLeft(
+          Vector.fill(width)(BigDecimal(0).setScale(18))) {
+          (a, b) => a.zip(b).map { case (x, y) => x + y }.toVector
+        }
+        assert(parts.map(_.n).sum === arrived.size.toLong)
+        // batch twin: the SAME decimal sums via the column pipeline over
+        // everything arrived so far (Pca.covariance's exact input)
+        val posts = graft.ops.Pca.postings(
+          arrived.map(v => (v.vec_id, v.dims)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding").filter(col("i") <= d).cache()
+        val firsts = posts.groupBy("i")
+          .agg(sum(col("x").cast("decimal(38,18)")).as("s"))
+          .orderBy("i").select("s").collect().map(_.getDecimal(0))
+        val seconds = posts.as("a")
+          .join(posts.as("b"),
+            col("a.__pid") === col("b.__pid") && col("a.i") <= col("b.i"))
+          .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+          .agg(sum((col("a.x") * col("b.x")).cast("decimal(38,18)")).as("s"))
+          .orderBy("i", "j").select("s").collect().map(_.getDecimal(0))
+        val want = (firsts ++ seconds).toVector
+        assert(merged.size === want.size)
+        merged.zip(want).zipWithIndex.foreach { case ((m, w), ix) =>
+          assert(m.bigDecimal.compareTo(w) === 0, s"stat $ix after ${arrived.size} rows")
+        }
+        posts.unpersist()
+      }
+    } finally q.stop()
+  }
 }
