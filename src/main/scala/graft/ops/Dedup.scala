@@ -165,6 +165,11 @@ object Dedup {
     val w = Window
       .partitionBy((blockCols.map(col) :+ col(id)): _*)
       .orderBy(col("__df").asc, col("__sh").asc)
+    // CACHED: both sides of the candidate self-join read this frame, and
+    // the column renames make the subtrees plan-distinct — uncached, the
+    // df aggregate + join + window would run TWICE (measured in the
+    // sf0.1 explain). Same materialize-once discipline as the query
+    // layer's shingle cache; at 100 TB this persists to disk instead.
     val prefix = posts.join(dfTab, blockCols :+ "__sh")
       .withColumn("__rn", row_number().over(w))
       // p = sz − ⌈t·sz⌉ + 1, with ⌈t·sz⌉ = (tNum·sz + tDen − 1) DIV tDen
@@ -172,6 +177,7 @@ object Dedup {
         col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
       .select((blockCols.map(col) :+ col(id) :+ col("__sz") :+
         col("__sh")): _*)
+      .cache()
     def sided(side: String) =
       prefix.toDF(prefix.columns.map {
         case `id` => s"id_$side"
