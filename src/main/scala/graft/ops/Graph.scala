@@ -135,6 +135,64 @@ object Graph {
     ranks
   }
 
+  /** k-core decomposition, fixed k: iteratively peel every node whose
+    * degree in the SURVIVING subgraph is below k until the peel is a
+    * no-op — the classic degeneracy filter (Seidman 1983) a pipeline
+    * runs to separate a graph's cohesive core from its dangling
+    * periphery (citation cores, co-occurrence backbones, near-dup
+    * super-clusters).
+    *
+    * Scale shape: each round is ONE map-side-combinable degree count
+    * plus two anti-joins of the edge list against the (shrinking)
+    * sub-k node set — never a per-node neighbor buffer, so power-law
+    * hubs cost rows, not memory; the edge frame only ever shrinks, and
+    * localCheckpoint truncates the per-round lineage
+    * ([[Dedup.components]]' discipline). Rounds are bounded by the peel
+    * depth (≤ the graph's degeneracy ordering length, single digits on
+    * co-occurrence graphs); a peel that fails to stabilize in `maxIter`
+    * rounds fails LOUDLY. The fixpoint check rides the convergence
+    * count: the peel removed nothing ⟺ the edge count held.
+    *
+    * Returns (id, core_deg) for every node of the k-core, core_deg its
+    * degree WITHIN the core (≥ k by the fixpoint). Self-pairs and
+    * mirrored duplicates normalize away; an empty core is a legal
+    * result. */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k=$k must be at least 1")
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    var e = pairs
+      .select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .filter(col("a") < col("b")) // drops self-pairs and NULLs
+      .distinct()
+      .localCheckpoint()
+    var prevEdges = e.count()
+    var converged = prevEdges == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val deg = e.select(col("a").as("s")).union(e.select(col("b").as("s")))
+        .groupBy("s").agg(count(lit(1)).as("__d"))
+      // anti-join against the SUB-k set: it is the small side after the
+      // first rounds (the survivors' side is core-sized), and an empty
+      // sub-k set makes both joins no-ops — exactly the fixpoint
+      val bad = deg.filter(col("__d") < k).select("s")
+      val next = e
+        .join(bad.select(col("s").as("a")), Seq("a"), "left_anti")
+        .join(bad.select(col("s").as("b")), Seq("b"), "left_anti")
+        .localCheckpoint()
+      val n = next.count()
+      converged = n == prevEdges
+      e = next
+      prevEdges = n
+      iter += 1
+    }
+    require(converged || prevEdges == 0L,
+      s"$k-core peel did not stabilize in $maxIter rounds; raise maxIter")
+    e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Large-star: every node u rewires its strictly-LARGER neighbors to
     * m(u) = min(Γ(u) ∪ {u}). Small-star: every node u rewires its
     * not-larger neighbors (and itself) to the min of that down-set.

@@ -212,5 +212,56 @@ object GraphQueries {
       FROM r3 ORDER BY round(rank, 9) DESC, id ASC LIMIT 20
     """))
 
-  val all: Seq[QuerySpec] = Seq(graphHops, triangles, pagerank)
+  /** 2-core of the co-occurrence graph ([[graft.ops.Graph.kCore]]): peel
+    * degree-<2 nodes until the peel is a no-op — strips the dangling
+    * chains and leaves the cyclic backbone. The peel depth is
+    * data-dependent (1 / 4 / 7 rounds at the three SFs), so the oracle
+    * UNROLLS 12 peel rounds as chained CTEs (the q_bpe_learn unrolled-
+    * loop discipline) and certifies its own fixpoint: converged_ok
+    * compares rounds 11 and 12 — Spark's side asserts convergence
+    * internally (loud require) and pins the literal 1. Output: every
+    * core node with its in-core degree. */
+  val kcore = QuerySpec(
+    "q_kcore",
+    (s, d) => {
+      val e = freqEdges(s, d).cache() // shares the graph-suite entry
+      Graph.kCore(e, "a", "b", k = 2)
+        .select(col("id").as("part_id"), col("core_deg"),
+          lit(1).as("converged_ok"))
+        .orderBy("part_id")
+    },
+    Some {
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+      // round references its predecessor several times — inlined, the
+      // 12-round chain expands into an exponential tree whose every leaf
+      // re-opens the parquet (observed: "Too many open files")
+      val rounds = (1 to 12).map { r =>
+        val prev = s"e${r - 1}"
+        s"""
+      d$r AS MATERIALIZED (
+        SELECT s, count(*) AS c FROM (
+          SELECT a AS s FROM $prev UNION ALL SELECT b FROM $prev)
+        GROUP BY s
+      ),
+      e$r AS MATERIALIZED (
+        SELECT a, b FROM $prev
+        WHERE a IN (SELECT s FROM d$r WHERE c >= 2)
+          AND b IN (SELECT s FROM d$r WHERE c >= 2)
+      )"""
+      }.mkString(",")
+      s"""
+      WITH $FreqEdgeSql,
+      e0 AS MATERIALIZED (SELECT a, b FROM fedge),
+      $rounds
+      SELECT id AS part_id, CAST(count(*) AS BIGINT) AS core_deg,
+             CAST(CASE WHEN (SELECT count(*) FROM e11) =
+                            (SELECT count(*) FROM e12)
+                       THEN 1 ELSE 0 END AS INTEGER) AS converged_ok
+      FROM (SELECT a AS id FROM e12 UNION ALL SELECT b FROM e12)
+      GROUP BY id
+      ORDER BY id
+    """
+    })
+
+  val all: Seq[QuerySpec] = Seq(graphHops, triangles, pagerank, kcore)
 }

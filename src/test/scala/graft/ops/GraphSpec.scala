@@ -136,4 +136,44 @@ class GraphSpec extends SparkSpec {
     assert(labels.isEmpty)
     assert(rounds === 0)
   }
+
+  test("kCore: triangle survives a 2-core peel, the dangling chain does not") {
+    // triangle 1-2-3 plus tail 3-4-5: peeling 5 (deg 1) exposes 4, then
+    // 4 exposes nothing more — a two-round cascade the fixpoint must ride
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val core = Graph.kCore(pairs, "id_a", "id_b", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the densest subgraph: empty core, still converged
+    assert(Graph.kCore(pairs, "id_a", "id_b", k = 3).isEmpty)
+  }
+
+  test("kCore equals a sequential peel on random graphs; every core degree >= k") {
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 3; k <- Seq(2, 3)) {
+      val n = 40 + trial * 30
+      val pairs = (1 to 2 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = Graph.kCore(pairs.toDF("id_a", "id_b"), "id_a", "id_b", k)
+        .as[(Long, Long)].collect().toMap
+      // driver-local reference peel over the same normalized edge set
+      var edges = pairs.collect { case (x, y) if x != y =>
+        (math.min(x, y), math.max(x, y))
+      }.toSet
+      var changed = true
+      while (changed) {
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, xs) => v -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = edges.filter(e => keep(e._1) && keep(e._2))
+        changed = next != edges
+        edges = next
+      }
+      val want = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      assert(got === want, s"trial $trial k=$k")
+      got.values.foreach(d => assert(d >= k))
+    }
+  }
 }
