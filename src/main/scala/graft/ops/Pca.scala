@@ -41,7 +41,12 @@ object Pca {
   /** Upper-triangle covariance cells (i ≤ j, 1-based): one row per cell
     * with the exact decimal second moment and the double covariance
     * (sxx − sxi·sxj/n)/(n−1) — the division sequence is the only IEEE
-    * arithmetic and is replayed verbatim by the oracle. */
+    * arithmetic and is replayed verbatim by the oracle.
+    *
+    * Contract: FIXED-WIDTH vectors with n ≥ 2 rows (ragged widths would
+    * silently skew per-cell counts — NULL embeddings drop whole at the
+    * posexplode; a single-row input divides by zero into ±Infinity
+    * rather than throwing, as in any SQL engine). */
   def covariance(posts: DataFrame): DataFrame = {
     val second = posts.as("a")
       .join(posts.as("b"),
