@@ -42,21 +42,27 @@ final case class AudioFeatures(
   * over a typed Dataset — the Scala-native equivalent of a Pandas-UDF
   * decode stage.
   *
-  * The image and audio paths are REAL for the formats a bare JVM can
-  * parse without codec libraries: binary PPM (P6, the uncompressed
-  * Netpbm format) — [[Multimodal.parsePpm]] / [[Multimodal.encodePpm]] /
+  * The image, audio, and video paths are REAL for every format a bare
+  * JVM can own without codec libraries: binary PPM (P6) —
+  * [[Multimodal.parsePpm]] / [[Multimodal.encodePpm]] /
   * [[Multimodal.resizePpm]] do actual byte-format work (header grammar
   * with comments, exact pixel-plane length, channel-interleaved RGB,
-  * nearest-neighbor downsample that re-emits a valid P6) — and RIFF/WAVE
+  * nearest-neighbor downsample that re-emits a valid P6); RIFF/WAVE
   * 16-bit PCM — [[Multimodal.parseWav]] / [[Multimodal.encodeWav]] /
-  * [[Multimodal.resampleWav]] walk the chunk container (unknown chunks
-  * skipped by declared size with word alignment) and decimate real
-  * interleaved frames. Compressed formats (JPEG/PNG/MP3/video) remain
+  * [[Multimodal.resampleWav]] walk the chunk container and decimate
+  * real interleaved frames; RIFF/AVI uncompressed BI_RGB video —
+  * [[Multimodal.parseAvi]] / [[Multimodal.encodeAvi]] /
+  * [[Multimodal.decodeVideo]] / [[Multimodal.decimateAvi]] run the
+  * two-level list walk with stride-aware pixel access; and PNG — a
+  * genuinely COMPRESSED format — [[Multimodal.parsePng]] /
+  * [[Multimodal.encodePng]] / [[Multimodal.pngToPpm]] verify chunk
+  * CRC32s, inflate the zlib stream through java.util.zip, and invert
+  * all five scanline filters. Codec-bound formats (JPEG/MP3/MP4) remain
   * deterministic stubs in [[Multimodal.decodeFeatures]] — no codecs
   * exist in this container — but swapping one in changes only that
   * function body: the binary column schema, partition-parallel batch
-  * iteration, and typed Encoder output are the same plumbing the PPM
-  * and WAV paths already exercise end-to-end.
+  * iteration, and typed Encoder output are the same plumbing the real
+  * paths already exercise end-to-end.
   *
   * Scale: payloads never pass through the driver; a partition processes its
   * media in a streaming iterator (no per-partition materialization), so
@@ -580,6 +586,236 @@ object Multimodal {
     }
     require(i == out.length, s"encoder wrote $i of ${out.length} bytes")
     out
+  }
+
+  /** Parsed PNG: dimensions plus the fully DEFILTERED channel-interleaved
+    * RGB plane (the same layout [[PpmHeader]]'s pixel plane uses, which
+    * is what makes PNG→PPM transcoding a pure re-encode). */
+  final case class PngImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Parse an 8-bit truecolor (color type 2) non-interlaced PNG — a REAL
+    * compressed-format decode on nothing but the JVM: the 8-byte
+    * signature, a chunk walk where every chunk's CRC32 (over type+data)
+    * is VERIFIED, IHDR geometry checks, all IDAT chunks concatenated and
+    * INFLATED through java.util.zip (PNG's zlib stream), and the five
+    * scanline filters (None/Sub/Up/Average/Paeth) inverted row by row —
+    * the actual decoding work of the format. Ancillary chunks skip by
+    * length; a bad CRC, a lying length, a non-RGB color type, interlace,
+    * or an inflated plane of the wrong size all reject the payload
+    * (None), the family's strictness-as-false-positive-guard discipline.
+    * JPEG/MP4 stay out of reach without codec libraries; PNG is the
+    * compressed format a bare JVM can genuinely own. */
+  private[graft] def parsePng(bytes: Array[Byte]): Option[PngImage] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    if (bytes.length < 8 + 12 || !sig.indices.forall(i => bytes(i) == sig(i)))
+      return None
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    var i = 8
+    var w = 0; var h = 0
+    var sawIhdr = false; var sawEnd = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawEnd && i + 12 <= bytes.length) {
+      val len = u32(i)
+      val body = i + 8
+      if (len > bytes.length - body - 4L) return None // lying chunk length
+      val tpe = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, i + 4, 4 + len.toInt)
+      if (crc.getValue != u32(body + len.toInt)) return None // corrupt chunk
+      tpe match {
+        case "IHDR" =>
+          if (len != 13 || sawIhdr) return None
+          w = u32(body).toInt; h = u32(body + 4).toInt
+          val bitDepth = bytes(body + 8) & 0xFF
+          val colorType = bytes(body + 9) & 0xFF
+          val interlace = bytes(body + 12) & 0xFF
+          if (w < 1 || h < 1 || w > (1 << 20) || h > (1 << 20) ||
+              bitDepth != 8 || colorType != 2 ||
+              bytes(body + 10) != 0 || bytes(body + 11) != 0 ||
+              interlace != 0) return None
+          sawIhdr = true
+        case "IDAT" =>
+          if (!sawIhdr) return None
+          idat.write(bytes, body, len.toInt)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skip by length
+      }
+      i = body + len.toInt + 4
+    }
+    if (!sawIhdr || !sawEnd) return None
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      // the plane must be EXACTLY h scanlines — no less, no more
+      if (off != raw.length || inf.inflate(new Array[Byte](1)) != 0)
+        return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // invert the per-row filter: out[x] = raw[x] + predictor(left, up, ul)
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (1 + stride)) & 0xFF
+      if (filter > 4) return None
+      val src = y * (1 + stride) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val left = if (x >= 3) out(dst + x - 3) & 0xFF else 0
+        val up = if (y > 0) out(dst - stride + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= 3) out(dst - stride + x - 3) & 0xFF else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        out(dst + x) = ((raw(src + x) & 0xFF) + pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngImage(w, h, out))
+  }
+
+  /** Emit a valid 8-bit truecolor PNG from an RGB plane, each scanline
+    * filtered with `rowFilter(y)` (0–4 — the encoder applies the filter
+    * the decoder must invert, which is how MultimodalSpec round-trips
+    * every filter type). IDAT deflates through java.util.zip; chunk CRCs
+    * are real. */
+  private[graft] def encodePng(w: Int, h: Int, rgb: Array[Byte],
+      rowFilter: Int => Int = _ => 0): Array[Byte] = {
+    require(w >= 1 && h >= 1 && rgb.length == 3 * w * h,
+      s"pixel plane must be exactly 3*$w*$h bytes, got ${rgb.length}")
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val f = rowFilter(y)
+      require(f >= 0 && f <= 4, s"filter $f out of range at row $y")
+      raw(y * (1 + stride)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(y * stride + x) & 0xFF
+        val left = if (x >= 3) rgb(y * stride + x - 3) & 0xFF else 0
+        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= 3) rgb((y - 1) * stride + x - 3) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(y * (1 + stride) + 1 + x) = (cur - pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val compressed = try {
+      defl.setInput(raw); defl.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+      buf.toByteArray
+    } finally defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      out.write(be32(data.length.toLong))
+      val tb = tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = new Array[Byte](13)
+    def putBe32(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = ((v >> 24) & 0xFF).toByte; a(i + 1) = ((v >> 16) & 0xFF).toByte
+      a(i + 2) = ((v >> 8) & 0xFF).toByte; a(i + 3) = (v & 0xFF).toByte
+    }
+    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // 8-bit truecolor; compression/filter/interlace 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", compressed)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Real PNG decode over (doc_id, payload) rows: signature + CRC-checked
+    * chunk walk, zlib inflate, filter inversion, exact integer channel
+    * means — [[decodeImages]]' shape for the compressed sibling.
+    * Undecodable payloads drop. */
+  def decodePngImages(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parsePng(bytes).map { img =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var i = 0
+            while (i < img.rgb.length) {
+              sr += img.rgb(i) & 0xFF
+              sg += img.rgb(i + 1) & 0xFF
+              sb += img.rgb(i + 2) & 0xFF
+              i += 3
+            }
+            val n = img.width.toLong * img.height
+            ImageFeatures(id, img.width, img.height,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** PNG → PPM transcode, executor-side: inflate + defilter, then re-emit
+    * the identical RGB plane as P6 (the two formats share the
+    * channel-interleaved layout, so the transcode is a pure container
+    * swap — byte-exact pixels, [[MultimodalSpec]] proves it). The
+    * decode-once-transcode-anywhere stage every media pipeline runs.
+    * Undecodable payloads drop. */
+  def pngToPpm(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parsePng(bytes).map { img =>
+            (id, encodePpm(img.width, img.height, img.rgb))
+          }
+        }
+      }
+      .toDF("doc_id", "payload")
   }
 
   /** Typed features decoded from a real video payload. */

@@ -264,6 +264,63 @@ object MultimodalQueries {
       ORDER BY doc_id
     """))
 
+  /** REAL compressed-image decode through the gate: every doc_id becomes
+    * a valid 8-bit truecolor PNG (flat arithmetic color; the row filter
+    * CYCLES through all five types y mod 5, so None/Sub/Up/Average/Paeth
+    * inversion ALL sit on the hash gate, not just in the spec), built
+    * executor-side with a real zlib deflate + CRC'd chunks; the engine
+    * then runs signature/CRC walk → inflate → defilter → channel means,
+    * AND the cross-format transcode: PNG → P6 re-encode → the PPM
+    * decoder must see the identical means (the two decoders share
+    * nothing but the pixel contract). Oracle: pure doc_id arithmetic.
+    * JPEG stays a documented stub — PNG is the compressed format a bare
+    * JVM genuinely owns (java.util.zip IS zlib). */
+  val pngDecode = QuerySpec(
+    "q_png_decode",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (id % 7 + 1).toInt
+            val h = ((id * 5) % 6 + 1).toInt
+            val r = ((id * 23) % 256).toByte
+            val g = ((id * 71 + 3) % 256).toByte
+            val b = ((id * 13 + 7) % 256).toByte
+            val rgb = new Array[Byte](3 * w * h)
+            var i = 0
+            while (i < rgb.length) {
+              rgb(i) = r; rgb(i + 1) = g; rgb(i + 2) = b; i += 3
+            }
+            (id, Multimodal.encodePng(w, h, rgb, y => y % 5))
+          }
+        }
+        .toDF("doc_id", "payload")
+      val viaPpm = Multimodal
+        .decodeImages(s, Multimodal.pngToPpm(s, packed))
+        .select(col("doc_id"), col("mean_r").as("ppm_mean_r"),
+          col("mean_b").as("ppm_mean_b"))
+      Multimodal.decodePngImages(s, packed)
+        .join(viaPpm, "doc_id")
+        .select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+          "ppm_mean_r", "ppm_mean_b")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(doc_id % 7 + 1 AS INTEGER) AS width,
+             CAST((doc_id * 5) % 6 + 1 AS INTEGER) AS height,
+             CAST((doc_id * 23) % 256 AS DOUBLE) AS mean_r,
+             CAST((doc_id * 71 + 3) % 256 AS DOUBLE) AS mean_g,
+             CAST((doc_id * 13 + 7) % 256 AS DOUBLE) AS mean_b,
+             CAST((doc_id * 23) % 256 AS DOUBLE) AS ppm_mean_r,
+             CAST((doc_id * 13 + 7) % 256 AS DOUBLE) AS ppm_mean_b
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] =
-    Seq(multimodal, frameSample, imageDecode, audioDecode, videoDecode)
+    Seq(multimodal, frameSample, imageDecode, audioDecode, videoDecode,
+      pngDecode)
 }

@@ -276,6 +276,71 @@ class MultimodalSpec extends SparkSpec {
       .encodeAvi(w, h, 20000, frames).toSeq)
   }
 
+  test("PNG round-trip: every filter type inverts to the exact pixel plane") {
+    val rnd = new scala.util.Random(73)
+    for (filter <- 0 to 4) {
+      val w = 1 + rnd.nextInt(20)
+      val h = 2 + rnd.nextInt(20) // ≥ 2 rows so Up/Paeth see real history
+      val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val png = Multimodal.encodePng(w, h, rgb, _ => filter)
+      val img = Multimodal.parsePng(png)
+      assert(img.isDefined, s"filter $filter")
+      assert(img.get.width === w && img.get.height === h)
+      assert(img.get.rgb.toSeq === rgb.toSeq, s"filter $filter")
+    }
+    // mixed filters per row — the shape the registered query gates
+    val rgb = Array.fill(3 * 5 * 7)(rnd.nextInt(256).toByte)
+    val mixed = Multimodal.parsePng(
+      Multimodal.encodePng(5, 7, rgb, y => y % 5))
+    assert(mixed.get.rgb.toSeq === rgb.toSeq)
+  }
+
+  test("PNG parser: CRC corruption, truncation, and non-RGB payloads reject") {
+    val rgb = Array.fill(3 * 4 * 3)(55.toByte)
+    val good = Multimodal.encodePng(4, 3, rgb)
+    assert(Multimodal.parsePng(good).isDefined)
+    // flip one IDAT byte: the chunk CRC must catch it
+    val corrupt = good.clone()
+    corrupt(8 + 12 + 13 + 8 + 2) = (corrupt(8 + 12 + 13 + 8 + 2) ^ 0x40).toByte
+    assert(Multimodal.parsePng(corrupt) === None)
+    assert(Multimodal.parsePng(good.take(30)) === None) // truncated
+    assert(Multimodal.parsePng("not a png at all".getBytes) === None)
+    // grayscale (color type 0) is outside the decoder's contract
+    val gray = good.clone(); gray(8 + 8 + 9) = 0
+    assert(Multimodal.parsePng(gray) === None) // (CRC also catches it)
+    // an ancillary chunk between IHDR and IDAT skips cleanly
+    val ihdrEnd = 8 + 12 + 13
+    val text = {
+      val data = "k v".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      val tb = "tEXt".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      crc.update(tb); crc.update(data)
+      val v = crc.getValue
+      Array[Byte](0, 0, 0, data.length.toByte) ++ tb ++ data ++ Array(
+        ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    }
+    val withText = good.take(ihdrEnd) ++ text ++ good.drop(ihdrEnd)
+    assert(Multimodal.parsePng(withText).map(_.rgb.toSeq) === Some(rgb.toSeq))
+  }
+
+  test("PNG→PPM transcode re-emits the byte-identical P6 payload") {
+    val rnd = new scala.util.Random(79)
+    val images = (1L to 10L).map { id =>
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(12)
+      (id, w, h, Array.fill(3 * w * h)(rnd.nextInt(256).toByte))
+    }
+    val packed = images.map { case (id, w, h, rgb) =>
+      (id, Multimodal.encodePng(w, h, rgb, y => (y + 1) % 5))
+    }.toDF("doc_id", "payload")
+    val got = Multimodal.pngToPpm(spark, packed).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    images.foreach { case (id, w, h, rgb) =>
+      assert(got(id).toSeq === Multimodal.encodePpm(w, h, rgb).toSeq, s"img $id")
+    }
+  }
+
   test("frame sampling keeps every Nth full frame and drops the partial tail") {
     val f = Multimodal.sampleFrames(spark, packed, frameBytes = 64, every = 2)
       .orderBy("doc_id", "frame_idx").collect()
