@@ -818,6 +818,251 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Parsed GIF87a: dimensions, the palette, and the decoded per-pixel
+    * palette indices (row-major). */
+  final case class GifImage(width: Int, height: Int,
+      palette: Array[Array[Int]], indices: Array[Byte])
+
+  /** Parse a GIF87a with a global color table and one non-interlaced
+    * image — the second REAL compressed format, and unlike PNG the
+    * decompressor is HAND-ROLLED: GIF's variable-width LZW (code width
+    * grows n→n+1 at dictionary size 2^width, clear code resets, and the
+    * KwKwK case — a code referencing the entry being defined — handled
+    * exactly). Strictness discipline as everywhere: magic, geometry
+    * bounds, image descriptor must cover the full logical screen,
+    * sub-block chain must terminate, decoded index count must EXACTLY
+    * equal w·h, every index must fall inside the palette, and the
+    * trailer byte must close the stream — arbitrary bytes do not
+    * survive a coherent LZW dictionary walk. */
+  private[graft] def parseGif(bytes: Array[Byte]): Option[GifImage] = {
+    if (bytes.length < 13 + 6) return None
+    val magic = "GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    if (!magic.indices.forall(i => bytes(i) == magic(i))) return None
+    def u16(i: Int): Int = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    val w = u16(6); val h = u16(8)
+    val flags = bytes(10) & 0xFF
+    if (w < 1 || h < 1 || w > 65535 || h > 65535) return None
+    if ((flags & 0x80) == 0) return None // need a global color table
+    val palSize = 2 << (flags & 7)
+    var i = 13
+    if (i + 3 * palSize > bytes.length) return None
+    val palette = Array.tabulate(palSize)(c => Array(
+      bytes(i + 3 * c) & 0xFF, bytes(i + 3 * c + 1) & 0xFF,
+      bytes(i + 3 * c + 2) & 0xFF))
+    i += 3 * palSize
+    if (i + 10 > bytes.length || bytes(i) != 0x2C) return None // image desc
+    if (u16(i + 1) != 0 || u16(i + 3) != 0 ||
+        u16(i + 5) != w || u16(i + 7) != h) return None
+    val localFlags = bytes(i + 9) & 0xFF
+    if ((localFlags & 0xC0) != 0) return None // no local table, no interlace
+    i += 10
+    if (i >= bytes.length) return None
+    val minCode = bytes(i) & 0xFF
+    if (minCode < 2 || minCode > 8) return None
+    i += 1
+    // concatenate the data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var terminated = false
+    while (!terminated && i < bytes.length) {
+      val len = bytes(i) & 0xFF
+      if (len == 0) { terminated = true; i += 1 }
+      else {
+        if (i + 1 + len > bytes.length) return None
+        data.write(bytes, i + 1, len)
+        i += 1 + len
+      }
+    }
+    if (!terminated || i >= bytes.length || bytes(i) != 0x3B) return None
+    // --- hand-rolled variable-width LZW decode ---
+    val stream = data.toByteArray
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Byte](w * h)
+    var outPos = 0
+    // dictionary as (prefix code, appended index); roots are implicit
+    val prefixOf = new Array[Int](4096)
+    val appendOf = new Array[Byte](4096)
+    var dictSize = eoi + 1
+    var codeWidth = minCode + 1
+    var bitPos = 0
+    def readCode(): Int = {
+      if (bitPos + codeWidth > stream.length * 8) return -1
+      var v = 0; var b = 0
+      while (b < codeWidth) {
+        val bit = (stream((bitPos + b) >> 3) >> ((bitPos + b) & 7)) & 1
+        v |= bit << b
+        b += 1
+      }
+      bitPos += codeWidth
+      v
+    }
+    def emit(code: Int): Option[Int] = { // returns the FIRST index of code
+      var c = code
+      var len = 0
+      var first = 0
+      // walk the chain to measure length and find the first symbol
+      while (c >= clear) { len += 1; first = prefixOf(c); c = first }
+      first = c
+      len += 1
+      if (outPos + len > out.length) return None // too many pixels
+      var p = outPos + len - 1
+      c = code
+      while (c >= clear) { out(p) = appendOf(c); p -= 1; c = prefixOf(c) }
+      out(p) = c.toByte
+      outPos += len
+      Some(first)
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code < 0) return None // ran out of bits before EOI
+      if (code == clear) {
+        dictSize = eoi + 1; codeWidth = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a root
+        if (outPos >= out.length) return None
+        out(outPos) = code.toByte; outPos += 1
+        prev = code
+      } else {
+        if (code > dictSize) return None // beyond KwKwK is corruption
+        val firstIdx: Int =
+          if (code < dictSize) emit(code).getOrElse(return None)
+          else { // KwKwK: code == dictSize references the entry being built
+            var c = prev; while (c >= clear) c = prefixOf(c)
+            val f = c // first symbol of prev's string
+            emit(prev).getOrElse(return None) // prev ++ first(prev)
+            if (outPos >= out.length) return None
+            out(outPos) = f.toByte; outPos += 1
+            f
+          }
+        if (dictSize < 4096) {
+          prefixOf(dictSize) = prev
+          appendOf(dictSize) = firstIdx.toByte
+          dictSize += 1
+          // 2^W − 1, not 2^W: the decoder's dictionary LAGS the
+          // encoder's by one entry (it inserts one code later), so it
+          // must widen one insert earlier to read the next code at the
+          // width the encoder wrote it
+          if (dictSize == (1 << codeWidth) - 1 && codeWidth < 12)
+            codeWidth += 1
+        }
+        prev = code
+      }
+    }
+    if (outPos != out.length) return None // pixel count must be exact
+    if (out.exists(ix => (ix & 0xFF) >= palSize)) return None
+    Some(GifImage(w, h, palette, out))
+  }
+
+  /** Emit a valid GIF87a (global color table, one full-screen image)
+    * from palette indices — with a REAL hand-rolled LZW compressor:
+    * greedy longest-match dictionary, variable code width, clear code
+    * up front, dictionary freeze at 4096 (no mid-stream clears — the
+    * simplest conforming stream), 255-byte sub-block packaging. */
+  private[graft] def encodeGif87a(w: Int, h: Int,
+      palette: Array[Array[Int]], indices: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && indices.length == w * h,
+      s"need exactly $w*$h indices, got ${indices.length}")
+    val palBits = math.max(1,
+      32 - Integer.numberOfLeadingZeros(math.max(2, palette.length) - 1))
+    val palSize = 1 << palBits
+    require(palette.length <= palSize && palSize <= 256, "palette too large")
+    require(indices.forall(ix => (ix & 0xFF) < palette.length),
+      "index outside palette")
+    val minCode = math.max(2, palBits)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // LZW compress: dictionary maps (prefix code, next index) → code
+    val dict = new java.util.HashMap[Long, Integer]()
+    var dictSize = eoi + 1
+    var codeWidth = minCode + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    def putCode(c: Int): Unit = {
+      bitBuf |= c.toLong << bitCnt; bitCnt += codeWidth
+      while (bitCnt >= 8) {
+        bits.write((bitBuf & 0xFF).toInt); bitBuf >>= 8; bitCnt -= 8
+      }
+    }
+    putCode(clear)
+    var prev: Int = indices(0) & 0xFF
+    var p = 1
+    while (p < indices.length) {
+      val nxt = indices(p) & 0xFF
+      val key = (prev.toLong << 12) | nxt
+      val hit = dict.get(key)
+      if (hit != null) prev = hit
+      else {
+        putCode(prev)
+        if (dictSize < 4096) {
+          dict.put(key, dictSize)
+          dictSize += 1
+          // the decoder widens its READ width the moment dictSize hits
+          // 2^width (before the next code), so the encoder must write
+          // the next code at the widened width even when its value
+          // still fits — an off-by-one here desynchronizes the streams
+          if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        prev = nxt
+      }
+      p += 1
+    }
+    putCode(prev)
+    putCode(eoi)
+    if (bitCnt > 0) bits.write((bitBuf & 0xFF).toInt)
+    val lzw = bits.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    w16(w); w16(h)
+    out.write(0x80 | (palBits - 1)) // GCT present, 2^palBits entries
+    out.write(0); out.write(0) // background, aspect
+    for (c <- 0 until palSize) {
+      val e = if (c < palette.length) palette(c) else Array(0, 0, 0)
+      out.write(e(0)); out.write(e(1)); out.write(e(2))
+    }
+    out.write(0x2C); w16(0); w16(0); w16(w); w16(h); out.write(0)
+    out.write(minCode)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Real GIF decode over (doc_id, payload) rows: LZW-decompress the
+    * index stream, map through the palette, exact integer channel
+    * means — [[decodeImages]]' shape for the palette-indexed sibling.
+    * Undecodable payloads drop. */
+  def decodeGifImages(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseGif(bytes).map { img =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            img.indices.foreach { ix =>
+              val c = img.palette(ix & 0xFF)
+              sr += c(0); sg += c(1); sb += c(2)
+            }
+            val n = img.width.toLong * img.height
+            ImageFeatures(id, img.width, img.height,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Typed features decoded from a real video payload. */
   final case class VideoFeatures(
       doc_id: Long,

@@ -320,7 +320,62 @@ object MultimodalQueries {
       ORDER BY doc_id
     """))
 
+  /** REAL palette-indexed decode through the gate: every doc_id becomes
+    * a valid GIF87a (4-color arithmetic palette, index pattern
+    * (id + p) mod 4 over the pixel sequence — a pattern that exercises
+    * LZW dictionary growth every row), compressed with the HAND-ROLLED
+    * LZW encoder and decoded by the hand-rolled variable-width LZW
+    * decoder (PNG leans on java.util.zip; GIF's decompressor is ours,
+    * KwKwK case and all). Channel means are palette-weighted exact
+    * integers; the oracle replays palette and pattern from doc_id
+    * arithmetic alone. */
+  val gifDecode = QuerySpec(
+    "q_gif_decode",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (id % 6 + 1).toInt
+            val h = ((id * 7) % 7 + 1).toInt
+            val palette = Array.tabulate(4)(c => Array(
+              ((id * 19 + c * 47) % 256).toInt,
+              ((id * 31 + c * 59 + 5) % 256).toInt,
+              ((id * 43 + c * 67 + 11) % 256).toInt))
+            val indices = Array.tabulate(w * h)(p => ((id + p) % 4).toByte)
+            (id, Multimodal.encodeGif87a(w, h, palette, indices))
+          }
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.decodeGifImages(s, packed)
+        .select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               CAST(doc_id % 6 + 1 AS BIGINT) AS w,
+               CAST((doc_id * 7) % 7 + 1 AS BIGINT) AS h
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(w AS INTEGER) AS width,
+             CAST(h AS INTEGER) AS height,
+             CAST(list_sum(list_transform(range(0, w * h),
+                    p -> (doc_id * 19 + ((doc_id + p) % 4) * 47) % 256))
+                  AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_r,
+             CAST(list_sum(list_transform(range(0, w * h),
+                    p -> (doc_id * 31 + ((doc_id + p) % 4) * 59 + 5) % 256))
+                  AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_g,
+             CAST(list_sum(list_transform(range(0, w * h),
+                    p -> (doc_id * 43 + ((doc_id + p) % 4) * 67 + 11) % 256))
+                  AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_b
+      FROM g
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(multimodal, frameSample, imageDecode, audioDecode, videoDecode,
-      pngDecode)
+      pngDecode, gifDecode)
 }

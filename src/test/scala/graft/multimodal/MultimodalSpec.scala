@@ -341,6 +341,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GIF round-trip: hand-rolled LZW inverts exactly on random index streams") {
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 12) {
+      val nColors = Seq(2, 4, 7, 16, 200)(trial % 5)
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val palette = Array.fill(nColors)(Array(
+        rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      // low-entropy runs force dictionary reuse and width growth;
+      // high-entropy tails force fresh entries
+      val indices = Array.tabulate(w * h) { p =>
+        (if (p % 3 == 0) rnd.nextInt(nColors) else p % nColors).toByte
+      }
+      val gif = Multimodal.encodeGif87a(w, h, palette, indices)
+      val img = Multimodal.parseGif(gif)
+      assert(img.isDefined, s"trial $trial")
+      assert(img.get.width === w && img.get.height === h)
+      assert(img.get.indices.toSeq === indices.toSeq, s"trial $trial")
+      // the GCT pads to the next power of two with black; only the
+      // leading entries (the ones indices can reference) must match
+      assert(img.get.palette.take(nColors).map(_.toSeq).toSeq ===
+        palette.map(_.toSeq).toSeq, s"trial $trial")
+    }
+  }
+
+  test("GIF LZW: the KwKwK self-referencing code round-trips") {
+    // 'ababab…' is the canonical stream whose encoder emits a code the
+    // decoder has not finished defining (cScSc pattern)
+    val palette = Array(Array(10, 20, 30), Array(200, 210, 220))
+    val indices = Array.tabulate(64)(p => (p % 2).toByte)
+    val img = Multimodal.parseGif(
+      Multimodal.encodeGif87a(8, 8, palette, indices))
+    assert(img.map(_.indices.toSeq) === Some(indices.toSeq))
+    // and a dictionary-growth stress: 4096+ entries freeze the table
+    val rnd = new scala.util.Random(89)
+    val big = Array.fill(120 * 120)(rnd.nextInt(16).toByte)
+    val pal16 = Array.fill(16)(Array(rnd.nextInt(256), 0, 0))
+    val bigImg = Multimodal.parseGif(
+      Multimodal.encodeGif87a(120, 120, pal16, big))
+    assert(bigImg.map(_.indices.toSeq) === Some(big.toSeq))
+  }
+
+  test("GIF parser rejects malformed payloads") {
+    val palette = Array(Array(1, 2, 3), Array(4, 5, 6))
+    val good = Multimodal.encodeGif87a(3, 2, palette,
+      Array[Byte](0, 1, 0, 1, 0, 1))
+    assert(Multimodal.parseGif(good).isDefined)
+    assert(Multimodal.parseGif("GIF89a rest is garbage".getBytes) === None)
+    assert(Multimodal.parseGif(good.take(20)) === None) // truncated
+    // a corrupted LZW byte must fail the dictionary walk or pixel count,
+    // never return wrong pixels silently: flip a code byte mid-stream
+    val corrupt = good.clone()
+    corrupt(good.length - 4) = (corrupt(good.length - 4) ^ 0x7F).toByte
+    val parsed = Multimodal.parseGif(corrupt)
+    assert(parsed.isEmpty ||
+      parsed.get.indices.forall(ix => (ix & 0xFF) < 2))
+    // PNG and GIF reject each other
+    val rgb = Array.fill(3 * 2 * 2)(9.toByte)
+    assert(Multimodal.parseGif(Multimodal.encodePng(2, 2, rgb)) === None)
+    assert(Multimodal.parsePng(good) === None)
+  }
+
   test("frame sampling keeps every Nth full frame and drops the partial tail") {
     val f = Multimodal.sampleFrames(spark, packed, frameBytes = 64, every = 2)
       .orderBy("doc_id", "frame_idx").collect()
