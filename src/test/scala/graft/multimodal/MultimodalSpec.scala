@@ -322,6 +322,27 @@ class MultimodalSpec extends SparkSpec {
     }
     val withText = good.take(ihdrEnd) ++ text ++ good.drop(ihdrEnd)
     assert(Multimodal.parsePng(withText).map(_.rgb.toSeq) === Some(rgb.toSeq))
+    // IDAT split across chunks must concatenate: rebuild the file with
+    // the compressed stream cut into two CRC'd IDAT chunks
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def chunkOf(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val tb = tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be32(data.length.toLong) ++ tb ++ data ++ be32(crc.getValue)
+    }
+    val idatLen = ((good(ihdrEnd) & 0xFF) << 24) |
+      ((good(ihdrEnd + 1) & 0xFF) << 16) |
+      ((good(ihdrEnd + 2) & 0xFF) << 8) | (good(ihdrEnd + 3) & 0xFF)
+    val idat = good.slice(ihdrEnd + 8, ihdrEnd + 8 + idatLen)
+    val cut = idatLen / 2
+    val split = good.take(ihdrEnd) ++
+      chunkOf("IDAT", idat.take(cut)) ++
+      chunkOf("IDAT", idat.drop(cut)) ++
+      chunkOf("IEND", Array.emptyByteArray)
+    assert(Multimodal.parsePng(split).map(_.rgb.toSeq) === Some(rgb.toSeq))
   }
 
   test("PNG→PPM transcode re-emits the byte-identical P6 payload") {
