@@ -1142,6 +1142,82 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** One dispatched decode result: which format claimed the payload and
+    * that format's primary content metric (image/video: a channel mean;
+    * audio: mean |sample|). */
+  final case class SniffedMedia(doc_id: Long, kind: String, metric: Double)
+
+  /** Format SNIFFING + dispatch — the stage a production media pipeline
+    * actually runs over a mixed-format column: identify each payload by
+    * its own structure and route it to the right decoder. Identification
+    * is the parsers' strictness itself (each accepts only a coherent
+    * instance of its format — MultimodalSpec proves mutual rejection),
+    * with cheap magic-byte pre-checks ordering the attempts; a payload
+    * no parser claims drops (the callers-anti-join contract of the
+    * family). Emits one row per decoded payload with the format's
+    * primary metric. */
+  def sniffAndDecode(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          def has(prefix: String, at: Int = 0): Boolean =
+            bytes.length >= at + prefix.length &&
+              prefix.indices.forall(i => bytes(at + i) == prefix(i).toByte)
+          if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && has("PNG", 1))
+            parsePng(bytes).map { img =>
+              var s = 0L
+              var i = 0
+              while (i < img.rgb.length) { s += img.rgb(i) & 0xFF; i += 3 }
+              SniffedMedia(id, "png", s.toDouble / (img.width.toLong * img.height))
+            }
+          else if (has("GIF87a"))
+            parseGif(bytes).map { img =>
+              var s = 0L
+              img.indices.foreach(ix => s += img.palette(ix & 0xFF)(0))
+              SniffedMedia(id, "gif", s.toDouble / (img.width.toLong * img.height))
+            }
+          else if (has("P6"))
+            parsePpm(bytes).map { hd =>
+              var s = 0L
+              var i = hd.pixelStart
+              while (i < bytes.length) { s += bytes(i) & 0xFF; i += 3 }
+              SniffedMedia(id, "ppm", s.toDouble / (hd.width.toLong * hd.height))
+            }
+          else if (has("RIFF") && has("WAVE", 8))
+            parseWav(bytes).map { hd =>
+              val n = hd.dataLen / 2
+              var s = 0L
+              var i = 0
+              while (i < n) { s += math.abs(sampleAt(bytes, hd, i)); i += 1 }
+              SniffedMedia(id, "wav", if (n == 0) 0.0 else s.toDouble / n)
+            }
+          else if (has("RIFF") && has("AVI ", 8))
+            parseAvi(bytes).map { hd =>
+              val stride = hd.rowStride
+              var s = 0L
+              hd.frames.foreach { case (off, _) =>
+                var y = 0
+                while (y < hd.height) {
+                  var x = 0
+                  while (x < hd.width) {
+                    s += bytes(off + y * stride + 3 * x) & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+              }
+              SniffedMedia(id, "avi",
+                s.toDouble / (hd.width.toLong * hd.height * hd.nFrames))
+            }
+          else None
+        }
+      }
+      .toDF()
+  }
+
   /** Resize stage: binary → binary, executor-side (a real image resize
     * changes only the body — the stub keeps every `factor`-th byte, the
     * degenerate nearest-neighbor downsample). Demonstrates that media

@@ -375,7 +375,127 @@ object MultimodalQueries {
       ORDER BY doc_id
     """))
 
+  /** Format SNIFFING through the gate — the dispatch stage of a real
+    * media pipeline: a MIXED column (doc_id mod 5 selects PPM / WAV /
+    * AVI / PNG / GIF, each built by the same arithmetic generators the
+    * per-format queries pin), identified executor-side by structure and
+    * routed to the right decoder
+    * ([[graft.multimodal.Multimodal.sniffAndDecode]]). The gate proves
+    * the five parsers MUTUALLY EXCLUSIVE on real payloads at corpus
+    * scale: one output row per doc, kind exactly as generated, the
+    * format's primary metric exactly as the per-format arithmetic says
+    * — a mis-sniff changes kind or metric and hash-mismatches. */
+  val mediaDispatch = QuerySpec(
+    "q_media_dispatch",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val payload = (id % 5) match {
+              case 0 =>
+                val w = (id % 16 + 1).toInt
+                val h = ((id * 7) % 16 + 1).toInt
+                val rgb = new Array[Byte](3 * w * h)
+                var i = 0
+                while (i < rgb.length) {
+                  rgb(i) = ((id * 37) % 256).toByte
+                  rgb(i + 1) = ((id * 57 + 11) % 256).toByte
+                  rgb(i + 2) = ((id * 97 + 29) % 256).toByte
+                  i += 3
+                }
+                Multimodal.encodePpm(w, h, rgb)
+              case 1 =>
+                val ch = (id % 2 + 1).toInt
+                val nFrames = (id % 32 + 1).toInt
+                val a = ((id * 31) % 1000).toInt
+                val samples = new Array[Short](nFrames * ch)
+                var f = 0
+                while (f < nFrames) {
+                  val v = (if (f % 2 == 0) a else -a).toShort
+                  var c = 0
+                  while (c < ch) { samples(f * ch + c) = v; c += 1 }
+                  f += 1
+                }
+                Multimodal.encodeWav(ch, (8000 + (id % 4) * 4000).toInt, samples)
+              case 2 =>
+                val w = (id % 6 + 2).toInt
+                val h = ((id * 3) % 5 + 2).toInt
+                val n = (id % 4 + 2).toInt
+                val stride = (3 * w + 3) & ~3
+                val frames = (0 until n).map { f =>
+                  val fr = new Array[Byte](stride * h)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val p = y * stride + 3 * x
+                      fr(p) = ((id * 11 + f * 17) % 256).toByte
+                      fr(p + 1) = ((id * 29 + f * 23 + 7) % 256).toByte
+                      fr(p + 2) = ((id * 41 + f * 31 + 13) % 256).toByte
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  fr
+                }
+                Multimodal.encodeAvi(w, h, ((id % 3 + 1) * 20000).toInt, frames)
+              case 3 =>
+                val w = (id % 7 + 1).toInt
+                val h = ((id * 5) % 6 + 1).toInt
+                val rgb = new Array[Byte](3 * w * h)
+                var i = 0
+                while (i < rgb.length) {
+                  rgb(i) = ((id * 23) % 256).toByte
+                  rgb(i + 1) = ((id * 71 + 3) % 256).toByte
+                  rgb(i + 2) = ((id * 13 + 7) % 256).toByte
+                  i += 3
+                }
+                Multimodal.encodePng(w, h, rgb, y => y % 5)
+              case _ =>
+                val w = (id % 6 + 1).toInt
+                val h = ((id * 7) % 7 + 1).toInt
+                val palette = Array.tabulate(4)(c => Array(
+                  ((id * 19 + c * 47) % 256).toInt,
+                  ((id * 31 + c * 59 + 5) % 256).toInt,
+                  ((id * 43 + c * 67 + 11) % 256).toInt))
+                Multimodal.encodeGif87a(w, h, palette,
+                  Array.tabulate(w * h)(p => ((id + p) % 4).toByte))
+            }
+            (id, payload)
+          }
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.sniffAndDecode(s, packed).orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'avi'
+               WHEN 3 THEN 'png' ELSE 'gif' END AS kind,
+             CASE doc_id % 5
+               WHEN 0 THEN CAST((doc_id * 37) % 256 AS DOUBLE)
+               WHEN 1 THEN CAST((doc_id * 31) % 1000 AS DOUBLE)
+               WHEN 2 THEN
+                 CAST((doc_id % 6 + 2) * ((doc_id * 3) % 5 + 2)
+                      * list_sum(list_transform(range(0, doc_id % 4 + 2),
+                          f -> (doc_id * 11 + f * 17) % 256)) AS DOUBLE)
+                 / CAST((doc_id % 6 + 2) * ((doc_id * 3) % 5 + 2)
+                        * (doc_id % 4 + 2) AS DOUBLE)
+               WHEN 3 THEN CAST((doc_id * 23) % 256 AS DOUBLE)
+               ELSE
+                 CAST(list_sum(list_transform(
+                        range(0, (doc_id % 6 + 1) * ((doc_id * 7) % 7 + 1)),
+                        p -> (doc_id * 19 + ((doc_id + p) % 4) * 47) % 256))
+                      AS DOUBLE)
+                 / CAST((doc_id % 6 + 1) * ((doc_id * 7) % 7 + 1) AS DOUBLE)
+             END AS metric
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(multimodal, frameSample, imageDecode, audioDecode, videoDecode,
-      pngDecode, gifDecode)
+      pngDecode, gifDecode, mediaDispatch)
 }

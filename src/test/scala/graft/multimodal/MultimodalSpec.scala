@@ -424,6 +424,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parsePng(good) === None)
   }
 
+  test("sniffAndDecode routes a mixed-format batch to the right decoders") {
+    val ppm = Multimodal.encodePpm(2, 2, Array.fill(12)(100.toByte))
+    val wav = Multimodal.encodeWav(1, 8000, Array[Short](500, -500))
+    val stride = (3 * 2 + 3) & ~3
+    val avi = Multimodal.encodeAvi(2, 2, 40000,
+      Seq(Array.fill(stride * 2)(30.toByte)))
+    val png = Multimodal.encodePng(2, 2, Array.fill(12)(80.toByte))
+    val gif = Multimodal.encodeGif87a(2, 2,
+      Array(Array(60, 0, 0)), Array[Byte](0, 0, 0, 0))
+    val noise = "just some text payload".getBytes
+    val packed = Seq((1L, ppm), (2L, wav), (3L, avi), (4L, png), (5L, gif),
+      (6L, noise)).toDF("doc_id", "payload")
+    val got = Multimodal.sniffAndDecode(spark, packed)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(got === Map(
+      1L -> (("ppm", 100.0)), 2L -> (("wav", 500.0)),
+      3L -> (("avi", 30.0)), 4L -> (("png", 80.0)),
+      5L -> (("gif", 60.0)))) // noise claimed by nobody
+  }
+
   test("frame sampling keeps every Nth full frame and drops the partial tail") {
     val f = Multimodal.sampleFrames(spark, packed, frameBytes = 64, every = 2)
       .orderBy("doc_id", "frame_idx").collect()
