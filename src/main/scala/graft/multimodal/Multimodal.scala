@@ -653,7 +653,11 @@ object Multimodal {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // Any zero-progress state rejects: needsInput = truncated stream;
+        // needsDictionary (zlib FDICT set) would otherwise return 0 with
+        // needsInput()=false FOREVER — a single crafted payload spinning
+        // an executor thread; same for any other stuck-at-zero state.
+        if (n == 0) return None
         off += n
       }
       // the plane must be EXACTLY h scanlines — no less, no more
@@ -823,21 +827,29 @@ object Multimodal {
   final case class GifImage(width: Int, height: Int,
       palette: Array[Array[Int]], indices: Array[Byte])
 
-  /** Parse a GIF87a with a global color table and one non-interlaced
-    * image — the second REAL compressed format, and unlike PNG the
-    * decompressor is HAND-ROLLED: GIF's variable-width LZW (code width
-    * grows n→n+1 at dictionary size 2^width, clear code resets, and the
-    * KwKwK case — a code referencing the entry being defined — handled
-    * exactly). Strictness discipline as everywhere: magic, geometry
-    * bounds, image descriptor must cover the full logical screen,
-    * sub-block chain must terminate, decoded index count must EXACTLY
-    * equal w·h, every index must fall inside the palette, and the
-    * trailer byte must close the stream — arbitrary bytes do not
-    * survive a coherent LZW dictionary walk. */
+  /** Parse a GIF87a/89a with a global color table and one image — local
+    * color table and interlacing both handled (ImageIO emits both even
+    * for a plain indexed write) — the second REAL compressed format,
+    * and unlike PNG the
+    * decompressor is HAND-ROLLED: GIF's variable-width LZW (decoder
+    * widens n→n+1 after inserting entry 2^n − 1, the GIFLIB/ImageIO
+    * convention; clear code resets, and the KwKwK case — a code
+    * referencing the entry being defined — handled exactly). 89a
+    * extension blocks (graphic control, comment, application — what
+    * standard writers like ImageIO emit) are skipped structurally:
+    * label byte then a terminated sub-block chain. Strictness
+    * discipline as everywhere: magic, geometry bounds, image descriptor
+    * must cover the full logical screen, sub-block chain must
+    * terminate, decoded index count must EXACTLY equal w·h, every index
+    * must fall inside the palette, and the trailer byte must close the
+    * stream — arbitrary bytes do not survive a coherent LZW dictionary
+    * walk. */
   private[graft] def parseGif(bytes: Array[Byte]): Option[GifImage] = {
     if (bytes.length < 13 + 6) return None
-    val magic = "GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    if (!magic.indices.forall(i => bytes(i) == magic(i))) return None
+    val magic87 = "GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val magic89 = "GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    if (!magic87.indices.forall(i => bytes(i) == magic87(i)) &&
+        !magic89.indices.forall(i => bytes(i) == magic89(i))) return None
     def u16(i: Int): Int = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
     val w = u16(6); val h = u16(8)
     val flags = bytes(10) & 0xFF
@@ -850,12 +862,42 @@ object Multimodal {
       bytes(i + 3 * c) & 0xFF, bytes(i + 3 * c + 1) & 0xFF,
       bytes(i + 3 * c + 2) & 0xFF))
     i += 3 * palSize
+    // skip 89a extension blocks: 0x21 introducer, label, sub-block chain
+    def skipExtensions(): Boolean = { // false = ran off the end
+      while (i + 1 < bytes.length && bytes(i) == 0x21) {
+        i += 2 // introducer + label
+        var blockDone = false
+        while (!blockDone) {
+          if (i >= bytes.length) return false
+          val len = bytes(i) & 0xFF
+          if (len == 0) { blockDone = true; i += 1 }
+          else {
+            if (i + 1 + len > bytes.length) return false
+            i += 1 + len
+          }
+        }
+      }
+      true
+    }
+    if (!skipExtensions()) return None
     if (i + 10 > bytes.length || bytes(i) != 0x2C) return None // image desc
     if (u16(i + 1) != 0 || u16(i + 3) != 0 ||
         u16(i + 5) != w || u16(i + 7) != h) return None
     val localFlags = bytes(i + 9) & 0xFF
-    if ((localFlags & 0xC0) != 0) return None // no local table, no interlace
+    val interlaced = (localFlags & 0x40) != 0
     i += 10
+    // a LOCAL color table (what ImageIO writes even with a GCT present)
+    // overrides the global one for this image
+    val (activePal, activePalSize) =
+      if ((localFlags & 0x80) != 0) {
+        val lctSize = 2 << (localFlags & 7)
+        if (i + 3 * lctSize > bytes.length) return None
+        val lct = Array.tabulate(lctSize)(c => Array(
+          bytes(i + 3 * c) & 0xFF, bytes(i + 3 * c + 1) & 0xFF,
+          bytes(i + 3 * c + 2) & 0xFF))
+        i += 3 * lctSize
+        (lct, lctSize)
+      } else (palette, palSize)
     if (i >= bytes.length) return None
     val minCode = bytes(i) & 0xFF
     if (minCode < 2 || minCode > 8) return None
@@ -872,7 +914,9 @@ object Multimodal {
         i += 1 + len
       }
     }
-    if (!terminated || i >= bytes.length || bytes(i) != 0x3B) return None
+    if (!terminated) return None
+    if (!skipExtensions()) return None // trailing 89a extensions
+    if (i >= bytes.length || bytes(i) != 0x3B) return None
     // --- hand-rolled variable-width LZW decode ---
     val stream = data.toByteArray
     val clear = 1 << minCode
@@ -942,19 +986,38 @@ object Multimodal {
           prefixOf(dictSize) = prev
           appendOf(dictSize) = firstIdx.toByte
           dictSize += 1
-          // 2^W − 1, not 2^W: the decoder's dictionary LAGS the
-          // encoder's by one entry (it inserts one code later), so it
-          // must widen one insert earlier to read the next code at the
-          // width the encoder wrote it
-          if (dictSize == (1 << codeWidth) - 1 && codeWidth < 12)
+          // GIF87a convention (GIFLIB, ImageIO): the decoder widens the
+          // READ width as soon as its dictionary fills the current code
+          // space — i.e. right after inserting entry value 2^W − 1. The
+          // encoder, whose dictionary runs one entry AHEAD, widens one
+          // insert later (after inserting value 2^W), so the code the
+          // decoder reads next is exactly as wide as the encoder wrote it.
+          if (dictSize == (1 << codeWidth) && codeWidth < 12)
             codeWidth += 1
         }
         prev = code
       }
     }
     if (outPos != out.length) return None // pixel count must be exact
-    if (out.exists(ix => (ix & 0xFF) >= palSize)) return None
-    Some(GifImage(w, h, palette, out))
+    if (out.exists(ix => (ix & 0xFF) >= activePalSize)) return None
+    // GIF interlace: rows arrive in four passes (8k, 8k+4, 4k+2, 2k+1);
+    // permute the sequentially-decoded rows back to display order
+    val rows =
+      if (!interlaced) out
+      else {
+        val deinterlaced = new Array[Byte](out.length)
+        var srcRow = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var y = start
+          while (y < h) {
+            System.arraycopy(out, srcRow * w, deinterlaced, y * w, w)
+            srcRow += 1
+            y += step
+          }
+        }
+        deinterlaced
+      }
+    Some(GifImage(w, h, activePal, rows))
   }
 
   /** Emit a valid GIF87a (global color table, one full-screen image)
@@ -999,12 +1062,14 @@ object Multimodal {
         putCode(prev)
         if (dictSize < 4096) {
           dict.put(key, dictSize)
-          dictSize += 1
-          // the decoder widens its READ width the moment dictSize hits
-          // 2^width (before the next code), so the encoder must write
-          // the next code at the widened width even when its value
-          // still fits — an off-by-one here desynchronizes the streams
+          // GIF87a convention (GIFLIB, ImageIO): the decoder's dictionary
+          // lags this one by a single entry, so it widens one insert
+          // EARLIER (after its value 2^W − 1 insert). The encoder keeps
+          // writing at width W until it has itself inserted value 2^W —
+          // widening on the 2^W − 1 insert would desync every standard
+          // decoder at the first width boundary.
           if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          dictSize += 1
         }
         prev = nxt
       }
@@ -1173,7 +1238,7 @@ object Multimodal {
               while (i < img.rgb.length) { s += img.rgb(i) & 0xFF; i += 3 }
               SniffedMedia(id, "png", s.toDouble / (img.width.toLong * img.height))
             }
-          else if (has("GIF87a"))
+          else if (has("GIF87a") || has("GIF89a"))
             parseGif(bytes).map { img =>
               var s = 0L
               img.indices.foreach(ix => s += img.palette(ix & 0xFF)(0))

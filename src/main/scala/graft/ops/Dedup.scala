@@ -184,7 +184,7 @@ object Dedup {
         case "__sz" => s"sz_$side"
         case c => c
       }: _*)
-    sided("a").join(sided("b"), blockCols :+ "__sh")
+    val candidates = sided("a").join(sided("b"), blockCols :+ "__sh")
       .filter(col("id_a") < col("id_b"))
       // Jaccard ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|; integer
       // cross-multiplied so no float threshold can flip on a ulp
@@ -192,6 +192,14 @@ object Dedup {
         col("sz_b") * tDen >= col("sz_a") * tNum)
       .select((blockCols :+ "id_a" :+ "id_b").map(col): _*)
       .distinct()
+      // materialize while the posting cache is hot, then RELEASE it —
+      // cache-manager entries outlive the call (a session-lifetime leak,
+      // one per invocation). The checkpoint pins only the small distinct
+      // pair set, and those blocks are ContextCleaner-reclaimed once the
+      // result frame is dropped; cache-manager entries never are.
+      .localCheckpoint(true)
+    prefix.unpersist()
+    candidates
   }
 
   /** Exact threshold similarity join via [[prefixCandidates]]: candidates

@@ -343,6 +343,14 @@ class MultimodalSpec extends SparkSpec {
       chunkOf("IDAT", idat.drop(cut)) ++
       chunkOf("IEND", Array.emptyByteArray)
     assert(Multimodal.parsePng(split).map(_.rgb.toSeq) === Some(rgb.toSeq))
+    // a CRC-valid zlib stream with FDICT set must REJECT, not spin:
+    // Inflater.inflate returns 0 with needsDictionary()=true and
+    // needsInput()=false forever — before the guard this hung the thread.
+    // 0x78 0x20: CMF=0x78, FLG has bit 5 (FDICT) and (CMF·256+FLG)%31==0.
+    val fdict = good.take(ihdrEnd) ++
+      chunkOf("IDAT", Array[Byte](0x78, 0x20, 1, 2, 3, 4, 9, 9, 9, 9)) ++
+      chunkOf("IEND", Array.emptyByteArray)
+    assert(Multimodal.parsePng(fdict) === None)
   }
 
   test("PNG→PPM transcode re-emits the byte-identical P6 payload") {
@@ -402,6 +410,64 @@ class MultimodalSpec extends SparkSpec {
     val bigImg = Multimodal.parseGif(
       Multimodal.encodeGif87a(120, 120, pal16, big))
     assert(bigImg.map(_.indices.toSeq) === Some(big.toSeq))
+  }
+
+  test("GIF cross-implementation: javax.imageio decodes our encoder's output") {
+    // a symmetric convention error (both sides widening the LZW code
+    // width one insert early) passes every round-trip test — only an
+    // INDEPENDENT implementation can catch it. ImageIO is the JDK's.
+    val rnd = new scala.util.Random(107)
+    for (nColors <- Seq(2, 4, 16, 64, 200)) {
+      val w = 40; val h = 30
+      val palette = Array.fill(nColors)(Array(
+        rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      // runs + noise: crosses several width boundaries for 16+ colors
+      val indices = Array.tabulate(w * h) { p =>
+        (if (p % 3 == 0) rnd.nextInt(nColors) else p % nColors).toByte
+      }
+      val gif = Multimodal.encodeGif87a(w, h, palette, indices)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(gif))
+      assert(img != null, s"ImageIO rejected our GIF ($nColors colors)")
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = palette(indices(y * w + x) & 0xFF)
+        val expect = 0xFF000000 | (c(0) << 16) | (c(1) << 8) | c(2)
+        assert(img.getRGB(x, y) === expect,
+          s"pixel ($x,$y) of the $nColors-color image")
+      }
+    }
+  }
+
+  test("GIF cross-implementation: we decode javax.imageio's output (89a + extensions)") {
+    val rnd = new scala.util.Random(113)
+    val w = 33; val h = 21; val nColors = 16
+    val r = new Array[Byte](nColors); val g = new Array[Byte](nColors)
+    val b = new Array[Byte](nColors)
+    for (c <- 0 until nColors) {
+      r(c) = rnd.nextInt(256).toByte; g(c) = rnd.nextInt(256).toByte
+      b(c) = rnd.nextInt(256).toByte
+    }
+    val icm = new java.awt.image.IndexColorModel(4, nColors, r, g, b)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val indices = Array.tabulate(w * h) { p =>
+      (if (p % 3 == 0) rnd.nextInt(nColors) else p % nColors).toByte
+    }
+    img.getRaster.setDataElements(0, 0, w, h, indices)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos),
+      "no JDK GIF writer?")
+    val parsed = Multimodal.parseGif(baos.toByteArray)
+    assert(parsed.isDefined, "parseGif rejected an ImageIO-written GIF")
+    assert(parsed.get.width === w && parsed.get.height === h)
+    // compare through the palettes: index spaces may differ, RGB must not
+    val got = parsed.get
+    for (p <- 0 until w * h) {
+      val expect = Seq(r(indices(p) & 0xFF) & 0xFF,
+        g(indices(p) & 0xFF) & 0xFF, b(indices(p) & 0xFF) & 0xFF)
+      assert(got.palette(got.indices(p) & 0xFF).toSeq === expect, s"pixel $p")
+    }
   }
 
   test("GIF parser rejects malformed payloads") {
