@@ -408,7 +408,12 @@ object Dedup {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      // partitioned + sorted on the per-round join key before caching
+      // (Graph.bfsHops' discipline, incl. the one-shuffle dedup): each
+      // round exchanges only the label vector, never the cached edge frame
+      .repartition(col("dst"))
+      .dropDuplicates("src", "dst")
+      .sortWithinPartitions("dst")
       .cache()
     var labels = edges.select(col("src")).distinct()
       .select(col("src").as("id"), col("src").as("lbl"))
@@ -418,8 +423,9 @@ object Dedup {
     // iteration count (the classic iterative-join trap). localCheckpoint
     // materializes the round executor-side and resets the plan to a scan,
     // keeping per-round cost constant. `next` carries the previous label
-    // alongside the new one so the convergence check is one tiny count
-    // over the checkpointed frame, no extra join.
+    // alongside the new one so the convergence check is one observed
+    // changed-row metric riding the checkpoint job itself — ONE driver
+    // action per round, no extra join and no second scheduler round-trip.
     var changed = 1L
     var iter = 0
     // `<=`: a graph whose last label change lands exactly on round
@@ -432,12 +438,15 @@ object Dedup {
         .groupBy("src")
         .agg(min(col("dlbl")).as("nlbl"))
         .select(col("src").as("id"), col("nlbl"))
+      val obs = org.apache.spark.sql.Observation()
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .observe(obs, coalesce(sum(when(col("prev") =!= col("lbl"), 1L)
+          .otherwise(0L)), lit(0L)).as("chg"))
         .localCheckpoint()
-      changed = next.filter(col("prev") =!= col("lbl")).count()
+      changed = obs.get("chg").asInstanceOf[Long]
       labels = next.select("id", "lbl")
       iter += 1
     }

@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** localCheckpoint + row count in ONE job: the count rides the
+    * materialization as an observed metric instead of a second
+    * scheduler round-trip. Iterative loops run one action per round;
+    * under co-tenant load every extra job pays full scheduling latency
+    * — with ~10 rounds that latency, not the data, dominated the
+    * recorded bench (r6: q_kcore 2.0→8.0 s on identical code). */
+  private[graft] def checkpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+    (out, obs.get("n").asInstanceOf[Long])
+  }
+
   /** Min-hop BFS from `seeds` over an undirected edge list — frontier
     * style: round h joins ONLY the hop-(h−1) frontier against the edges,
     * so total work is O(Σ frontier-adjacent edges), not O(rounds × V).
@@ -29,9 +41,16 @@ object Graph {
   def bfsHops(edges: DataFrame, aCol: String, bCol: String,
       seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // partitioned + sorted on the per-round join key BEFORE caching: every
+    // round's frontier join then exchanges only the (tiny) frontier side —
+    // the cached edge frame is never re-shuffled or re-sorted. ONE
+    // shuffle: partitioning by src co-locates every (src, dst) duplicate,
+    // so the dedup rides the repartition instead of shuffling again.
     val und = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .sortWithinPartitions("src")
       .cache()
     var visited = seeds.select(col(idCol).cast("long").as("id"))
       .distinct()
@@ -41,17 +60,15 @@ object Graph {
     var hop = 1
     var frontierSize = frontier.count()
     while (frontierSize > 0 && hop <= maxHops) {
-      val next = und
+      // materialize ONCE, convergence count riding the same job: the
+      // next round's anti-join reads the checkpointed frame
+      val (next, n) = checkpointWithCount(und
         .join(frontier.select(col("id").as("src")), "src")
         .select(col("dst").as("id"))
         .distinct()
         .join(visited, Seq("id"), "left_anti")
-        .withColumn("hops", lit(hop))
-        .localCheckpoint() // materialize ONCE: the count below and the
-                           // next round's anti-join both read this frame
-      // one count per round over the (tiny) frontier — the convergence
-      // probe, not a data-path collect
-      frontierSize = next.count()
+        .withColumn("hops", lit(hop)))
+      frontierSize = n
       // both sides are checkpointed scans, so the union's plan depth grows
       // linearly with rounds (bounded by maxHops), never nests
       visited = visited.union(next)
@@ -93,15 +110,28 @@ object Graph {
     // buys input-shape robustness; for dup-free a<b input it's a no-op.
     val und = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      // partitioned + sorted on the per-iteration join key before caching
+      // (the [[bfsHops]] discipline, incl. the one-shuffle dedup): each of
+      // the `iters` rounds exchanges only the rank vector, never the edge
+      // frame, and the degree aggregate rides the same partitioning
+      // shuffle-free
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .sortWithinPartitions("src")
       .cache()
-    val deg = und.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg"))
-      .cache()
-    val n = deg.agg(count(lit(1)).as("n"))
-    var ranks = deg.crossJoin(broadcast(n))
-      .select(col("id"), col("deg"), (lit(1.0) / col("n")).as("rank"))
-      .localCheckpoint()
+    // ONE setup job: materializing deg fills the und cache on the way
+    // through, and the loop-invariant node count rides the same job as an
+    // observed metric (a single bounded driver scalar — the
+    // audited-collect discipline) instead of a broadcast-exchange
+    // materialization EVERY round. n is exact as double for any count
+    // < 2^53, so the teleport term is the same IEEE value the
+    // broadcast-join form produced.
+    val (deg, nL) = checkpointWithCount(und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg")))
+    val n = nL.toDouble
+    // no checkpoint: a pure projection over the checkpointed deg scan —
+    // the round-1 plan stays two nodes deep
+    var ranks = deg.select(col("id"), col("deg"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = und
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -121,17 +151,17 @@ object Graph {
           array_sort(collect_list(struct(col("__seg").as("seg"),
             col("s").as("s")))),
           lit(0.0), (acc, x) => acc + x.getField("s")).as("s"))
-      ranks = deg.crossJoin(broadcast(n))
+      ranks = deg
         .join(sums, Seq("id"), "left")
         .select(col("id"), col("deg"),
-          (lit(1.0 - damping) / col("n") +
+          (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
         .localCheckpoint()
     }
-    // ranks is checkpoint-materialized, so the edge/degree caches can go
-    // (same discipline as bfsHops — don't leak session cache entries)
+    // ranks is checkpoint-materialized, so the edge cache can go (same
+    // discipline as bfsHops — don't leak session cache entries); deg is a
+    // checkpoint whose blocks the ContextCleaner reclaims on dereference
     und.unpersist()
-    deg.unpersist()
     ranks
   }
 
@@ -162,12 +192,10 @@ object Graph {
     require(k >= 1, s"k=$k must be at least 1")
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    var e = pairs
+    var (e, prevEdges) = checkpointWithCount(pairs
       .select(least(a, b).as("a"), greatest(a, b).as("b"))
       .filter(col("a") < col("b")) // drops self-pairs and NULLs
-      .distinct()
-      .localCheckpoint()
-    var prevEdges = e.count()
+      .distinct())
     var converged = prevEdges == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -177,11 +205,11 @@ object Graph {
       // first rounds (the survivors' side is core-sized), and an empty
       // sub-k set makes both joins no-ops — exactly the fixpoint
       val bad = deg.filter(col("__d") < k).select("s")
-      val next = e
+      // ONE job per peel round: the fixpoint count (peel removed nothing
+      // ⟺ edge count held) rides the checkpoint materialization
+      val (next, n) = checkpointWithCount(e
         .join(bad.select(col("s").as("a")), Seq("a"), "left_anti")
-        .join(bad.select(col("s").as("b")), Seq("b"), "left_anti")
-        .localCheckpoint()
-      val n = next.count()
+        .join(bad.select(col("s").as("b")), Seq("b"), "left_anti"))
       converged = n == prevEdges
       e = next
       prevEdges = n
@@ -245,17 +273,17 @@ object Graph {
       maxRounds: Int = 30): (DataFrame, Int) = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    var e = pairs
+    var (e, prevN) = checkpointWithCount(pairs
       .select(greatest(a, b).as("hi"), least(a, b).as("lo"))
       .filter(col("hi") > col("lo")) // drops self-pairs and NULLs
-      .distinct()
-      .localCheckpoint()
-    var prevN = e.count()
+      .distinct())
     var stable = prevN == 0L // the empty graph is already a star forest
     var rounds = 0
     while (!stable && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextN = next.count()
+      // one job per alternation (count observed on the checkpoint); the
+      // containment probe only runs on the counts-equal near-fixpoint
+      // rounds, so a converging run pays it once
+      val (next, nextN) = checkpointWithCount(smallStar(largeStar(e)))
       stable = nextN == prevN &&
         next.join(e, Seq("hi", "lo"), "left_anti").isEmpty
       e = next
