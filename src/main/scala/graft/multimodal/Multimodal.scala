@@ -57,12 +57,16 @@ final case class AudioFeatures(
   * genuinely COMPRESSED format — [[Multimodal.parsePng]] /
   * [[Multimodal.encodePng]] / [[Multimodal.pngToPpm]] verify chunk
   * CRC32s, inflate the zlib stream through java.util.zip, and invert
-  * all five scanline filters. Codec-bound formats (JPEG/MP3/MP4) remain
-  * deterministic stubs in [[Multimodal.decodeFeatures]] — no codecs
-  * exist in this container — but swapping one in changes only that
-  * function body: the binary column schema, partition-parallel batch
-  * iteration, and typed Encoder output are the same plumbing the real
-  * paths already exercise end-to-end.
+  * all five scanline filters. JPEG rides the JDK's OWN bundled
+  * baseline codec ([[Multimodal.encodeJpeg]] /
+  * [[Multimodal.decodeJpegImages]] via javax.imageio — lossy, so its
+  * gate is a tolerance verdict, not a hash of raw means). The remaining
+  * codec-bound formats (MP3/MP4) stay deterministic stubs in
+  * [[Multimodal.decodeFeatures]] — no audio/video codecs exist in a
+  * bare JVM — but swapping one in changes only that function body: the
+  * binary column schema, partition-parallel batch iteration, and typed
+  * Encoder output are the same plumbing the real paths already
+  * exercise end-to-end.
   *
   * Scale: payloads never pass through the driver; a partition processes its
   * media in a streaming iterator (no per-partition materialization), so
@@ -1244,6 +1248,14 @@ object Multimodal {
               img.indices.foreach(ix => s += img.palette(ix & 0xFF)(0))
               SniffedMedia(id, "gif", s.toDouble / (img.width.toLong * img.height))
             }
+          else if (isJpeg(bytes))
+            // Lossy format: the channel means are decoder-specific (IDCT
+            // is not bit-pinned), so the dispatch metric is the STRUCTURAL
+            // one ImageIO reports exactly — packed dimensions. Content
+            // means stay behind decodeJpegImages' tolerance verdict.
+            decodeJpegBytes(bytes).map { case (w, h, _, _, _) =>
+              SniffedMedia(id, "jpeg", w.toDouble * 1000 + h)
+            }
           else if (has("P6"))
             parsePpm(bytes).map { hd =>
               var s = 0L
@@ -1323,6 +1335,116 @@ object Multimodal {
         Iterator.range(0, nFrames).filter(_ % every == 0).map { f =>
           SampledFrame(id, f, frameBytes,
             byteFp(bytes, f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+      .toDF()
+  }
+
+  /** True iff the payload opens with the JPEG SOI + marker prefix
+    * (FF D8 FF — covers JFIF's FF E0, EXIF's FF E1, and bare SOI+DQT
+    * streams alike). The magic gate matters doubly here: ImageIO.read
+    * sniffs formats itself and would happily decode a PNG or GIF, so
+    * without it the JPEG branch would poach other formats' payloads and
+    * break the family's mutual-exclusivity contract. */
+  private[graft] def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF
+
+  /** Encode an RGB plane as a baseline JPEG via the JDK's bundled
+    * ImageIO writer at an explicit quality — the one codec-bound format
+    * a bare JVM ships a real implementation of (com.sun.imageio's
+    * libjpeg-derived reader/writer pair). Unlike [[encodePng]] /
+    * [[encodeGif87a]] this is LOSSY: callers verify decodes with a
+    * tolerance verdict, never byte equality. */
+  private[graft] def encodeJpeg(w: Int, h: Int, rgb: Array[Byte],
+      quality: Float = 0.95f): Array[Byte] = {
+    require(rgb.length == 3 * w * h,
+      s"rgb plane must be 3*w*h = ${3 * w * h} bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        img.setRGB(x, y, ((rgb(p) & 0xFF) << 16) |
+          ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Decode a JPEG payload to (width, height, exact integer channel
+    * sums → means). Magic-gated (see [[isJpeg]]) and strict: a payload
+    * ImageIO cannot fully decode returns None — corrupt entropy data
+    * raises inside read() and is caught, truncated files return null.
+    * Means are computed from the decoder's OWN output; IDCT is not
+    * bit-pinned across implementations, so callers oracle these with a
+    * tolerance verdict (the q_similarity_ann pattern), never a hash of
+    * raw means. */
+  private[graft] def decodeJpegBytes(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+    if (!isJpeg(bytes)) None
+    else {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y)
+              sr += (px >> 16) & 0xFF
+              sg += (px >> 8) & 0xFF
+              sb += px & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+        }
+      } catch {
+        case _: java.io.IOException => None
+        case _: RuntimeException => None // ImageIO wraps codec errors
+      }
+    }
+  }
+
+  /** Real JPEG decode over (doc_id, payload) rows — [[decodeImages]]'
+    * shape for the DCT-compressed format, backed by the JDK's own
+    * baseline-JPEG reader (executor-side, streaming iterator, no codec
+    * library beyond the JVM). Undecodable payloads drop. */
+  def decodeJpegImages(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          decodeJpegBytes(bytes).map { case (w, h, mr, mg, mb) =>
+            ImageFeatures(id, w, h, mr, mg, mb)
+          }
         }
       }
       .toDF()

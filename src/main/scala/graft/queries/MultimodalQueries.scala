@@ -273,8 +273,9 @@ object MultimodalQueries {
     * AND the cross-format transcode: PNG → P6 re-encode → the PPM
     * decoder must see the identical means (the two decoders share
     * nothing but the pixel contract). Oracle: pure doc_id arithmetic.
-    * JPEG stays a documented stub — PNG is the compressed format a bare
-    * JVM genuinely owns (java.util.zip IS zlib). */
+    * PNG is the compressed format a bare JVM owns BIT-EXACTLY
+    * (java.util.zip IS zlib); lossy JPEG gets the tolerance-verdict
+    * gate in q_jpeg_decode instead. */
   val pngDecode = QuerySpec(
     "q_png_decode",
     (s, d) => {
@@ -375,16 +376,75 @@ object MultimodalQueries {
       ORDER BY doc_id
     """))
 
+  /** REAL DCT-compressed decode through the gate — baseline JPEG via
+    * the JDK's own bundled codec (javax.imageio; the one codec-bound
+    * format a bare JVM genuinely ships): every doc_id becomes a
+    * flat-color JPEG built executor-side (dims 1..9 × 1..10, so edge
+    * MCUs — images narrower than one 8×8 block — sit on the gate too),
+    * then decoded back through the full SOS entropy decode + dequant +
+    * IDCT + YCbCr→RGB pipeline. JPEG is LOSSY and IDCT is not
+    * bit-pinned across implementations, so the gate is the
+    * q_similarity_ann VERDICT pattern: dimensions compare exactly
+    * (structural truth), channel means must land within ±8 of the
+    * encoded flat color (flat color ⇒ DC-only blocks; the residual is
+    * DC quantization + YCbCr rounding, empirically ≤ 3 at q=0.95 —
+    * tolerance leaves headroom without admitting a wrong image, whose
+    * means shift by tens). A payload that fails to decode DROPS its
+    * row and fails the rows gate. */
+  val jpegDecode = QuerySpec(
+    "q_jpeg_decode",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{abs, col}
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (id % 9 + 1).toInt
+            val h = ((id * 5) % 10 + 1).toInt
+            val rgb = new Array[Byte](3 * w * h)
+            var i = 0
+            while (i < rgb.length) {
+              rgb(i) = ((id * 37) % 256).toByte
+              rgb(i + 1) = ((id * 53 + 9) % 256).toByte
+              rgb(i + 2) = ((id * 17 + 4) % 256).toByte
+              i += 3
+            }
+            (id, Multimodal.encodeJpeg(w, h, rgb))
+          }
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.decodeJpegImages(s, packed)
+        .withColumn("color_ok",
+          (abs(col("mean_r") - (col("doc_id") * 37) % 256) <= 8 &&
+           abs(col("mean_g") - (col("doc_id") * 53 + 9) % 256) <= 8 &&
+           abs(col("mean_b") - (col("doc_id") * 17 + 4) % 256) <= 8)
+            .cast("int"))
+        .select("doc_id", "width", "height", "color_ok")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(doc_id % 9 + 1 AS INTEGER) AS width,
+             CAST((doc_id * 5) % 10 + 1 AS INTEGER) AS height,
+             1 AS color_ok
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   /** Format SNIFFING through the gate — the dispatch stage of a real
-    * media pipeline: a MIXED column (doc_id mod 5 selects PPM / WAV /
-    * AVI / PNG / GIF, each built by the same arithmetic generators the
-    * per-format queries pin), identified executor-side by structure and
-    * routed to the right decoder
+    * media pipeline: a MIXED column (doc_id mod 6 selects PPM / WAV /
+    * AVI / PNG / GIF / JPEG, each built by the same arithmetic
+    * generators the per-format queries pin), identified executor-side
+    * by structure and routed to the right decoder
     * ([[graft.multimodal.Multimodal.sniffAndDecode]]). The gate proves
-    * the five parsers MUTUALLY EXCLUSIVE on real payloads at corpus
+    * the six parsers MUTUALLY EXCLUSIVE on real payloads at corpus
     * scale: one output row per doc, kind exactly as generated, the
     * format's primary metric exactly as the per-format arithmetic says
-    * — a mis-sniff changes kind or metric and hash-mismatches. */
+    * — a mis-sniff changes kind or metric and hash-mismatches. JPEG's
+    * metric is the structural w·1000+h (its content means are
+    * decoder-specific; q_jpeg_decode holds the tolerance gate), which
+    * is still exact dispatch evidence: a payload routed to any other
+    * parser would be rejected and drop the row. */
   val mediaDispatch = QuerySpec(
     "q_media_dispatch",
     (s, d) => {
@@ -393,7 +453,7 @@ object MultimodalQueries {
       val packed = documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
-            val payload = (id % 5) match {
+            val payload = (id % 6) match {
               case 0 =>
                 val w = (id % 16 + 1).toInt
                 val h = ((id * 7) % 16 + 1).toInt
@@ -453,7 +513,7 @@ object MultimodalQueries {
                   i += 3
                 }
                 Multimodal.encodePng(w, h, rgb, y => y % 5)
-              case _ =>
+              case 4 =>
                 val w = (id % 6 + 1).toInt
                 val h = ((id * 7) % 7 + 1).toInt
                 val palette = Array.tabulate(4)(c => Array(
@@ -462,6 +522,18 @@ object MultimodalQueries {
                   ((id * 43 + c * 67 + 11) % 256).toInt))
                 Multimodal.encodeGif87a(w, h, palette,
                   Array.tabulate(w * h)(p => ((id + p) % 4).toByte))
+              case _ =>
+                val w = (id % 9 + 1).toInt
+                val h = ((id * 5) % 10 + 1).toInt
+                val rgb = new Array[Byte](3 * w * h)
+                var i = 0
+                while (i < rgb.length) {
+                  rgb(i) = ((id * 37) % 256).toByte
+                  rgb(i + 1) = ((id * 53 + 9) % 256).toByte
+                  rgb(i + 2) = ((id * 17 + 4) % 256).toByte
+                  i += 3
+                }
+                Multimodal.encodeJpeg(w, h, rgb)
             }
             (id, payload)
           }
@@ -471,10 +543,10 @@ object MultimodalQueries {
     },
     Some("""
       SELECT doc_id,
-             CASE doc_id % 5
+             CASE doc_id % 6
                WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'avi'
-               WHEN 3 THEN 'png' ELSE 'gif' END AS kind,
-             CASE doc_id % 5
+               WHEN 3 THEN 'png' WHEN 4 THEN 'gif' ELSE 'jpeg' END AS kind,
+             CASE doc_id % 6
                WHEN 0 THEN CAST((doc_id * 37) % 256 AS DOUBLE)
                WHEN 1 THEN CAST((doc_id * 31) % 1000 AS DOUBLE)
                WHEN 2 THEN
@@ -484,12 +556,14 @@ object MultimodalQueries {
                  / CAST((doc_id % 6 + 2) * ((doc_id * 3) % 5 + 2)
                         * (doc_id % 4 + 2) AS DOUBLE)
                WHEN 3 THEN CAST((doc_id * 23) % 256 AS DOUBLE)
-               ELSE
+               WHEN 4 THEN
                  CAST(list_sum(list_transform(
                         range(0, (doc_id % 6 + 1) * ((doc_id * 7) % 7 + 1)),
                         p -> (doc_id * 19 + ((doc_id + p) % 4) * 47) % 256))
                       AS DOUBLE)
                  / CAST((doc_id % 6 + 1) * ((doc_id * 7) % 7 + 1) AS DOUBLE)
+               ELSE CAST((doc_id % 9 + 1) * 1000
+                         + (doc_id * 5) % 10 + 1 AS DOUBLE)
              END AS metric
       FROM documents
       ORDER BY doc_id
@@ -497,5 +571,5 @@ object MultimodalQueries {
 
   val all: Seq[QuerySpec] =
     Seq(multimodal, frameSample, imageDecode, audioDecode, videoDecode,
-      pngDecode, gifDecode, mediaDispatch)
+      pngDecode, gifDecode, jpegDecode, mediaDispatch)
 }

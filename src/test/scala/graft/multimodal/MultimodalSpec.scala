@@ -499,16 +499,86 @@ class MultimodalSpec extends SparkSpec {
     val png = Multimodal.encodePng(2, 2, Array.fill(12)(80.toByte))
     val gif = Multimodal.encodeGif87a(2, 2,
       Array(Array(60, 0, 0)), Array[Byte](0, 0, 0, 0))
+    val jpeg = Multimodal.encodeJpeg(4, 3, Array.fill(3 * 4 * 3)(90.toByte))
     val noise = "just some text payload".getBytes
     val packed = Seq((1L, ppm), (2L, wav), (3L, avi), (4L, png), (5L, gif),
-      (6L, noise)).toDF("doc_id", "payload")
+      (6L, noise), (7L, jpeg)).toDF("doc_id", "payload")
     val got = Multimodal.sniffAndDecode(spark, packed)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
       .toMap
     assert(got === Map(
       1L -> (("ppm", 100.0)), 2L -> (("wav", 500.0)),
       3L -> (("avi", 30.0)), 4L -> (("png", 80.0)),
-      5L -> (("gif", 60.0)))) // noise claimed by nobody
+      5L -> (("gif", 60.0)), // noise claimed by nobody
+      7L -> (("jpeg", 4003.0)))) // structural metric: w·1000 + h
+  }
+
+  test("JPEG round-trip: dims exact, flat-color means within DC-quant tolerance") {
+    // Flat color ⇒ DC-only blocks: the only loss is DC quantization +
+    // YCbCr rounding. The query gate allows ±8; assert the same bound
+    // here across dims that cover sub-block (1×1), edge-MCU (9×10) and
+    // multi-MCU (17×12) geometries, and colors across the range.
+    for {
+      (w, h) <- Seq((1, 1), (3, 5), (8, 8), (9, 10), (17, 12))
+      (r, g, b) <- Seq((0, 0, 0), (255, 255, 255), (37, 62, 21), (200, 13, 117))
+    } {
+      val rgb = new Array[Byte](3 * w * h)
+      var i = 0
+      while (i < rgb.length) {
+        rgb(i) = r.toByte; rgb(i + 1) = g.toByte; rgb(i + 2) = b.toByte
+        i += 3
+      }
+      val enc = Multimodal.encodeJpeg(w, h, rgb)
+      assert(Multimodal.isJpeg(enc))
+      val dec = Multimodal.decodeJpegBytes(enc)
+      assert(dec.isDefined, s"decode failed for ${w}x$h rgb($r,$g,$b)")
+      val (dw, dh, mr, mg, mb) = dec.get
+      assert(dw === w && dh === h)
+      assert(math.abs(mr - r) <= 8 && math.abs(mg - g) <= 8 &&
+        math.abs(mb - b) <= 8,
+        s"${w}x$h rgb($r,$g,$b) decoded means ($mr,$mg,$mb)")
+    }
+    // Non-flat content: a gradient's CHANNEL MEAN is still held by the
+    // DC coefficients — the mean survives within the same tolerance even
+    // though individual pixels do not.
+    val w = 16; val h = 16
+    val grad = Array.tabulate(3 * w * h) { i =>
+      val p = i / 3
+      (((p % w) * 16 + (p / w)) % 256).toByte
+    }
+    var (er, eg, eb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < grad.length) {
+      er += grad(i) & 0xFF; eg += grad(i + 1) & 0xFF; eb += grad(i + 2) & 0xFF
+      i += 3
+    }
+    val n = (w * h).toDouble
+    val (_, _, mr, mg, mb) =
+      Multimodal.decodeJpegBytes(Multimodal.encodeJpeg(w, h, grad)).get
+    assert(math.abs(mr - er / n) <= 8 && math.abs(mg - eg / n) <= 8 &&
+      math.abs(mb - eb / n) <= 8)
+  }
+
+  test("JPEG is magic-gated: rejects other formats, truncation, and is rejected back") {
+    val rgb = Array.fill(3 * 4 * 4)(90.toByte)
+    val jpeg = Multimodal.encodeJpeg(4, 4, rgb)
+    // the other structured parsers do not claim a JPEG payload
+    assert(Multimodal.parsePng(jpeg) === None)
+    assert(Multimodal.parseGif(jpeg) === None)
+    assert(Multimodal.parsePpm(jpeg) === None)
+    assert(Multimodal.parseWav(jpeg) === None)
+    assert(Multimodal.parseAvi(jpeg) === None)
+    // the JPEG gate does not claim theirs — CRITICAL because ImageIO
+    // itself would happily decode a PNG or GIF if handed one
+    assert(!Multimodal.isJpeg(Multimodal.encodePng(4, 4, rgb)))
+    assert(!Multimodal.isJpeg(Multimodal.encodeGif87a(2, 2,
+      Array(Array(1, 2, 3)), Array[Byte](0, 0, 0, 0))))
+    assert(!Multimodal.isJpeg(Multimodal.encodePpm(4, 4, rgb)))
+    assert(!Multimodal.isJpeg("plain text".getBytes))
+    assert(!Multimodal.isJpeg(Array[Byte]()))
+    // entropy-data truncation rejects rather than emitting a wrong image
+    val cut = java.util.Arrays.copyOfRange(jpeg, 0, jpeg.length / 2)
+    assert(Multimodal.decodeJpegBytes(cut) === None)
   }
 
   test("frame sampling keeps every Nth full frame and drops the partial tail") {
