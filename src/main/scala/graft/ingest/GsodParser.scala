@@ -79,8 +79,11 @@ object GsodParser {
     parseLines(spark, lines.toDF("value"))
   }
 
-  /** Shared tokenization/cleaning body over a `value`-lines DataFrame. */
-  private def parseLines(spark: SparkSession, linesDf: DataFrame): DataFrame = {
+  /** Tokenization/cleaning body over a `value`-lines DataFrame — public
+    * so callers that already hold raw GSOD lines (an in-plan fixture, a
+    * streaming source, a foreign extractor) run the exact parse the
+    * file-path entry points use. */
+  def parseLines(spark: SparkSession, linesDf: DataFrame): DataFrame = {
     val toks = split(trim(col("value")), "\\s+")
     linesDf
       // drop header rows by their marker (not "keep digit-initial" — NOAA
@@ -108,11 +111,18 @@ object GsodParser {
   /** Station metadata CSV (isd-history shape, FIXTURES.md A2) → cleaned
     * dimension: sentinel-null LAT/LON, not-null filter, coverage-window
     * predicate, null-skipping label (untitled.py:25-36). */
-  def stations(spark: SparkSession, path: String, minYear: Int, maxYear: Int): DataFrame = {
-    val raw = spark.read
-      .option("header", true)
-      .schema(graft.schema.Schemas.stationHistory)
-      .csv(path)
+  def stations(spark: SparkSession, path: String, minYear: Int, maxYear: Int): DataFrame =
+    cleanStations(
+      spark.read
+        .option("header", true)
+        .schema(graft.schema.Schemas.stationHistory)
+        .csv(path),
+      minYear, maxYear)
+
+  /** The station-dimension cleaning stage alone, over an already-loaded
+    * raw frame in Schemas.stationHistory shape — shared by the CSV entry
+    * point above and callers holding the raw rows in-plan. */
+  def cleanStations(raw: DataFrame, minYear: Int, maxYear: Int): DataFrame = {
     val cleaned = Cleaning.requireNotNull(
       Cleaning.sentinelToNull(raw, Seq("lat", "lon", "elev_m")),
       Seq("lat", "lon"))
