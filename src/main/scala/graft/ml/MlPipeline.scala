@@ -49,11 +49,19 @@ object MlPipeline {
     * boosting re-reads its input ~5 times per tree, and without the
     * barrier every one of those reads re-runs split+assemble+sample. */
   def trainGbt(train: DataFrame, labelCol: String, maxIter: Int,
-      seed: Long = 42L, sampleFraction: Double = 1.0): GBTRegressionModel = {
+      seed: Long = 42L, sampleFraction: Double = 1.0,
+      fitPartitions: Int = 0): GBTRegressionModel = {
     val sampled =
       if (sampleFraction < 1.0) train.sample(sampleFraction, seed)
       else train
-    val cached = sampled.cache()
+    // Boosting cost = rounds × jobs-per-tree × per-task overhead: with a
+    // CAPPED cached sample the task count, not the data, dominates, so
+    // callers with high maxIter coalesce the sample to a few partitions
+    // (fitPartitions > 0) — each of the ~500 loop jobs then schedules
+    // 2 tasks instead of 8.
+    val shaped =
+      if (fitPartitions > 0) sampled.coalesce(fitPartitions) else sampled
+    val cached = shaped.cache()
     cached.count()
     try
       new GBTRegressor()

@@ -130,6 +130,51 @@ object MlQueries {
     },
     Some("SELECT 1 AS n_test_pos, 1 AS rmse_finite, 1 AS near_baseline"))
 
+  /** The REFERENCE's GBT configuration (untitled.py:232 —
+    * GBTRegressor maxIter=100) under the driver gate, not just the
+    * one-shot MlSpec parity case. The fitted sample is capped (~20k
+    * rows, coalesced to 2 partitions) and predictions still run over
+    * the full held-out side. Measured cost is MLlib's per-ITERATION
+    * floor, ~0.35 s × 100 rounds REGARDLESS of sample size (34 s at a
+    * 2k-row cap, 40 s at 20k, 43 s at 8 partitions — the boosting
+    * loop's per-round job latency, not data or task count), which is
+    * why this query is hash-gated in Verify every round but excluded
+    * from the Bench timing loop (see Bench.benchExcluded): one
+    * algorithm-floor-bound query would dominate a 177-query bench
+    * total without measuring any plan choice this engine controls.
+    * Same verdict oracle as q_gbt_predict: predictions exist, RMSE
+    * finite, within 5% of the constant-mean baseline (the synthetic
+    * lineitem carries no feature→label signal, so the mean is
+    * Bayes-optimal — a diverged 100-tree model blows the band and
+    * hash-mismatches). */
+  val gbt100 = QuerySpec(
+    "q_gbt_100",
+    (s, d) => {
+      val base = lineitem(s, d)
+        .select((Seq("l_orderkey", "l_linenumber", "l_extendedprice") ++ FeatureCols)
+          .map(col): _*)
+      val features = MlPipeline.assemble(base.repartition(4), FeatureCols)
+      val (train, test) = MlPipeline.seededSplit(features)
+      val frac = math.min(1.0, 20000.0 / (0.7 * base.count()))
+      val model = MlPipeline.trainGbt(train, "l_extendedprice", maxIter = 100,
+        sampleFraction = frac, fitPartitions = 2)
+      val preds = model.transform(test)
+        .select(col("l_extendedprice").as("label"), col("prediction"))
+      val trainMean = train.agg(avg(col("l_extendedprice")).as("__mu"))
+      preds.crossJoin(trainMean)
+        .agg(
+          count(lit(1)).as("__n"),
+          sqrt(avg(pow(col("label") - col("prediction"), 2))).as("__rmse"),
+          sqrt(avg(pow(col("label") - col("__mu"), 2))).as("__rmse_mean"))
+        .select(
+          (col("__n") > 0).cast("int").as("n_test_pos"),
+          (!isnan(col("__rmse")) && col("__rmse") >= 0.0)
+            .cast("int").as("rmse_finite"),
+          (col("__rmse") < col("__rmse_mean") * 1.05)
+            .cast("int").as("near_baseline"))
+    },
+    Some("SELECT 1 AS n_test_pos, 1 AS rmse_finite, 1 AS near_baseline"))
+
   /** Stratified (per-stratum) sampling — the dataset-mixing primitive of a
     * training pipeline (sample each source/language at its own rate).
     * Seeded `sampleBy`; sampling isn't SQL-oracle-able (SURVEY M2), so the
@@ -267,5 +312,5 @@ object MlQueries {
     """))
 
   val all: Seq[QuerySpec] = Seq(
-    vectorAssemble, randomSplit, gbtPredict, sampleStratified, pca)
+    vectorAssemble, randomSplit, gbtPredict, gbt100, sampleStratified, pca)
 }
