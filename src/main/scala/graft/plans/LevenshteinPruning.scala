@@ -53,15 +53,27 @@ object LevenshteinPruning extends Rule[LogicalPlan] {
       Some(And(lengthGuard(lev, k, strict), cmp))
     }
 
-  /** All four orientations of a thresholded comparison: lev ≤ k, lev < k,
-    * k ≥ lev, k > lev.
-    *
-    * Restricted to the 2-arg `levenshtein(a, b)` form
+  /** Upper-bound orientations (lev ≤ k, lev < k, k ≥ lev, k > lev) are
+    * restricted to the 2-arg `levenshtein(a, b)` form
     * (`lev.threshold.isEmpty`): the 3-arg `levenshtein(a, b, t)` returns −1
     * when the distance exceeds t, so `levenshtein(a, b, t) <= k` is TRUE for
     * over-threshold rows while the length guard would be false when the
     * length gap exceeds k — injecting the guard there would silently drop
-    * rows the predicate keeps. */
+    * rows the predicate keeps. (That −1 arm is why the superficially
+    * plausible "guard `lev3 <= k` when k < t" rewrite is UNSOUND — the
+    * kept set of `lev3 <= k` is {d ≤ k} ∪ {d > t}, and the second branch
+    * has no length upper bound.)
+    *
+    * The 3-arg form IS guarded on every orientation that implies
+    * "the distance is within the threshold" — there lev3 = d and d ≤ t,
+    * so abs(Δlen) ≤ t is a sound O(1) prefilter:
+    *   lev3 ≥ j (j ≥ 0), j ≤ lev3, lev3 > j (j ≥ −1), j < lev3 ⇒ abs ≤ t
+    * and equality pins the distance exactly, in both arities:
+    *   lev = c / lev3 = c (c ≥ 0) ⇒ abs(Δlen) ≤ c
+    * (for lev3 = c the tighter c-bound is sound because the predicate
+    * implies d = c; when c > t it is unsatisfiable and the guard is
+    * vacuous, never wrong). `lev3 = −1` and negative bounds keep only
+    * over-threshold pairs — no length bound exists; left alone. */
   private def rewrite(cond: Expression): Expression = cond.transformUp {
     case cmp @ LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType))
         if lev.threshold.isEmpty =>
@@ -75,6 +87,27 @@ object LevenshteinPruning extends Rule[LogicalPlan] {
     case cmp @ GreaterThan(k @ Literal(_, IntegerType), lev: Levenshtein)
         if lev.threshold.isEmpty =>
       guardOnce(lev, k, strict = true, cmp).getOrElse(cmp)
+    // equality pins the distance: abs(Δlen) ≤ c, both arities
+    case cmp @ EqualTo(lev: Levenshtein, c @ Literal(v: Int, IntegerType))
+        if v >= 0 =>
+      guardOnce(lev, c, strict = false, cmp).getOrElse(cmp)
+    case cmp @ EqualTo(c @ Literal(v: Int, IntegerType), lev: Levenshtein)
+        if v >= 0 =>
+      guardOnce(lev, c, strict = false, cmp).getOrElse(cmp)
+    // 3-arg within-threshold orientations: lev3 ≥ j / lev3 > j and
+    // mirrors imply d ≤ t ⇒ abs(Δlen) ≤ t
+    case cmp @ GreaterThanOrEqual(lev: Levenshtein, Literal(v: Int, IntegerType))
+        if lev.threshold.isDefined && v >= 0 =>
+      guardOnce(lev, lev.threshold.get, strict = false, cmp).getOrElse(cmp)
+    case cmp @ LessThanOrEqual(Literal(v: Int, IntegerType), lev: Levenshtein)
+        if lev.threshold.isDefined && v >= 0 =>
+      guardOnce(lev, lev.threshold.get, strict = false, cmp).getOrElse(cmp)
+    case cmp @ GreaterThan(lev: Levenshtein, Literal(v: Int, IntegerType))
+        if lev.threshold.isDefined && v >= -1 =>
+      guardOnce(lev, lev.threshold.get, strict = false, cmp).getOrElse(cmp)
+    case cmp @ LessThan(Literal(v: Int, IntegerType), lev: Levenshtein)
+        if lev.threshold.isDefined && v >= -1 =>
+      guardOnce(lev, lev.threshold.get, strict = false, cmp).getOrElse(cmp)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

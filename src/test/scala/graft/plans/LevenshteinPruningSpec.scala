@@ -68,7 +68,7 @@ class LevenshteinPruningSpec extends SparkSpec {
     }
   }
 
-  test("3-arg thresholded levenshtein is NOT rewritten, results unchanged") {
+  test("3-arg `<= k` keeps its -1 arm: no guard injected, results unchanged") {
     // levenshtein(a, b, t) returns -1 past the threshold, so `<= k` KEEPS
     // over-threshold rows; a length guard would wrongly drop them.
     val parts = graft.Tables.part(spark, Sf001)
@@ -81,6 +81,65 @@ class LevenshteinPruningSpec extends SparkSpec {
       val opt = guarded.queryExecution.optimizedPlan.toString
       assert(!opt.contains("abs"), opt) // no guard on the 3-arg form
       assert(guarded.select("p_partkey").as[Long].collect().sorted === plain)
+    }
+  }
+
+  test("3-arg within-threshold orientations gain the abs ≤ t guard") {
+    val parts = graft.Tables.part(spark, Sf001)
+    withRule {
+      Seq("levenshtein(p_name, 'red widget', 12) >= 0",
+          "levenshtein(p_name, 'red widget', 12) > -1",
+          "levenshtein(p_name, 'red widget', 12) >= 3",
+          "0 <= levenshtein(p_name, 'red widget', 12)",
+          "2 < levenshtein(p_name, 'red widget', 12)",
+          "levenshtein(p_name, 'red widget', 12) = 8",
+          "8 = levenshtein(p_name, 'red widget', 12)",
+          "levenshtein(p_name, 'red widget') = 8").foreach { pred =>
+        val opt = parts.filter(expr(pred))
+          .queryExecution.optimizedPlan.toString
+        assert(opt.contains("abs("), s"$pred:\n$opt")
+      }
+      // negative-only forms keep over-threshold pairs — no guard possible
+      Seq("levenshtein(p_name, 'red widget', 3) = -1",
+          "levenshtein(p_name, 'red widget', 3) <= 8").foreach { pred =>
+        val opt = parts.filter(expr(pred))
+          .queryExecution.optimizedPlan.toString
+        assert(!opt.contains("abs("), s"$pred:\n$opt")
+      }
+    }
+  }
+
+  test("3-arg guard: kept-set equality on every sound orientation") {
+    val parts = graft.Tables.part(spark, Sf001)
+    Seq("levenshtein(p_name, 'red widget', 12) >= 0",
+        "levenshtein(p_name, 'red widget', 12) >= 6",
+        "levenshtein(p_name, 'red widget', 12) > -1",
+        "levenshtein(p_name, 'red widget', 12) = 8",
+        "levenshtein(p_name, 'red widget') = 8").foreach { pred =>
+      val plain = parts.filter(expr(pred))
+        .select("p_partkey").as[Long].collect().sorted
+      val guarded = withRule {
+        parts.filter(expr(pred)).select("p_partkey").as[Long].collect().sorted
+      }
+      assert(guarded === plain, pred)
+    }
+    // the property holds on adversarial random pairs too (length gaps
+    // both inside and outside the threshold, distances straddling it)
+    val rnd = new scala.util.Random(13)
+    val pairs = (1L to 300L).map { i =>
+      def str() = (0 until rnd.nextInt(14)).map(_ =>
+        ('a' + rnd.nextInt(3)).toChar).mkString
+      (i, str(), str())
+    }
+    val df = pairs.toDF("id", "a", "b")
+    Seq("levenshtein(a, b, 4) >= 0", "levenshtein(a, b, 4) >= 2",
+        "levenshtein(a, b, 4) > -1", "levenshtein(a, b, 4) = 3",
+        "levenshtein(a, b) = 3").foreach { pred =>
+      val plain = df.filter(expr(pred)).select("id").as[Long].collect().sorted
+      val guarded = withRule {
+        df.filter(expr(pred)).select("id").as[Long].collect().sorted
+      }
+      assert(guarded === plain, pred)
     }
   }
 
