@@ -1379,10 +1379,15 @@ object Multimodal {
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
     val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    // MemoryCacheImageOutputStream directly: ImageIO.createImageOutputStream
+    // consults the ImageIO scratch-FILE cache by default — a temp file per
+    // image, which at corpus scale turns an in-memory codec into executor
+    // disk I/O (measured: the dominant cost of the jpeg queries).
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.flush()
     } finally {
       writer.dispose()
       ios.close()
@@ -1402,8 +1407,12 @@ object Multimodal {
     if (!isJpeg(bytes)) None
     else {
       try {
+        // Memory-backed stream for the same reason as encodeJpeg: the
+        // ImageIO.read(InputStream) overload wraps its input in a
+        // scratch-FILE cache stream by default.
         val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
         if (img == null) None
         else {
           val w = img.getWidth
