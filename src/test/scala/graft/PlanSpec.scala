@@ -522,4 +522,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("gsod e2e broadcasts both station joins; observations shuffle once") {
+    // the reference ETL shape at scale: the observation stream must
+    // exchange exactly once (the rollup's group keys) — the semi-join
+    // and the metadata join-back both ride broadcasts of the tiny
+    // station dim, and the final ORDER BY is a range exchange, not a
+    // second hash repartition of the stream
+    val p = plan(SparkEntry.queries("q_gsod_e2e")(spark, Sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"expected one stream shuffle, got $hashExchanges:\n$p")
+  }
 }
