@@ -126,4 +126,31 @@ object Streams {
         (col("window.start").as("window_start") +: col("n_checked") +:
           checks.map { case (nm, _) => col(s"v_$nm") }): _*)
   }
+
+  /** Streaming twin of the FLAGSHIP GSOD ETL (q_gsod_e2e's parse+rollup):
+    * raw fixed-layout text lines arrive as a stream (a file tail, a
+    * socket, an archive unpacker's output) and flow through the EXACT
+    * batch parse — [[graft.ingest.GsodParser.parseLines]] is a stateless
+    * projection/filter, plan-identical under micro-batching — into a
+    * per-station-month rollup.
+    *
+    * The rollup aggregate differs from batch BY DESIGN: the reference's
+    * exact median is not a mergeable streaming aggregate (its state is
+    * the full value buffer — unbounded), so the streaming form uses
+    * `percentile_approx` (GK sketch: bounded, mergeable state — the same
+    * exact→approx swap SURVEY §2a A1 already prescribes for the 100 TB
+    * batch path). StreamingSpec pins streamed == batch for the SAME
+    * percentile_approx aggregate; the exact-median batch form remains
+    * q_gsod_e2e's gate. Complete output mode: the station-month key
+    * space is small and closed (stations × months), so complete-mode
+    * state is a few thousand sketch rows even at 100 TB of observations. */
+  def gsodMonthlyApprox(lines: DataFrame): DataFrame = {
+    val obs = graft.ingest.GsodParser.parseLines(lines.sparkSession, lines)
+    obs.groupBy(col("usaf"), col("wban"), col("year"), col("month"))
+      .agg(
+        expr("percentile_approx(temp, 0.5, 1000)").as("temp_med"),
+        expr("percentile_approx(prcp, 0.5, 1000)").as("prcp_med"),
+        expr("count(temp)").as("n_temp"),
+        expr("count(1)").as("n_obs"))
+  }
 }

@@ -188,4 +188,41 @@ class StreamingSpec extends SparkSpec {
     val byHour = streamed.map(r => (r(1), r(3))) // (n_checked, v_big_val)
     assert(byHour === Seq((2L, 1L), (2L, 1L), (1L, 0L)))
   }
+
+  test("streaming GSOD parse+rollup equals the batch twin across micro-batches") {
+    def line(usaf: String, wban: Int, ymd: String, temp: String,
+        prcp: String) =
+      s"$usaf $wban  $ymd  $temp 24 40.1 24 9999.9 0 9999.9 0 9999.9 0 " +
+        s"5.0 24 11.1 999.9 60.3* 50.1 $prcp 999.9 000000"
+    val chunk1 = Seq(
+      line("A07100", 10000, "20080115", "57.3", "0.12A"),
+      line("A07100", 10000, "20080120", "59.7", "99.99"), // prcp sentinel
+      "STN--- WBAN   YEARMODA    TEMP     DEWP     SLP", // header filtered
+      line("A07101", 10001, "20080215", "9999.9", "0.00")) // temp sentinel
+    val chunk2 = Seq(
+      "   ", // blank filtered
+      line("A07100", 10000, "20080125", "58.1", "0.30"),
+      line("A07101", 10001, "20080216", "43.0", "0.05"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Streams.gsodMonthlyApprox(mem.toDF())
+      .writeStream.format("memory").queryName("t_gsod")
+      .outputMode("complete").start()
+    try {
+      mem.addData(chunk1: _*)
+      q.processAllAvailable() // state built from batch 1…
+      mem.addData(chunk2: _*)
+      q.processAllAvailable() // …must MERGE with batch 2's sketches
+    } finally q.stop()
+    val streamed = spark.table("t_gsod").orderBy("usaf", "month")
+      .collect().map(_.toSeq).toSeq
+    val batch = Streams.gsodMonthlyApprox((chunk1 ++ chunk2).toDF("value"))
+      .orderBy("usaf", "month").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // parse semantics visible through the stream: station A07100 has 3
+    // obs with all temps present; A07101 has 2 obs but 1 sentinel temp
+    val byStation = streamed.map(r =>
+      (r(0), r(6).asInstanceOf[Long], r(7).asInstanceOf[Long])).toSet
+    assert(byStation === Set(("A07100", 3L, 3L), ("A07101", 1L, 2L)))
+  }
 }
