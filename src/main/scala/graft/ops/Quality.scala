@@ -118,4 +118,46 @@ object Quality {
       .when(v < 275610914695851L, 4L)
       .when(v < 278542945703253L, 5L)
       .otherwise(6L)
+
+  /** Per-document DEFLATE compression ratio — the corpus-curation
+    * signal the big web-scale filters compute (CCNet/Gopher family):
+    * highly repetitive or templated text compresses far below prose
+    * (boilerplate, keyword stuffing, generated spam), while
+    * already-compressed or random payloads don't compress at all. One
+    * zlib Deflater per PARTITION (reset per row, end()'d at
+    * exhaustion — a Deflater holds native memory, so per-row allocation
+    * would churn the native heap at corpus scale); executor-side
+    * streaming iterator, the [[graft.multimodal.Multimodal]] batch
+    * discipline. Ratio = deflated/raw over UTF-8 bytes; empty docs
+    * report ratio 1.0. */
+  def compressionStats(docs: DataFrame, id: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(id).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val defl = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](8192)
+        new Iterator[(Long, Long, Long, Double)] {
+          override def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h) defl.end() // release native zlib state
+            h
+          }
+          override def next(): (Long, Long, Long, Double) = {
+            val (docId, text) = rows.next()
+            val raw = (if (text == null) "" else text)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            defl.reset()
+            defl.setInput(raw)
+            defl.finish()
+            var n = 0L
+            while (!defl.finished()) n += defl.deflate(buf)
+            val ratio = if (raw.isEmpty) 1.0 else n.toDouble / raw.length
+            (docId, raw.length.toLong, n, ratio)
+          }
+        }
+      }
+      .toDF(id, "n_bytes", "deflate_bytes", "ratio")
+  }
 }

@@ -524,7 +524,34 @@ object QualityQueries {
       ORDER BY experiment
     """))
 
+  /** Per-doc DEFLATE compression ratio (graft.ops.Quality
+    * .compressionStats) — the repetition/boilerplate curation signal.
+    * zlib output bytes are implementation-specific (DuckDB has no
+    * deflate), so the gate is the verdict pattern: exact UTF-8 byte
+    * count twin + a ratio sanity band (0 < deflated, ratio ≤ 1.2 — raw
+    * deflate overhead is ~11 bytes, and the corpus's shortest docs are
+    * far longer, so a broken codec path or a ratio computed over the
+    * wrong denominator leaves the band). QualitySpec pins the signal's
+    * MEANING: repeated text compresses below 0.05, prose sits mid-band,
+    * and an Inflater round-trip recovers the exact input bytes. */
+  val compressRatio = QuerySpec(
+    "q_compress_ratio",
+    (s, d) =>
+      Quality.compressionStats(documents(s, d), "doc_id", "text")
+        .select(
+          col("doc_id"), col("n_bytes"),
+          (col("deflate_bytes") > 0 && col("ratio") > 0.0 &&
+            col("ratio") <= 1.2).cast("int").as("ratio_ok"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             1 AS ratio_ok
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
-      kAnonymity, dpCounts, abTest)
+      kAnonymity, dpCounts, abTest, compressRatio)
 }

@@ -140,4 +140,47 @@ class QualitySpec extends SparkSpec {
     assert(recount.filter(col("again") =!= col("claimed") ||
       col("again") =!= col("claimed2")).count() === 0)
   }
+
+  test("compression ratio: repetition compresses, prose doesn't, inflate round-trips") {
+    import spark.implicits._
+    val prose = "The quick brown fox jumps over the lazy dog while " +
+      "seventeen distinct words vary the byte stream considerably 0123456789."
+    val docs = Seq(
+      (1L, "a" * 2000),                      // pure repetition
+      (2L, prose * 3),                       // prose-like
+      (3L, ""),                              // empty
+      (4L, (prose + "x").take(40))           // short doc, overhead-dominated
+    ).toDF("doc_id", "text")
+    val r = Quality.compressionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // n_bytes is the exact UTF-8 length
+    assert(r.map(_.getLong(1)).toSeq === Seq(2000L, (prose.length * 3).toLong, 0L, 40L))
+    val ratios = r.map(_.getDouble(3))
+    assert(ratios(0) < 0.05, s"repetition should crush: ${ratios(0)}")
+    assert(ratios(1) > 0.2 && ratios(1) < 1.0, s"prose mid-band: ${ratios(1)}")
+    assert(ratios(2) === 1.0) // empty: defined, in-band
+    assert(ratios(3) <= 1.2, s"short-doc overhead stays in band: ${ratios(3)}")
+    assert(ratios(0) < ratios(1), "signal must order repetition below prose")
+    // the bytes are REAL deflate: an independent Inflater recovers the input
+    val deflated = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(("a" * 2000).getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](8192)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      d.end(); out.toByteArray
+    }
+    assert(deflated.length.toLong === r(0).getLong(2),
+      "partition-shared Deflater must produce standard single-shot output")
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(deflated)
+    val back = new Array[Byte](4096)
+    val sb = new StringBuilder
+    while (!inf.finished()) {
+      val n = inf.inflate(back)
+      sb.appendAll(new String(back, 0, n, "UTF-8"))
+    }
+    inf.end()
+    assert(sb.toString === "a" * 2000)
+  }
 }
