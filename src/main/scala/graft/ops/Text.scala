@@ -66,4 +66,52 @@ object Text {
     * token list. Stable across engines (binary string sort + md5). */
   def bagFingerprint(toks: Column): Column =
     md5(array_join(array_sort(array_distinct(toks)), " "))
+
+  /** The fixed alphabet [[charEntropy]] counts over (lowercased input):
+    * letters, digits, space; everything else pools into one "other"
+    * bucket. A FIXED alphabet is what makes the histogram a pure column
+    * expression — 37 length-difference counts, no explode, no shuffle —
+    * and what lets an independent SQL engine replay it verbatim. */
+  val EntropyAlphabet: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " "
+
+  /** Character-level Shannon entropy (bits/char) — the randomness/
+    * repetitiveness curation signal (low: templated or repeated text;
+    * high: encoded blobs, dense IDs). Computed from EXACT integer
+    * counts: per-alphabet-char count = len − len(replace(char, '')),
+    * the remainder pools as "other"; H = −Σ (c/n)·log2(c/n) with terms
+    * added in the fixed alphabet order, so any engine that mirrors the
+    * expression (see [[charEntropySql]]) reproduces the double to the
+    * last ulp modulo its log2 — callers round to 6 decimals at the
+    * compare boundary. Empty input → 0.0. */
+  def charEntropy(text: Column): Column = {
+    val low = lower(text)
+    val n = length(low).cast("double")
+    val counts = EntropyAlphabet.map { ch =>
+      (length(low) - length(translate(low, ch, ""))).cast("double")
+    }
+    val other = length(low).cast("double") - counts.reduce(_ + _)
+    val terms = (counts :+ other).map { c =>
+      when(c > 0, -(c / n) * log2(c / n)).otherwise(lit(0.0))
+    }
+    when(length(low) > 0, terms.reduce(_ + _)).otherwise(lit(0.0))
+  }
+
+  /** The DuckDB replay of [[charEntropy]] over the given input
+    * expression, term-for-term in the same order (left-associated
+    * additions), so the two engines' doubles agree modulo log2's last
+    * ulp. */
+  def charEntropySql(inExpr: String): String = {
+    val low = s"lower($inExpr)"
+    val counts = EntropyAlphabet.map {
+      case " " => s"(length($low) - length(replace($low, ' ', '')))"
+      case ch => s"(length($low) - length(replace($low, '$ch', '')))"
+    }
+    val other = s"(length($low) - (${counts.mkString(" + ")}))"
+    def p(c: String) = s"(CAST($c AS DOUBLE) / CAST(length($low) AS DOUBLE))"
+    val terms = (counts :+ other).map { c =>
+      s"CASE WHEN $c > 0 THEN -${p(c)} * log2(${p(c)}) ELSE 0.0 END"
+    }
+    s"CASE WHEN length($low) > 0 THEN ${terms.mkString(" + ")} ELSE 0.0 END"
+  }
 }

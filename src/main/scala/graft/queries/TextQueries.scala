@@ -1587,11 +1587,35 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** Character-level Shannon entropy (E4 quality signal — randomness/
+    * repetitiveness: templated text scores low, dense IDs and encoded
+    * blobs high). Exact-oracle form: the fixed-alphabet histogram is 37
+    * length-difference counts (pure codegen'd column expression — no
+    * explode, no shuffle, one pass), the entropy sum is term-for-term
+    * mirrored in DuckDB by [[graft.ops.Text.charEntropySql]], and both
+    * sides round to 6 decimals to absorb the engines' log2 ulp. */
+  val charEntropy = QuerySpec(
+    "q_char_entropy",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(Text.charEntropy(col("text")), 6).as("entropy_bits"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             round(${Text.charEntropySql("text")}, 6) AS entropy_bits
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
-    bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin)
+    bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin, charEntropy)
 }

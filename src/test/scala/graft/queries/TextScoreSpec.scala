@@ -51,4 +51,29 @@ class TextScoreSpec extends SparkSpec {
       assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0, r.toString)
     }
   }
+
+  test("char entropy: closed-form values, case folding, and signal ordering") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "aaaaaaaa"),         // one symbol → 0 bits
+      (2L, "abababab"),         // two equiprobable symbols → exactly 1 bit
+      (3L, "AbAbAbAb"),         // case-folds to doc 2 → identical entropy
+      (4L, "abcd0123"),         // eight distinct → exactly 3 bits
+      (5L, ""),                 // empty → defined 0.0
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "!@#$%^&*")          // all-"other": one pooled bucket → 0 bits
+    ).toDF("doc_id", "text")
+    val e = docs.select(col("doc_id"),
+        graft.ops.Text.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(e(1) === 0.0)
+    assert(math.abs(e(2) - 1.0) < 1e-12)
+    assert(e(3) === e(2))
+    assert(math.abs(e(4) - 3.0) < 1e-12)
+    assert(e(5) === 0.0)
+    assert(e(7) === 0.0) // pooled "other" bucket is ONE symbol to this signal
+    // ordering: repeated < prose < max-diversity for same-alphabet text
+    assert(e(1) < e(2) && e(2) < e(6))
+  }
 }
