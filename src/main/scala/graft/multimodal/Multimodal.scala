@@ -1403,7 +1403,11 @@ object Multimodal {
     * bit-pinned across implementations, so callers oracle these with a
     * tolerance verdict (the q_similarity_ann pattern), never a hash of
     * raw means. */
-  private[graft] def decodeJpegBytes(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+  /** Decode a JPEG payload to its full channel-interleaved RGB plane
+    * (the [[encodePpm]]/[[encodePng]] pixel contract) — the form
+    * transcode stages consume. Same magic gate and strictness as
+    * [[decodeJpegBytes]]. */
+  private[graft] def decodeJpegPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (!isJpeg(bytes)) None
     else {
       try {
@@ -1417,27 +1421,63 @@ object Multimodal {
         else {
           val w = img.getWidth
           val h = img.getHeight
-          var (sr, sg, sb) = (0L, 0L, 0L)
+          val rgb = new Array[Byte](3 * w * h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
               val px = img.getRGB(x, y)
-              sr += (px >> 16) & 0xFF
-              sg += (px >> 8) & 0xFF
-              sb += px & 0xFF
+              val p = 3 * (y * w + x)
+              rgb(p) = ((px >> 16) & 0xFF).toByte
+              rgb(p + 1) = ((px >> 8) & 0xFF).toByte
+              rgb(p + 2) = (px & 0xFF).toByte
               x += 1
             }
             y += 1
           }
-          val n = w.toLong * h
-          Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+          Some((w, h, rgb))
         }
       } catch {
         case _: java.io.IOException => None
         case _: RuntimeException => None // ImageIO wraps codec errors
       }
     }
+  }
+
+  private[graft] def decodeJpegBytes(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    decodeJpegPixels(bytes).map { case (w, h, rgb) =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < rgb.length) {
+        sr += rgb(i) & 0xFF
+        sg += rgb(i + 1) & 0xFF
+        sb += rgb(i + 2) & 0xFF
+        i += 3
+      }
+      val n = w.toLong * h
+      (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+
+  /** JPEG → PNG transcode, executor-side: the lossy decode happens ONCE
+    * (ImageIO), then the pixel plane re-wraps losslessly in the
+    * hand-rolled PNG container — [[pngToPpm]]'s shape pointed the other
+    * way across codec families. From here on the image is bit-exact:
+    * decodePngImages(jpegToPng(x)) must equal decodeJpegImages(x)
+    * channel-for-channel (q_jpeg_transcode pins it). Undecodable
+    * payloads drop. */
+  def jpegToPng(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          decodeJpegPixels(bytes).map { case (w, h, rgb) =>
+            (id, encodePng(w, h, rgb))
+          }
+        }
+      }
+      .toDF("doc_id", "payload")
   }
 
   /** Real JPEG decode over (doc_id, payload) rows — [[decodeImages]]'

@@ -431,6 +431,66 @@ object MultimodalQueries {
       ORDER BY doc_id
     """))
 
+  /** Cross-codec-family transcode through the gate: JPEG (lossy, JDK
+    * codec) → PNG (lossless, hand-rolled container + zlib) → decode.
+    * The lossy step happens exactly once — after it, the pixel plane is
+    * under the bit-exact regime, so the PNG-leg channel means must equal
+    * the direct JPEG-decode means TO THE LAST BIT (transcode_exact), not
+    * within a tolerance; the tolerance verdict (±8, q_jpeg_decode's
+    * band) applies only against the originally-encoded flat color. Dims
+    * ride both containers exactly. A mismatch anywhere — a dropped row,
+    * a filter-inversion bug in the PNG leg, a second lossy step —
+    * hash-mismatches. */
+  val jpegTranscode = QuerySpec(
+    "q_jpeg_transcode",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{abs, col}
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (id % 11 + 1).toInt
+            val h = ((id * 3) % 9 + 1).toInt
+            val rgb = new Array[Byte](3 * w * h)
+            var i = 0
+            while (i < rgb.length) {
+              rgb(i) = ((id * 29 + 5) % 256).toByte
+              rgb(i + 1) = ((id * 43 + 11) % 256).toByte
+              rgb(i + 2) = ((id * 61 + 2) % 256).toByte
+              i += 3
+            }
+            (id, Multimodal.encodeJpeg(w, h, rgb))
+          }
+        }
+        .toDF("doc_id", "payload")
+      val direct = Multimodal.decodeJpegImages(s, packed)
+      val viaPng = Multimodal
+        .decodePngImages(s, Multimodal.jpegToPng(s, packed))
+        .select(col("doc_id"), col("width").as("png_w"),
+          col("height").as("png_h"), col("mean_r").as("png_r"),
+          col("mean_g").as("png_g"), col("mean_b").as("png_b"))
+      direct.join(viaPng, "doc_id")
+        .select(
+          col("doc_id"), col("width"), col("height"),
+          (col("width") === col("png_w") && col("height") === col("png_h") &&
+            col("mean_r") === col("png_r") && col("mean_g") === col("png_g") &&
+            col("mean_b") === col("png_b")).cast("int").as("transcode_exact"),
+          (abs(col("mean_r") - (col("doc_id") * 29 + 5) % 256) <= 8 &&
+            abs(col("mean_g") - (col("doc_id") * 43 + 11) % 256) <= 8 &&
+            abs(col("mean_b") - (col("doc_id") * 61 + 2) % 256) <= 8)
+            .cast("int").as("color_ok"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(doc_id % 11 + 1 AS INTEGER) AS width,
+             CAST((doc_id * 3) % 9 + 1 AS INTEGER) AS height,
+             1 AS transcode_exact,
+             1 AS color_ok
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   /** Format SNIFFING through the gate — the dispatch stage of a real
     * media pipeline: a MIXED column (doc_id mod 6 selects PPM / WAV /
     * AVI / PNG / GIF / JPEG, each built by the same arithmetic
@@ -571,5 +631,5 @@ object MultimodalQueries {
 
   val all: Seq[QuerySpec] =
     Seq(multimodal, frameSample, imageDecode, audioDecode, videoDecode,
-      pngDecode, gifDecode, jpegDecode, mediaDispatch)
+      pngDecode, gifDecode, jpegDecode, jpegTranscode, mediaDispatch)
 }
