@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.Geo
+
+/** Spatial surface (graft.ops.Geo) — grid-blocked radius join, bounded kNN,
+  * and cell density rollup, the queries behind the reference's station-map
+  * output (map_tutorial.html:48-71) generalized to engine operators.
+  *
+  * Coordinates are derived IN-PLAN from c_custkey by integer arithmetic
+  * (the q_image_decode precedent: the engine must actually run the blocking
+  * join, while the oracle recomputes the same coordinates directly and
+  * brute-forces the pairs — any blocking bug, missed boundary cell, or
+  * duplicate candidate hash-mismatches loudly). All distances are exact
+  * int64 squared Euclidean: no trig, no IEEE drift, portable to DuckDB
+  * cell-for-cell.
+  */
+object GeoQueries {
+
+  /** 0..999999 × 0..999999 integer plane, scattered by a QUADRATIC mix
+    * (square a linear hash mod a prime, then reduce): a plain linear map
+    * puts consecutive custkeys on a fixed-stride lattice with ZERO near
+    * pairs at sf0.001 — an empty gate proves nothing. The quadratic step
+    * breaks the lattice (13 / 1.3k / 139k pairs at the three SFs) while
+    * every intermediate stays far inside int64 for both engines. Mirrored
+    * verbatim in each oracle's `pts` CTE. */
+  private def points(s: SparkSession, d: String): DataFrame = {
+    val u = (col("c_custkey") * lit(2654435761L)) % lit(1048573L)
+    val v = (col("c_custkey") * lit(1103515245L) + lit(12345L)) % lit(1048573L)
+    customer(s, d).select(
+      col("c_custkey").as("key"),
+      ((u * u) % lit(1000000L)).as("x"),
+      ((v * v) % lit(1000000L)).as("y"))
+  }
+
+  private val PtsCte = """
+      WITH base AS (
+        SELECT c_custkey AS k,
+               (c_custkey * 2654435761) % 1048573 AS u,
+               (c_custkey * 1103515245 + 12345) % 1048573 AS v
+        FROM customer
+      ),
+      pts AS (
+        SELECT k, (u * u) % 1000000 AS x, (v * v) % 1000000 AS y FROM base
+      )"""
+
+  private val Cell = 25000L
+  private val Radius = 20000L // radius <= cell: 3x3 cover is exact
+
+  /** Radius self-join: all unordered point pairs within 20k units. The
+    * engine meets pairs in exactly one grid cell (Geo.neighborPairs);
+    * the oracle brute-forces n² — identical pair sets or the gate fails. */
+  val neighborJoin = QuerySpec(
+    "q_geo_neighbor_join",
+    (s, d) =>
+      Geo.neighborPairs(points(s, d), Cell, Radius)
+        .orderBy("key_a", "key_b"),
+    Some(s"""
+      $PtsCte
+      SELECT a.k AS key_a, b.k AS key_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      FROM pts a JOIN pts b ON a.k < b.k
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= ${Radius * Radius}
+      ORDER BY key_a, key_b
+    """))
+
+  /** Radius-bounded 3-NN per point, ranked by (dist2, key_b). Points whose
+    * true NN is beyond the radius report fewer than 3 rows — the honest
+    * 100 TB scoping (unbounded kNN needs an all-pairs fallback). */
+  val knn = QuerySpec(
+    "q_geo_knn",
+    (s, d) =>
+      Geo.radiusKnn(points(s, d), Cell, Radius, k = 3)
+        .orderBy("key_a", "rank"),
+    Some(s"""
+      $PtsCte,
+      cand AS (
+        SELECT a.k AS key_a, b.k AS key_b,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        FROM pts a JOIN pts b ON a.k <> b.k
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= ${Radius * Radius}
+      )
+      SELECT key_a, rank, key_b, dist2 FROM (
+        SELECT key_a, key_b, dist2,
+               CAST(row_number() OVER (PARTITION BY key_a
+                                       ORDER BY dist2, key_b) AS INTEGER)
+                 AS rank
+        FROM cand)
+      WHERE rank <= 3
+      ORDER BY key_a, rank
+    """))
+
+  /** Cell density rollup — the map's heat layer: one map-side-combinable
+    * aggregate per 25k×25k cell, exact int64 outputs only. */
+  val gridAgg = QuerySpec(
+    "q_geo_grid_agg",
+    (s, d) =>
+      Geo.gridAggregate(points(s, d), Cell)
+        .orderBy("cell_x", "cell_y"),
+    Some(s"""
+      $PtsCte
+      SELECT x // $Cell AS cell_x, y // $Cell AS cell_y,
+             CAST(count(*) AS BIGINT) AS n_points,
+             min(k) AS min_key, max(k) AS max_key,
+             CAST(sum(k) AS BIGINT) AS sum_key
+      FROM pts
+      GROUP BY 1, 2
+      ORDER BY cell_x, cell_y
+    """))
+
+  def all: Seq[QuerySpec] = Seq(neighborJoin, knn, gridAgg)
+}
