@@ -47,6 +47,11 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"z_value expects 2 arguments, got ${args.length}")
     },
+    "nfc_normalize" -> {
+      case Seq(c) => NfcNormalize(c)
+      case args => throw new IllegalArgumentException(
+        s"nfc_normalize expects 1 argument, got ${args.length}")
+    },
     "word_shingles" -> {
       case Seq(c, n) if n.foldable && (n.eval() match {
             case _: Number => true

@@ -1611,11 +1611,66 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** Unicode canonicalization through the gate: every doc gets a suffix
+    * exercising a distinct NFC arm — combining acute/diaeresis/ring that
+    * must compose, a precomposed form that must pass through untouched,
+    * plain ASCII (the zero-allocation fast path), a double-accent where
+    * only the FIRST mark composes, and an embedded control char that the
+    * post-normalize control strip must remove. The oracle replays the
+    * exact construction with chr() codepoints and DuckDB's utf8proc
+    * nfc_normalize — byte-identical or the hash gate fails. Lengths are
+    * codepoint counts in both engines, so raw vs normalized length pins
+    * WHERE composition happened, not just that bytes changed. */
+  val unicodeNorm = QuerySpec(
+    "q_unicode_norm",
+    (s, d) => {
+      val variants = array(
+        lit("cafe\u0301"), // e + combining acute -> caf\u00e9 (5 -> 4 cp)
+        lit("caf\u00e9"), // already NFC: must pass through untouched
+        lit("u\u0308ber"), // u + combining diaeresis -> \u00fcber
+        lit("A\u030angstro\u0308m"), // two marks, both compose (10 -> 9)
+        lit("plain"), // ASCII fast path (no allocation)
+        lit("be\u0007ll e\u0301\u0301")) // BEL + only first mark composes
+      val raw = element_at(variants, (col("doc_id") % 6 + 1).cast("int"))
+      val nfc = graft.functions.NfcNormalize.nfc_normalize(raw)
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          length(raw).cast("long").as("raw_cp"),
+          length(nfc).cast("long").as("nfc_cp"),
+          nfc.as("nfc_text"),
+          regexp_replace(nfc, "[\\x01-\\x1f]", "").as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 6 AS INTEGER)
+                 WHEN 0 THEN 'cafe' || chr(769)
+                 WHEN 1 THEN 'caf' || chr(233)
+                 WHEN 2 THEN 'u' || chr(776) || 'ber'
+                 WHEN 3 THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                 WHEN 4 THEN 'plain'
+                 ELSE 'be' || chr(7) || 'll e' || chr(769) || chr(769)
+               END AS s
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(length(s) AS BIGINT) AS raw_cp,
+             CAST(length(nfc_normalize(s)) AS BIGINT) AS nfc_cp,
+             nfc_normalize(s) AS nfc_text,
+             regexp_replace(nfc_normalize(s), '[\x01-\x1f]', '', 'g')
+               AS clean_text
+      FROM raw
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
-    bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin, charEntropy)
+    bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin, charEntropy,
+    unicodeNorm)
 }

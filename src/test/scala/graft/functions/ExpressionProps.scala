@@ -149,4 +149,29 @@ object ExpressionProps extends Properties("graft.functions") {
       close(jw("ABC", "CBA"), 0.5555555555555555) && // below boost threshold
       jw("AB", "BA") == 0.0 // window 0 → no matches
   }
+
+  private def nfc(s: String): String =
+    NfcNormalize.compute(UTF8String.fromString(s)).toString
+
+  property("nfc_normalize is idempotent") =
+    forAll(asciiString) { s =>
+      val mixed = s + "e\u0301u\u0308" // force the slow path too
+      nfc(nfc(mixed)) == nfc(mixed) && nfc(nfc(s)) == nfc(s)
+    }
+
+  property("nfc_normalize: ASCII returns the input object (no allocation)") =
+    forAll(asciiString) { s =>
+      val u = UTF8String.fromString(s)
+      NfcNormalize.compute(u) eq u
+    }
+
+  property("nfc_normalize composes the canonical pairs") = {
+    nfc("cafe\u0301") == "caf\u00e9" &&
+      nfc("u\u0308ber") == "\u00fcber" &&
+      nfc("caf\u00e9") == "caf\u00e9" && // precomposed passes through
+      // only the first combining acute composes; the second stays
+      nfc("e\u0301\u0301") == "\u00e9\u0301" &&
+      // NFC != NFD: it must not decompose precomposed input
+      nfc("A\u030a") == "\u00c5" && nfc("\u00c5") == "\u00c5"
+  }
 }
