@@ -280,7 +280,80 @@ object CurationQueries {
       ORDER BY n_toks
     """))
 
+  /** URL canonicalization — the step before URL-level dedup in every web
+    * crawl pipeline: scheme and host lowercase, scheme-default port
+    * stripped (:80 only under http, :443 only under https — a https://x:80
+    * stays), query params sorted, fragment dropped, path case PRESERVED
+    * (paths are case-sensitive; hosts are not). Raw URLs are constructed
+    * in-plan from doc_id arithmetic (mixed-case scheme/host, three port
+    * arms, param order flipping by parity, optional fragment), and the
+    * ENGINE must genuinely parse them back with Spark's parse_url +
+    * split/sort_array — while the oracle derives the canonical form from
+    * the arithmetic directly, never parsing: an independent derivation,
+    * so a parse_url misread or a missed port arm hash-mismatches. */
+  val urlNormalize = QuerySpec(
+    "q_url_normalize",
+    (s, d) => {
+      val m2 = col("doc_id") % 2
+      val m3 = col("doc_id") % 3
+      val url = concat(
+        when(m2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+        lit("WWW.Example"), (col("doc_id") % 5).cast("string"), lit(".COM"),
+        when(m3 === 0, lit(":80"))
+          .when(m3 === 1, lit(":8080")).otherwise(lit("")),
+        lit("/Path/p"), (col("doc_id") % 7).cast("string"), lit("?"),
+        when(m2 === 0, concat(lit("z=1&a="), m3.cast("string")))
+          .otherwise(concat(lit("a="), m3.cast("string"), lit("&z=1"))),
+        when(m3 > 0, concat(lit("#frag"), m3.cast("string")))
+          .otherwise(lit("")))
+      val proto = lower(expr("parse_url(url_raw, 'PROTOCOL')"))
+      val auth = lower(expr("parse_url(url_raw, 'AUTHORITY')"))
+      val authCanon = when(proto === "http", regexp_replace(auth, ":80$", ""))
+        .when(proto === "https", regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+      val qSorted = concat_ws("&",
+        sort_array(split(expr("parse_url(url_raw, 'QUERY')"), "&")))
+      documents(s, d).select(col("doc_id"), url.as("url_raw"))
+        .select(
+          col("doc_id"), col("url_raw"),
+          lower(expr("parse_url(url_raw, 'HOST')")).as("host"),
+          concat(proto, lit("://"), authCanon,
+            expr("parse_url(url_raw, 'PATH')"),
+            when(length(qSorted) > 0, concat(lit("?"), qSorted))
+              .otherwise(lit(""))).as("canon_url"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(doc_id % 2 AS INTEGER) AS m2,
+               CAST(doc_id % 3 AS INTEGER) AS m3,
+               CAST(doc_id % 5 AS VARCHAR) AS m5,
+               CAST(doc_id % 7 AS VARCHAR) AS m7
+        FROM documents
+      )
+      SELECT doc_id,
+             (CASE WHEN m2 = 0 THEN 'HTTP' ELSE 'https' END)
+               || '://WWW.Example' || m5 || '.COM'
+               || (CASE m3 WHEN 0 THEN ':80' WHEN 1 THEN ':8080' ELSE '' END)
+               || '/Path/p' || m7 || '?'
+               || (CASE WHEN m2 = 0 THEN 'z=1&a=' || CAST(m3 AS VARCHAR)
+                        ELSE 'a=' || CAST(m3 AS VARCHAR) || '&z=1' END)
+               || (CASE WHEN m3 > 0 THEN '#frag' || CAST(m3 AS VARCHAR)
+                        ELSE '' END) AS url_raw,
+             'www.example' || m5 || '.com' AS host,
+             (CASE WHEN m2 = 0 THEN 'http' ELSE 'https' END)
+               || '://www.example' || m5 || '.com'
+               -- :80 is default ONLY under http; the https arm keeps it
+               || (CASE WHEN m3 = 0 AND m2 <> 0 THEN ':80'
+                        WHEN m3 = 1 THEN ':8080' ELSE '' END)
+               || '/Path/p' || m7
+               || '?a=' || CAST(m3 AS VARCHAR) || '&z=1' AS canon_url
+      FROM m
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(boilerplate, contextWindows, gopher, kmeansAssign, curriculum,
-      paretoFront)
+      paretoFront, urlNormalize)
 }
