@@ -47,6 +47,11 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"z_value expects 2 arguments, got ${args.length}")
     },
+    "cms_estimate" -> {
+      case Seq(sk, it) => CmsEstimate(sk, it)
+      case args => throw new IllegalArgumentException(
+        s"cms_estimate expects 2 arguments, got ${args.length}")
+    },
     "nfc_normalize" -> {
       case Seq(c) => NfcNormalize(c)
       case args => throw new IllegalArgumentException(

@@ -597,8 +597,56 @@ object AnalyticsQueries {
       ORDER BY segment
     """))
 
+  /** IN-PLAN Count-Min probe — the distributed sibling of
+    * q_heavy_hitters' driver-side estimates: the builtin
+    * `count_min_sketch` aggregate builds ONE mergeable sketch over the
+    * whole stream (map-side combinable; the corpus is touched once), and
+    * the custom cms_estimate expression (graft.functions.CmsEstimate)
+    * probes it per row of a probe RELATION under a broadcast join — no
+    * estimate ever rides through the driver, so the probe side can be a
+    * table, not a 10-value parameter list. Verdict oracling as in
+    * q_heavy_hitters: exact twin counts plus `never_under` (CMS
+    * min-of-counters ≥ truth by construction) and `within_bound`
+    * (overestimate ≤ 10·ε·N — generous slack on the probabilistic arm;
+    * seeded, so deterministic per SF). A key absent from the stream pins
+    * the zero-truth arm. */
+  val cmsProbe = QuerySpec(
+    "q_cms_probe",
+    (s, d) => {
+      import s.implicits._
+      val eps = 0.0001
+      val li = lineitem(s, d).select(col("l_suppkey").cast("long").as("k"))
+      val sketch = li.agg(
+        expr(s"count_min_sketch(k, ${eps}d, 0.99d, 42)").as("sk"))
+      val total = li.agg(count(lit(1)).as("n_total"))
+      val truth = li.where(col("k") <= 8)
+        .groupBy(col("k").as("probe_key"))
+        .agg(count(lit(1)).as("true_cnt"))
+        .unionByName(Seq((999999999L, 0L)).toDF("probe_key", "true_cnt"))
+      val est = graft.functions.CmsEstimate.cms_estimate(col("sk"),
+        col("probe_key"))
+      truth.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+        .select(col("probe_key"), col("true_cnt"),
+          (est >= col("true_cnt")).as("never_under"),
+          (est <= col("true_cnt") +
+            ceil(lit(10 * eps) * col("n_total")).cast("long"))
+            .as("within_bound"))
+        .orderBy("probe_key")
+    },
+    Some("""
+      WITH t AS (
+        SELECT CAST(l_suppkey AS BIGINT) AS probe_key,
+               CAST(count(*) AS BIGINT) AS true_cnt
+        FROM lineitem WHERE l_suppkey <= 8 GROUP BY 1
+        UNION ALL SELECT 999999999, 0
+      )
+      SELECT probe_key, true_cnt,
+             TRUE AS never_under, TRUE AS within_bound
+      FROM t ORDER BY probe_key
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg,
     cube, explodeTokens, upsert, heavyHitters, bloomProbe, incrementalAgg,
-    bloomJoin, kmvOverlap)
+    bloomJoin, kmvOverlap, cmsProbe)
 }
