@@ -521,7 +521,51 @@ object EventQueries {
       ORDER BY user_id
     """))
 
+  /** E5 sibling: XML extraction via Spark 4's native `from_xml` — the
+    * other structured-payload format a feed pipeline meets. Records are
+    * built in-plan from doc_id arithmetic and must round-trip through a
+    * REAL XML parse: an attribute (`_id` under the default attribute
+    * prefix), a text element, a numeric element, and a REPEATED element
+    * parsed as an array (projected back to scalars for the gate — the
+    * driver compare can't sort array cells). The oracle replays the
+    * arithmetic without parsing, so a schema-mapping or attribute-prefix
+    * bug hash-mismatches. */
+  val xmlExtract = QuerySpec(
+    "q_xml_extract",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val xml = concat(
+        lit("<rec id=\""), col("doc_id"), lit("\"><name>item-"),
+        (col("doc_id") % 7).cast("string"), lit("</name><qty>"),
+        (col("doc_id") % 100).cast("string"), lit("</qty><tags><tag>"),
+        (col("doc_id") % 3).cast("string"), lit("</tag><tag>"),
+        (col("doc_id") % 5).cast("string"), lit("</tag></tags></rec>"))
+      val schema = StructType(Seq(
+        StructField("_id", LongType), StructField("name", StringType),
+        StructField("qty", LongType),
+        StructField("tags",
+          StructType(Seq(StructField("tag", ArrayType(LongType)))))))
+      documents(s, d)
+        .select(col("doc_id"), from_xml(xml, schema).as("rec"))
+        .select(col("doc_id"), col("rec._id").as("xid"),
+          col("rec.name").as("name"), col("rec.qty").as("qty"),
+          size(col("rec.tags.tag")).cast("long").as("n_tags"),
+          element_at(col("rec.tags.tag"), 1).as("tag_a"),
+          element_at(col("rec.tags.tag"), 2).as("tag_b"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, doc_id AS xid,
+             'item-' || CAST(doc_id % 7 AS VARCHAR) AS name,
+             doc_id % 100 AS qty,
+             CAST(2 AS BIGINT) AS n_tags,
+             doc_id % 3 AS tag_a, doc_id % 5 AS tag_b
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
-    scd2, cohortRetention, attribution, outlierIqr, rfm, decayScore)
+    scd2, cohortRetention, attribution, outlierIqr, rfm, decayScore,
+    xmlExtract)
 }
