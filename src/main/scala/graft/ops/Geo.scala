@@ -44,17 +44,45 @@ object Geo {
     * Output: key_a, key_b, dist2 (all BIGINT). */
   def neighborPairs(points: DataFrame, cellSize: Long, radius: Long,
       ordered: Boolean = false): DataFrame = {
+    val keyPred =
+      if (ordered) col("key_a") =!= col("key_b") else col("key_a") < col("key_b")
+    blockedJoin(points, points, cellSize, radius, keyPred)
+  }
+
+  /** Radius join across TWO point sets (e.g. every customer to the
+    * suppliers within reach) — same one-meeting-cell guarantee, no key
+    * predicate: the sides are distinct relations, so every qualifying
+    * (left, right) pair appears exactly once. */
+  def bipartitePairs(left: DataFrame, right: DataFrame, cellSize: Long,
+      radius: Long): DataFrame =
+    blockedJoin(left, right, cellSize, radius, lit(true))
+
+  /** Per left-side point, the single nearest right-side point within
+    * `radius` (ties broken by key_b) — the "nearest station / nearest
+    * supplier" assignment. Left points with nothing in range are absent,
+    * not null-padded. */
+  def nearestNeighbor(left: DataFrame, right: DataFrame, cellSize: Long,
+      radius: Long): DataFrame = {
+    val w = Window.partitionBy("key_a").orderBy(col("dist2"), col("key_b"))
+    bipartitePairs(left, right, cellSize, radius)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("key_a", "key_b", "dist2")
+  }
+
+  private def blockedJoin(left: DataFrame, right: DataFrame, cellSize: Long,
+      radius: Long, keyPred: org.apache.spark.sql.Column): DataFrame = {
     require(radius > 0 && cellSize >= radius,
       s"3x3 neighbor cover needs 0 < radius <= cellSize, " +
         s"got radius=$radius cellSize=$cellSize")
-    val build = withCells(points, cellSize).select(
+    val build = withCells(left, cellSize).select(
       col("key").as("key_a"), col("x").as("xa"), col("y").as("ya"),
       col("cell_x"), col("cell_y"))
     // One top-level generator (Spark bans nested/expression-wrapped
     // generators): explode the 9 (dx, dy) offsets, then shift the home cell.
     val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
-    val probe = withCells(points, cellSize)
+    val probe = withCells(right, cellSize)
       .select(col("key").as("key_b"), col("x").as("xb"), col("y").as("yb"),
         col("cell_x"), col("cell_y"), explode(offsets).as("off"))
       .select(col("key_b"), col("xb"), col("yb"),
@@ -62,8 +90,6 @@ object Geo {
         (col("cell_y") + col("off.dy")).as("cell_y"))
     val dist2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
       (col("ya") - col("yb")) * (col("ya") - col("yb"))
-    val keyPred =
-      if (ordered) col("key_a") =!= col("key_b") else col("key_a") < col("key_b")
     build.join(probe, Seq("cell_x", "cell_y"))
       .where(keyPred && dist2 <= lit(radius * radius))
       .select(col("key_a"), col("key_b"), dist2.as("dist2"))

@@ -564,8 +564,42 @@ object EventQueries {
       ORDER BY doc_id
     """))
 
+  /** E5 third leg: single-record CSV parse via `from_csv` — the embedded-
+    * line shape (a CSV payload INSIDE a column, not a CSV file scan; the
+    * file scan is S6). The quoted field carries a literal comma and must
+    * survive: a naive split() dies exactly there, which is why the parse
+    * is worth gating. Oracle replays the arithmetic, never parsing. */
+  val csvExtract = QuerySpec(
+    "q_csv_extract",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val line = concat(
+        col("doc_id").cast("string"), lit(",name-"),
+        (col("doc_id") % 7).cast("string"), lit(","),
+        (col("doc_id") % 100).cast("string"), lit(",\"v,"),
+        (col("doc_id") % 3).cast("string"), lit("\""))
+      val schema = StructType(Seq(
+        StructField("cid", LongType), StructField("name", StringType),
+        StructField("qty", LongType), StructField("note", StringType)))
+      documents(s, d)
+        .select(col("doc_id"),
+          from_csv(line, schema, Map.empty[String, String]).as("rec"))
+        .select(col("doc_id"), col("rec.cid").as("cid"),
+          col("rec.name").as("name"), col("rec.qty").as("qty"),
+          col("rec.note").as("note"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, doc_id AS cid,
+             'name-' || CAST(doc_id % 7 AS VARCHAR) AS name,
+             doc_id % 100 AS qty,
+             'v,' || CAST(doc_id % 3 AS VARCHAR) AS note
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
     scd2, cohortRetention, attribution, outlierIqr, rfm, decayScore,
-    xmlExtract)
+    xmlExtract, csvExtract)
 }

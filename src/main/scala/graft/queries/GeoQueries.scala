@@ -112,5 +112,56 @@ object GeoQueries {
       ORDER BY cell_x, cell_y
     """))
 
-  def all: Seq[QuerySpec] = Seq(neighborJoin, knn, gridAgg)
+  /** Supplier plane under DIFFERENT mix constants, so the two relations
+    * are spatially independent. */
+  private def supplierPoints(s: SparkSession, d: String): DataFrame = {
+    val u = (col("s_suppkey") * lit(2246822519L)) % lit(1048573L)
+    val v = (col("s_suppkey") * lit(3266489917L) + lit(54321L)) % lit(1048573L)
+    supplier(s, d).select(
+      col("s_suppkey").as("key"),
+      ((u * u) % lit(1000000L)).as("x"),
+      ((v * v) % lit(1000000L)).as("y"))
+  }
+
+  private val BiCell = 50000L // supplier density is 10x lower: wider reach
+
+  /** Nearest-supplier assignment: for every customer, the closest
+    * supplier within 50k units (ties by supplier key) — the bipartite
+    * radius join + per-key argmin. Customers with no supplier in range
+    * are absent, not null-padded (the honest bounded-radius semantics).
+    * The oracle brute-forces customers × suppliers and replays the
+    * argmin with a window. */
+  val nearest = QuerySpec(
+    "q_geo_nearest",
+    (s, d) =>
+      Geo.nearestNeighbor(points(s, d), supplierPoints(s, d), BiCell, BiCell)
+        .orderBy("key_a"),
+    Some(s"""
+      $PtsCte,
+      sb AS (
+        SELECT s_suppkey AS k,
+               (s_suppkey * 2246822519) % 1048573 AS u,
+               (s_suppkey * 3266489917 + 54321) % 1048573 AS v
+        FROM supplier
+      ),
+      spts AS (
+        SELECT k, (u * u) % 1000000 AS x, (v * v) % 1000000 AS y FROM sb
+      ),
+      cand AS (
+        SELECT c.k AS key_a, s.k AS key_b,
+               (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+        FROM pts c JOIN spts s
+          ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+             <= ${BiCell * BiCell}
+      )
+      SELECT key_a, key_b, dist2 FROM (
+        SELECT key_a, key_b, dist2,
+               row_number() OVER (PARTITION BY key_a
+                                  ORDER BY dist2, key_b) AS rn
+        FROM cand)
+      WHERE rn = 1
+      ORDER BY key_a
+    """))
+
+  def all: Seq[QuerySpec] = Seq(neighborJoin, knn, gridAgg, nearest)
 }

@@ -551,7 +551,45 @@ object QualityQueries {
       ORDER BY doc_id
     """))
 
+  /** Keyed pseudonymization — the privacy step between raw PII and
+    * redaction: replace an identifier with a keyed digest so records
+    * still JOIN on the pseudonym (same input, same token — unlike
+    * q_pii_redact's destructive masking) but the identity needs the key.
+    * Salt prepended, SHA-256, truncated to a 16-hex-char token (64 bits:
+    * birthday-safe to ~2^32 subjects — far past any real user table).
+    * SHA-256 is bit-identical everywhere, so this is an EXACT oracle:
+    * DuckDB recomputes the same digests. The self-join arm proves
+    * pseudonyms still link: per-token row counts replay the per-customer
+    * counts. */
+  val pseudonymize = QuerySpec(
+    "q_pseudonymize",
+    (s, d) => {
+      val token = substring(
+        sha2(concat(lit("pepper:v1:"), col("c_custkey").cast("string")), 256),
+        1, 16)
+      val toks = customer(s, d).select(col("c_custkey"), token.as("token"),
+        col("c_mktsegment"))
+      toks.groupBy("token", "c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), min("c_custkey").as("orig_min"))
+        .orderBy("token")
+    },
+    Some("""
+      WITH t AS (
+        SELECT c_custkey,
+               substr(sha256('pepper:v1:' || CAST(c_custkey AS VARCHAR)),
+                      1, 16) AS token,
+               c_mktsegment
+        FROM customer
+      )
+      SELECT token, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(c_custkey) AS orig_min
+      FROM t
+      GROUP BY token, c_mktsegment
+      ORDER BY token
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
-      kAnonymity, dpCounts, abTest, compressRatio)
+      kAnonymity, dpCounts, abTest, compressRatio, pseudonymize)
 }

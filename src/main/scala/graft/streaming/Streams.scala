@@ -153,4 +153,13 @@ object Streams {
         expr("count(temp)").as("n_temp"),
         expr("count(1)").as("n_obs"))
   }
+
+  /** Streaming twin of q_geo_grid_agg: the map's heat layer maintained
+    * live over a point stream. Delegates to the SAME
+    * [[graft.ops.Geo.gridAggregate]] body the batch query runs, so the
+    * two cannot drift; every aggregate in it (count/min/max/sum) is
+    * mergeable, and state is one row per OCCUPIED grid cell — bounded by
+    * the grid, not the stream. */
+  def gridDensity(points: DataFrame, cellSize: Long): DataFrame =
+    graft.ops.Geo.gridAggregate(points, cellSize)
 }

@@ -536,4 +536,14 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning"))
     assert(hashExchanges <= 1, s"expected one stream shuffle, got $hashExchanges:\n$p")
   }
+
+  test("spatial radius join is an equi-join on grid cells — never a cross product") {
+    // The whole point of grid blocking: a distance join that planned a
+    // cartesian (then filtered) would be n² at any scale. The physical
+    // join must key on (cell_x, cell_y).
+    val p = plan(SparkEntry.queries("q_geo_neighbor_join")(spark, Sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cell_x") && p.contains("cell_y"), p)
+  }
 }

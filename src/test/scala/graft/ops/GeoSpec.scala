@@ -105,6 +105,33 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("bipartitePairs equals brute force across two clouds") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 10) {
+      val a = randomPts(rnd, rnd.nextInt(40))
+      val b = randomPts(rnd, rnd.nextInt(40))
+      val r = 1L + rnd.nextInt(400)
+      val got = Geo.bipartitePairs(pointsDf(a), pointsDf(b), r + 3, r)
+        .collect().map(w => (w.getLong(0), w.getLong(1), w.getLong(2))).toSeq
+      val exp = (for {
+        (ka, xa, ya) <- a; (kb, xb, yb) <- b
+        d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+        if d2 <= r * r
+      } yield (ka, kb, d2)).toSet
+      assert(got.size === got.toSet.size, "pair emitted more than once")
+      assert(got.toSet === exp)
+    }
+  }
+
+  test("nearestNeighbor picks the argmin and omits out-of-range lefts") {
+    val left = Seq((1L, 0L, 0L), (2L, 500L, 500L))
+    val right = Seq((10L, 3L, 0L), (11L, 0L, 3L), (12L, 1L, 1L))
+    val got = Geo.nearestNeighbor(pointsDf(left), pointsDf(right), 10L, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // key 1 -> 12 at dist2=2; key 2 has nothing within 10 -> absent
+    assert(got.toSeq === Seq((1L, 12L, 2L)))
+  }
+
   test("radius > cellSize is rejected (3x3 cover would be silently lossy)") {
     intercept[IllegalArgumentException] {
       Geo.neighborPairs(pointsDf(Seq((1L, 0L, 0L))), 10L, 11L)

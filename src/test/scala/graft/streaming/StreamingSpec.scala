@@ -225,4 +225,31 @@ class StreamingSpec extends SparkSpec {
       (r(0), r(6).asInstanceOf[Long], r(7).asInstanceOf[Long])).toSet
     assert(byStation === Set(("A07100", 3L, 3L), ("A07101", 1L, 2L)))
   }
+
+  test("streaming grid density equals the batch rollup across micro-batches") {
+    // two batches landing in overlapping cells: the per-cell state must
+    // MERGE (count adds, min/max fold, sum adds), not overwrite
+    val chunk1 = Seq((1L, 5L, 5L), (2L, 17L, 5L), (3L, 5L, 17L))
+    val chunk2 = Seq((4L, 7L, 7L), (5L, 25L, 25L))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = Streams.gridDensity(
+        mem.toDF().toDF("key", "x", "y"), cellSize = 10L)
+      .writeStream.format("memory").queryName("t_grid")
+      .outputMode("complete").start()
+    try {
+      mem.addData(chunk1: _*)
+      q.processAllAvailable()
+      mem.addData(chunk2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_grid").orderBy("cell_x", "cell_y")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Geo.gridAggregate(
+        (chunk1 ++ chunk2).toDF("key", "x", "y"), 10L)
+      .orderBy("cell_x", "cell_y").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // cell (0,0) saw keys 1 and 4 across different micro-batches
+    assert(streamed.head === Seq(0L, 0L, 2L, 1L, 4L, 5L))
+  }
 }
