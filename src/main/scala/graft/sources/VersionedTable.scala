@@ -80,6 +80,38 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def overwrite(df: DataFrame, expectedHead: Option[Int] = None): Int =
     commit(df, replace = true, expected = expectedHead)
 
+  /** File-level change-data capture for append-only flows: the rows
+    * committed strictly after `sinceVersion` (by versions
+    * sinceVersion+1 .. head). This is the incremental-ingest read — a
+    * downstream consumer remembers the version it last processed and
+    * asks for the delta, touching only the NEW files, never rescanning
+    * the table. File granularity cannot express an overwrite's row-level
+    * delta, so a remove anywhere in the range fails loudly instead of
+    * returning adds that double-count rewritten rows. */
+  def changesSince(sinceVersion: Int): DataFrame = {
+    val head = currentVersion()
+    require(sinceVersion >= -1 && sinceVersion <= head,
+      s"changesSince($sinceVersion): table $root is at version $head")
+    if (sinceVersion == head)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        lastSchema(head))
+    val range = listLog()
+      .filter(p => versionOf(p) > sinceVersion && versionOf(p) <= head)
+    val entries = range.flatMap(parseLog)
+    val removed = entries.collect { case (false, f) => f }
+    require(removed.isEmpty,
+      s"changesSince($sinceVersion): versions ${sinceVersion + 1}..$head " +
+        s"contain an overwrite — file-level CDC is append-only; " +
+        s"re-read the snapshot instead")
+    val added = entries.collect { case (true, f) => f }
+    val vanished = added.filterNot(f => Files.exists(rootPath.resolve(f)))
+    if (vanished.nonEmpty) throw new IllegalStateException(
+      s"changesSince($sinceVersion) references vacuumed files: " +
+        vanished.mkString(", "))
+    spark.read.parquet(added.map(f => rootPath.resolve(f).toString): _*)
+  }
+
   /** Garbage-collect two classes of data file: orphans (on disk but never
     * logged — debris of failed commits) and history (files that only
     * snapshots ≤ `beforeVersion` reference; no retention clock, the
@@ -160,15 +192,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
   private def versionOf(p: Path): Int =
     p.getFileName.toString.stripSuffix(".json").toInt
 
+  private def parseLog(p: Path): Seq[(Boolean, String)] =
+    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      (line.contains("\"add\""), line.split("\"")(3))
+    }
+
   /** (isAdd, file) pairs for versions 0..v in commit order. */
   private def logEntries(v: Int): Seq[(Boolean, String)] =
-    listLog().filter(versionOf(_) <= v).flatMap { p =>
-      Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
-        val add = line.contains("\"add\"")
-        val file = line.split("\"")(3)
-        (add, file)
-      }
-    }
+    listLog().filter(versionOf(_) <= v).flatMap(parseLog)
 
   private def snapshotFiles(v: Int): Seq[String] = {
     val logs = listLog().filter(versionOf(_) <= v)

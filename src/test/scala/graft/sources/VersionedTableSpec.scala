@@ -83,6 +83,32 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalStateException](t.read(Some(0)).collect())
   }
 
+  test("changesSince returns exactly the appended delta, never a rescan") {
+    val (t, _) = fresh()
+    t.append(Seq(1, 2).toDF("x"))
+    t.append(Seq(3).toDF("x"))
+    t.append(Seq(4, 5).toDF("x"))
+    assert(t.changesSince(0).orderBy("x").as[Int].collect().toSeq ===
+      Seq(3, 4, 5))
+    assert(t.changesSince(1).orderBy("x").as[Int].collect().toSeq ===
+      Seq(4, 5))
+    assert(t.changesSince(2).collect().isEmpty) // caught up
+    assert(t.changesSince(-1).orderBy("x").as[Int].collect().toSeq ===
+      Seq(1, 2, 3, 4, 5)) // bootstrap = full table
+    intercept[IllegalArgumentException](t.changesSince(7))
+  }
+
+  test("changesSince across an overwrite fails loudly, not double-counting") {
+    val (t, _) = fresh()
+    t.append(Seq(1).toDF("x"))
+    t.overwrite(Seq(2).toDF("x"))
+    val ex = intercept[IllegalArgumentException](t.changesSince(0))
+    assert(ex.getMessage.contains("append-only"))
+    // a consumer that checkpoints AFTER the overwrite works again
+    t.append(Seq(3).toDF("x"))
+    assert(t.changesSince(1).as[Int].collect().toSeq === Seq(3))
+  }
+
   test("filters and pruning reach the snapshot's parquet scan") {
     val (t, _) = fresh()
     t.append((1 to 100).map(i => (i.toLong, s"n$i")).toDF("id", "name"))
