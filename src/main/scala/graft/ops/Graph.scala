@@ -100,6 +100,81 @@ object Graph {
     * no matter how hot the node.
     *
     * Returns (id, deg, rank) for every node. */
+  /** localCheckpoint + "rows with `flag` true" in one job — the
+    * [[checkpointWithCount]] discipline when convergence is "how many
+    * rows CHANGED", not "how many rows exist". */
+  private def checkpointWithFlagCount(df: DataFrame,
+      flag: String): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = df
+      .observe(obs, sum(col(flag).cast("long")).as("n"))
+      .localCheckpoint()
+    val n = obs.get("n") match {
+      case null => 0L // sum over zero rows is null
+      case v => v.asInstanceOf[Long]
+    }
+    (out, n)
+  }
+
+  /** Bounded-hop weighted shortest paths (Bellman–Ford with a frontier):
+    * dist(v) = min total weight over paths of ≤ `maxHops` edges from any
+    * seed. Each round relaxes ONLY the frontier's adjacency (nodes whose
+    * distance improved last round) — on most graphs the frontier
+    * collapses long before the bound, and the early-exit fires the
+    * moment a round improves nothing. The hop bound is the honest 100 TB
+    * scoping (the same argument as [[bfsHops]]): unbounded SSSP on an
+    * adversarial chain is O(V) sequential rounds no engine should
+    * promise.
+    *
+    * One action per round (the improved-count rides the merge
+    * checkpoint); the merged frame is V rows max, weights/distances are
+    * exact int64 — portable to a step-unrolled SQL oracle.
+    *
+    * Returns (id, dist) for every node within `maxHops` edges of a seed;
+    * seeds at dist 0. */
+  def ssspBounded(edges: DataFrame, aCol: String, bCol: String,
+      wCol: String, seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val und = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .repartition(col("src"))
+      // parallel edges keep the lightest: min-plus semantics, and the
+      // dedup rides the repartition like bfsHops' distinct
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .sortWithinPartitions("src")
+      .cache()
+    var best = seeds.select(col(idCol).cast("long").as("id"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var frontier = best
+    var round = 1
+    var improved = frontier.count()
+    while (improved > 0 && round <= maxHops) {
+      val cand = und
+        .join(frontier.select(col("id").as("src"), col("dist").as("d0")),
+          "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("d0") + col("w")).as("cand"))
+      val (merged, n) = checkpointWithFlagCount(
+        best.join(cand, Seq("id"), "full_outer")
+          .select(col("id"),
+            coalesce(least(col("dist"), col("cand")), col("dist"),
+              col("cand")).as("dist"),
+            (col("cand").isNotNull &&
+              (col("dist").isNull || col("cand") < col("dist")))
+              .as("improved")),
+        "improved")
+      improved = n
+      best = merged.select("id", "dist")
+      frontier = merged.where(col("improved")).select("id", "dist")
+      round += 1
+    }
+    und.unpersist()
+    best
+  }
+
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
       iters: Int, damping: Double = 0.85, segSize: Int = 1 << 16): DataFrame = {
     require(segSize >= 2, s"segSize=$segSize must be at least 2")

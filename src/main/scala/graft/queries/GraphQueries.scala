@@ -263,5 +263,60 @@ object GraphQueries {
     """
     })
 
-  val all: Seq[QuerySpec] = Seq(graphHops, triangles, pagerank, kcore)
+  /** Bounded-hop weighted shortest paths from the same seed set over the
+    * co-occurrence graph with deterministic integer weights — the
+    * Bellman–Ford frontier loop (Graph.ssspBounded), min-plus exact in
+    * int64. The oracle UNROLLS the four relaxation steps as plain CTEs
+    * (d0..d4, each V rows) instead of a recursive walk whose UNION ALL
+    * path count is combinatorial — exact Bellman–Ford, linear oracle.
+    * The hop bound is the honest scale scoping: unbounded SSSP on an
+    * adversarial chain is O(V) sequential rounds. */
+  val sssp = QuerySpec(
+    "q_sssp",
+    (s, d) => {
+      val e = freqEdges(s, d)
+        .withColumn("w", (col("a") * 7 + col("b") * 13) % 20 + 1)
+        .cache() // two consumers: seed derivation + the relaxation loop
+      val nodes = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id"))).distinct()
+      val seeds = nodes.filter(pmod(col("id"), lit(500)) === 0)
+      Graph.ssspBounded(e, "a", "b", "w", seeds, "id", maxHops = 4)
+        .select(col("id").as("part_id"), col("dist"))
+        .orderBy("part_id")
+    },
+    Some(s"""
+      WITH $FreqEdgeSql,
+      wedge AS (
+        SELECT a AS s, b AS t, (a * 7 + b * 13) % 20 + 1 AS w FROM fedge
+        UNION ALL
+        SELECT b, a, (a * 7 + b * 13) % 20 + 1 FROM fedge
+      ),
+      d0 AS (
+        SELECT DISTINCT s AS id, CAST(0 AS BIGINT) AS dist FROM wedge
+        WHERE s % 500 = 0
+      ),
+      d1 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d0
+               UNION ALL
+               SELECT e.t, d.dist + e.w FROM d0 d JOIN wedge e ON e.s = d.id)
+             GROUP BY id),
+      d2 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d1
+               UNION ALL
+               SELECT e.t, d.dist + e.w FROM d1 d JOIN wedge e ON e.s = d.id)
+             GROUP BY id),
+      d3 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d2
+               UNION ALL
+               SELECT e.t, d.dist + e.w FROM d2 d JOIN wedge e ON e.s = d.id)
+             GROUP BY id),
+      d4 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d3
+               UNION ALL
+               SELECT e.t, d.dist + e.w FROM d3 d JOIN wedge e ON e.s = d.id)
+             GROUP BY id)
+      SELECT id AS part_id, dist FROM d4 ORDER BY part_id
+    """))
+
+  val all: Seq[QuerySpec] = Seq(graphHops, triangles, pagerank, kcore, sssp)
 }

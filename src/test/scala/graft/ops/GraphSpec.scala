@@ -31,6 +31,58 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 1)) // the 10–11 component is unreached
   }
 
+  test("ssspBounded: weighted min-plus distances, hop bound binds, lighter multi-hop wins") {
+    // 1-2-3 light chain vs a heavy 1-3 chord; pendant 3-4; isolated 9-10
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 1L),
+      (9L, 10L, 2L)).toDF("a", "b", "w")
+    val seeds = Seq(1L).toDF("id")
+    def run(k: Int) =
+      Graph.ssspBounded(edges, "a", "b", "w", seeds, "id", maxHops = k)
+        .as[(Long, Long)].collect().toMap
+    // 2 hops: node 3 takes the light 2-hop path (2), node 4 only via the
+    // heavy chord (5+1); 3 hops: node 4 improves to 1+1+1
+    assert(run(2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 6L))
+    assert(run(3) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // generous bound changes nothing once converged (early exit)
+    assert(run(20) === run(3))
+  }
+
+  test("ssspBounded: parallel edges keep the lighter; multiple seeds take the nearer") {
+    val edges = Seq((1L, 2L, 9L), (1L, 2L, 3L), (2L, 3L, 1L)).toDF("a", "b", "w")
+    val seeds = Seq(1L, 3L).toDF("id")
+    val got = Graph.ssspBounded(edges, "a", "b", "w", seeds, "id", maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
+  }
+
+  test("ssspBounded equals brute-force bounded Bellman-Ford on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 8) {
+      val n = 2 + rnd.nextInt(18)
+      val edges = (1 to (n * 2)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(9))
+      }.filter(e => e._1 != e._2)
+      val k = 1 + rnd.nextInt(5)
+      val seeds = (0 until n).filter(_ % 3 == 0).map(_.toLong)
+      if (edges.nonEmpty && seeds.nonEmpty) {
+        val got = Graph.ssspBounded(edges.toDF("a", "b", "w"), "a", "b", "w",
+            seeds.toDF("id"), "id", maxHops = k)
+          .as[(Long, Long)].collect().toMap
+        // reference: k rounds of full relaxation over the undirected edges
+        val und = edges.flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+        var dist = seeds.map(_ -> 0L).toMap
+        for (_ <- 1 to k) {
+          val relax = und.flatMap { case (s, t, w) =>
+            dist.get(s).map(ds => t -> (ds + w))
+          }
+          dist = (dist.toSeq ++ relax).groupBy(_._1)
+            .map { case (id, ds) => id -> ds.map(_._2).min }
+        }
+        assert(got === dist, s"n=$n k=$k edges=$edges")
+      }
+    }
+  }
+
   test("pageRank: mass conserves, symmetry respected, hub ranks highest") {
     // star: 1 is the hub of 2,3,4 plus a 2–3 chord; no dangling nodes
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("a", "b")
