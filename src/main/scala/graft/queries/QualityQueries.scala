@@ -589,7 +589,61 @@ object QualityQueries {
       ORDER BY token
     """))
 
+  /** Categorical association profile — the drift/leakage detector run
+    * before a feature or a sampling dimension ships: per (lang, source)
+    * cell, the exact contingency counts plus pointwise mutual
+    * information and the chi-square contribution. PMI tells WHICH cells
+    * drive the association a single summary statistic hides; the same
+    * pattern covers label-vs-source leakage checks. Exact integer
+    * counts; each double is one fixed IEEE sequence (cast exact ints,
+    * one divide, one log2 / one square-divide) mirrored operator-for-
+    * operator in the oracle, rounded once to 6 decimals to absorb
+    * libm's last-ulp log2 drift — the q_char_entropy precedent. */
+  val mutualInfo = QuerySpec(
+    "q_mutual_info",
+    (s, d) => {
+      val base = documents(s, d).select("lang", "source")
+      val cell = base.groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
+      val nx = base.groupBy("lang").agg(count(lit(1)).as("n_x"))
+      val ny = base.groupBy("source").agg(count(lit(1)).as("n_y"))
+      val tot = base.agg(count(lit(1)).as("n_tot"))
+      val pmi = round(
+        log2((col("n_xy") * col("n_tot")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")), 6)
+      val expCnt = (col("n_x") * col("n_y")).cast("double") /
+        col("n_tot").cast("double")
+      val chi = round(
+        (col("n_xy").cast("double") - expCnt) *
+          (col("n_xy").cast("double") - expCnt) / expCnt, 6)
+      cell.join(nx, "lang").join(ny, "source").crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_xy"), col("n_x"),
+          col("n_y"), pmi.as("pmi"), chi.as("chi2_cell"))
+        .orderBy("lang", "source")
+    },
+    Some("""
+      WITH cell AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+        FROM documents GROUP BY 1, 2
+      ),
+      nx AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_x
+             FROM documents GROUP BY 1),
+      ny AS (SELECT source, CAST(count(*) AS BIGINT) AS n_y
+             FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents)
+      SELECT lang, source, n_xy, n_x, n_y,
+             round(log2(CAST(n_xy * n_tot AS DOUBLE) /
+                        CAST(n_x * n_y AS DOUBLE)), 6) AS pmi,
+             round((CAST(n_xy AS DOUBLE) -
+                      CAST(n_x * n_y AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   * (CAST(n_xy AS DOUBLE) -
+                      CAST(n_x * n_y AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   / (CAST(n_x * n_y AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6)
+               AS chi2_cell
+      FROM cell JOIN nx USING (lang) JOIN ny USING (source) CROSS JOIN tot
+      ORDER BY lang, source
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
-      kAnonymity, dpCounts, abTest, compressRatio, pseudonymize)
+      kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo)
 }
