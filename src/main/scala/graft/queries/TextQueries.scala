@@ -1665,7 +1665,58 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** Shingle-novelty curve — per doc, the fraction of its 3-shingles the
+    * corpus has NOT seen in any earlier doc (arrival order = doc_id):
+    * the freshness signal that separates new content from remixes of
+    * what's already collected, and the complement of boilerplate df.
+    * Rides the [[shingledDocs]] cache; one first-occurrence aggregate
+    * (min doc_id per shingle) + a posting join back. At 100 TB the
+    * first-seen table IS the incremental dedup index the pipeline
+    * already maintains. Docs with zero shingles are absent, not
+    * zero-padded (nothing to score). The ratio is one IEEE division of
+    * exact ints — portable unrounded. */
+  val novelty = QuerySpec(
+    "q_novelty",
+    (s, d) => {
+      val posts = shingledDocs(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val first = posts.groupBy("s").agg(min("doc_id").as("first_doc"))
+      posts.join(first, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_shingles").cast("double"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      ),
+      posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      fst AS (SELECT s, min(doc_id) AS first_doc FROM posts GROUP BY 1)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+      FROM posts JOIN fst USING (s)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
+    novelty,
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,
     repetition, piiRedact, decontaminate, dedupClusters, vocabBuild,
