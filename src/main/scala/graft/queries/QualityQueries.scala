@@ -643,7 +643,53 @@ object QualityQueries {
       ORDER BY lang, source
     """))
 
+  /** Benford first-significant-digit profile of order totals — the
+    * classic fabricated-numbers detector (naturally-grown magnitudes
+    * follow log10(1+1/d); synthetic or clamped ones don't). Digit
+    * extraction is EXACT: cents = round(x·100) (the 2-decimal source
+    * makes the fp error ≪ 0.5, so HALF_UP-vs-HALF_EVEN can't disagree),
+    * then first char of the INTEGER's string — integer-to-string is
+    * bit-exact in both engines, where floor(log10(x)) on doubles is a
+    * libm coin flip at powers of ten. obs_frac is one IEEE division;
+    * the expected-law terms round once at 6 decimals. */
+  val benford = QuerySpec(
+    "q_benford",
+    (s, d) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val digit = substring(cents.cast("string"), 1, 1).cast("int")
+      val tot = orders(s, d).agg(count(lit(1)).as("n_tot"))
+      orders(s, d)
+        .select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          (col("n_obs").cast("double") / col("n_tot").cast("double"))
+            .as("obs_frac"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("exp_frac"),
+          round(col("n_obs").cast("double") / col("n_tot").cast("double") -
+            log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("excess"))
+        .orderBy("digit")
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+      ),
+      g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+            FROM d GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM orders)
+      SELECT digit, n_obs,
+             CAST(n_obs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS obs_frac,
+             round(log10(1.0 + 1.0 / digit), 6) AS exp_frac,
+             round(CAST(n_obs AS DOUBLE) / CAST(n_tot AS DOUBLE)
+                   - log10(1.0 + 1.0 / digit), 6) AS excess
+      FROM g CROSS JOIN tot
+      ORDER BY digit
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
-      kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo)
+      kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo,
+      benford)
 }

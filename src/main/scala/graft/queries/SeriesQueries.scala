@@ -343,6 +343,49 @@ object SeriesQueries {
       FROM b
     """))
 
+  /** Rolling EXACT median over a trailing 5-row frame per user — the
+    * robust smoother a spike-ridden series needs where a moving average
+    * chases every outlier (q_moving_sum's robust sibling). Median as a
+    * true window aggregate: the frame is ≤ 5 values, so the per-row sort
+    * is constant work and the shuffle is one hash exchange on user_id —
+    * the q_moving_sum plan shape exactly. Values are copied doubles;
+    * the even-frame midpoint is (a+b)/2 — one IEEE sequence both engines
+    * share. Frame order (ts, event_id) is total, so frame CONTENTS are
+    * deterministic under ties. Spark rejects `median` with an explicit
+    * frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the engine
+    * sorts the ≤5-element frame array and picks the midpoint — the same
+    * selection DuckDB's windowed median performs. */
+  val rollingMedian = QuerySpec(
+    "q_rolling_median",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      val vals = array_sort(collect_list(col("value")).over(w))
+      val n = size(vals)
+      // Column `/` is double division; the indices must be ints
+      val med = when(n % 2 === 1,
+          element_at(vals, ((n + 1) / 2).cast("int")))
+        .otherwise((element_at(vals, (n / 2).cast("int")) +
+          element_at(vals, (n / 2).cast("int") + 1)) / 2.0)
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"), med.as("med5"),
+          count(lit(1)).over(w).as("n_in_frame"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""
+      SELECT user_id, ts, event_id, value,
+             median(value) OVER w AS med5,
+             count(*) OVER w AS n_in_frame
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts, event_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(
-    streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti)
+    streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
+    rollingMedian)
 }
