@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Model-evaluation metrics — the scoring half of the reference's ML loop
+  * (untitled.py:236-240 stops at RMSE; a production quality-classifier
+  * pipeline, e.g. the q_quality_logreg filter, also needs ROC-AUC,
+  * thresholded precision/recall, and a calibration read before its scores
+  * gate data). All three queries share one deterministic scored frame:
+  * score = per-order revenue (Σ l_extendedprice, decimal-exact), label =
+  * "order has ≥ 4 line items" — mechanically correlated (more lines ⇒
+  * more revenue; AUC ≈ 0.92 at every SF) yet noisy enough that no
+  * confusion cell or calibration bin degenerates.
+  *
+  * Exactness: every metric reduces to INTEGER sufficient statistics
+  * (rank sums ×2 to clear the tie-average halves, confusion cells, bin
+  * counts) with ONE final double division — a single IEEE op over exact
+  * operands is bit-identical in any engine, so the oracle is exact, no
+  * verdict pattern needed.
+  */
+object EvalQueries {
+
+  /** (id, score, label) per order. The label join is an aggregate of the
+    * fact table on its key — map-side combinable, shuffles once. */
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        // decimal accumulation: a raw double sum is partition-order
+        // nondeterministic (the verify-skill discipline)
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("rev"))
+    orders(s, d).select("o_orderkey")
+      .join(items, Seq("o_orderkey"), "left")
+      .select(
+        col("o_orderkey").as("id"),
+        coalesce(col("rev"), lit(0.0)).as("score"),
+        (coalesce(col("n_items"), lit(0L)) >= 4).cast("int").as("label"))
+  }
+
+  private val ScoredCte = """
+      scored AS (
+        SELECT o.o_orderkey AS id, coalesce(li.rev, 0.0) AS score,
+               CASE WHEN coalesce(li.n_items, 0) >= 4 THEN 1 ELSE 0 END
+                 AS label
+        FROM orders o LEFT JOIN (
+          SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+          FROM lineitem GROUP BY 1
+        ) li ON li.l_orderkey = o.o_orderkey
+      )"""
+
+  /** ROC-AUC by the tie-corrected Mann-Whitney rank sum:
+    * AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N), avgrank averaging within
+    * score ties. NO global window: the dense total-order rank comes from
+    * [[graft.ops.Ranks.globalRank]] (literal-cutpoint buckets +
+    * partition-local row_number), and the tie average needs only
+    * min/max rank PER SCORE — a map-side-combinable groupBy, after which
+    * avgrank·2 = min+max is integer. The final reduce is one row:
+    * AUC = (Σ pos·(mn+mx) − P(P+1)) / (2·P·N), integers until the one
+    * division. (Rank sums grow as n²: exact to ~2³¹ rows — beyond that a
+    * binned AUC over score quantiles is the production form.)
+    *
+    * The oracle replays avgrank with rank()/count() windows:
+    * 2·avgrank = 2·rank + ties − 1 = mn + mx, same integer. */
+  val auc = QuerySpec(
+    "q_auc",
+    (s, d) => {
+      val sc = scored(s, d)
+      val nParts = s.sessionState.conf.numShufflePartitions
+      val ranked = graft.ops.Ranks.globalRank(sc,
+        Seq(col("score"), col("id")), nParts, "__rn")
+      val perScore = ranked.groupBy("score").agg(
+        min("__rn").as("mn"), max("__rn").as("mx"),
+        sum(col("label").cast("long")).as("pos"),
+        count(lit(1)).as("cnt"))
+      perScore
+        .agg(
+          sum(col("pos") * (col("mn") + col("mx"))).as("sum2"),
+          sum(col("pos")).as("n_pos"),
+          sum(col("cnt") - col("pos")).as("n_neg"))
+        .select(
+          ((col("sum2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (col("n_pos") * col("n_neg") * 2L).cast("double")).as("auc"),
+          col("n_pos"), col("n_neg"))
+    },
+    Some(s"""
+      WITH $ScoredCte,
+      ranked AS (
+        SELECT label,
+               rank() OVER (ORDER BY score) AS r,
+               count(*) OVER (PARTITION BY score) AS c
+        FROM scored
+      ),
+      agg AS (
+        SELECT CAST(sum(CASE WHEN label = 1 THEN 2 * r + c - 1 ELSE 0 END)
+                    AS BIGINT) AS sum2,
+               CAST(sum(label) AS BIGINT) AS n_pos,
+               CAST(sum(1 - label) AS BIGINT) AS n_neg
+        FROM ranked
+      )
+      SELECT CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(n_pos * n_neg * 2 AS DOUBLE) AS auc,
+             n_pos, n_neg
+      FROM agg
+    """))
+
+  /** Confusion matrix + precision/recall/F1/accuracy at a fixed decision
+    * threshold (score ≥ 200000 predicts positive). One map-side-combinable
+    * aggregate over the scored frame; every cell is an exact long, every
+    * metric one double division (F1 in its single-division form
+    * 2tp/(2tp+fp+fn), so nothing compounds). */
+  val confusion = QuerySpec(
+    "q_confusion",
+    (s, d) => {
+      val t = lit(200000.0)
+      scored(s, d)
+        .withColumn("pred", (col("score") >= t).cast("long"))
+        .agg(
+          sum(col("label") * col("pred")).as("tp"),
+          sum((lit(1L) - col("label")) * col("pred")).as("fp"),
+          sum(col("label") * (lit(1L) - col("pred"))).as("fn"),
+          sum((lit(1L) - col("label")) * (lit(1L) - col("pred"))).as("tn"))
+        .select(
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+            .as("precision"),
+          (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+            .as("recall"),
+          ((col("tp") * 2L).cast("double") /
+            (col("tp") * 2L + col("fp") + col("fn")).cast("double")).as("f1"),
+          ((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
+            .as("accuracy"))
+    },
+    Some(s"""
+      WITH $ScoredCte,
+      cm AS (
+        SELECT
+          CAST(sum(label * pred) AS BIGINT) AS tp,
+          CAST(sum((1 - label) * pred) AS BIGINT) AS fp,
+          CAST(sum(label * (1 - pred)) AS BIGINT) AS fn,
+          CAST(sum((1 - label) * (1 - pred)) AS BIGINT) AS tn
+        FROM (SELECT label,
+                     CASE WHEN score >= 200000.0 THEN 1 ELSE 0 END AS pred
+              FROM scored)
+      )
+      SELECT tp, fp, fn, tn,
+             CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+             CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+             CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1,
+             CAST(tp + tn AS DOUBLE)
+               / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy
+      FROM cm
+    """))
+
+  /** Calibration read: 10 equal-width score bins (80k each, top bin
+    * open), per bin the observed positive rate vs the mean score — the
+    * reliability-diagram table. Bin assignment is a pure expression
+    * (floor of one exact IEEE division), the rollup one aggregate;
+    * mean score accumulates in decimal then divides once. */
+  val calibration = QuerySpec(
+    "q_calibration",
+    (s, d) =>
+      scored(s, d)
+        .withColumn("bin",
+          least(floor(col("score") / 80000.0), lit(9.0)).cast("int"))
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("label").cast("long")).as("n_pos"),
+          sum(col("score").cast("decimal(18,4)")).cast("double").as("ssum"))
+        .select(
+          col("bin"), col("n"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("frac_pos"),
+          (col("ssum") / col("n").cast("double")).as("mean_score"))
+        .orderBy("bin"),
+    Some(s"""
+      WITH $ScoredCte,
+      binned AS (
+        SELECT CAST(least(floor(score / 80000.0), 9.0) AS INTEGER) AS bin,
+               label, score
+        FROM scored
+      )
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS n_pos,
+             CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS frac_pos,
+             CAST(sum(CAST(score AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_score
+      FROM binned
+      GROUP BY bin
+      ORDER BY bin
+    """))
+
+  val all: Seq[QuerySpec] = Seq(auc, confusion, calibration)
+}

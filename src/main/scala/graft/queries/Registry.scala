@@ -8,5 +8,6 @@ object Registry {
       MlQueries.all ++ MultimodalQueries.all ++ AnalyticsQueries.all ++
       ExtendedQueries.all ++ PipelineQueries.all ++ GraphQueries.all ++
       StorageQueries.all ++ SeriesQueries.all ++ CurationQueries.all ++
-      QualityQueries.all ++ GsodQueries.all ++ GeoQueries.all
+      QualityQueries.all ++ GsodQueries.all ++ GeoQueries.all ++
+      EvalQueries.all
 }
