@@ -645,8 +645,77 @@ object AnalyticsQueries {
       FROM t ORDER BY probe_key
     """))
 
+  /** Frequent-itemset pairs with association metrics — market-basket
+    * mining (the "frequently bought together" table behind q_pagerank's
+    * co-occurrence graph, promoted to a first-class mining op): per part
+    * pair, support count, directional confidences, and lift. Top 100 by
+    * lift (ties broken by the pair key, so the limit is total-ordered).
+    *
+    * Scale shape: pair generation is the per-basket self-join (fan-out
+    * bounded by basket size², never table size); the MIN-SUPPORT floor
+    * prunes before any metric math (the Apriori downward-closure cut);
+    * item supports are one map-side-combinable aggregate joined back on
+    * the part key (broadcastable — it is dim-sized). Every metric is one
+    * double division of exact longs: conf(a→b) = n_ab/n_a,
+    * lift = n_ab·N / (n_a·n_b). A skewed mega-basket (one order with 10⁵
+    * parts) is the known failure mode at scale — cap basket size upstream
+    * or salt the order key, the q_skew_join precedent. */
+  val itemsets = QuerySpec(
+    "q_itemsets",
+    (s, d) => {
+      val b = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nB = b.select("ok").distinct().agg(count(lit(1)).as("n_baskets"))
+      val item = b.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pairs = b.as("x")
+        .join(b.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(item.select(col("pk").as("a"), col("n_item").as("n_a")), "a")
+        .join(item.select(col("pk").as("b"), col("n_item").as("n_b")), "b")
+        .crossJoin(broadcast(nB))
+        .select(
+          col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          (col("n_ab").cast("double") / col("n_a").cast("double"))
+            .as("conf_ab"),
+          (col("n_ab").cast("double") / col("n_b").cast("double"))
+            .as("conf_ba"),
+          ((col("n_ab") * col("n_baskets")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(100)
+    },
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem),
+      nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+      item AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item
+               FROM b GROUP BY 1),
+      pairs AS (
+        SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+      )
+      SELECT p.a, p.b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+             CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS conf_ab,
+             CAST(p.n_ab AS DOUBLE) / CAST(ib.n_item AS DOUBLE) AS conf_ba,
+             CAST(p.n_ab * nb.n_baskets AS DOUBLE)
+               / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+      FROM pairs p
+      JOIN item ia ON ia.pk = p.a
+      JOIN item ib ON ib.pk = p.b
+      CROSS JOIN nb
+      ORDER BY lift DESC, a, b
+      LIMIT 100
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg,
     cube, explodeTokens, upsert, heavyHitters, bloomProbe, incrementalAgg,
-    bloomJoin, kmvOverlap, cmsProbe)
+    bloomJoin, kmvOverlap, cmsProbe, itemsets)
 }

@@ -82,4 +82,33 @@ class AnalyticsSpec extends SparkSpec {
       .filter(bloom_might_contain(lit(bf), xxhash64(col("k"))))
     assert(foreign.count() <= 100, "false-positive rate should stay low at 10 bits/key")
   }
+
+  test("itemsets: association metrics are internally consistent and pairs canonical") {
+    val rows = AnalyticsQueries.itemsets.run(spark, Sf001).collect()
+    assert(rows.length === 100)
+    val nBaskets = graft.Tables.lineitem(spark, Sf001)
+      .select("l_orderkey").distinct().count()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(a < b, "pairs must be canonical a < b")
+      val (nAb, nA, nB) =
+        (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(nAb >= 2 && nAb <= math.min(nA, nB))
+      assert(r.getAs[Double]("conf_ab") === nAb.toDouble / nA)
+      // lift = conf(a->b) / P(b); single-division forms must agree exactly
+      // up to the one extra rounding step of the composed form
+      val lift = r.getAs[Double]("lift")
+      assert(math.abs(lift - nAb.toDouble * nBaskets / (nA.toDouble * nB)) < 1e-12)
+      assert(lift > 1.0, "top-100 by lift on sparse baskets must be positive assoc")
+    }
+    // spot-check one pair's support by recount
+    val h = rows.head
+    val b = graft.Tables.lineitem(spark, Sf001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val n = b.filter(col("pk") === h.getAs[Long]("a"))
+      .join(b.filter(col("pk") === h.getAs[Long]("b"))
+        .select(col("ok")), "ok")
+      .count()
+    assert(n === h.getAs[Long]("n_ab"))
+  }
 }
