@@ -44,9 +44,18 @@ object Geo {
     * Output: key_a, key_b, dist2 (all BIGINT). */
   def neighborPairs(points: DataFrame, cellSize: Long, radius: Long,
       ordered: Boolean = false): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    neighborPairs2(points, cellSize, radius * radius, ordered)
+  }
+
+  /** [[neighborPairs]] with the threshold given as SQUARED distance —
+    * for callers whose ε² is derived (e.g. area/n) and has no exact
+    * integer square root. */
+  def neighborPairs2(points: DataFrame, cellSize: Long, radius2: Long,
+      ordered: Boolean = false): DataFrame = {
     val keyPred =
       if (ordered) col("key_a") =!= col("key_b") else col("key_a") < col("key_b")
-    blockedJoin(points, points, cellSize, radius, keyPred)
+    blockedJoin(points, points, cellSize, radius2, keyPred)
   }
 
   /** Radius join across TWO point sets (e.g. every customer to the
@@ -54,8 +63,10 @@ object Geo {
     * predicate: the sides are distinct relations, so every qualifying
     * (left, right) pair appears exactly once. */
   def bipartitePairs(left: DataFrame, right: DataFrame, cellSize: Long,
-      radius: Long): DataFrame =
-    blockedJoin(left, right, cellSize, radius, lit(true))
+      radius: Long): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    blockedJoin(left, right, cellSize, radius * radius, lit(true))
+  }
 
   /** Per left-side point, the single nearest right-side point within
     * `radius` (ties broken by key_b) — the "nearest station / nearest
@@ -71,10 +82,10 @@ object Geo {
   }
 
   private def blockedJoin(left: DataFrame, right: DataFrame, cellSize: Long,
-      radius: Long, keyPred: org.apache.spark.sql.Column): DataFrame = {
-    require(radius > 0 && cellSize >= radius,
-      s"3x3 neighbor cover needs 0 < radius <= cellSize, " +
-        s"got radius=$radius cellSize=$cellSize")
+      radius2: Long, keyPred: org.apache.spark.sql.Column): DataFrame = {
+    require(radius2 > 0 && cellSize * cellSize >= radius2,
+      s"3x3 neighbor cover needs 0 < radius2 <= cellSize^2, " +
+        s"got radius2=$radius2 cellSize=$cellSize")
     val build = withCells(left, cellSize).select(
       col("key").as("key_a"), col("x").as("xa"), col("y").as("ya"),
       col("cell_x"), col("cell_y"))
@@ -91,7 +102,7 @@ object Geo {
     val dist2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
       (col("ya") - col("yb")) * (col("ya") - col("yb"))
     build.join(probe, Seq("cell_x", "cell_y"))
-      .where(keyPred && dist2 <= lit(radius * radius))
+      .where(keyPred && dist2 <= lit(radius2))
       .select(col("key_a"), col("key_b"), dist2.as("dist2"))
   }
 
@@ -109,6 +120,76 @@ object Geo {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("key_a", "rank", "key_b", "dist2")
+  }
+
+  /** DBSCAN (Ester et al. 1996) at grid-join scale: density clustering
+    * without any all-pairs work or sequential region growing.
+    *
+    *  - ε-neighborhoods come from ONE [[neighborPairs]] grid-blocked join
+    *    (candidates Σ9·|cell|², never n²);
+    *  - core test (|N_ε(p)| ≥ minPts, the point itself counted) is a
+    *    map-side-combinable degree count over the pair list;
+    *  - clusters are the connected components of the CORE-CORE ε-graph —
+    *    exactly DBSCAN's density-connectivity — via the O(log n)-round
+    *    star contraction of [[Graph.twoStarComponents]], so a 10⁹-point
+    *    density ridge needs ~30 rounds, not a diameter-long crawl;
+    *  - border points (non-core with a core ε-neighbor) attach to their
+    *    NEAREST core's cluster, ties by core key — the deterministic
+    *    resolution of DBSCAN's classical border ambiguity (the original
+    *    algorithm assigns order-of-visit; an engine must not);
+    *  - everything else is noise (cluster_id = −1, role = 'noise').
+    *
+    * cluster_id = min core key of the density-connected component;
+    * a core with no core neighbor forms its own singleton cluster.
+    * Output: (key, role ∈ core|border|noise, cluster_id), one row per
+    * input point, localCheckpoint-materialized so the internal pair
+    * cache never leaks past the call (the prefixCandidates lesson). */
+  def dbscan(points: DataFrame, cellSize: Long, radius2: Long,
+      minPts: Int): DataFrame = {
+    require(minPts >= 2, s"minPts=$minPts must be at least 2")
+    val pairs = neighborPairs2(points, cellSize, radius2).cache()
+    val deg = pairs.select(col("key_a").as("key"))
+      .union(pairs.select(col("key_b").as("key")))
+      .groupBy("key").agg(count(lit(1)).as("__n"))
+    val flagged = points.select("key")
+      .join(deg, Seq("key"), "left")
+      .select(col("key"),
+        (coalesce(col("__n"), lit(0L)) + 1L >= minPts).as("is_core"))
+    val coreKeys = flagged.filter(col("is_core")).select("key")
+    val coreEdges = pairs
+      .join(coreKeys.select(col("key").as("key_a")), Seq("key_a"), "left_semi")
+      .join(coreKeys.select(col("key").as("key_b")), Seq("key_b"), "left_semi")
+    val (labels, _) = Graph.twoStarComponents(coreEdges, "key_a", "key_b")
+    val coreLab = coreKeys
+      .join(labels.select(col("id").as("key"), col("rep")), Seq("key"), "left")
+      .select(col("key"), coalesce(col("rep"), col("key")).as("cid"))
+    // border attach: directed (non-core → core) view of the SAME pairs
+    val dir = pairs
+      .select(col("key_a").as("p"), col("key_b").as("q"), col("dist2"))
+      .union(pairs
+        .select(col("key_b").as("p"), col("key_a").as("q"), col("dist2")))
+    val w = Window.partitionBy("p").orderBy(col("dist2"), col("q"))
+    val border = dir
+      .join(flagged.filter(!col("is_core")).select(col("key").as("p")),
+        Seq("p"), "left_semi")
+      .join(coreLab.select(col("key").as("q"), col("cid")), Seq("q"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("p").as("key"), col("cid"))
+    val out = flagged
+      .join(coreLab.select(col("key"), col("cid").as("__core_cid")),
+        Seq("key"), "left")
+      .join(border.select(col("key"), col("cid").as("__border_cid")),
+        Seq("key"), "left")
+      .select(col("key"),
+        when(col("is_core"), lit("core"))
+          .when(col("__border_cid").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__core_cid"), col("__border_cid"), lit(-1L))
+          .as("cluster_id"))
+      .localCheckpoint()
+    pairs.unpersist()
+    out
   }
 
   /** Density rollup per grid cell — the map pipeline's heat layer. One

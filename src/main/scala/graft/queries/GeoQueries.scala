@@ -163,5 +163,86 @@ object GeoQueries {
       ORDER BY key_a
     """))
 
-  def all: Seq[QuerySpec] = Seq(neighborJoin, knn, gridAgg, nearest)
+  /** DBSCAN over the customer plane ([[graft.ops.Geo.dbscan]]): grid-
+    * blocked ε-neighborhoods → degree-counted core test → two-star CC on
+    * the core-core graph → nearest-core border attach. ε² is DERIVED from
+    * the data as AREA_K / n (one bounded driver count, the globalRank
+    * build-job precedent), so the expected neighborhood size — and with
+    * it the core/border/noise mix (~22/55/23%) — is SF-invariant: a
+    * fixed ε would make everything core at 100× density and the gate
+    * would prove nothing. The oracle brute-forces the ε-graph n²-style,
+    * replays ε² with the same integer division, and labels components
+    * with a recursive min-label CTE (the q_cc_labels pattern). */
+  val dbscanQ = QuerySpec(
+    "q_dbscan",
+    (s, d) => {
+      val pts = points(s, d)
+      val n = pts.count()
+      val r2 = 540000000000L / n
+      val cell = math.ceil(math.sqrt(r2.toDouble)).toLong
+      Geo.dbscan(pts, cell, r2, minPts = 4)
+        .orderBy("key")
+    },
+    Some(s"""
+      WITH RECURSIVE base AS (
+        SELECT c_custkey AS k,
+               (c_custkey * 2654435761) % 1048573 AS u,
+               (c_custkey * 1103515245 + 12345) % 1048573 AS v
+        FROM customer
+      ),
+      pts AS (
+        SELECT k, (u * u) % 1000000 AS x, (v * v) % 1000000 AS y FROM base
+      ),
+      nn AS (SELECT count(*) AS n FROM pts),
+      pr AS (
+        SELECT a.k AS ka, b.k AS kb,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        FROM pts a, pts b, nn
+        WHERE a.k < b.k
+          AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 540000000000 // nn.n
+      ),
+      deg AS (SELECT k, count(*) AS nd FROM
+                (SELECT ka AS k FROM pr UNION ALL SELECT kb FROM pr)
+              GROUP BY 1),
+      flag AS (SELECT p.k, coalesce(d.nd, 0) + 1 >= 4 AS is_core
+               FROM pts p LEFT JOIN deg d ON d.k = p.k),
+      core AS (SELECT k FROM flag WHERE is_core),
+      cedges AS (
+        SELECT ka AS s, kb AS t FROM pr
+        WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)
+        UNION
+        SELECT kb, ka FROM pr
+        WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)
+      ),
+      reach(a, b) AS (
+        SELECT k, k FROM core
+        UNION
+        SELECT r.a, e.t FROM reach r JOIN cedges e ON r.b = e.s
+      ),
+      clab AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a),
+      dirp AS (SELECT ka AS p, kb AS q, d2 FROM pr
+               UNION ALL SELECT kb, ka, d2 FROM pr),
+      border AS (
+        SELECT p AS k, cid FROM (
+          SELECT d.p, cl.cid,
+                 row_number() OVER (PARTITION BY d.p
+                                    ORDER BY d.d2, d.q) AS rn
+          FROM dirp d
+          JOIN clab cl ON cl.k = d.q
+          JOIN flag f ON f.k = d.p AND NOT f.is_core)
+        WHERE rn = 1
+      )
+      SELECT f.k AS key,
+             CASE WHEN f.is_core THEN 'core'
+                  WHEN b.cid IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             coalesce(cl.cid, b.cid, -1) AS cluster_id
+      FROM flag f
+      LEFT JOIN clab cl ON cl.k = f.k
+      LEFT JOIN border b ON b.k = f.k
+      ORDER BY key
+    """))
+
+  def all: Seq[QuerySpec] = Seq(neighborJoin, knn, gridAgg, nearest, dbscanQ)
 }

@@ -139,5 +139,87 @@ class GeoSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Geo.gridAggregate(pointsDf(Seq((1L, 0L, 0L))), 0L)
     }
+    intercept[IllegalArgumentException] { // radius2 > cellSize² too
+      Geo.neighborPairs2(pointsDf(Seq((1L, 0L, 0L))), 10L, 101L)
+    }
+  }
+
+  /** Reference DBSCAN on driver arrays: brute-force neighborhoods, BFS
+    * region growing, nearest-core border attach (ties by core key). */
+  private def bruteDbscan(pts: Seq[(Long, Long, Long)], r2: Long,
+      minPts: Int): Map[Long, (String, Long)] = {
+    val nbr = pts.map { case (k, x, y) =>
+      k -> pts.filter { case (k2, x2, y2) =>
+        k2 != k && (x - x2) * (x - x2) + (y - y2) * (y - y2) <= r2
+      }.map(_._1).toSet
+    }.toMap
+    val core = pts.map(_._1).filter(k => nbr(k).size + 1 >= minPts).toSet
+    // components over core-core adjacency, labeled by min member
+    var label = core.map(k => k -> k).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (k <- core; n <- nbr(k) if core(n))
+        if (label(n) < label(k)) { label += k -> label(n); changed = true }
+    }
+    pts.map { case (k, _, _) =>
+      if (core(k)) k -> (("core", label(k)))
+      else {
+        val coreNbrs = nbr(k).filter(core)
+        if (coreNbrs.isEmpty) k -> (("noise", -1L))
+        else {
+          val (x, y) = pts.find(_._1 == k).map(p => (p._2, p._3)).get
+          val q = coreNbrs.minBy { c =>
+            val (cx, cy) = pts.find(_._1 == c).map(p => (p._2, p._3)).get
+            ((x - cx) * (x - cx) + (y - cy) * (y - cy), c)
+          }
+          k -> (("border", label(q)))
+        }
+      }
+    }.toMap
+  }
+
+  test("dbscan equals the reference algorithm on random clustered clouds") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val pts = randomPts(rnd, 30 + rnd.nextInt(41))
+      val r2 = 400L + rnd.nextInt(2000)
+      val cell = math.ceil(math.sqrt(r2.toDouble)).toLong
+      val got = Geo.dbscan(pointsDf(pts), cell, r2, minPts = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      assert(got === bruteDbscan(pts, r2, 4))
+    }
+  }
+
+  test("dbscan crafted case: blob is one cluster, bridge is border, stray is noise") {
+    // 5-point blob at (0..2, 0); point 10 within r of blob edge but with
+    // only 1 neighbor (border); point 99 isolated (noise)
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L), (4L, 0L, 1L), (5L, 1L, 1L),
+      (10L, 4L, 0L), // dist2 to key 3 = 4 <= r2: border of the blob
+      (99L, 100L, 100L))
+    val got = Geo.dbscan(pointsDf(pts), 3L, 5L, minPts = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    Seq(1L, 2L, 3L, 4L, 5L).foreach { k =>
+      assert(got(k) === (("core", 1L)), s"key $k should be core of cluster 1")
+    }
+    assert(got(10L) === (("border", 1L)))
+    assert(got(99L) === (("noise", -1L)))
+  }
+
+  test("dbscan border point between two clusters attaches to the NEAREST core") {
+    // two 4-point blobs 20 apart; key 50 sits exactly r from cluster B's
+    // nearest core (its ONLY neighbor, so it can't be core itself) and
+    // far from cluster A -> must join B
+    val a = Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 1L), (4L, 1L, 1L))
+    val b = Seq((11L, 20L, 0L), (12L, 21L, 0L), (13L, 20L, 1L), (14L, 21L, 1L))
+    val pts = a ++ b :+ ((50L, 17L, 0L)) // d2 to key 11 = 9; to key 2 = 256
+    val got = Geo.dbscan(pointsDf(pts), 3L, 9L, minPts = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(50L) === (("border", 11L)))
+    assert(got(1L)._2 === 1L && got(11L)._2 === 11L, "two distinct clusters")
   }
 }
