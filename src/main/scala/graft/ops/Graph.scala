@@ -296,6 +296,57 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Community detection by DETERMINISTIC synchronous label propagation
+    * (Raghavan et al. 2007, made engine-grade): labels start as node ids;
+    * each round every node adopts the most frequent label among its
+    * neighbors plus ONE self-vote (the damping that stops two-node
+    * oscillation), ties broken by smallest label. The classic algorithm's
+    * random visit order / random tie-breaks make it irreproducible — an
+    * engine must replay bit-identically, so both choices are pinned.
+    * With all-distinct initial labels, round 1 degenerates to the
+    * min-of-closed-neighborhood step; majority dynamics start at round 2.
+    *
+    * A FIXED round count (caller-chosen) rather than convergence: LPA is
+    * not guaranteed to converge under synchronous update (bipartite
+    * flip-flop), and fixed rounds keep the op oracle-replayable.
+    *
+    * Scale shape: per round ONE join of the label vector against the
+    * cached pre-partitioned edge list, a map-side-combinable (node,
+    * label) count, and a map-side-combinable arg-max — max(struct(n,
+    * −label)) — so a power-law hub costs rows, never a sort buffer or a
+    * per-node window. Lineage truncates per round ([[bfsHops]]).
+    *
+    * Returns (id, lab) for every node incident to an edge. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be at least 1")
+    val fwd = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val und = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .sortWithinPartitions("src")
+      .cache()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nbrVotes = und
+        .join(labels.select(col("id").as("dst"), col("lab")), "dst")
+        .select(col("src"), col("lab"))
+      val votes = nbrVotes.union(labels.select(col("id").as("src"), col("lab")))
+      labels = votes
+        .groupBy("src", "lab").agg(count(lit(1)).as("n"))
+        .groupBy("src")
+        .agg(max(struct(col("n"), (-col("lab")).as("negLab"))).as("m"))
+        .select(col("src").as("id"), (-col("m.negLab")).as("lab"))
+        .localCheckpoint()
+    }
+    und.unpersist()
+    labels
+  }
+
   /** Large-star: every node u rewires its strictly-LARGER neighbors to
     * m(u) = min(Γ(u) ∪ {u}). Small-star: every node u rewires its
     * not-larger neighbors (and itself) to the min of that down-set.

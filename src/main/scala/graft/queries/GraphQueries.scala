@@ -318,5 +318,56 @@ object GraphQueries {
       SELECT id AS part_id, dist FROM d4 ORDER BY part_id
     """))
 
-  val all: Seq[QuerySpec] = Seq(graphHops, triangles, pagerank, kcore, sssp)
+  /** Community detection over the co-occurrence graph by 2 rounds of
+    * deterministic label propagation ([[graft.ops.Graph.labelPropagation]]
+    * — pinned tie-breaks, self-vote damping, fixed rounds so the oracle
+    * can unroll). Distinct from components (q_cc_labels): LPA splits a
+    * CONNECTED graph into dense regions. Output: every graph node with
+    * its community label and the community size; sizes come from a
+    * groupBy over the labels frame, never a corpus window. */
+  val labelProp = QuerySpec(
+    "q_label_prop",
+    (s, d) => {
+      val e = freqEdges(s, d).cache() // shares the graph-suite entry
+      val labels = Graph.labelPropagation(e, "a", "b", rounds = 2)
+      val sizes = labels.groupBy("lab").agg(count(lit(1)).as("comm_size"))
+      labels.join(sizes, "lab")
+        .select(col("id").as("part_id"), col("lab").as("community"),
+          col("comm_size"))
+        .orderBy("part_id")
+    },
+    Some {
+      def round(r: Int) = {
+        val prev = s"l${r - 1}"
+        s"""
+      v$r AS MATERIALIZED (
+        SELECT u.src, l.lab FROM und u JOIN $prev l ON l.id = u.dst
+        UNION ALL
+        SELECT id, lab FROM $prev
+      ),
+      l$r AS MATERIALIZED (
+        SELECT src AS id, lab FROM (
+          SELECT src, lab,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY n DESC, lab ASC) AS rn
+          FROM (SELECT src, lab, count(*) AS n FROM v$r GROUP BY 1, 2))
+        WHERE rn = 1
+      )"""
+      }
+      s"""
+      WITH $FreqEdgeSql,
+      und AS (SELECT a AS src, b AS dst FROM fedge
+              UNION ALL SELECT b, a FROM fedge),
+      l0 AS (SELECT DISTINCT src AS id, src AS lab FROM und),
+      ${round(1)}, ${round(2)},
+      sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS comm_size
+                FROM l2 GROUP BY 1)
+      SELECT l2.id AS part_id, l2.lab AS community, s.comm_size
+      FROM l2 JOIN sizes s ON s.lab = l2.lab
+      ORDER BY part_id
+    """
+    })
+
+  val all: Seq[QuerySpec] =
+    Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp)
 }

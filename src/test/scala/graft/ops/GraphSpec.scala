@@ -228,4 +228,47 @@ class GraphSpec extends SparkSpec {
       got.values.foreach(d => assert(d >= k))
     }
   }
+
+  /** Driver-side replay of the pinned LPA rules: synchronous update,
+    * neighbor votes + one self-vote, ties to the smallest label. */
+  private def bruteLpa(edges: Set[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).filter(_ != u) }
+    var lab = nbrs.keys.map(u => u -> u).toMap
+    for (_ <- 1 to rounds) {
+      lab = nbrs.map { case (u, ns) =>
+        val votes = (ns.toSeq.map(lab) :+ lab(u))
+          .groupBy(identity).map { case (l, xs) => l -> xs.size }
+        u -> votes.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation equals the pinned-rule reference on random graphs") {
+    val rnd = new scala.util.Random(91)
+    for (trial <- 1 to 4; rounds <- Seq(1, 2, 3)) {
+      val n = 20 + trial * 15
+      val edges = (1 to n * 2).map { _ =>
+        val u = rnd.nextInt(n).toLong; val v = rnd.nextInt(n).toLong
+        (math.min(u, v), math.max(u, v))
+      }.filter(e => e._1 != e._2).toSet
+      val got = Graph.labelPropagation(edges.toSeq.toDF("a", "b"), "a", "b",
+        rounds).as[(Long, Long)].collect().toMap
+      assert(got === bruteLpa(edges, rounds), s"trial $trial rounds $rounds")
+    }
+  }
+
+  test("labelPropagation splits a barbell into its two cliques") {
+    // two 4-cliques bridged by one edge: communities must NOT merge
+    def clique(ids: Seq[Long]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ ((4L, 11L))).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(got).toSet.size === 1, "left clique united")
+    assert(Seq(11L, 12L, 13L, 14L).map(got).toSet.size === 1, "right clique united")
+    assert(got(1L) !== got(11L), "bridge must not merge the cliques")
+  }
 }
