@@ -311,6 +311,46 @@ object MlQueries {
       ORDER BY i, j
     """))
 
+  /** Distributed sparse matrix multiply ([[graft.ops.Linalg.spgemm]]):
+    * A (order×part quantity matrix, folded to 240×120) times B (a
+    * part-derived 120×60 integer matrix) in COO form — the join-contract-
+    * aggregate shape that IS engine-native linear algebra. Integer values
+    * make the product exact, so the oracle is the same join-group-sum.
+    * Inputs are deliberately NOT pre-aggregated: duplicate (i,k) entries
+    * must distribute over the product, which the op's bilinearity
+    * guarantees and the oracle replays. */
+  val spgemm = QuerySpec(
+    "q_spgemm",
+    (s, d) => {
+      val a = lineitem(s, d).select(
+        (col("l_orderkey") % 240).as("i"),
+        (col("l_partkey") % 120).as("k"),
+        col("l_quantity").cast("long").as("v"))
+      val b = part(s, d).select(
+        (col("p_partkey") % 120).as("k"),
+        (col("p_partkey") % 60).as("j"),
+        (col("p_partkey") % 7 + 1).as("w"))
+      graft.ops.Linalg.spgemm(a, "i", "k", "v", b, "k", "j", "w")
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH a AS (
+        SELECT l_orderkey % 240 AS i, l_partkey % 120 AS k,
+               CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem
+      ),
+      b AS (
+        SELECT p_partkey % 120 AS k, p_partkey % 60 AS j,
+               p_partkey % 7 + 1 AS w
+        FROM part
+      )
+      SELECT a.i, b.j, CAST(sum(a.v * b.w) AS BIGINT) AS c
+      FROM a JOIN b ON a.k = b.k
+      GROUP BY 1, 2
+      ORDER BY i, j
+    """))
+
   val all: Seq[QuerySpec] = Seq(
-    vectorAssemble, randomSplit, gbtPredict, gbt100, sampleStratified, pca)
+    vectorAssemble, randomSplit, gbtPredict, gbt100, sampleStratified, pca,
+    spgemm)
 }
