@@ -109,6 +109,87 @@ object Series {
         col("observed").isNotNull.cast("int").as("is_observed"))
   }
 
+  /** Lag-k autocorrelation, k = 1..maxLag, over a (t, x) series with an
+    * integer time index — Pearson correlation of the matched pairs
+    * (x_t, x_{t+k}), the series-diagnostics primitive (seasonality
+    * detection, residual whiteness checks) in its gap-tolerant form:
+    * pairs exist only where BOTH endpoints do, so a holey series never
+    * fabricates a lag.
+    *
+    * Shape: ONE self-equi-join on the time index (the lag side explodes
+    * each row into its maxLag shifted probes), then per-lag decimal
+    * sufficient statistics — the [[olsFit]]/q_corr discipline: sums
+    * accumulate exactly, and the correlation is a fixed IEEE sequence
+    * over those exact sums, rounded to 6 places at the boundary. The
+    * joined frame is series-sized (calendar-bounded after upstream
+    * aggregation), never corpus-sized.
+    *
+    * Output: (lag, n_pairs, acf), one row per lag with ≥ 2 pairs and
+    * nonzero variance on both legs (degenerate lags → NULL acf). */
+  def autocorr(series: DataFrame, tCol: String, xCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag must be at least 1")
+    val base = series.select(col(tCol).cast("long").as("t"),
+      col(xCol).cast("double").as("x"))
+    val probes = base.select(col("t"), col("x"),
+        explode(array((1 to maxLag).map(lit(_)): _*)).as("lag"))
+      .select((col("t") - col("lag")).as("t0"), col("lag"), col("x").as("y"))
+    val pairs = base.select(col("t").as("t0"), col("x")).join(probes, "t0")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    pairs.groupBy("lag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"),
+        dsum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("n").cast("long").as("n_pairs"),
+        when(
+          col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0 &&
+            col("n") * col("syy") - col("sy") * col("sy") =!= 0.0,
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("acf"))
+  }
+
+  /** CUSUM changepoint locator over a (t, v) series with EXACT integer
+    * values (callers pre-scale, e.g. cents): the split point maximizing
+    * |n·P_i − i·T| — the classic cumulative-deviation statistic
+    * n·Σ_{≤i}(v − mean) kept in integers by multiplying the mean out
+    * (P_i = prefix sum, T = total), so the argmax is exact and
+    * replayable on any engine. Ties break to the earliest t.
+    *
+    * The prefix sum is ONE window over the series — which is legitimate
+    * at 100 TB only because the input is an upstream AGGREGATE whose
+    * length is calendar-bounded (days), not data-bounded; feeding raw
+    * events through this is the global-window anti-pattern this repo
+    * bans. Row magnitude bound: n·|T| must stay inside int64 — 2⁶³ ≈
+    * 9·10¹⁸ covers centuries of daily cents at 10¹²/day.
+    *
+    * Output: ONE row (t, idx, n, g_stat, direction): the 1-based split
+    * index, the statistic, and +1/−1 for step-up/step-down after t. */
+  def cusumChangepoint(series: DataFrame, tCol: String, vCol: String): DataFrame = {
+    val base = series.select(col(tCol).cast("long").as("t"),
+      col(vCol).cast("long").as("v"))
+    val wOrd = Window.orderBy("t")
+    val tot = base.agg(sum("v").as("tv"), count(lit(1)).as("n"))
+    base
+      .withColumn("idx", row_number().over(wOrd))
+      .withColumn("p",
+        sum("v").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("idx"), col("n"),
+        (col("n") * col("p") - col("idx") * col("tv")).as("dev"))
+      .select(col("t"), col("idx"), col("n"), abs(col("dev")).as("g_stat"),
+        // dev < 0 ⇔ prefix mean below global mean ⇔ the series steps UP
+        when(col("dev") < 0, lit(1)).otherwise(lit(-1)).as("direction"))
+      .orderBy(col("g_stat").desc, col("t").asc)
+      .limit(1)
+  }
+
   /** Exact-integer ordinary least squares over an (x, y) integer series:
     * all five sufficient statistics (n, Σx, Σy, Σxy, Σx², plus Σy² for
     * r²) accumulate as exact longs in ONE map-side-combinable aggregate;

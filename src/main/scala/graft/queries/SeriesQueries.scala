@@ -385,7 +385,98 @@ object SeriesQueries {
       ORDER BY user_id, ts, event_id
     """))
 
+  /** Daily-revenue autocorrelation at lags 1–3 ([[graft.ops.Series
+    * .autocorr]]) — the seasonality / residual-whiteness diagnostic.
+    * The series is the per-day order revenue (decimal-exact, then a
+    * copied double); matched-pair Pearson per lag via decimal sufficient
+    * statistics, the q_corr discipline, so the oracle replays the same
+    * IEEE sequence term-for-term. */
+  val acf = QuerySpec(
+    "q_acf",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("t"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("x"))
+      Series.autocorr(daily, "t", "x", maxLag = 3).orderBy("lag")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+      ),
+      lags AS (SELECT unnest([1, 2, 3]) AS lag),
+      pairs AS (
+        SELECT l.lag, a.x AS x, b.x AS y
+        FROM daily a
+        JOIN lags l ON true
+        JOIN daily b ON b.t = a.t + l.lag
+      ),
+      st AS (
+        SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag
+      )
+      SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+             CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                  THEN round((n * sxy - sx * sy) /
+                             (sqrt(n * sxx - sx * sx) *
+                              sqrt(n * syy - sy * sy)), 6)
+             END AS acf
+      FROM st
+      ORDER BY lag
+    """))
+
+  /** CUSUM changepoint over the same daily-revenue series, in cents so
+    * every prefix statistic is an exact int64
+    * ([[graft.ops.Series.cusumChangepoint]]): the split maximizing
+    * |n·P_i − i·T|, ties to the earliest day. The single ordered window
+    * is calendar-bounded (the op's documented contract). */
+  val cusum = QuerySpec(
+    "q_cusum",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("t"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("v"))
+      Series.cusumChangepoint(daily, "t", "v")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS v
+        FROM orders GROUP BY 1
+      ),
+      tot AS (SELECT CAST(sum(v) AS BIGINT) AS tv,
+                     CAST(count(*) AS BIGINT) AS n FROM daily),
+      pre AS (
+        SELECT t, row_number() OVER (ORDER BY t) AS idx,
+               sum(v) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS p
+        FROM daily
+      ),
+      dev AS (
+        SELECT pre.t, CAST(pre.idx AS INTEGER) AS idx, tot.n,
+               CAST(tot.n * pre.p - pre.idx * tot.tv AS BIGINT) AS dv
+        FROM pre, tot
+      )
+      SELECT t, idx, n, abs(dv) AS g_stat,
+             CASE WHEN dv < 0 THEN 1 ELSE -1 END AS direction
+      FROM dev
+      ORDER BY g_stat DESC, t ASC
+      LIMIT 1
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
-    rollingMedian)
+    rollingMedian, acf, cusum)
 }

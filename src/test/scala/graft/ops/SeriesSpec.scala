@@ -122,4 +122,83 @@ class SeriesSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(r === Seq((1L, 2L, 1.0))) // doc3 shares only the pruned term
   }
+
+  test("autocorr: alternating series has acf(1) = -1, acf(2) = +1") {
+    import spark.implicits._
+    val s = (0 until 20).map(i => (i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("t", "x")
+    val got = Series.autocorr(s, "t", "x", 2)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1) === ((19L, -1.0)))
+    assert(got(2) === ((18L, 1.0)))
+  }
+
+  test("autocorr: gaps drop pairs instead of fabricating adjacency; constant -> NULL") {
+    import spark.implicits._
+    // t = 0,1,2,10: lag-1 pairs are (0,1),(1,2) only — never (2,10)
+    val s = Seq((0L, 1.0), (1L, 2.0), (2L, 4.0), (10L, 8.0)).toDF("t", "x")
+    val n = Series.autocorr(s, "t", "x", 1).select("n_pairs")
+      .head().getLong(0)
+    assert(n === 2L)
+    val const = Seq((0L, 5.0), (1L, 5.0), (2L, 5.0)).toDF("t", "x")
+    val row = Series.autocorr(const, "t", "x", 1).head()
+    assert(row.isNullAt(row.fieldIndex("acf")), "zero variance must be NULL")
+  }
+
+  test("autocorr matches a driver-side Pearson on a seeded random gapped series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    val pts = (0 until 60).filter(_ => rnd.nextDouble() < 0.8)
+      .map(i => (i.toLong, rnd.nextInt(1000) / 10.0))
+    for (lag <- 1 to 3) {
+      val pairs = for {
+        (t, x) <- pts; (t2, y) <- pts if t2 == t + lag
+      } yield (x, y)
+      val n = pairs.size.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val want = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val got = Series.autocorr(pts.toDF("t", "x"), "t", "x", 3)
+        .filter(col("lag") === lag).head().getDouble(2)
+      assert(math.abs(got - want) < 1e-6, s"lag $lag: $got vs $want")
+    }
+  }
+
+  test("cusumChangepoint finds a step boundary with the right direction") {
+    import spark.implicits._
+    // step UP after t=4 (values 0,0,0,0,0 then 10,10,10,10,10)
+    val up = (0 until 10).map(i => (i.toLong, if (i < 5) 0L else 10L))
+      .toDF("t", "v")
+    val r = Series.cusumChangepoint(up, "t", "v").head()
+    assert(r.getAs[Long]("t") === 4L, "split maximizes at the last low point")
+    assert(r.getAs[Int]("direction") === 1)
+    assert(r.getAs[Long]("g_stat") === 250L) // |10*250 - 5*500| ... n*P-i*T
+    val down = (0 until 10).map(i => (i.toLong, if (i < 5) 10L else 0L))
+      .toDF("t", "v")
+    val r2 = Series.cusumChangepoint(down, "t", "v").head()
+    assert(r2.getAs[Long]("t") === 4L)
+    assert(r2.getAs[Int]("direction") === -1)
+  }
+
+  test("cusumChangepoint matches a driver-side argmax on seeded random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    for (_ <- 1 to 5) {
+      val vs = (0 until 40).map(i =>
+        (i.toLong, (rnd.nextInt(100) + (if (i > 25) 300 else 0)).toLong))
+      val n = vs.size.toLong
+      val tv = vs.map(_._2).sum
+      var p = 0L
+      val devs = vs.zipWithIndex.map { case ((t, v), i0) =>
+        p += v; (t, n * p - (i0 + 1) * tv)
+      }
+      val (wantT, wantDev) = devs.maxBy { case (t, d) => (math.abs(d), -t) }
+      val r = Series.cusumChangepoint(vs.toDF("t", "v"), "t", "v").head()
+      assert(r.getAs[Long]("t") === wantT)
+      assert(r.getAs[Long]("g_stat") === math.abs(wantDev))
+    }
+  }
 }
