@@ -190,6 +190,46 @@ object Series {
       .limit(1)
   }
 
+  /** Kaplan–Meier survival estimator over (duration, event) rows —
+    * durations in integer units, event = 1 observed / 0 right-censored.
+    * S(t) = Π_{eventTimes t_j ≤ t} (1 − d_j / n_j), with n_j the at-risk
+    * count (all subjects with duration ≥ t_j, censored included) and d_j
+    * the events AT t_j — the product-limit form that handles censoring
+    * correctly, which a naive "fraction surviving" rollup does not.
+    *
+    * Determinism: the running product is a LEFT FOLD over factors sorted
+    * by event time — a fixed IEEE sequence starting at 1.0 (1.0·f ≡ f,
+    * so an engine folding without the seed produces bit-identical
+    * values). The per-time aggregate is map-side combinable; the two
+    * ordered windows (risk prefix, product fold) run over the DISTINCT-
+    * duration frame, which is bounded by the time horizon in units, not
+    * by subjects — the q_cusum calendar-bounded contract. Fold buffer =
+    * event-time count; if the horizon itself is unbounded, pre-bucket
+    * durations (daily → weekly) before calling.
+    *
+    * Output: (t, n_risk, n_events, surv) per distinct EVENT time,
+    * ascending. */
+  def kaplanMeier(subjects: DataFrame, durCol: String, eventCol: String): DataFrame = {
+    val base = subjects.select(col(durCol).cast("long").as("t"),
+      col(eventCol).cast("int").as("ev"))
+    val byT = base.groupBy("t").agg(
+      sum(col("ev").cast("long")).as("d"), count(lit(1)).as("c"))
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    val wPre = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - sum("c").over(wPre) + col("c"))
+      .filter(col("d") > 0)
+      .withColumn("f",
+        lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+      .withColumn("surv",
+        aggregate(
+          array_sort(collect_list(struct(col("t").as("t"), col("f").as("f")))
+            .over(wPre)),
+          lit(1.0), (acc, x) => acc * x.getField("f")))
+      .select(col("t"), col("n_risk"), col("d").as("n_events"), col("surv"))
+  }
+
   /** Exact-integer ordinary least squares over an (x, y) integer series:
     * all five sufficient statistics (n, Σx, Σy, Σxy, Σx², plus Σy² for
     * r²) accumulate as exact longs in ONE map-side-combinable aggregate;

@@ -476,7 +476,77 @@ object SeriesQueries {
       LIMIT 1
     """))
 
+  /** Kaplan–Meier survival of "time to next order": every order is a
+    * subject; the event is the customer's NEXT order (gap in days), and
+    * a final order is right-CENSORED at the dataset horizon (max order
+    * date) — the estimator's whole point is that those censored rows
+    * still sit in the risk set ([[graft.ops.Series.kaplanMeier]]).
+    * The gap derivation is a per-customer window (partitioned,
+    * scale-safe); the curve itself runs over distinct gap durations
+    * (calendar-bounded). Oracle: the identical product-limit fold via
+    * DuckDB's list_reduce over the frame-ordered factor list — both
+    * engines execute the same IEEE multiply sequence, so the curve
+    * matches bit-for-bit with no rounding. */
+  val kaplanMeier = QuerySpec(
+    "q_kaplan_meier",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val horizon = orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("hz"))
+      val dur = orders(s, d)
+        .withColumn("nxt", lead(to_date(col("o_orderdate")), 1).over(w))
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("nxt").isNotNull,
+            datediff(col("nxt"), to_date(col("o_orderdate"))))
+            .otherwise(datediff(col("hz"), to_date(col("o_orderdate"))))
+            .as("dur"),
+          col("nxt").isNotNull.cast("int").as("event"))
+      Series.kaplanMeier(dur, "dur", "event")
+        .select(col("t").as("t_days"), col("n_risk"), col("n_events"),
+          col("surv"))
+        .orderBy("t_days")
+    },
+    Some("""
+      WITH hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+      seq AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt,
+               lead(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS nxt
+        FROM orders
+      ),
+      dur AS (
+        SELECT CAST(CASE WHEN nxt IS NOT NULL THEN nxt - dt
+                         ELSE h - dt END AS BIGINT) AS t,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM seq, hz
+      ),
+      byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM dur GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+      risk AS (
+        SELECT t, d, c,
+               CAST(n - sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) + c
+                    AS BIGINT) AS n_risk
+        FROM byt, tot
+      ),
+      ev AS (
+        SELECT t, d, n_risk,
+               CAST(1.0 AS DOUBLE)
+                 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+        FROM risk WHERE d > 0
+      )
+      SELECT t AS t_days, n_risk, d AS n_events,
+             list_reduce(list(f) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING),
+                         (a, b) -> a * b) AS surv
+      FROM ev
+      ORDER BY t_days
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
-    rollingMedian, acf, cusum)
+    rollingMedian, acf, cusum, kaplanMeier)
 }

@@ -183,6 +183,33 @@ class SeriesSpec extends SparkSpec {
     assert(r2.getAs[Int]("direction") === -1)
   }
 
+  test("kaplanMeier reproduces the textbook product-limit curve with censoring") {
+    import spark.implicits._
+    // classic toy: events at 1,1,2,4; censored at 2,3 (6 subjects)
+    val subj = Seq((1L, 1), (1L, 1), (2L, 1), (2L, 0), (3L, 0), (4L, 1))
+      .toDF("dur", "event")
+    val got = Series.kaplanMeier(subj, "dur", "event")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // t=1: risk 6, d 2 -> 4/6; t=2: risk 4, d 1 -> (4/6)(3/4);
+    // t=4: risk 1, d 1 -> 0
+    assert(got(1L) === ((6L, 2L, 1.0 - 2.0 / 6.0)))
+    assert(got(2L) === ((4L, 1L, (1.0 - 2.0 / 6.0) * (1.0 - 1.0 / 4.0))))
+    assert(got(4L) === ((1L, 1L, 0.0)))
+    assert(!got.contains(3L), "censor-only times emit no curve row")
+  }
+
+  test("kaplanMeier: censoring keeps subjects in earlier risk sets") {
+    import spark.implicits._
+    // without the censored row, S(2) = 0.5*0 — with it, risk at 2 is 2
+    val subj = Seq((1L, 1), (2L, 1), (3L, 0)).toDF("dur", "event")
+    val got = Series.kaplanMeier(subj, "dur", "event")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got(1L) === 1.0 - 1.0 / 3.0)
+    assert(got(2L) === (1.0 - 1.0 / 3.0) * (1.0 - 1.0 / 2.0))
+  }
+
   test("cusumChangepoint matches a driver-side argmax on seeded random series") {
     import spark.implicits._
     val rnd = new scala.util.Random(57)
