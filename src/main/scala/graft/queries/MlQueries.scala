@@ -350,7 +350,68 @@ object MlQueries {
       ORDER BY i, j
     """))
 
+  /** Two-class categorical Naive Bayes ([[graft.ops.NaiveBayes]]):
+    * predict "urgent-or-high priority" from order status + order year.
+    * The whole model is contingency aggregates, and the smoothed scores
+    * are a fixed chain of IEEE ops over exact counts — so unlike GBT/
+    * logreg (verdict-oracled), THIS classifier's scores are replayed by
+    * DuckDB bit-for-bit, no verdict needed. Output is the scored
+    * contingency table (one row per observed feature combination). */
+  val naiveBayes = QuerySpec(
+    "q_naive_bayes",
+    (s, d) => {
+      val base = orders(s, d).select(
+        col("o_orderstatus").as("f_status"),
+        year(col("o_orderdate")).as("f_year"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+          .as("y"))
+      graft.ops.NaiveBayes.scoreTable(base, Seq("f_status", "f_year"), "y")
+        .orderBy("f_status", "f_year")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderstatus AS f_status,
+               CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS f_year,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y
+        FROM orders
+      ),
+      cls AS (SELECT CAST(sum(y) AS BIGINT) AS npos,
+                     CAST(count(*) AS BIGINT) AS n FROM base),
+      t1 AS (SELECT f_status, CAST(sum(y) AS BIGINT) AS p1,
+                    CAST(count(*) AS BIGINT) AS c1
+             FROM base GROUP BY 1),
+      v1 AS (SELECT CAST(count(*) AS BIGINT) AS v1 FROM t1),
+      t2 AS (SELECT f_year, CAST(sum(y) AS BIGINT) AS p2,
+                    CAST(count(*) AS BIGINT) AS c2
+             FROM base GROUP BY 1),
+      v2 AS (SELECT CAST(count(*) AS BIGINT) AS v2 FROM t2),
+      combos AS (SELECT f_status, f_year, CAST(count(*) AS BIGINT) AS n_rows
+                 FROM base GROUP BY 1, 2),
+      scored AS (
+        SELECT co.f_status, co.f_year, co.n_rows,
+               CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (CAST(p1 + 1 AS DOUBLE) / CAST(npos + v1 AS DOUBLE))
+                 * (CAST(p2 + 1 AS DOUBLE) / CAST(npos + v2 AS DOUBLE))
+                 AS p_pos,
+               CAST(n - npos AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (CAST(c1 - p1 + 1 AS DOUBLE)
+                    / CAST(n - npos + v1 AS DOUBLE))
+                 * (CAST(c2 - p2 + 1 AS DOUBLE)
+                    / CAST(n - npos + v2 AS DOUBLE))
+                 AS p_neg
+        FROM combos co
+        JOIN t1 ON t1.f_status = co.f_status
+        JOIN t2 ON t2.f_year = co.f_year
+        CROSS JOIN cls CROSS JOIN v1 CROSS JOIN v2
+      )
+      SELECT f_status, f_year, n_rows, p_pos, p_neg,
+             CASE WHEN p_pos > p_neg THEN 1 ELSE 0 END AS pred
+      FROM scored
+      ORDER BY f_status, f_year
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     vectorAssemble, randomSplit, gbtPredict, gbt100, sampleStratified, pca,
-    spgemm)
+    spgemm, naiveBayes)
 }
