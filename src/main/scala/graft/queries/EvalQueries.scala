@@ -198,5 +198,91 @@ object EvalQueries {
       ORDER BY bin
     """))
 
-  val all: Seq[QuerySpec] = Seq(auc, confusion, calibration)
+  /** Per-slice AUC (market segment) in the BINNED form that scales:
+    * scores quantize to 800-unit bins (0..999), the (segment, bin)
+    * contingency is one map-side-combinable aggregate, and the rank
+    * machinery runs over that ≤ segments×1000-row frame — the partition-
+    * by-segment window a naive per-row grouped rank would need is a
+    * 5-hot-partition skew bomb at 100 TB, and binned AUC (tie-corrected
+    * over the quantized score) is the standard production fix. Within a
+    * bin the tie-average rank is (2·below + cnt + 1)/2, so the rank sum
+    * stays integer: sum2 = Σ_pos-bins pos·(2·below + cnt + 1). */
+  val aucGrouped = QuerySpec(
+    "q_auc_grouped",
+    (s, d) => {
+      val li = lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("rev"))
+      val base = orders(s, d).select("o_orderkey", "o_custkey")
+        .join(li, Seq("o_orderkey"), "left")
+        .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), "o_custkey")
+        .select(col("seg"),
+          least(floor(coalesce(col("rev"), lit(0.0)) / 800.0), lit(999.0))
+            .cast("long").as("bin"),
+          (coalesce(col("n_items"), lit(0L)) >= 4).cast("long").as("label"))
+      val grp = base.groupBy("seg", "bin")
+        .agg(sum("label").as("pos"), count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("seg").orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      grp.withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+        .groupBy("seg")
+        .agg(
+          sum(col("pos") * (col("below") * 2 + col("cnt") + 1)).as("sum2"),
+          sum("pos").as("n_pos"),
+          sum(col("cnt") - col("pos")).as("n_neg"))
+        .select(col("seg"),
+          ((col("sum2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (col("n_pos") * col("n_neg") * 2L).cast("double")).as("auc"),
+          col("n_pos"), col("n_neg"))
+        .orderBy("seg")
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS rev
+        FROM lineitem GROUP BY 1
+      ),
+      base AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(least(floor(coalesce(li.rev, 0.0) / 800.0), 999.0)
+                    AS BIGINT) AS bin,
+               CASE WHEN coalesce(li.n_items, 0) >= 4 THEN 1 ELSE 0 END
+                 AS label
+        FROM orders o
+        LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+      ),
+      grp AS (
+        SELECT seg, bin, CAST(sum(label) AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY 1, 2
+      ),
+      cum AS (
+        SELECT seg, bin, pos, cnt,
+               CAST(coalesce(sum(cnt) OVER (PARTITION BY seg ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS below
+        FROM grp
+      ),
+      agg AS (
+        SELECT seg,
+               CAST(sum(pos * (below * 2 + cnt + 1)) AS BIGINT) AS sum2,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(cnt - pos) AS BIGINT) AS n_neg
+        FROM cum GROUP BY 1
+      )
+      SELECT seg,
+             CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(n_pos * n_neg * 2 AS DOUBLE) AS auc,
+             n_pos, n_neg
+      FROM agg
+      ORDER BY seg
+    """))
+
+  val all: Seq[QuerySpec] = Seq(auc, confusion, calibration, aucGrouped)
 }

@@ -69,6 +69,37 @@ class EvalSpec extends SparkSpec {
     assert(prec > 0.5, "a 200k price threshold should be precise for >=4 items")
   }
 
+  test("grouped AUC: binned rank-sum equals a brute-force binned pairwise count") {
+    val rows = EvalQueries.aucGrouped.run(spark, Sf001).collect()
+    assert(rows.length === 5, "one row per market segment")
+    import spark.implicits._
+    val base = graft.Tables.orders(spark, Sf001).select("o_orderkey", "o_custkey")
+      .join(graft.Tables.lineitem(spark, Sf001)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("rev")), Seq("o_orderkey"), "left")
+      .join(graft.Tables.customer(spark, Sf001)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg")),
+        "o_custkey")
+      .select(col("seg"),
+        least(floor(coalesce(col("rev"), lit(0.0)) / 800.0), lit(999.0))
+          .cast("long").as("bin"),
+        (coalesce(col("n_items"), lit(0L)) >= 4).cast("int").as("label"))
+      .as[(String, Long, Int)].collect()
+    rows.foreach { r =>
+      val seg = r.getAs[String]("seg")
+      val pos = base.filter(x => x._1 == seg && x._3 == 1).map(_._2)
+      val neg = base.filter(x => x._1 == seg && x._3 == 0).map(_._2)
+      var wins = 0.0
+      for (a <- pos; b <- neg)
+        wins += (if (a > b) 1.0 else if (a == b) 0.5 else 0.0)
+      val brute = wins / (pos.length.toDouble * neg.length)
+      assert(math.abs(r.getAs[Double]("auc") - brute) < 1e-12, seg)
+      assert(r.getAs[Long]("n_pos") === pos.length.toLong)
+    }
+  }
+
   test("calibration bins cover all orders and frac_pos is monotone-ish in score") {
     val rows = EvalQueries.calibration.run(spark, Sf001).collect()
     assert(rows.map(_.getAs[Long]("n")).sum ===
