@@ -296,6 +296,47 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    * list, in the EXACT-INTEGER unnormalized form: starting from
+    * a₀ ≡ 1, alternate h ← A·a and a ← Aᵀ·h for `iters` authority
+    * updates. Per-round normalization only rescales both vectors, so
+    * the unnormalized scores are RANKING-IDENTICAL to textbook HITS at
+    * the same depth while staying integers — replayable by any SQL
+    * oracle, no segment-fold float discipline needed.
+    *
+    * Magnitude contract: scores grow like Δ^(2·iters) (Δ = max degree);
+    * int64 holds 2 iterations up to Δ ≈ 2·10⁶ on a dense core. Past
+    * that, production HITS normalizes per round (floats + the
+    * [[pageRank]] sorted-fold discipline) or rescales by an integer
+    * divisor between rounds; this op fails loudly via Spark's overflow
+    * check rather than wrapping (ANSI mode) or silently saturating.
+    *
+    * Scale shape: each half-round is one equi-join of the (node-sized)
+    * score vector against the cached edge list plus one map-side-
+    * combinable sum — the SpGEMM shape; the two join keys alternate
+    * (src/dst), so at extreme scale keep two pre-partitioned edge
+    * copies (documented trade, not done here).
+    *
+    * Returns (hubs, authorities): (src, hs) / (dst, as_) exact longs. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters=$iters must be at least 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().cache()
+    // h₁ = A·1 = out-degree
+    var h = e.groupBy("src").agg(count(lit(1)).as("hs")).localCheckpoint()
+    var a: DataFrame = null
+    for (i <- 1 to iters) {
+      a = e.join(h, "src")
+        .groupBy("dst").agg(sum("hs").as("as_")).localCheckpoint()
+      if (i < iters)
+        h = e.join(a, "dst")
+          .groupBy("src").agg(sum("as_").as("hs")).localCheckpoint()
+    }
+    e.unpersist()
+    (h, a)
+  }
+
   /** Community detection by DETERMINISTIC synchronous label propagation
     * (Raghavan et al. 2007, made engine-grade): labels start as node ids;
     * each round every node adopts the most frequent label among its

@@ -368,6 +368,53 @@ object GraphQueries {
     """
     })
 
+  /** HITS over the bipartite purchase graph (customer → part), 2
+    * authority updates ([[graft.ops.Graph.hits]]): hubs are broad
+    * heavy buyers, authorities the parts those buyers concentrate on —
+    * the recommendation-graph primitive. Exact-integer unnormalized
+    * scores (ranking-identical to normalized HITS at equal depth), so
+    * the oracle just unrolls the two matvec rounds. Top-20 per role,
+    * ties broken by id. */
+  val hits = QuerySpec(
+    "q_hits",
+    (s, d) => {
+      val e = orders(s, d).select("o_orderkey", "o_custkey")
+        .join(lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey")), "o_orderkey")
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      val (h, a) = Graph.hits(e, "c", "p", iters = 2)
+      val hubs = h.orderBy(col("hs").desc, col("src"))
+        .limit(20)
+        .select(lit("hub").as("role"), col("src").as("id"),
+          col("hs").as("score"))
+      val auths = a.orderBy(col("as_").desc, col("dst"))
+        .limit(20)
+        .select(lit("authority").as("role"), col("dst").as("id"),
+          col("as_").as("score"))
+      auths.unionByName(hubs).orderBy(col("role"), col("score").desc,
+        col("id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      ),
+      h1 AS (SELECT c, CAST(count(*) AS BIGINT) AS hs FROM e GROUP BY 1),
+      a1 AS (SELECT p, CAST(sum(hs) AS BIGINT) AS as_
+             FROM e JOIN h1 USING (c) GROUP BY 1),
+      h2 AS (SELECT c, CAST(sum(as_) AS BIGINT) AS hs
+             FROM e JOIN a1 USING (p) GROUP BY 1),
+      a2 AS (SELECT p, CAST(sum(hs) AS BIGINT) AS as_
+             FROM e JOIN h2 USING (c) GROUP BY 1),
+      hubs AS (SELECT 'hub' AS role, c AS id, hs AS score
+               FROM h2 ORDER BY score DESC, id LIMIT 20),
+      auths AS (SELECT 'authority' AS role, p AS id, as_ AS score
+                FROM a2 ORDER BY score DESC, id LIMIT 20)
+      SELECT role, id, score
+      FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+      ORDER BY role, score DESC, id
+    """))
+
   val all: Seq[QuerySpec] =
-    Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp)
+    Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp, hits)
 }

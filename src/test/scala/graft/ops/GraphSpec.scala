@@ -259,6 +259,28 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hits: exact-integer scores match the hand-unrolled matvec chain") {
+    // bipartite: c1 -> {p1,p2}, c2 -> {p2}, c3 -> {p2,p3}
+    val e = Seq((1L, 101L), (1L, 102L), (2L, 102L), (3L, 102L), (3L, 103L))
+      .toDF("c", "p")
+    val (h, a) = Graph.hits(e, "c", "p", iters = 2)
+    // h1: c1=2, c2=1, c3=2
+    // a1: p1=2, p2=2+1+2=5, p3=2
+    // h2: c1=2+5=7, c2=5, c3=5+2=7
+    // a2: p1=7, p2=7+5+7=19, p3=7
+    assert(h.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 7L, 2L -> 5L, 3L -> 7L))
+    assert(a.as[(Long, Long)].collect().toMap ===
+      Map(101L -> 7L, 102L -> 19L, 103L -> 7L))
+  }
+
+  test("hits: duplicate input edges do not double-count") {
+    val e = Seq((1L, 101L), (1L, 101L), (2L, 101L)).toDF("c", "p")
+    val (h, a) = Graph.hits(e, "c", "p", iters = 1)
+    assert(h.as[(Long, Long)].collect().toMap === Map(1L -> 1L, 2L -> 1L))
+    assert(a.as[(Long, Long)].collect().toMap === Map(101L -> 2L))
+  }
+
   test("labelPropagation splits a barbell into its two cliques") {
     // two 4-cliques bridged by one edge: communities must NOT merge
     def clique(ids: Seq[Long]) =
