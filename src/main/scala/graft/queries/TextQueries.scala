@@ -1715,6 +1715,81 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    * rankings — THE standard hybrid-search combiner (lexical + prior
+    * here; lexical + vector in a RAG stack): rrf(d) = Σ_r 1/(60 +
+    * rank_r(d)) over the rankings that retrieved d in their top-20.
+    * Both input rankings order by EXACT integers (query-term tf;
+    * document length) with doc_id tie-breaks, so every rank — and
+    * therefore every fused score, a fixed two-term IEEE sum of exact
+    * reciprocals — replays bit-for-bit in the oracle; no ln-ordered
+    * scores feed a compared ordering. Scale: each leg is a bounded
+    * top-k (posting-list-bounded matched set / TakeOrdered), the rank
+    * window runs over ≤ 20 rows, and the fuse is a 20∪20-row outer
+    * join. Absent-in-ranking is rank 0 (sentinel), contributing 0. */
+  val rrfFusion = QuerySpec(
+    "q_rrf_fusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("data", "model")
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .filter(col("t").isin(terms: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      val topA = tf.orderBy(col("tf").desc, col("doc_id")).limit(20)
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("tf").desc, col("doc_id"))))
+        .select("doc_id", "ra")
+      val topB = documents(s, d).select("doc_id", "n_chars")
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .select("doc_id", "rb")
+      topA.join(topB, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("ra"), lit(0)).as("ra"),
+          coalesce(col("rb"), lit(0)).as("rb"),
+          (when(col("ra").isNotNull, lit(1.0) / (col("ra") + 60))
+            .otherwise(lit(0.0)) +
+            when(col("rb").isNotNull, lit(1.0) / (col("rb") + 60))
+              .otherwise(lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t IN ('data', 'model')
+        GROUP BY doc_id
+      ),
+      ta AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY tf DESC, doc_id)
+                            AS INTEGER) AS ra
+        FROM tf ORDER BY tf DESC, doc_id LIMIT 20
+      ),
+      tb AS (
+        SELECT doc_id, CAST(row_number()
+                 OVER (ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rb
+        FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+      ),
+      fused AS (
+        SELECT coalesce(ta.doc_id, tb.doc_id) AS doc_id,
+               coalesce(ta.ra, 0) AS ra, coalesce(tb.rb, 0) AS rb,
+               (CASE WHEN ta.ra IS NOT NULL
+                     THEN CAST(1.0 AS DOUBLE) / (ta.ra + 60)
+                     ELSE CAST(0.0 AS DOUBLE) END
+                + CASE WHEN tb.rb IS NOT NULL
+                       THEN CAST(1.0 AS DOUBLE) / (tb.rb + 60)
+                       ELSE CAST(0.0 AS DOUBLE) END) AS rrf
+        FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id
+      )
+      SELECT doc_id, ra, rb, rrf FROM fused
+      ORDER BY rrf DESC, doc_id
+      LIMIT 10
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     novelty,
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
@@ -1723,5 +1798,5 @@ object TextQueries {
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
     bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin, charEntropy,
-    unicodeNorm)
+    unicodeNorm, rrfFusion)
 }

@@ -76,4 +76,24 @@ class TextScoreSpec extends SparkSpec {
     // ordering: repeated < prose < max-diversity for same-alphabet text
     assert(e(1) < e(2) && e(2) < e(6))
   }
+
+  test("rrf fusion: scores recompute from the emitted ranks; both legs contribute") {
+    val rows = TextQueries.rrfFusion.run(spark, Sf001).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (ra, rb) = (r.getAs[Int]("ra"), r.getAs[Int]("rb"))
+      assert(ra >= 0 && ra <= 20 && rb >= 0 && rb <= 20)
+      assert(ra > 0 || rb > 0, "a fused doc must appear in some ranking")
+      val want = (if (ra > 0) 1.0 / (ra + 60) else 0.0) +
+        (if (rb > 0) 1.0 / (rb + 60) else 0.0)
+      assert(r.getAs[Double]("rrf") === want)
+    }
+    // fused order is non-increasing
+    val scores = rows.map(_.getAs[Double]("rrf")).toSeq
+    assert(scores === scores.sorted.reverse)
+    // a doc present in BOTH rankings beats rank-1-single-leg docs only if
+    // the formula says so — sanity: the top fused score is at least the
+    // best single-leg score 1/61
+    assert(scores.head >= 1.0 / 61)
+  }
 }
