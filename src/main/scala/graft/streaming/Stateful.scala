@@ -404,6 +404,54 @@ object Stateful {
         })
   }
 
+  /** One keyed series point; `seq` is the total order within a key. */
+  final case class SeriesPoint(key: Long, seq: Long, v: Long)
+
+  final case class CusumState(nSeen: Long, sPlus: Long, sMinus: Long)
+
+  final case class CusumOut(key: Long, n_seen: Long, s_plus: Long,
+      s_minus: Long, alarm: Int)
+
+  /** Per-key ONLINE CUSUM drift monitor (Page 1954) — the streaming
+    * complement of the batch locator (graft.ops.Series.cusumChangepoint,
+    * which finds where a completed series broke; this one raises the
+    * alarm while the stream runs): one-sided sums against a reference
+    * level μ₀ with slack k,
+    *   S⁺ ← max(0, S⁺ + (v − μ₀ − k)),  S⁻ ← max(0, S⁻ + (μ₀ − k − v)),
+    * alarm when either exceeds `threshold`. All integer arithmetic —
+    * the fold replays exactly on any engine, and StatefulSpec pins
+    * stream ≡ driver-side fold across micro-batch boundaries.
+    *
+    * State is three longs per key (constant size, no buffers); within a
+    * micro-batch the group iterator sorts by `seq` — bounded by one
+    * key's points in one batch, the eventTransitions discipline.
+    * Production bounds idle keys with an event-time timeout. */
+  def cusumMonitor(points: Dataset[SeriesPoint], mu0: Long, slack: Long,
+      threshold: Long): Dataset[CusumOut] = {
+    implicit val stateEnc = Encoders.product[CusumState]
+    implicit val outEnc = Encoders.product[CusumOut]
+    implicit val longEnc = Encoders.scalaLong
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[SeriesPoint], state: GroupState[CusumState]) => {
+          val prev = state.getOption.getOrElse(CusumState(0L, 0L, 0L))
+          var n = prev.nSeen
+          var sp = prev.sPlus
+          var sm = prev.sMinus
+          val out = Vector.newBuilder[CusumOut]
+          it.toSeq.sortBy(_.seq).foreach { p =>
+            n += 1
+            sp = math.max(0L, sp + (p.v - mu0 - slack))
+            sm = math.max(0L, sm + (mu0 - slack - p.v))
+            out += CusumOut(key, n, sp, sm,
+              if (sp > threshold || sm > threshold) 1 else 0)
+          }
+          state.update(CusumState(n, sp, sm))
+          out.result().iterator
+        })
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     implicit val stateEnc = Encoders.product[UserTotals]
     implicit val longEnc = Encoders.scalaLong

@@ -36,6 +36,42 @@ class StatefulSpec extends SparkSpec {
     assert(last(2L) === ((1L, 1.0)))
   }
 
+  test("streaming CUSUM monitor equals the driver fold across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.{SeriesPoint, CusumOut}
+    val mem = MemoryStream[SeriesPoint]
+    // mu0=10, slack=2, threshold=15
+    val q = Stateful.cusumMonitor(mem.toDS(), 10L, 2L, 15L)
+      .writeStream.format("memory").queryName("cusum").outputMode("append").start()
+    // key 1 drifts up after seq 5; key 2 stays at the reference level
+    val pts = (1L to 10L).map(i =>
+      SeriesPoint(1L, i, if (i <= 5) 10L else 20L)) ++
+      (1L to 10L).map(i => SeriesPoint(2L, i, 10L + (if (i % 2 == 0) 1 else -1)))
+    try {
+      mem.addData(pts.filter(_.seq <= 6): _*) // split MID-drift
+      q.processAllAvailable()
+      mem.addData(pts.filter(_.seq > 6): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cusum").as[CusumOut].collect()
+      .map(o => (o.key, o.n_seen) -> ((o.s_plus, o.s_minus, o.alarm))).toMap
+    // driver-side replay of the same fold
+    for (key <- Seq(1L, 2L)) {
+      var (sp, sm) = (0L, 0L)
+      pts.filter(_.key == key).sortBy(_.seq).zipWithIndex.foreach {
+        case (p, i) =>
+          sp = math.max(0L, sp + (p.v - 10L - 2L))
+          sm = math.max(0L, sm + (10L - 2L - p.v))
+          val alarm = if (sp > 15L || sm > 15L) 1 else 0
+          assert(got((key, i + 1L)) === ((sp, sm, alarm)),
+            s"key $key step ${i + 1}")
+      }
+    }
+    // the drifting key alarms, the stationary key never does
+    assert(got.filter(_._1._1 == 1L).values.exists(_._3 == 1))
+    assert(got.filter(_._1._1 == 2L).values.forall(_._3 == 0))
+  }
+
   test("streaming transitions observe pairs across batch boundaries and equal the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
