@@ -284,5 +284,88 @@ object EvalQueries {
       ORDER BY seg
     """))
 
-  val all: Seq[QuerySpec] = Seq(auc, confusion, calibration, aucGrouped)
+  /** Mean reciprocal rank over a 3-query retrieval eval: per query, rank
+    * matching documents by exact (term-frequency desc, doc_id) and take
+    * 1/rank of the first RELEVANT hit (relevance = an independent field,
+    * lang = 'en'); absent-in-top-20 scores 0. The MRR combine pivots the
+    * three reciprocals into one row and sums them in FIXED column order
+    * — an agg-order float sum over the per-query frame would be
+    * nondeterministic. Each leg is a bounded top-k (the q_rrf_fusion
+    * shape); everything else is exact integers and two IEEE ops. */
+  val mrr = QuerySpec(
+    "q_mrr",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("data", "model", "stream")
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("t"))
+      val legs = terms.map { term =>
+        toks.filter(col("t") === term)
+          .groupBy("doc_id", "lang").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("tf").desc, col("doc_id"))))
+          .withColumn("query", lit(term))
+      }
+      val ranked = legs.reduce(_ unionByName _)
+      val firstRel = ranked.filter(col("lang") === "en")
+        .groupBy("query").agg(min("rank").as("first_rank"))
+      import s.implicits._
+      val perQuery = terms.toDF("query")
+        .join(firstRel, Seq("query"), "left")
+      val pq = perQuery
+        .select(col("query"),
+          coalesce(col("first_rank"), lit(0)).as("first_rank"))
+        .withColumn("rr",
+          when(col("first_rank") > 0, lit(1.0) / col("first_rank"))
+            .otherwise(lit(0.0)))
+      val m = pq.agg(
+        max(when(col("query") === "data", col("rr"))).as("ra"),
+        max(when(col("query") === "model", col("rr"))).as("rb"),
+        max(when(col("query") === "stream", col("rr"))).as("rc"))
+        .select(((col("ra") + col("rb") + col("rc")) / lit(3.0)).as("mrr"))
+      pq.crossJoin(broadcast(m)).orderBy("query")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents
+      ),
+      legs AS (
+        SELECT q.query, r.doc_id, r.lang, r.rank FROM (
+          SELECT unnest(['data', 'model', 'stream']) AS query) q,
+        LATERAL (
+          SELECT doc_id, lang,
+                 CAST(row_number() OVER (ORDER BY tf DESC, doc_id)
+                      AS INTEGER) AS rank
+          FROM (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE t = q.query GROUP BY 1, 2)
+          ORDER BY tf DESC, doc_id LIMIT 20
+        ) r
+      ),
+      firstrel AS (
+        SELECT query, CAST(min(rank) AS INTEGER) AS first_rank
+        FROM legs WHERE lang = 'en' GROUP BY 1
+      ),
+      pq AS (
+        SELECT q.query, coalesce(f.first_rank, 0) AS first_rank,
+               CASE WHEN coalesce(f.first_rank, 0) > 0
+                    THEN CAST(1.0 AS DOUBLE) / f.first_rank
+                    ELSE CAST(0.0 AS DOUBLE) END AS rr
+        FROM (SELECT unnest(['data', 'model', 'stream']) AS query) q
+        LEFT JOIN firstrel f USING (query)
+      ),
+      m AS (
+        SELECT (max(rr) FILTER (query = 'data')
+                + max(rr) FILTER (query = 'model')
+                + max(rr) FILTER (query = 'stream'))
+               / CAST(3.0 AS DOUBLE) AS mrr
+        FROM pq
+      )
+      SELECT query, first_rank, rr, mrr FROM pq CROSS JOIN m
+      ORDER BY query
+    """))
+
+  val all: Seq[QuerySpec] = Seq(auc, confusion, calibration, aucGrouped, mrr)
 }

@@ -325,21 +325,13 @@ object GraphQueries {
     * CONNECTED graph into dense regions. Output: every graph node with
     * its community label and the community size; sizes come from a
     * groupBy over the labels frame, never a corpus window. */
-  val labelProp = QuerySpec(
-    "q_label_prop",
-    (s, d) => {
-      val e = freqEdges(s, d).cache() // shares the graph-suite entry
-      val labels = Graph.labelPropagation(e, "a", "b", rounds = 2)
-      val sizes = labels.groupBy("lab").agg(count(lit(1)).as("comm_size"))
-      labels.join(sizes, "lab")
-        .select(col("id").as("part_id"), col("lab").as("community"),
-          col("comm_size"))
-        .orderBy("part_id")
-    },
-    Some {
-      def round(r: Int) = {
-        val prev = s"l${r - 1}"
-        s"""
+  /** The unrolled 2-round LPA oracle (und/l0/v1/l1/v2/l2 CTEs over
+    * `fedge`) — ONE definition shared by q_label_prop and q_modularity
+    * so the two oracles can never drift on what "the communities" are. */
+  private val LpaCtes: String = {
+    def round(r: Int) = {
+      val prev = s"l${r - 1}"
+      s"""
       v$r AS MATERIALIZED (
         SELECT u.src, l.lab FROM und u JOIN $prev l ON l.id = u.dst
         UNION ALL
@@ -353,20 +345,105 @@ object GraphQueries {
           FROM (SELECT src, lab, count(*) AS n FROM v$r GROUP BY 1, 2))
         WHERE rn = 1
       )"""
-      }
-      s"""
-      WITH $FreqEdgeSql,
-      und AS (SELECT a AS src, b AS dst FROM fedge
+    }
+    s"""und AS (SELECT a AS src, b AS dst FROM fedge
               UNION ALL SELECT b, a FROM fedge),
       l0 AS (SELECT DISTINCT src AS id, src AS lab FROM und),
-      ${round(1)}, ${round(2)},
+      ${round(1)}, ${round(2)}"""
+  }
+
+  val labelProp = QuerySpec(
+    "q_label_prop",
+    (s, d) => {
+      val e = freqEdges(s, d).cache() // shares the graph-suite entry
+      val labels = Graph.labelPropagation(e, "a", "b", rounds = 2)
+      val sizes = labels.groupBy("lab").agg(count(lit(1)).as("comm_size"))
+      labels.join(sizes, "lab")
+        .select(col("id").as("part_id"), col("lab").as("community"),
+          col("comm_size"))
+        .orderBy("part_id")
+    },
+    Some(s"""
+      WITH $FreqEdgeSql,
+      $LpaCtes,
       sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS comm_size
                 FROM l2 GROUP BY 1)
       SELECT l2.id AS part_id, l2.lab AS community, s.comm_size
       FROM l2 JOIN sizes s ON s.lab = l2.lab
       ORDER BY part_id
-    """
-    })
+    """))
+
+  /** Newman modularity of the LPA partition — "did label propagation
+    * find real structure": Q = Σ_c [e_c/m − (d_c/2m)²], computed as ONE
+    * exact fraction (Σ_c (4·m·e_c − d_c²)) / (4m²) so the only float op
+    * is the final division. Per-community rows carry the ingredient
+    * integers; the Q column is constant. Intra-edge counting is two
+    * label joins against the (graph-sized) labels frame; degree sums are
+    * map-side combinable. Magnitude: 4·m·e_c needs m·e_c < 2⁶¹ — switch
+    * the contrib column to DECIMAL(38,0) past ~10⁹ edges. The oracle
+    * REUSES q_label_prop's unrolled-LPA CTEs verbatim ([[LpaCtes]]), so
+    * the two gates can never disagree about the partition. */
+  val modularity = QuerySpec(
+    "q_modularity",
+    (s, d) => {
+      val e = freqEdges(s, d).cache()
+      val labels = Graph.labelPropagation(e, "a", "b", rounds = 2)
+      val la = labels.select(col("id").as("a"), col("lab").as("lab_a"))
+      val lb = labels.select(col("id").as("b"), col("lab").as("lab_b"))
+      val mRow = e.agg(count(lit(1)).as("m"))
+      val intra = e.join(la, "a").join(lb, "b")
+        .filter(col("lab_a") === col("lab_b"))
+        .groupBy(col("lab_a").as("community")).agg(count(lit(1)).as("e_c"))
+      val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val per = deg.join(labels, "id")
+        .groupBy(col("lab").as("community"))
+        .agg(sum("deg").as("d_c"), count(lit(1)).as("n_nodes"))
+        .join(intra, Seq("community"), "left")
+        .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+        .crossJoin(broadcast(mRow))
+        .withColumn("contrib",
+          col("m") * col("e_c") * 4 - col("d_c") * col("d_c"))
+      val qv = per.agg(sum("contrib").as("sc"), max("m").as("m"))
+        .select((col("sc").cast("double") /
+          (col("m") * col("m") * 4).cast("double")).as("q_modularity"))
+      per.crossJoin(broadcast(qv))
+        .select(col("community"), col("n_nodes"), col("e_c"), col("d_c"),
+          col("q_modularity"))
+        .orderBy("community")
+    },
+    Some(s"""
+      WITH $FreqEdgeSql,
+      $LpaCtes,
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM fedge),
+      deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+                (SELECT a AS id FROM fedge UNION ALL SELECT b FROM fedge)
+              GROUP BY 1),
+      intra AS (
+        SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS e_c
+        FROM fedge e JOIN l2 la ON la.id = e.a JOIN l2 lb ON lb.id = e.b
+        WHERE la.lab = lb.lab
+        GROUP BY 1
+      ),
+      per AS (
+        SELECT ds.community, ds.n_nodes, coalesce(i.e_c, 0) AS e_c,
+               ds.d_c,
+               CAST(m.m * coalesce(i.e_c, 0) * 4 - ds.d_c * ds.d_c
+                    AS BIGINT) AS contrib,
+               m.m
+        FROM (SELECT l.lab AS community, CAST(sum(d.deg) AS BIGINT) AS d_c,
+                     CAST(count(*) AS BIGINT) AS n_nodes
+              FROM deg d JOIN l2 l ON l.id = d.id GROUP BY 1) ds
+        LEFT JOIN intra i USING (community)
+        CROSS JOIN m
+      ),
+      qv AS (SELECT CAST(sum(contrib) AS DOUBLE)
+                      / CAST(max(m) * max(m) * 4 AS DOUBLE) AS q_modularity
+             FROM per)
+      SELECT community, n_nodes, e_c, d_c, q_modularity
+      FROM per CROSS JOIN qv
+      ORDER BY community
+    """))
 
   /** HITS over the bipartite purchase graph (customer → part), 2
     * authority updates ([[graft.ops.Graph.hits]]): hubs are broad
@@ -416,5 +493,6 @@ object GraphQueries {
     """))
 
   val all: Seq[QuerySpec] =
-    Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp, hits)
+    Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp, hits,
+      modularity)
 }

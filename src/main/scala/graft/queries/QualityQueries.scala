@@ -688,8 +688,88 @@ object QualityQueries {
       ORDER BY digit
     """))
 
+  /** Two-sample Kolmogorov–Smirnov distance between the order-price
+    * distributions of two customer segments, in the BINNED form that
+    * scales (the q_auc_grouped argument): prices quantize to 2000 bins,
+    * per-bin side counts aggregate map-side, and the CDF walk is one
+    * ordered window over ≤ 2000 rows. D stays an exact integer until the
+    * final division — D_scaled = max |n₂·cum₁ − n₁·cum₂|, ties to the
+    * earliest bin — so the drift statistic (the distribution-shift gate
+    * a data pipeline runs between ingestion batches) replays exactly. */
+  val ksTest = QuerySpec(
+    "q_ks_test",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val pts = orders(s, d)
+        .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), "o_custkey")
+        .filter(col("seg").isin("AUTOMOBILE", "BUILDING"))
+        .select(
+          when(col("seg") === "AUTOMOBILE", lit(1)).otherwise(lit(2))
+            .as("side"),
+          least(floor(col("o_totalprice") / 400.0), lit(1999.0)).cast("long")
+            .as("bin"))
+      val binned = pts.groupBy("bin").agg(
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("c2"))
+      val tot = binned.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      binned
+        .withColumn("cum1", sum("c1").over(w))
+        .withColumn("cum2", sum("c2").over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"),
+          abs(col("n2") * col("cum1") - col("n1") * col("cum2")).as("dev"),
+          col("n1"), col("n2"))
+        .orderBy(col("dev").desc, col("bin").asc)
+        .limit(1)
+        .select(col("n1"), col("n2"), col("dev").as("ks_scaled"),
+          (col("dev").cast("double") / (col("n1") * col("n2")).cast("double"))
+            .as("ks_stat"),
+          col("bin").as("at_bin"))
+    },
+    Some("""
+      WITH pts AS (
+        SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 2 END
+                 AS side,
+               CAST(least(floor(o.o_totalprice / 400.0), 1999.0) AS BIGINT)
+                 AS bin
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      ),
+      binned AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c1,
+               CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c2
+        FROM pts GROUP BY 1
+      ),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(c2) AS BIGINT) AS n2 FROM binned),
+      cdf AS (
+        SELECT bin,
+               CAST(sum(c1) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum1,
+               CAST(sum(c2) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum2
+        FROM binned
+      ),
+      dev AS (
+        SELECT bin, abs(t.n2 * cum1 - t.n1 * cum2) AS dev, t.n1, t.n2
+        FROM cdf, tot t
+      )
+      SELECT n1, n2, dev AS ks_scaled,
+             CAST(dev AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_stat,
+             bin AS at_bin
+      FROM dev
+      ORDER BY dev DESC, bin ASC
+      LIMIT 1
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
       kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo,
-      benford)
+      benford, ksTest)
 }

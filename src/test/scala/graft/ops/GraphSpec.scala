@@ -281,6 +281,24 @@ class GraphSpec extends SparkSpec {
     assert(a.as[(Long, Long)].collect().toMap === Map(101L -> 2L))
   }
 
+  test("modularity query: ingredients re-derive Q and the degree identity holds") {
+    val rows = graft.queries.GraphQueries.modularity.run(spark, Sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val q = rows.head.getAs[Double]("q_modularity")
+    assert(rows.forall(_.getAs[Double]("q_modularity") === q), "Q is constant")
+    assert(q > -0.5 && q <= 1.0)
+    val dSum = rows.map(_.getAs[Long]("d_c")).sum
+    assert(dSum % 2 === 0, "sum of community degree sums must be 2m")
+    val m = dSum / 2
+    val eSum = rows.map(_.getAs[Long]("e_c")).sum
+    assert(eSum <= m, "intra edges cannot exceed total edges")
+    val contrib = rows.map(r =>
+      4L * m * r.getAs[Long]("e_c") -
+        r.getAs[Long]("d_c") * r.getAs[Long]("d_c")).sum
+    assert(q === contrib.toDouble / (4L * m * m).toDouble)
+  }
+
   test("labelPropagation splits a barbell into its two cliques") {
     // two 4-cliques bridged by one edge: communities must NOT merge
     def clique(ids: Seq[Long]) =

@@ -100,6 +100,50 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("MRR: reciprocal ranks recompute from first_rank; combine is fixed-order") {
+    val rows = EvalQueries.mrr.run(spark, Sf001).collect()
+    assert(rows.map(_.getAs[String]("query")).toSeq ===
+      Seq("data", "model", "stream"))
+    rows.foreach { r =>
+      val fr = r.getAs[Int]("first_rank")
+      assert(fr >= 0 && fr <= 20)
+      val want = if (fr > 0) 1.0 / fr else 0.0
+      assert(r.getAs[Double]("rr") === want)
+    }
+    val byQ = rows.map(r => r.getAs[String]("query") -> r.getAs[Double]("rr")).toMap
+    val mrr = (byQ("data") + byQ("model") + byQ("stream")) / 3.0
+    rows.foreach(r => assert(r.getAs[Double]("mrr") === mrr))
+    assert(mrr > 0.0, "at least one query should find an 'en' doc in top-20")
+  }
+
+  test("KS test: statistic recomputes from the scaled integer and is in [0,1]") {
+    val r = QualityQueries.ksTest.run(spark, Sf001).collect().head
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    val scaled = r.getAs[Long]("ks_scaled")
+    val ks = r.getAs[Double]("ks_stat")
+    assert(n1 > 0 && n2 > 0)
+    assert(ks === scaled.toDouble / (n1 * n2).toDouble)
+    assert(ks >= 0.0 && ks <= 1.0)
+    // brute-force the binned CDF distance driver-side
+    import spark.implicits._
+    val pts = graft.Tables.orders(spark, Sf001)
+      .join(graft.Tables.customer(spark, Sf001)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg")),
+        "o_custkey")
+      .filter(col("seg").isin("AUTOMOBILE", "BUILDING"))
+      .select(col("seg"),
+        least(floor(col("o_totalprice") / 400.0), lit(1999.0)).cast("long")
+          .as("bin"))
+      .as[(String, Long)].collect()
+    val a = pts.filter(_._1 == "AUTOMOBILE").map(_._2)
+    val b = pts.filter(_._1 == "BUILDING").map(_._2)
+    val want = (0L to 1999L).map { t =>
+      math.abs(b.length.toLong * a.count(_ <= t) -
+        a.length.toLong * b.count(_ <= t))
+    }.max
+    assert(scaled === want)
+  }
+
   test("calibration bins cover all orders and frac_pos is monotone-ish in score") {
     val rows = EvalQueries.calibration.run(spark, Sf001).collect()
     assert(rows.map(_.getAs[Long]("n")).sum ===
