@@ -663,9 +663,13 @@ object AnalyticsQueries {
   val itemsets = QuerySpec(
     "q_itemsets",
     (s, d) => {
+      // cached: the basket frame feeds three consumers (total count,
+      // item supports, both sides of the pair self-join) — uncached,
+      // the distinct shuffle runs four times
       val b = lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .cache()
       val nB = b.select("ok").distinct().agg(count(lit(1)).as("n_baskets"))
       val item = b.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
       val pairs = b.as("x")

@@ -33,12 +33,17 @@ object EvalQueries {
         // nondeterministic (the verify-skill discipline)
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
           .as("rev"))
+    // cached (the q_curriculum precedent): globalRank's bounded build
+    // jobs (count + cutpoint sample) and the metric aggregate would each
+    // re-run the join+agg otherwise; the entry is shared by all four
+    // metric queries in a session
     orders(s, d).select("o_orderkey")
       .join(items, Seq("o_orderkey"), "left")
       .select(
         col("o_orderkey").as("id"),
         coalesce(col("rev"), lit(0.0)).as("score"),
         (coalesce(col("n_items"), lit(0L)) >= 4).cast("int").as("label"))
+      .cache()
   }
 
   private val ScoredCte = """

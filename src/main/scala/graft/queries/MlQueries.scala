@@ -322,14 +322,21 @@ object MlQueries {
   val spgemm = QuerySpec(
     "q_spgemm",
     (s, d) => {
+      // PRE-AGGREGATED operands (bilinearity makes it equivalent, the
+      // op's scaladoc contract): the raw 600k-row × ~170-rows-per-k fan
+      // out is ~100M intermediate rows; folded to matrix cells first,
+      // the contraction join fans out to ~1.7M — the map-side-combine
+      // rule applied to linear algebra
       val a = lineitem(s, d).select(
         (col("l_orderkey") % 240).as("i"),
         (col("l_partkey") % 120).as("k"),
         col("l_quantity").cast("long").as("v"))
+        .groupBy("i", "k").agg(sum("v").as("v"))
       val b = part(s, d).select(
         (col("p_partkey") % 120).as("k"),
         (col("p_partkey") % 60).as("j"),
         (col("p_partkey") % 7 + 1).as("w"))
+        .groupBy("k", "j").agg(sum("w").as("w"))
       graft.ops.Linalg.spgemm(a, "i", "k", "v", b, "k", "j", "w")
         .orderBy("i", "j")
     },

@@ -546,4 +546,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("cell_x") && p.contains("cell_y"), p)
   }
+
+  /** A Window node whose partition spec is empty funnels the whole input
+    * through one task. The single-row-total crossJoin(broadcast(...))
+    * shape is the sanctioned alternative; the only legitimate empty-spec
+    * windows run over CALENDAR-BOUNDED aggregates (q_cusum's contract) —
+    * corpus-shaped eval queries must never plan one. */
+  private def emptySpecWindows(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w.toString
+    }
+
+  test("AUC plans no global window: ranks come from bucketed partitions") {
+    val df = SparkEntry.queries("q_auc")(spark, Sf001)
+    assert(emptySpecWindows(df).isEmpty,
+      "q_auc must use globalRank's literal-cutpoint buckets, not a global rank window")
+  }
+
+  test("grouped AUC's only windows run over the binned contingency, partitioned by segment") {
+    val df = SparkEntry.queries("q_auc_grouped")(spark, Sf001)
+    assert(emptySpecWindows(df).isEmpty, "the CDF walk partitions by segment")
+  }
+
+  test("itemsets pair join is an equi-join on the basket key with the support floor applied") {
+    val p = plan(SparkEntry.queries("q_itemsets")(spark, Sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the 1-row basket-total attach
+    // (crossJoin(broadcast(nB)) — the sanctioned scalar pattern); the
+    // pair self-join itself must hash on the basket key
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, p)
+    assert(p.contains("n_baskets"), "the single BNLJ is the totals attach")
+  }
+
+  test("spgemm contracts on the inner dimension as an equi-join") {
+    val p = plan(SparkEntry.queries("q_spgemm")(spark, Sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
