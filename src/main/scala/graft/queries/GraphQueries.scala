@@ -492,7 +492,74 @@ object GraphQueries {
       ORDER BY role, score DESC, id
     """))
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the DIRECTED-BOTH-WAYS edge view (each
+    * undirected edge contributes (dₐ,d_b) and (d_b,dₐ) — the standard
+    * convention, and what makes the statistic symmetric). Positive ⇒
+    * hubs attach to hubs; disassortative (< 0) is the typical
+    * co-occurrence/web shape. Degrees are exact integers, so the whole
+    * computation is the q_corr discipline: one map-side-combinable pass
+    * of integer sufficient statistics, then a fixed IEEE sequence,
+    * rounded at the boundary. Two degree-attach joins against the
+    * (dim-sized) degree table; no window anywhere. */
+  val assortativity = QuerySpec(
+    "q_assortativity",
+    (s, d) => {
+      val e = freqEdges(s, d).cache() // shares the graph-suite entry
+      val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val pairs = und
+        .join(deg.select(col("id").as("u"), col("deg").as("x")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("y")), "v")
+      pairs.agg(
+          count(lit(1)).as("m2"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("m2"),
+          (col("m2") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("m2") * col("sxx") - col("sx") * col("sx")).as("dx"),
+          (col("m2") * col("syy") - col("sy") * col("sy")).as("dy"))
+        // zero variance (regular graph) ⇒ NULL, never NaN (olsFit rule)
+        .select(col("m2"),
+          when(col("dx") =!= 0 && col("dy") =!= 0,
+            round(col("num").cast("double") /
+              (sqrt(col("dx").cast("double")) *
+                sqrt(col("dy").cast("double"))), 6)).as("assortativity"))
+    },
+    Some(s"""
+      WITH $FreqEdgeSql,
+      deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+                (SELECT a AS id FROM fedge UNION ALL SELECT b FROM fedge)
+              GROUP BY 1),
+      und AS (SELECT a AS u, b AS v FROM fedge
+              UNION ALL SELECT b, a FROM fedge),
+      pairs AS (
+        SELECT du.deg AS x, dv.deg AS y
+        FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v
+      ),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS m2,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs
+      )
+      SELECT m2,
+             CASE WHEN m2 * sxx - sx * sx <> 0 AND m2 * syy - sy * sy <> 0
+                  THEN round(CAST(m2 * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(m2 * syy - sy * sy AS DOUBLE))),
+                             6)
+             END AS assortativity
+      FROM st
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp, hits,
-      modularity)
+      modularity, assortativity)
 }

@@ -546,7 +546,68 @@ object SeriesQueries {
       ORDER BY t_days
     """))
 
+  /** Seasonal decomposition, STL-lite: detrend the daily revenue series
+    * with a CENTERED 7-day moving average (a RANGE frame on the epoch
+    * day, so calendar gaps never shift the window), then profile the
+    * residual by day-of-week — the weekly-seasonality read. Exactness:
+    * cents are ints; rows keep only FULL 7-day windows, so the residual
+    * scales to the integer 7·v − Σwindow and the per-DOW mean is one
+    * final division. dow 0 = Sunday ((t+4) mod 7 — epoch day 0 was a
+    * Thursday). The window runs over the calendar-bounded aggregate
+    * (the q_cusum contract). */
+  val seasonalProfile = QuerySpec(
+    "q_seasonal_profile",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+        .rangeBetween(-3, 3)
+      orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("t"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("v"))
+        .withColumn("wsum", sum("v").over(w))
+        .withColumn("wcnt", count(lit(1)).over(w))
+        .filter(col("wcnt") === 7)
+        .select(pmod(col("t") + 4, lit(7)).cast("int").as("dow"),
+          (col("v") * 7 - col("wsum")).as("resid7"))
+        .groupBy("dow")
+        .agg(count(lit(1)).as("n_days"),
+          sum("resid7").as("sum_resid7"))
+        .select(col("dow"), col("n_days"), col("sum_resid7"),
+          (col("sum_resid7").cast("double") /
+            (col("n_days") * 7L).cast("double")).as("mean_resid_cents"))
+        .orderBy("dow")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS v
+        FROM orders GROUP BY 1
+      ),
+      win AS (
+        SELECT t, v,
+               CAST(sum(v) OVER (ORDER BY t RANGE BETWEEN 3 PRECEDING
+                                 AND 3 FOLLOWING) AS BIGINT) AS wsum,
+               CAST(count(*) OVER (ORDER BY t RANGE BETWEEN 3 PRECEDING
+                                   AND 3 FOLLOWING) AS BIGINT) AS wcnt
+        FROM daily
+      ),
+      resid AS (
+        SELECT CAST((t + 4) % 7 AS INTEGER) AS dow, v * 7 - wsum AS resid7
+        FROM win WHERE wcnt = 7
+      )
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(resid7) AS BIGINT) AS sum_resid7,
+             CAST(sum(resid7) AS DOUBLE) / CAST(count(*) * 7 AS DOUBLE)
+               AS mean_resid_cents
+      FROM resid
+      GROUP BY dow
+      ORDER BY dow
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
-    rollingMedian, acf, cusum, kaplanMeier)
+    rollingMedian, acf, cusum, kaplanMeier, seasonalProfile)
 }

@@ -299,6 +299,15 @@ class GraphSpec extends SparkSpec {
     assert(q === contrib.toDouble / (4L * m * m).toDouble)
   }
 
+  test("assortativity query: bounded in [-1,1], m2 is twice the edge count") {
+    val r = graft.queries.GraphQueries.assortativity.run(spark, Sf001)
+      .collect().head
+    val m2 = r.getAs[Long]("m2")
+    assert(m2 % 2 === 0)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0, a)
+  }
+
   test("labelPropagation splits a barbell into its two cliques") {
     // two 4-cliques bridged by one edge: communities must NOT merge
     def clique(ids: Seq[Long]) =

@@ -210,6 +210,26 @@ class SeriesSpec extends SparkSpec {
     assert(got(2L) === (1.0 - 1.0 / 3.0) * (1.0 - 1.0 / 2.0))
   }
 
+  test("seasonal profile: DOW partition is complete and residual means recompute") {
+    // sf0.001's daily series is GAPPY: full 7-day windows survive only
+    // where a whole week of consecutive order days exists, so not every
+    // DOW need appear — that filter behaving is exactly what's asserted
+    val rows = graft.queries.SeriesQueries.seasonalProfile.run(spark, Sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("dow")).forall(d => d >= 0 && d <= 6))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") > 0)
+      val want = r.getAs[Long]("sum_resid7").toDouble /
+        (r.getAs[Long]("n_days") * 7L)
+      assert(r.getAs[Double]("mean_resid_cents") === want)
+    }
+    // the denser sf0.01 series has full windows on EVERY weekday
+    val dense = graft.queries.SeriesQueries.seasonalProfile
+      .run(spark, "/root/testdata/sf0.01").collect()
+    assert(dense.map(_.getAs[Int]("dow")).toSet === (0 to 6).toSet)
+  }
+
   test("cusumChangepoint matches a driver-side argmax on seeded random series") {
     import spark.implicits._
     val rnd = new scala.util.Random(57)
