@@ -598,8 +598,54 @@ object EventQueries {
       ORDER BY doc_id
     """))
 
+  /** Sequential journey patterns: which ordered TYPE TRIPLES (a → b → c)
+    * do users actually traverse, by FIRST occurrence of each type —
+    * support = users whose first a preceded their first b preceded their
+    * first c. Unlike q_funnel (one fixed path) this MINES the paths; the
+    * first-occurrence projection is what makes it tractable — each user
+    * contributes ≤ |types| timestamps, so the triple fan-out is ≤ 60
+    * rows/user regardless of event volume (raw position-triples would be
+    * n³/user — the PrefixSpan projection argument). Ordering is the
+    * exact (ts, event_id) tuple — struct comparison in the join, row
+    * comparison in the oracle — so sub-millisecond ties never flap.
+    * One groupBy for the first-occurrence frame (map-side combinable),
+    * two user-key self-joins over it, one count. */
+  val journeyPatterns = QuerySpec(
+    "q_journey_patterns",
+    (s, d) => {
+      val f = events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("ft"))
+      def side(n: String) = f.select(col("user_id"),
+        col("event_type").as(n), col("ft").as(s"ft_$n"))
+      side("a")
+        .join(side("b"), "user_id")
+        .join(side("c"), "user_id")
+        .filter(col("ft_a") < col("ft_b") && col("ft_b") < col("ft_c"))
+        .groupBy("a", "b", "c")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 5)
+        .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id, event_type,
+               min(ROW(ts, event_id)) AS ft
+        FROM events
+        GROUP BY 1, 2
+      )
+      SELECT a.event_type AS a, b.event_type AS b, c.event_type AS c,
+             CAST(count(*) AS BIGINT) AS support
+      FROM f a
+      JOIN f b ON b.user_id = a.user_id AND a.ft < b.ft
+      JOIN f c ON c.user_id = a.user_id AND b.ft < c.ft
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 5
+      ORDER BY support DESC, a, b, c
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
     scd2, cohortRetention, attribution, outlierIqr, rfm, decayScore,
-    xmlExtract, csvExtract)
+    xmlExtract, csvExtract, journeyPatterns)
 }

@@ -83,6 +83,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(foreign.count() <= 100, "false-positive rate should stay low at 10 bits/key")
   }
 
+  test("journey patterns: top triple's support recounts from first occurrences") {
+    val rows = EventQueries.journeyPatterns.run(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, c) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(a != b && b != c && a != c,
+        "first-occurrence ordering is strict, so types in a triple are distinct")
+      assert(r.getAs[Long]("support") >= 5L)
+    }
+    val h = rows.head
+    import spark.implicits._
+    val firsts = graft.Tables.events(spark, Sf001)
+      .groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"))).as("ft"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getStruct(2).getTimestamp(0).getTime, r.getStruct(2).getLong(1)))
+      .toMap
+    val users = firsts.keys.map(_._1).toSet
+    val want = users.count { u =>
+      (firsts.get((u, h.getString(0))), firsts.get((u, h.getString(1))),
+        firsts.get((u, h.getString(2)))) match {
+        case (Some(x), Some(y), Some(z)) =>
+          Ordering[(Long, Long)].lt(x, y) && Ordering[(Long, Long)].lt(y, z)
+        case _ => false
+      }
+    }
+    assert(h.getAs[Long]("support") === want.toLong)
+  }
+
   test("itemsets: association metrics are internally consistent and pairs canonical") {
     val rows = AnalyticsQueries.itemsets.run(spark, Sf001).collect()
     assert(rows.length === 100)
