@@ -718,8 +718,77 @@ object AnalyticsQueries {
       LIMIT 100
     """))
 
+  /** Item-item collaborative filtering: for every part, its top-3 most
+    * similar parts by Ochiai / cosine-on-sets — c_ab / √(n_a·n_b) over
+    * basket co-occurrence — the classic "customers also bought"
+    * neighborhood model. Exactness: counts are integers; the similarity
+    * is √ and ÷ of exact ints (both IEEE-correctly-rounded, so the
+    * VALUES are engine-portable, and the per-item ranking breaks ties
+    * on the partner id). Scale shape: co-occurrence pairs are basket-
+    * bounded with the ≥ 2 support floor BEFORE any similarity math;
+    * the per-item top-3 is a window PARTITIONED by item (never global);
+    * item supports join back dim-sized. */
+  val itemCf = QuerySpec(
+    "q_item_cf",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("item").orderBy(col("ochiai").desc, col("other"))
+      val b = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .cache()
+      val item = b.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pairs = b.as("x")
+        .join(b.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val sym = pairs.select(col("a").as("item"), col("b").as("other"), col("c"))
+        .union(pairs.select(col("b").as("item"), col("a").as("other"), col("c")))
+      sym
+        .join(item.select(col("pk").as("item"), col("n_item").as("n_i")), "item")
+        .join(item.select(col("pk").as("other"), col("n_item").as("n_o")), "other")
+        .withColumn("ochiai",
+          col("c").cast("double") /
+            sqrt((col("n_i") * col("n_o")).cast("double")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("item", "rank", "other", "c", "ochiai")
+        .orderBy("item", "rank")
+    },
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem),
+      item AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item
+               FROM b GROUP BY 1),
+      pairs AS (
+        SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS c
+        FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+      ),
+      sym AS (SELECT a AS item, b AS other, c FROM pairs
+              UNION ALL SELECT b, a, c FROM pairs),
+      scored AS (
+        SELECT s.item, s.other, s.c,
+               CAST(s.c AS DOUBLE)
+                 / sqrt(CAST(ni.n_item * no.n_item AS DOUBLE)) AS ochiai
+        FROM sym s
+        JOIN item ni ON ni.pk = s.item
+        JOIN item no ON no.pk = s.other
+      )
+      SELECT item, rank, other, c, ochiai FROM (
+        SELECT item, other, c, ochiai,
+               CAST(row_number() OVER (PARTITION BY item
+                      ORDER BY ochiai DESC, other) AS INTEGER) AS rank
+        FROM scored)
+      WHERE rank <= 3
+      ORDER BY item, rank
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg,
     cube, explodeTokens, upsert, heavyHitters, bloomProbe, incrementalAgg,
-    bloomJoin, kmvOverlap, cmsProbe, itemsets)
+    bloomJoin, kmvOverlap, cmsProbe, itemsets, itemCf)
 }

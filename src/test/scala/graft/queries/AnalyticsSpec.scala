@@ -83,6 +83,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(foreign.count() <= 100, "false-positive rate should stay low at 10 bits/key")
   }
 
+  test("item CF: similarity recomputes from counts; per-item ranking is proper") {
+    val rows = AnalyticsQueries.itemCf.run(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    val b = graft.Tables.lineitem(spark, Sf001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val support = b.groupBy("pk").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[Long]("item")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks === (1 to ranks.length), "ranks are 1..k without holes")
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("ochiai"))
+      assert(scores.toSeq === scores.sortBy(-_).toSeq, "ochiai non-increasing")
+    }
+    rows.foreach { r =>
+      val want = r.getAs[Long]("c").toDouble /
+        math.sqrt((support(r.getAs[Long]("item")) *
+          support(r.getAs[Long]("other"))).toDouble)
+      assert(r.getAs[Double]("ochiai") === want)
+      assert(r.getAs[Double]("ochiai") <= 1.0 + 1e-15)
+    }
+  }
+
   test("journey patterns: top triple's support recounts from first occurrences") {
     val rows = EventQueries.journeyPatterns.run(spark, Sf001).collect()
     assert(rows.nonEmpty)
