@@ -1211,6 +1211,400 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Parsed ISO-BMFF (MP4) video track: geometry, timing, the sample
+    * description fourcc, and the sample table RESOLVED to absolute
+    * (offset, size) pairs plus per-sample tick durations — everything a
+    * frame-sampling pipeline needs BEFORE any codec runs. */
+  final case class Mp4Track(width: Int, height: Int, timescale: Long,
+      duration: Long, fourcc: String, samples: Vector[(Long, Int)],
+      durations: Vector[Int]) {
+    def nSamples: Int = samples.length
+  }
+
+  /** Parse an ISO-BMFF (MP4) file down to its first VIDEO track's fully
+    * resolved sample table — a REAL container demux (box walk with
+    * 64-bit largesize support, ftyp gate, moov→trak→mdia→minf→stbl,
+    * stsd/stts/stsc/stsz/stco cross-validated and expanded to absolute
+    * sample extents), which is the half of "video decode" that matters
+    * to a training-data pipeline: frame SELECTION is container-level;
+    * only the selected frames ever deserve a codec. Codec payload decode
+    * (H.264 etc.) stays honestly out of scope on a bare JVM — the stsd
+    * fourcc is surfaced so callers can dispatch.
+    *
+    * Strictness (the family's false-positive guard): sizes are
+    * big-endian and every box must fit its parent exactly; `ftyp` must
+    * lead; the track must be `vide`-handled; tkhd's 16.16 dimensions
+    * must agree with the stsd VisualSampleEntry; stts totals, the
+    * stsc×stco chunk expansion, and the stsz count must all agree; and
+    * every resolved sample must land inside the `mdat` payload. Any
+    * disagreement rejects (None). Version 0 and 1 full-box times are
+    * both read; co64 (64-bit chunk offsets) is supported. */
+  private[graft] def parseMp4(bytes: Array[Byte]): Option[Mp4Track] = {
+    def u16(i: Int): Int =
+      ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+    def u32(i: Int): Long = {
+      var v = 0L; var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xFFL); j += 1 }
+      v
+    }
+    def u64(i: Int): Long = {
+      var v = 0L; var j = 0
+      while (j < 8) { v = (v << 8) | (bytes(i + j) & 0xFFL); j += 1 }
+      v
+    }
+    def tag(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk children of [from, until), calling f(type, bodyFrom, bodyUntil)
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Boolean): Boolean = {
+      var i = from
+      while (i < until) {
+        if (i + 8 > until) return false
+        var size = u32(i)
+        var hdr = 8
+        if (size == 1L) {
+          if (i + 16 > until) return false
+          size = u64(i + 8); hdr = 16
+        }
+        if (size < hdr || i + size > until) return false
+        if (!f(tag(i + 4), i + hdr, i + size.toInt)) return false
+        i += size.toInt
+      }
+      i == until
+    }
+    if (bytes.length < 8 || u32(0) < 8 || tag(4) != "ftyp") return None
+    var mdat: Option[(Int, Int)] = None
+    var moov: Option[(Int, Int)] = None
+    if (!walk(0, bytes.length) { (t, a, b) =>
+      t match {
+        case "mdat" => if (mdat.isDefined) false else { mdat = Some((a, b)); true }
+        case "moov" => if (moov.isDefined) false else { moov = Some((a, b)); true }
+        case _ => true // ftyp, free, ...
+      }
+    }) return None
+    val (mdA, mdB) = mdat.getOrElse(return None)
+    val (mvA, mvB) = moov.getOrElse(return None)
+    var out: Option[Mp4Track] = None
+    // full-box helper: returns (version, body offset past version/flags)
+    def full(a: Int): (Int, Int) = ((bytes(a) & 0xFF), a + 4)
+    def parseTrak(ta: Int, tb: Int): Option[Mp4Track] = {
+      var tkWidth = -1; var tkHeight = -1
+      var timescale = -1L; var duration = -1L
+      var isVideo = false
+      var fourcc = ""; var sdW = -1; var sdH = -1
+      var sttsRuns: Vector[(Long, Int)] = Vector.empty
+      var sizes: Vector[Int] = Vector.empty
+      var stsc: Vector[(Long, Long)] = Vector.empty // first_chunk, per_chunk
+      var chunkOffs: Vector[Long] = Vector.empty
+      var ok = walk(ta, tb) { (t, a, b) =>
+        t match {
+          case "tkhd" =>
+            val (v, p0) = full(a)
+            // v0: ctime/mtime/id/res/dur = 4+4+4+4+4; v1: 8+8+4+4+8
+            val p = p0 + (if (v == 1) 32 else 20)
+            // layer/alt/volume/reserved (8) + matrix (36) → width/height
+            val q = p + 8 + 8 + 36
+            if (q + 8 > b) false
+            else {
+              tkWidth = (u32(q) >> 16).toInt // 16.16 fixed
+              tkHeight = (u32(q + 4) >> 16).toInt
+              true
+            }
+          case "mdia" =>
+            walk(a, b) { (t2, a2, b2) =>
+              t2 match {
+                case "mdhd" =>
+                  val (v, p0) = full(a2)
+                  if (v == 1) {
+                    timescale = u32(p0 + 16); duration = u64(p0 + 20)
+                  } else {
+                    timescale = u32(p0 + 8); duration = u32(p0 + 12)
+                  }
+                  true
+                case "hdlr" =>
+                  val (_, p0) = full(a2)
+                  isVideo = b2 >= p0 + 12 && tag(p0 + 4) == "vide"
+                  true
+                case "minf" =>
+                  walk(a2, b2) { (t3, a3, b3) =>
+                    if (t3 != "stbl") true
+                    else walk(a3, b3) { (t4, a4, b4) =>
+                      t4 match {
+                        case "stsd" =>
+                          val (_, p0) = full(a4)
+                          val n = u32(p0)
+                          if (n < 1 || p0 + 4 + 8 > b4) false
+                          else {
+                            val e = p0 + 4 // first entry
+                            val esize = u32(e)
+                            if (esize < 86 || e + esize > b4) false
+                            else {
+                              fourcc = tag(e + 4)
+                              sdW = u16(e + 32); sdH = u16(e + 34)
+                              true
+                            }
+                          }
+                        case "stts" =>
+                          val (_, p0) = full(a4)
+                          val n = u32(p0).toInt
+                          if (p0 + 4 + 8L * n > b4) false
+                          else {
+                            sttsRuns = (0 until n).map(k =>
+                              (u32(p0 + 4 + 8 * k),
+                                u32(p0 + 8 + 8 * k).toInt)).toVector
+                            true
+                          }
+                        case "stsz" =>
+                          val (_, p0) = full(a4)
+                          val fixed = u32(p0)
+                          val n = u32(p0 + 4).toInt
+                          if (fixed != 0L)
+                            { sizes = Vector.fill(n)(fixed.toInt); true }
+                          else if (p0 + 8 + 4L * n > b4) false
+                          else {
+                            sizes = (0 until n).map(k =>
+                              u32(p0 + 8 + 4 * k).toInt).toVector
+                            true
+                          }
+                        case "stsc" =>
+                          val (_, p0) = full(a4)
+                          val n = u32(p0).toInt
+                          if (p0 + 4 + 12L * n > b4) false
+                          else {
+                            stsc = (0 until n).map(k =>
+                              (u32(p0 + 4 + 12 * k),
+                                u32(p0 + 8 + 12 * k))).toVector
+                            true
+                          }
+                        case "stco" | "co64" =>
+                          val (_, p0) = full(a4)
+                          val n = u32(p0).toInt
+                          val w = if (t4 == "co64") 8 else 4
+                          if (p0 + 4 + w.toLong * n > b4) false
+                          else {
+                            chunkOffs = (0 until n).map(k =>
+                              if (w == 8) u64(p0 + 4 + 8 * k)
+                              else u32(p0 + 4 + 4 * k)).toVector
+                            true
+                          }
+                        case _ => true
+                      }
+                    }
+                  }
+                case _ => true
+              }
+            }
+          case _ => true
+        }
+      }
+      ok = ok && isVideo && timescale > 0 && duration >= 0 &&
+        fourcc.nonEmpty && sdW >= 1 && sdH >= 1 &&
+        tkWidth == sdW && tkHeight == sdH &&
+        sttsRuns.nonEmpty && stsc.nonEmpty && chunkOffs.nonEmpty
+      if (!ok) return None
+      // expand stsc across chunks; resolve absolute sample extents
+      val nSamples = sizes.length
+      val durs = sttsRuns.flatMap { case (cnt, d) =>
+        if (cnt < 0 || cnt > nSamples) return None
+        Vector.fill(cnt.toInt)(d)
+      }
+      if (durs.length != nSamples) return None
+      if (durs.map(_.toLong).sum != duration) return None
+      val samples = Vector.newBuilder[(Long, Int)]
+      var s = 0
+      for (c <- chunkOffs.indices) {
+        val chunk1 = c + 1L
+        val perChunk = stsc.takeWhile(_._1 <= chunk1).lastOption
+          .getOrElse(return None)._2.toInt
+        var off = chunkOffs(c)
+        var k = 0
+        while (k < perChunk) {
+          if (s >= nSamples) return None
+          val sz = sizes(s)
+          if (off < mdA || off + sz > mdB) return None
+          samples += ((off, sz))
+          off += sz
+          s += 1; k += 1
+        }
+      }
+      if (s != nSamples) return None
+      Some(Mp4Track(sdW, sdH, timescale, duration, fourcc,
+        samples.result(), durs))
+    }
+    walk(mvA, mvB) { (t, a, b) =>
+      if (t == "trak" && out.isEmpty) out = parseTrak(a, b).orElse(out)
+      true
+    }
+    out
+  }
+
+  /** Emit a minimal conformant ISO-BMFF file: `ftyp` (isom/mp42), `mdat`
+    * holding the concatenated sample bodies, and a `moov` with one
+    * video track whose sample tables (stts run-length durations, stsc
+    * one-chunk mapping, per-sample stsz, stco) describe them — the
+    * mirror of [[parseMp4]], with an uncompressed `raw ` sample entry
+    * (this muxer packages pixels, it does not invent a codec). */
+  private[graft] def encodeMp4(w: Int, h: Int, timescale: Int,
+      durations: Seq[Int], sampleBodies: Seq[Array[Byte]]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && timescale >= 1 && sampleBodies.nonEmpty &&
+      durations.length == sampleBodies.length,
+      s"invalid MP4 geometry w=$w h=$h ts=$timescale " +
+        s"n=${sampleBodies.length}/${durations.length}")
+    val n = sampleBodies.length
+    val duration = durations.map(_.toLong).sum
+    require(duration <= 0xFFFFFFFFL, "v0 boxes carry 32-bit durations")
+    // run-length encode stts
+    val runs = Vector.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && durations(j) == durations(i)) j += 1
+      runs += ((j - i, durations(i)))
+      i = j
+    }
+    val stts = runs.result()
+    val mdatLen = sampleBodies.map(_.length).sum
+    val stsdSz = 16 + 86
+    val sttsSz = 16 + 8 * stts.length
+    val stscSz = 16 + 12
+    val stszSz = 20 + 4 * n
+    val stcoSz = 16 + 4
+    val stblSz = 8 + stsdSz + sttsSz + stscSz + stszSz + stcoSz
+    val dinfSz = 8 + 28
+    val minfSz = 8 + 20 + dinfSz + stblSz
+    val hdlrSz = 33
+    val mdiaSz = 8 + 32 + hdlrSz + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val moovSz = 8 + 108 + trakSz
+    val out = new Array[Byte](24 + 8 + mdatLen + moovSz)
+    var p = 0
+    def put32(v: Long): Unit = {
+      var j = 3
+      while (j >= 0) { out(p) = ((v >> (8 * j)) & 0xFF).toByte; p += 1; j -= 1 }
+    }
+    def put16(v: Int): Unit = {
+      out(p) = ((v >> 8) & 0xFF).toByte; out(p + 1) = (v & 0xFF).toByte
+      p += 2
+    }
+    def putTag(t: String): Unit = {
+      var j = 0
+      while (j < 4) { out(p + j) = t(j).toByte; j += 1 }
+      p += 4
+    }
+    def zeros(k: Int): Unit = p += k // array is zero-initialized
+    put32(24); putTag("ftyp"); putTag("isom"); put32(0x200)
+    putTag("isom"); putTag("mp42")
+    put32(8L + mdatLen); putTag("mdat")
+    val mdatPayload = p
+    sampleBodies.foreach { b =>
+      System.arraycopy(b, 0, out, p, b.length); p += b.length
+    }
+    put32(moovSz.toLong); putTag("moov")
+    put32(108); putTag("mvhd"); put32(0) // v0
+    put32(0); put32(0) // ctime, mtime
+    put32(timescale.toLong); put32(duration)
+    put32(0x00010000L); put16(0x0100); zeros(10) // rate, volume, reserved
+    put32(0x00010000L); zeros(12); put32(0x00010000L); zeros(12)
+    put32(0x40000000L) // identity matrix
+    zeros(24); put32(2) // pre_defined, next_track_id
+    put32(trakSz.toLong); putTag("trak")
+    put32(92); putTag("tkhd"); put32(7) // v0, flags: enabled+in-movie
+    put32(0); put32(0); put32(1); put32(0); put32(duration)
+    zeros(8); put16(0); put16(0); put16(0); put16(0) // layer/alt/vol/res
+    put32(0x00010000L); zeros(12); put32(0x00010000L); zeros(12)
+    put32(0x40000000L)
+    put32(w.toLong << 16); put32(h.toLong << 16) // 16.16
+    put32(mdiaSz.toLong); putTag("mdia")
+    put32(32); putTag("mdhd"); put32(0)
+    put32(0); put32(0); put32(timescale.toLong); put32(duration)
+    put16(0x55C4); put16(0) // language "und", pre_defined
+    put32(hdlrSz.toLong); putTag("hdlr"); put32(0)
+    put32(0); putTag("vide"); zeros(12); zeros(1) // empty name
+    put32(minfSz.toLong); putTag("minf")
+    put32(20); putTag("vmhd"); put32(1); put16(0); zeros(6)
+    put32(dinfSz.toLong); putTag("dinf")
+    put32(28); putTag("dref"); put32(0); put32(1)
+    put32(12); putTag("url "); put32(1) // self-contained
+    put32(stblSz.toLong); putTag("stbl")
+    put32(stsdSz.toLong); putTag("stsd"); put32(0); put32(1)
+    put32(86); putTag("raw "); zeros(6); put16(1) // reserved, dref idx
+    put16(0); put16(0); zeros(12) // pre_defined/reserved
+    put16(w); put16(h)
+    put32(0x00480000L); put32(0x00480000L) // 72 dpi
+    put32(0); put16(1) // reserved, frame_count
+    zeros(32) // compressorname
+    put16(24); put16(0xFFFF) // depth, pre_defined = -1
+    put32(sttsSz.toLong); putTag("stts"); put32(0); put32(stts.length.toLong)
+    stts.foreach { case (c, dur) => put32(c.toLong); put32(dur.toLong) }
+    put32(stscSz.toLong); putTag("stsc"); put32(0); put32(1)
+    put32(1); put32(n.toLong); put32(1) // one chunk holds every sample
+    put32(stszSz.toLong); putTag("stsz"); put32(0); put32(0)
+    put32(n.toLong)
+    sampleBodies.foreach(b => put32(b.length.toLong))
+    put32(stcoSz.toLong); putTag("stco"); put32(0); put32(1)
+    put32(mdatPayload.toLong)
+    require(p == out.length, s"muxer wrote $p of ${out.length} bytes")
+    out
+  }
+
+  final case class Mp4Features(doc_id: Long, width: Int, height: Int,
+      timescale: Long, duration_ticks: Long, n_samples: Int,
+      bytes_total: Long, mean_sample_byte: Double)
+
+  /** Container-level MP4 demux over a packed binary column: per payload,
+    * the resolved track geometry/timing and EXACT whole-file sample
+    * statistics (Σ sizes, mean over every sample byte) — the metadata a
+    * pipeline filters on before any codec spend. Undecodable rows drop
+    * ([[decodeVideo]] discipline). */
+  def demuxMp4(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseMp4(bytes).map { t =>
+            var total = 0L
+            var sum = 0L
+            t.samples.foreach { case (off, sz) =>
+              total += sz
+              var k = 0
+              while (k < sz) { sum += bytes(off.toInt + k) & 0xFF; k += 1 }
+            }
+            Mp4Features(id, t.width, t.height, t.timescale, t.duration,
+              t.nSamples, total,
+              if (total == 0) 0.0 else sum.toDouble / total)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Container-level frame sampling: keep every `every`-th sample's
+    * EXTENT (no codec ever runs) and report its exact byte statistics —
+    * the "sample 1 fps for the vision encoder" primitive at the layer
+    * where it is actually cheap. One row per kept sample. */
+  def sampleMp4(spark: SparkSession, packed: DataFrame, every: Int): DataFrame = {
+    require(every > 0, s"sampling stride must be positive, got $every")
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseMp4(bytes).toSeq.flatMap { t =>
+            t.samples.zipWithIndex.collect {
+              case ((off, sz), f) if f % every == 0 =>
+                var sum = 0L
+                var k = 0
+                while (k < sz) { sum += bytes(off.toInt + k) & 0xFF; k += 1 }
+                (id, f, t.durations(f), sz, sum)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "sample_idx", "dur_ticks", "n_bytes", "byte_sum")
+  }
+
   /** One dispatched decode result: which format claimed the payload and
     * that format's primary content metric (image/video: a channel mean;
     * audio: mean |sample|). */
@@ -1288,6 +1682,12 @@ object Multimodal {
               }
               SniffedMedia(id, "avi",
                 s.toDouble / (hd.width.toLong * hd.height * hd.nFrames))
+            }
+          else if (has("ftyp", 4))
+            // ISO-BMFF: container demux only (codec payloads are opaque),
+            // so the dispatch metric is structural — dims, like JPEG's
+            parseMp4(bytes).map { t =>
+              SniffedMedia(id, "mp4", t.width.toDouble * 1000 + t.height)
             }
           else None
         }

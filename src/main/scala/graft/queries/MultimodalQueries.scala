@@ -629,7 +629,84 @@ object MultimodalQueries {
       ORDER BY doc_id
     """))
 
+  /** REAL ISO-BMFF (MP4) container demux under the hash gate: every
+    * doc_id becomes a valid MP4 (ftyp/mdat/moov with full sample tables
+    * — run-length stts, one-chunk stsc, per-sample stsz, stco) built by
+    * the hand-rolled muxer; the engine then box-walks it back
+    * (Multimodal.parseMp4), cross-validates tkhd/stsd/stts/stsz/stco,
+    * resolves every sample's absolute extent, and reports exact
+    * byte-level statistics — plus the container-level frame-sampling op
+    * twice (every 2nd sample's total bytes; the second sample's byte
+    * sum), which pins sample SELECTION and extent resolution, not just
+    * counts. Codec decode of the sample payloads stays honestly out of
+    * scope (stsd fourcc 'raw ' surfaced); the demux IS the pipeline-
+    * relevant half — frames are chosen at the container layer before
+    * any codec spend. Oracle: pure doc_id arithmetic. */
+  val mp4Demux = QuerySpec(
+    "q_mp4_demux",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val n = (id % 4 + 2).toInt
+            val w = (id % 6 + 2).toInt
+            val h = ((id * 3) % 5 + 2).toInt
+            val ts = (1000 + id % 5).toInt
+            val durs = (0 until n).map(f => (((id + f) % 3 + 1) * 100).toInt)
+            val bodies = (0 until n).map { f =>
+              val sz = ((id + 7 * f) % 9 + 1).toInt
+              Array.fill(sz)(((id * 11 + f * 17) % 256).toByte)
+            }
+            (id, Multimodal.encodeMp4(w, h, ts, durs, bodies))
+          }
+        }
+        .toDF("doc_id", "payload")
+      val demux = Multimodal.demuxMp4(s, packed)
+      val kept = Multimodal.sampleMp4(s, packed, 2).groupBy("doc_id")
+        .agg(count(lit(1)).as("kept_n"), sum("n_bytes").as("kept_bytes"))
+      val second = Multimodal.sampleMp4(s, packed, 1)
+        .filter(col("sample_idx") === 1)
+        .select(col("doc_id"), col("byte_sum").as("second_sample_sum"))
+      demux.join(kept, "doc_id").join(second, "doc_id")
+        .select("doc_id", "width", "height", "timescale", "duration_ticks",
+          "n_samples", "bytes_total", "mean_sample_byte", "kept_n",
+          "kept_bytes", "second_sample_sum")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, CAST(doc_id % 4 + 2 AS BIGINT) AS n FROM documents
+      )
+      SELECT doc_id,
+             CAST(doc_id % 6 + 2 AS INTEGER) AS width,
+             CAST((doc_id * 3) % 5 + 2 AS INTEGER) AS height,
+             CAST(1000 + doc_id % 5 AS BIGINT) AS timescale,
+             CAST(list_sum(list_transform(range(0, n),
+                    f -> ((doc_id + f) % 3 + 1) * 100)) AS BIGINT)
+               AS duration_ticks,
+             CAST(n AS INTEGER) AS n_samples,
+             CAST(list_sum(list_transform(range(0, n),
+                    f -> (doc_id + 7 * f) % 9 + 1)) AS BIGINT) AS bytes_total,
+             CAST(list_sum(list_transform(range(0, n),
+                    f -> ((doc_id + 7 * f) % 9 + 1)
+                         * ((doc_id * 11 + f * 17) % 256))) AS DOUBLE)
+               / CAST(list_sum(list_transform(range(0, n),
+                        f -> (doc_id + 7 * f) % 9 + 1)) AS DOUBLE)
+               AS mean_sample_byte,
+             CAST((n + 1) // 2 AS BIGINT) AS kept_n,
+             CAST(list_sum(list_transform(
+                    list_filter(range(0, n), f -> f % 2 = 0),
+                    f -> (doc_id + 7 * f) % 9 + 1)) AS BIGINT) AS kept_bytes,
+             CAST(((doc_id + 7) % 9 + 1) * ((doc_id * 11 + 17) % 256)
+                  AS BIGINT) AS second_sample_sum
+      FROM g
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(multimodal, frameSample, imageDecode, audioDecode, videoDecode,
-      pngDecode, gifDecode, jpegDecode, jpegTranscode, mediaDispatch)
+      pngDecode, gifDecode, jpegDecode, jpegTranscode, mediaDispatch,
+      mp4Demux)
 }

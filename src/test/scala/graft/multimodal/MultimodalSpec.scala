@@ -581,6 +581,70 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeJpegBytes(cut) === None)
   }
 
+  test("MP4 mux/demux round-trip resolves the exact sample table") {
+    val bodies = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5),
+      Array[Byte](6, 7, 8, 9))
+    val durs = Seq(100, 100, 200)
+    val mp4 = Multimodal.encodeMp4(6, 4, 1000, durs, bodies)
+    val t = Multimodal.parseMp4(mp4).get
+    assert(t.width === 6 && t.height === 4)
+    assert(t.timescale === 1000L && t.duration === 400L)
+    assert(t.fourcc === "raw ")
+    assert(t.durations === Vector(100, 100, 200))
+    assert(t.samples.map(_._2) === Vector(3, 2, 4))
+    // resolved extents reproduce the exact bodies
+    val got = t.samples.map { case (off, sz) =>
+      java.util.Arrays.copyOfRange(mp4, off.toInt, off.toInt + sz).toSeq
+    }
+    assert(got === bodies.map(_.toSeq))
+    // stts run-length coding survives equal-duration runs
+    val t2 = Multimodal.parseMp4(
+      Multimodal.encodeMp4(2, 2, 90, Seq(50, 50, 50),
+        Seq(Array[Byte](1), Array[Byte](2), Array[Byte](3)))).get
+    assert(t2.durations === Vector(50, 50, 50) && t2.duration === 150L)
+  }
+
+  test("MP4 parser rejects malformed payloads instead of guessing") {
+    val mp4 = Multimodal.encodeMp4(3, 3, 600, Seq(10, 20),
+      Seq(Array[Byte](1, 2), Array[Byte](3)))
+    assert(Multimodal.parseMp4(mp4).isDefined)
+    // truncation anywhere rejects
+    assert(Multimodal.parseMp4(
+      java.util.Arrays.copyOfRange(mp4, 0, mp4.length - 5)) === None)
+    // a lying top-level box size rejects
+    val lie = mp4.clone(); lie(3) = (lie(3) + 4).toByte
+    assert(Multimodal.parseMp4(lie) === None)
+    // tkhd/stsd dimension disagreement rejects: patch stsd width (16-bit
+    // big-endian) without touching tkhd
+    def patch16(bytes: Array[Byte], tagName: String, off: Int, v: Int): Array[Byte] = {
+      val s = new String(bytes.map(_.toChar))
+      val i = s.indexOf(tagName)
+      assert(i > 0)
+      val out = bytes.clone()
+      out(i + off) = ((v >> 8) & 0xFF).toByte
+      out(i + off + 1) = (v & 0xFF).toByte
+      out
+    }
+    // VisualSampleEntry width sits 28 bytes past its fourcc "raw "
+    assert(Multimodal.parseMp4(patch16(mp4, "raw ", 28, 99)) === None)
+    // other-format payloads never parse as MP4, and vice versa
+    assert(Multimodal.parseMp4("RIFFxxxxAVI ".getBytes) === None)
+    assert(Multimodal.parseAvi(mp4) === None)
+    assert(Multimodal.parsePng(mp4) === None)
+  }
+
+  test("MP4 container frame sampling keeps every Nth sample exactly") {
+    import spark.implicits._
+    val bodies = (0 until 5).map(f => Array.fill(f + 1)((10 * f).toByte))
+    val mp4 = Multimodal.encodeMp4(2, 2, 30, Seq.fill(5)(10), bodies)
+    val df = Seq((7L, mp4)).toDF("doc_id", "payload")
+    val kept = Multimodal.sampleMp4(spark, df, 2)
+      .orderBy("sample_idx").collect()
+    assert(kept.map(_.getInt(1)).toSeq === Seq(0, 2, 4))
+    assert(kept.map(_.getInt(3)).toSeq === Seq(1, 3, 5), "sizes of kept samples")
+    assert(kept.map(_.getLong(4)).toSeq === Seq(0L, 60L, 200L), "byte sums")
+  }
+
   test("frame sampling keeps every Nth full frame and drops the partial tail") {
     val f = Multimodal.sampleFrames(spark, packed, frameBytes = 64, every = 2)
       .orderBy("doc_id", "frame_idx").collect()
