@@ -1605,6 +1605,132 @@ object Multimodal {
       .toDF("doc_id", "sample_idx", "dur_ticks", "n_bytes", "byte_sum")
   }
 
+  /** MPEG-1 Layer III bitrate table (kbps), index 1–14; 0 is "free"
+    * and 15 forbidden — both reject here. */
+  private val Mp3Bitrates: Array[Int] =
+    Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Parsed MP3 stream summary: the frame walk's exact aggregates. Audio
+    * content (Huffman spectral data) is opaque — payloadSum is the raw
+    * byte sum of the frame bodies, the extraction check. */
+  final case class Mp3Info(nFrames: Int, sampleRate: Int, totalBytes: Int,
+      kbpsSum: Long, payloadSum: Long)
+
+  /** Walk an MPEG-1 Layer III stream frame by frame — the audio sibling
+    * of [[parseMp4]]: an optional ID3v2 tag skips by its synchsafe size,
+    * then every frame header must hold the 11-bit sync, MPEG-1 version,
+    * Layer III, a legal bitrate index (VBR streams vary it per frame —
+    * handled), and a samplerate consistent across the whole stream; the
+    * frame length is the spec's 144·bitrate/samplerate + padding, and
+    * the final frame must end exactly at EOF (trailing garbage rejects —
+    * the family's false-positive guard). Spectral decode (Huffman,
+    * IMDCT) is honestly out of scope on a bare JVM; the frame walk is
+    * the half a data pipeline needs: duration, bitrate profile, and
+    * exact frame extents. */
+  private[graft] def parseMp3(bytes: Array[Byte]): Option[Mp3Info] = {
+    var i = 0
+    // ID3v2: "ID3" vv flags + 4-byte synchsafe length of the tag body
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      if ((bytes(6) | bytes(7) | bytes(8) | bytes(9)) < 0) return None
+      i = 10 + size
+      if (i > bytes.length) return None
+    }
+    var n = 0
+    var sr = -1
+    var kbpsSum = 0L
+    var paySum = 0L
+    while (i < bytes.length) {
+      if (i + 4 > bytes.length) return None
+      if ((bytes(i) & 0xFF) != 0xFF || (bytes(i + 1) & 0xFE) != 0xFA)
+        return None // sync + MPEG-1 + Layer III (CRC bit free)
+      val b2 = bytes(i + 2) & 0xFF
+      val brIdx = b2 >> 4
+      val srIdx = (b2 >> 2) & 3
+      val pad = (b2 >> 1) & 1
+      if (brIdx < 1 || brIdx > 14 || srIdx > 2) return None
+      val rate = Mp3Rates(srIdx)
+      if (sr == -1) sr = rate
+      else if (sr != rate) return None // mid-stream samplerate switch
+      val kbps = Mp3Bitrates(brIdx)
+      val len = 144000 * kbps / rate + pad
+      if (len < 4 || i + len > bytes.length) return None
+      var k = i + 4
+      while (k < i + len) { paySum += bytes(k) & 0xFF; k += 1 }
+      kbpsSum += kbps
+      n += 1
+      i += len
+    }
+    if (n == 0 || sr == -1) None
+    else Some(Mp3Info(n, sr, bytes.length, kbpsSum, paySum))
+  }
+
+  /** Emit a conformant MPEG-1 Layer III frame stream (headers + opaque
+    * bodies; optionally ID3v2-prefixed) — the [[parseMp3]] mirror for
+    * fixtures: real sync words, table-driven frame lengths, per-frame
+    * bitrate (VBR) and padding bits. */
+  private[graft] def encodeMp3(srIdx: Int, frames: Seq[(Int, Int, Byte)],
+      id3Body: Array[Byte] = Array.empty): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2, s"samplerate index $srIdx")
+    require(frames.nonEmpty, "need at least one frame")
+    val rate = Mp3Rates(srIdx)
+    val lens = frames.map { case (brIdx, pad, _) =>
+      require(brIdx >= 1 && brIdx <= 14 && (pad == 0 || pad == 1),
+        s"bitrate idx $brIdx / pad $pad")
+      144000 * Mp3Bitrates(brIdx) / rate + pad
+    }
+    val id3Len = if (id3Body.isEmpty) 0 else 10 + id3Body.length
+    require(id3Body.length < (1 << 28), "ID3 body too large for synchsafe")
+    val out = new Array[Byte](id3Len + lens.sum)
+    var p = 0
+    if (id3Body.nonEmpty) {
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 3
+      val s = id3Body.length
+      out(6) = ((s >> 21) & 0x7F).toByte; out(7) = ((s >> 14) & 0x7F).toByte
+      out(8) = ((s >> 7) & 0x7F).toByte; out(9) = (s & 0x7F).toByte
+      System.arraycopy(id3Body, 0, out, 10, s)
+      p = 10 + s
+    }
+    frames.zip(lens).foreach { case ((brIdx, pad, fill), len) =>
+      out(p) = 0xFF.toByte
+      out(p + 1) = 0xFB.toByte // MPEG-1, Layer III, no CRC
+      out(p + 2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      out(p + 3) = 0 // stereo, no emphasis
+      java.util.Arrays.fill(out, p + 4, p + len, fill)
+      p += len
+    }
+    require(p == out.length, s"muxer wrote $p of ${out.length}")
+    out
+  }
+
+  final case class Mp3Features(doc_id: Long, n_frames: Int, sample_rate: Int,
+      total_bytes: Int, mean_kbps: Double, duration_ms: Double,
+      payload_sum: Long)
+
+  /** MP3 frame-walk features over a packed binary column: frame count,
+    * samplerate, exact VBR mean bitrate, duration (1152 samples/frame),
+    * and the exact payload byte sum. Undecodable rows drop. */
+  def decodeMp3Frames(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseMp3(bytes).map { m =>
+            Mp3Features(id, m.nFrames, m.sampleRate, m.totalBytes,
+              m.kbpsSum.toDouble / m.nFrames,
+              m.nFrames.toLong * 1152000 / m.sampleRate.toDouble,
+              m.payloadSum)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** One dispatched decode result: which format claimed the payload and
     * that format's primary content metric (image/video: a channel mean;
     * audio: mean |sample|). */
@@ -1688,6 +1814,16 @@ object Multimodal {
             // so the dispatch metric is structural — dims, like JPEG's
             parseMp4(bytes).map { t =>
               SniffedMedia(id, "mp4", t.width.toDouble * 1000 + t.height)
+            }
+          else if (has("ID3") || (bytes.length >= 4 &&
+              (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFE) == 0xFA))
+            // MP3 sync bytes CAN occur in arbitrary binaries — the
+            // strict whole-stream frame walk is the false-positive
+            // guard, not the magic. Structural metric (frame count +
+            // rate), spectral content being opaque.
+            parseMp3(bytes).map { m =>
+              SniffedMedia(id, "mp3",
+                m.nFrames.toDouble * 100000 + m.sampleRate)
             }
           else None
         }

@@ -705,8 +705,86 @@ object MultimodalQueries {
       ORDER BY doc_id
     """))
 
+  /** REAL MPEG-1 Layer III frame walk under the gate (the audio sibling
+    * of q_mp4_demux): every doc_id becomes a conformant VBR MP3 stream —
+    * real sync words, table-driven frame lengths (144·bitrate/rate +
+    * padding), per-frame bitrate AND padding varying, half the docs
+    * ID3v2-prefixed so the synchsafe-size skip sits on the hash gate.
+    * The engine walks it back (Multimodal.parseMp3): frame count, exact
+    * VBR mean bitrate, duration at 1152 samples/frame, and the exact
+    * payload byte sum (extent resolution, not just counting). Spectral
+    * decode is honestly out of scope; the frame walk IS what a pipeline
+    * needs (duration/bitrate filters, frame extents). Oracle: the
+    * bitrate/samplerate TABLES as list literals + doc_id arithmetic. */
+  val mp3Frames = QuerySpec(
+    "q_mp3_frames",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val srIdx = (id % 3).toInt
+            val n = (id % 4 + 2).toInt
+            val frames = (0 until n).map { f =>
+              (((id + f) % 14 + 1).toInt, ((id + f) % 2).toInt,
+                ((id * 11 + f * 17) % 256).toByte)
+            }
+            val id3 =
+              if (id % 2 == 0) Array.fill((id % 5 + 1).toInt)(65.toByte)
+              else Array.empty[Byte]
+            (id, Multimodal.encodeMp3(srIdx, frames, id3))
+          }
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.decodeMp3Frames(s, packed).orderBy("doc_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               CAST(doc_id % 4 + 2 AS BIGINT) AS n,
+               list_extract([44100, 48000, 32000],
+                            CAST(doc_id % 3 + 1 AS INTEGER)) AS sr
+        FROM documents
+      ),
+      per AS (
+        SELECT doc_id, n, sr,
+               list_transform(range(0, n), f -> list_extract(
+                 [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                  256, 320], CAST((doc_id + f) % 14 + 1 AS INTEGER)))
+                 AS kbps,
+               list_transform(range(0, n), f -> (doc_id + f) % 2) AS pads,
+               list_transform(range(0, n), f -> (doc_id * 11 + f * 17) % 256)
+                 AS fills
+        FROM g
+      ),
+      lens AS (
+        SELECT doc_id, n, sr, kbps,
+               list_transform(range(1, CAST(n + 1 AS INTEGER)),
+                 i -> 144000 * list_extract(kbps, CAST(i AS INTEGER)) // sr
+                      + list_extract(pads, CAST(i AS INTEGER))) AS len,
+               fills
+        FROM per
+      )
+      SELECT doc_id,
+             CAST(n AS INTEGER) AS n_frames,
+             CAST(sr AS INTEGER) AS sample_rate,
+             CAST(list_sum(len)
+                  + CASE WHEN doc_id % 2 = 0
+                         THEN 10 + doc_id % 5 + 1 ELSE 0 END
+                  AS INTEGER) AS total_bytes,
+             CAST(list_sum(kbps) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_kbps,
+             CAST(n * 1152000 AS DOUBLE) / CAST(sr AS DOUBLE) AS duration_ms,
+             CAST(list_sum(list_transform(range(1, CAST(n + 1 AS INTEGER)),
+                    i -> (list_extract(len, CAST(i AS INTEGER)) - 4)
+                         * list_extract(fills, CAST(i AS INTEGER))))
+                  AS BIGINT) AS payload_sum
+      FROM lens
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(multimodal, frameSample, imageDecode, audioDecode, videoDecode,
       pngDecode, gifDecode, jpegDecode, jpegTranscode, mediaDispatch,
-      mp4Demux)
+      mp4Demux, mp3Frames)
 }

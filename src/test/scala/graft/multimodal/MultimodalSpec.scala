@@ -645,6 +645,43 @@ class MultimodalSpec extends SparkSpec {
     assert(kept.map(_.getLong(4)).toSeq === Seq(0L, 60L, 200L), "byte sums")
   }
 
+  test("MP3 frame walk: VBR lengths, ID3 skip, and exact payload sums round-trip") {
+    // three frames: 128k/0pad, 320k/1pad, 32k/0pad at 44100
+    val mp3 = Multimodal.encodeMp3(0,
+      Seq((9, 0, 7.toByte), (14, 1, 9.toByte), (1, 0, 3.toByte)))
+    val m = Multimodal.parseMp3(mp3).get
+    assert(m.nFrames === 3 && m.sampleRate === 44100)
+    val lens = Seq(144000 * 128 / 44100, 144000 * 320 / 44100 + 1,
+      144000 * 32 / 44100)
+    assert(m.totalBytes === lens.sum)
+    assert(m.kbpsSum === 128L + 320L + 32L)
+    assert(m.payloadSum ===
+      lens.zip(Seq(7L, 9L, 3L)).map { case (l, v) => (l - 4) * v }.sum)
+    // ID3v2 prefix skips by synchsafe size
+    val tagged = Multimodal.encodeMp3(1, Seq((5, 0, 1.toByte)),
+      Array.fill(200)(88.toByte))
+    val mt = Multimodal.parseMp3(tagged).get
+    assert(mt.sampleRate === 48000 && mt.nFrames === 1)
+    assert(mt.totalBytes === tagged.length)
+  }
+
+  test("MP3 parser rejects malformed streams") {
+    val mp3 = Multimodal.encodeMp3(2, Seq((3, 0, 5.toByte), (3, 0, 5.toByte)))
+    assert(Multimodal.parseMp3(mp3).isDefined)
+    // truncation mid-frame rejects
+    assert(Multimodal.parseMp3(
+      java.util.Arrays.copyOfRange(mp3, 0, mp3.length - 3)) === None)
+    // trailing garbage rejects (a frame walk must end exactly at EOF)
+    assert(Multimodal.parseMp3(mp3 :+ 0x55.toByte) === None)
+    // bitrate index 15 (forbidden) rejects
+    val bad = mp3.clone(); bad(2) = 0xF8.toByte
+    assert(Multimodal.parseMp3(bad) === None)
+    // other formats never parse as MP3 and vice versa
+    assert(Multimodal.parseMp3("RIFFxxxxWAVE".getBytes) === None)
+    assert(Multimodal.parseWav(mp3) === None)
+    assert(Multimodal.parseMp4(mp3) === None)
+  }
+
   test("frame sampling keeps every Nth full frame and drops the partial tail") {
     val f = Multimodal.sampleFrames(spark, packed, frameBytes = 64, every = 2)
       .orderBy("doc_id", "frame_idx").collect()
