@@ -607,7 +607,65 @@ object SeriesQueries {
       ORDER BY dow
     """))
 
+  /** SAX-style motif mining: symbolize the daily revenue series into
+    * value QUARTILES (rank-based — no Gaussian breakpoints, so the
+    * discretization is exact and engine-portable), then count every
+    * 3-day CONSECUTIVE symbol trigram with support ≥ 2 — the repeated-
+    * shape detector (weekly ramp-ups, settlement dips) of the series-
+    * mining literature in its replayable form. The quartile comes from
+    * [[graft.ops.Ranks.globalRank]] + ntileFromRank (literal-cutpoint
+    * buckets; RanksSpec proves ≡ ntile(4), which is what the oracle
+    * runs); trigram adjacency is two equi-joins on t+1/t+2, so calendar
+    * gaps simply produce no motif — never a false adjacency. */
+  val saxMotifs = QuerySpec(
+    "q_sax_motifs",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("t"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("v"))
+        .cache() // globalRank's build jobs re-read it
+      val nParts = s.sessionState.conf.numShufflePartitions
+      val ranked = graft.ops.Ranks.globalRank(daily,
+        Seq(col("v"), col("t")), nParts, "__rk", totalCol = Some("__n"))
+      val sym = ranked.select(col("t"),
+        graft.ops.Ranks.ntileFromRank(col("__rk"), col("__n"), 4).as("q"))
+      val tri = sym.select(col("t"), col("q").as("q0"))
+        .join(sym.select((col("t") - 1).as("t"), col("q").as("q1")), "t")
+        .join(sym.select((col("t") - 2).as("t"), col("q").as("q2")), "t")
+      tri
+        .select(concat(col("q0"), col("q1"), col("q2")).as("motif"))
+        .groupBy("motif").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("motif"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS v
+        FROM orders GROUP BY 1
+      ),
+      sym AS (
+        SELECT t, ntile(4) OVER (ORDER BY v, t) AS q FROM daily
+      ),
+      tri AS (
+        SELECT CAST(a.q AS VARCHAR) || CAST(b.q AS VARCHAR)
+                 || CAST(c.q AS VARCHAR) AS motif
+        FROM sym a
+        JOIN sym b ON b.t = a.t + 1
+        JOIN sym c ON c.t = a.t + 2
+      )
+      SELECT motif, CAST(count(*) AS BIGINT) AS support
+      FROM tri
+      GROUP BY motif
+      HAVING count(*) >= 2
+      ORDER BY support DESC, motif
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
-    rollingMedian, acf, cusum, kaplanMeier, seasonalProfile)
+    rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs)
 }

@@ -230,6 +230,40 @@ class SeriesSpec extends SparkSpec {
     assert(dense.map(_.getAs[Int]("dow")).toSet === (0 to 6).toSet)
   }
 
+  test("sax motifs: quartiles are balanced and supports recount driver-side") {
+    val rows = graft.queries.SeriesQueries.saxMotifs.run(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[String]("motif")
+      assert(m.length === 3 && m.forall(c => c >= '1' && c <= '4'))
+      assert(r.getAs[Long]("support") >= 2L)
+    }
+    // recount one motif from the raw series using exact quartile ranks
+    import spark.implicits._
+    val daily = graft.Tables.orders(spark, Sf001)
+      .groupBy(datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).as("t"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+      .as[(Int, Long)].collect().sortBy(x => (x._2, x._1))
+    val n = daily.length
+    val tile = daily.zipWithIndex.map { case ((t, _), i) =>
+      // ntile(4) boundaries: first n%4 tiles take ceil(n/4)
+      val q = n / 4; val r = n % 4
+      val big = r * (q + 1)
+      t -> (if (i < big) i / (q + 1) + 1 else r + (i - big) / q + 1)
+    }.toMap
+    val motifs = daily.map(_._1).sorted.flatMap { t =>
+      (tile.get(t), tile.get(t + 1), tile.get(t + 2)) match {
+        case (Some(a), Some(b), Some(c)) => Some(s"$a$b$c")
+        case _ => None
+      }
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length }
+    rows.foreach { r =>
+      assert(motifs(r.getAs[String]("motif")) === r.getAs[Long]("support"))
+    }
+  }
+
   test("cusumChangepoint matches a driver-side argmax on seeded random series") {
     import spark.implicits._
     val rnd = new scala.util.Random(57)
