@@ -713,9 +713,68 @@ object PipelineQueries {
       ORDER BY d.doc_id
     """))
 
+  /** Temporal train/valid/test split with an in-plan LEAKAGE AUDIT —
+    * the split a time-series model must use where q_hash_split's random
+    * assignment would leak the future into training: rows partition by
+    * fixed date cutoffs (train < 1996, valid 1996, test ≥ 1997), and
+    * the audit columns prove the span ordering holds (every split's max
+    * day strictly below the next split's min day) as data, not as a
+    * comment. One pass, one aggregate; days are epoch ints so the
+    * compare is type-stable. */
+  val timeSplit = QuerySpec(
+    "q_time_split",
+    (s, d) => {
+      val day = datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date"))
+      val split = when(year(col("o_orderdate")) < 1996, "train")
+        .when(year(col("o_orderdate")) === 1996, "valid")
+        .otherwise("test")
+      val per = orders(s, d)
+        .select(split.as("split"), day.as("day"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_rows"),
+          min("day").as("min_day"), max("day").as("max_day"))
+      val audit = per.agg(
+        max(when(col("split") === "train", col("max_day"))).as("tr_max"),
+        min(when(col("split") === "valid", col("min_day"))).as("va_min"),
+        max(when(col("split") === "valid", col("max_day"))).as("va_max"),
+        min(when(col("split") === "test", col("min_day"))).as("te_min"))
+        .select(
+          (col("tr_max") < col("va_min") && col("va_max") < col("te_min"))
+            .cast("int").as("no_leakage"))
+      per.crossJoin(broadcast(audit)).orderBy("split")
+    },
+    Some("""
+      WITH per AS (
+        SELECT CASE WHEN year(CAST(o_orderdate AS DATE)) < 1996 THEN 'train'
+                    WHEN year(CAST(o_orderdate AS DATE)) = 1996 THEN 'valid'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                    AS INTEGER) AS min_day,
+               CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                    AS INTEGER) AS max_day
+        FROM orders
+        GROUP BY 1
+      ),
+      audit AS (
+        SELECT CAST(CASE WHEN
+                 max(CASE WHEN split = 'train' THEN max_day END)
+                   < min(CASE WHEN split = 'valid' THEN min_day END)
+                 AND max(CASE WHEN split = 'valid' THEN max_day END)
+                   < min(CASE WHEN split = 'test' THEN min_day END)
+               THEN 1 ELSE 0 END AS INTEGER) AS no_leakage
+        FROM per
+      )
+      SELECT split, n_rows, min_day, max_day, no_leakage
+      FROM per CROSS JOIN audit
+      ORDER BY split
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     exportShards,
     hashSplit, chunkDocs, packSequences, domainCap, globalShuffle,
     truncateTokens, mixtureWeights, sourceDrift, ragIndex,
-    importanceWeight, weightedSample, negativeSample, tokenizeIds)
+    importanceWeight, weightedSample, negativeSample, tokenizeIds,
+    timeSplit)
 }

@@ -665,7 +665,78 @@ object SeriesQueries {
       ORDER BY support DESC, motif
     """))
 
+  /** Burst episodes: days whose revenue exceeds 2× their own TRAILING
+    * 28-day mean, grouped into maximal consecutive runs — the spike
+    * detector (flash sales, incident spikes) in exact-integer form: with
+    * c trailing days summing to S, "v > 2·S/c" is evaluated as
+    * c·v > 2·S (no division, no floats), requiring ≥ 14 days of history
+    * so the baseline is meaningful. Runs come from the gaps-and-islands
+    * anchor (day − row_number is constant within a run — the
+    * q_streak trick); the trailing window is a RANGE frame, so calendar
+    * gaps shrink the baseline window rather than sliding it. Both
+    * ordered windows run over the calendar-bounded daily aggregate. */
+  val bursts = QuerySpec(
+    "q_bursts",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wTrail = Window.orderBy("t").rangeBetween(-28, -1)
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("v"))
+      val flagged = daily
+        .withColumn("ts28", sum("v").over(wTrail))
+        .withColumn("tc28", count(lit(1)).over(wTrail))
+        .filter(col("tc28") >= 14 &&
+          col("tc28") * col("v") > col("ts28") * 2)
+      flagged
+        .withColumn("anchor",
+          col("t") - row_number().over(Window.orderBy("t")))
+        .groupBy("anchor")
+        .agg(min("t").as("start_day"), max("t").as("end_day"),
+          count(lit(1)).as("len"), max("v").as("peak_cents"),
+          sum("v").as("total_cents"))
+        .select("start_day", "end_day", "len", "peak_cents", "total_cents")
+        .orderBy("start_day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS v
+        FROM orders GROUP BY 1
+      ),
+      trail AS (
+        SELECT t, v,
+               CAST(sum(v) OVER (ORDER BY t RANGE BETWEEN 28 PRECEDING
+                                 AND 1 PRECEDING) AS BIGINT) AS ts28,
+               CAST(count(*) OVER (ORDER BY t RANGE BETWEEN 28 PRECEDING
+                                   AND 1 PRECEDING) AS BIGINT) AS tc28
+        FROM daily
+      ),
+      flagged AS (
+        SELECT t, v FROM trail
+        WHERE tc28 >= 14 AND tc28 * v > ts28 * 2
+      ),
+      runs AS (
+        SELECT t, v,
+               t - row_number() OVER (ORDER BY t) AS anchor
+        FROM flagged
+      )
+      SELECT CAST(min(t) AS BIGINT) AS start_day,
+             CAST(max(t) AS BIGINT) AS end_day,
+             CAST(count(*) AS BIGINT) AS len,
+             CAST(max(v) AS BIGINT) AS peak_cents,
+             CAST(sum(v) AS BIGINT) AS total_cents
+      FROM runs
+      GROUP BY anchor
+      ORDER BY start_day
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
-    rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs)
+    rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
+    bursts)
 }

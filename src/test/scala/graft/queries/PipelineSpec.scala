@@ -121,4 +121,40 @@ class PipelineSpec extends SparkSpec {
     // equal weights reduce to a plain top-k by hash — exactly 50 rows
     assert(sample(docs.withColumn("n_chars", lit(1L))).size === 50)
   }
+
+  test("temporal split partitions every order and certifies no leakage") {
+    val rows = PipelineQueries.timeSplit.run(spark, Sf001).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet ===
+      Set("train", "valid", "test"))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ===
+      graft.Tables.orders(spark, "/root/testdata/sf0.001").count())
+    assert(rows.forall(_.getAs[Int]("no_leakage") === 1))
+    val byS = rows.map(r => r.getAs[String]("split") ->
+      ((r.getAs[Int]("min_day"), r.getAs[Int]("max_day")))).toMap
+    assert(byS("train")._2 < byS("valid")._1)
+    assert(byS("valid")._2 < byS("test")._1)
+  }
+
+  test("bursts: every episode's days really beat 2x their trailing baseline") {
+    import spark.implicits._
+    val rows = SeriesQueries.bursts.run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("len") ===
+        r.getAs[Long]("end_day") - r.getAs[Long]("start_day") + 1,
+        "episodes are consecutive-day runs")
+      assert(r.getAs[Long]("peak_cents") <= r.getAs[Long]("total_cents"))
+    }
+    // recount the first episode's first day against the raw series
+    val daily = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy(datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).cast("long").as("t"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+      .as[(Long, Long)].collect().toMap
+    val d0 = rows.head.getAs[Long]("start_day")
+    val trail = (d0 - 28 to d0 - 1).flatMap(daily.get)
+    assert(trail.size >= 14)
+    assert(trail.size * daily(d0) > 2 * trail.sum)
+  }
 }
