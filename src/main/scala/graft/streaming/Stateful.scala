@@ -452,6 +452,50 @@ object Stateful {
         })
   }
 
+  final case class FirstTouch(user_id: Long, event_type: String,
+      ts: Timestamp, event_id: Long)
+
+  final case class JourneyState(firsts: Map[String, (Timestamp, Long)])
+
+  /** Streaming first-occurrence tracker — the stateful twin of the
+    * q_journey_patterns projection: per user, maintain the FIRST
+    * (ts, event_id) of each event type across micro-batches and emit a
+    * row whenever a type's first occurrence is ESTABLISHED or IMPROVED
+    * (an out-of-order earlier event must correct it — replay-safe, so
+    * the final emission per (user, type) equals the batch min). State is
+    * bounded by the type alphabet (≤ |types| entries per user), the same
+    * cardinality argument that bounds the batch op's fan-out; the
+    * downstream journey-triple count consumes the emitted frame exactly
+    * as the batch query consumes its groupBy. */
+  def firstTouch(events: Dataset[Event]): Dataset[FirstTouch] = {
+    implicit val stateEnc = Encoders.product[JourneyState]
+    implicit val outEnc = Encoders.product[FirstTouch]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Event], state: GroupState[JourneyState]) => {
+          var firsts = state.getOption.getOrElse(JourneyState(Map.empty)).firsts
+          val out = Vector.newBuilder[FirstTouch]
+          // sorted fold: within-batch order must not decide ties
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val cand = (e.ts, e.event_id)
+            val better = firsts.get(e.event_type) match {
+              case None => true
+              case Some((t, id)) =>
+                micros(e.ts) < micros(t) ||
+                  (micros(e.ts) == micros(t) && e.event_id < id)
+            }
+            if (better) {
+              firsts += e.event_type -> cand
+              out += FirstTouch(uid, e.event_type, e.ts, e.event_id)
+            }
+          }
+          state.update(JourneyState(firsts))
+          out.result().iterator
+        })
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     implicit val stateEnc = Encoders.product[UserTotals]
     implicit val longEnc = Encoders.scalaLong

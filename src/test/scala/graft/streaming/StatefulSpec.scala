@@ -72,6 +72,37 @@ class StatefulSpec extends SparkSpec {
     assert(got.filter(_._1._1 == 2L).values.forall(_._3 == 0))
   }
 
+  test("streaming first-touch equals the batch min per (user, type), correcting late data") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.FirstTouch
+    val mem = MemoryStream[Event]
+    val q = Stateful.firstTouch(mem.toDS())
+      .writeStream.format("memory").queryName("firsts").outputMode("update").start()
+    val all = Seq(
+      Event(10, ts("2024-01-01 10:05:00"), 1, "click", 0),
+      Event(11, ts("2024-01-01 10:06:00"), 1, "view", 0),
+      // batch 2: a LATE click earlier than the first — must correct
+      Event(12, ts("2024-01-01 10:01:00"), 1, "click", 0),
+      Event(13, ts("2024-01-01 10:07:00"), 1, "click", 0), // no emission
+      Event(14, ts("2024-01-01 10:02:00"), 2, "view", 0))
+    try {
+      mem.addData(all.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("firsts").as[FirstTouch].collect()
+    // the late-corrected click emitted twice; the final state per key is
+    // the earliest, which must equal the batch groupBy-min
+    val lastPer = emitted.groupBy(f => (f.user_id, f.event_type))
+      .map { case (k, fs) => k -> fs.map(f => (f.ts.getTime, f.event_id)).min }
+    val batch = all.groupBy(e => (e.user_id, e.event_type))
+      .map { case (k, es) => k -> es.map(e => (e.ts.getTime, e.event_id)).min }
+    assert(lastPer === batch)
+    assert(emitted.count(f => f.user_id == 1 && f.event_type == "click") === 2,
+      "initial + late correction, and nothing for the later duplicate")
+  }
+
   test("streaming transitions observe pairs across batch boundaries and equal the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
