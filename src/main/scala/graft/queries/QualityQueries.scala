@@ -768,8 +768,116 @@ object QualityQueries {
       LIMIT 1
     """))
 
+  /** CUPED variance reduction (Deng et al. 2013) — the experimentation-
+    * platform upgrade of q_ab_test: adjust the experiment metric (1996
+    * revenue) with a PRE-period covariate (1995 revenue), removing the
+    * between-customer variance the covariate explains. θ = cov(x,y)/
+    * var(x) pooled; the adjusted ARM MEAN needs only arm-level sums —
+    * ȳₐ − θ·(x̄ₐ − x̄) — so no per-row adjusted column ever
+    * materializes: two map-side-combinable aggregates (pooled + per-arm)
+    * and a fixed IEEE sequence over decimal-exact sufficient statistics
+    * (the x·y cross terms multiply as int64 BEFORE the DECIMAL(38)
+    * accumulation — exact while per-key cents stay under ~3·10⁹, which
+    * holds at every test SF; at true scale pre-cast the FACTORS to
+    * decimal, accepting the engines' decimal-product scale rules).
+    * rho² = explained variance share, the sample-size-savings read.
+    * Arms split by customer-key parity. */
+  val cuped = QuerySpec(
+    "q_cuped",
+    (s, d) => {
+      def cents(c: org.apache.spark.sql.Column) =
+        (sum(c.cast("decimal(18,2)")) * 100).cast("long")
+      val pre = orders(s, d).filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey")).agg(cents(col("o_totalprice")).as("x"))
+      val post = orders(s, d).filter(year(col("o_orderdate")) === 1996)
+        .groupBy(col("o_custkey")).agg(cents(col("o_totalprice")).as("y"))
+      val base = pre.join(post, Seq("o_custkey"), "left")
+        .select(col("o_custkey"),
+          (col("o_custkey") % 2 === 0).cast("int").as("arm"),
+          col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,6)")).cast("double")
+      val pooled = base.agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"))
+        .select(col("n"), col("sx"), col("sy"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
+          (((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))).as("rho2"))
+      base.groupBy("arm")
+        .agg(count(lit(1)).cast("double").as("n_arm"),
+          dsum(col("x")).as("sx_arm"), dsum(col("y")).as("sy_arm"))
+        .crossJoin(broadcast(pooled))
+        .select(col("arm"),
+          col("n_arm").cast("long").as("n"),
+          (col("sy_arm") / col("n_arm")).as("raw_mean_cents"),
+          (col("sy_arm") / col("n_arm") -
+            col("theta") * (col("sx_arm") / col("n_arm") -
+              col("sx") / col("n"))).as("adj_mean_cents"),
+          col("theta"), col("rho2"))
+        .orderBy("arm")
+    },
+    Some("""
+      WITH pre AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS x
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY 1
+      ),
+      post AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS y
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        GROUP BY 1
+      ),
+      base AS (
+        SELECT p.o_custkey,
+               CAST(CASE WHEN p.o_custkey % 2 = 0 THEN 1 ELSE 0 END
+                    AS INTEGER) AS arm,
+               p.x, coalesce(po.y, 0) AS y
+        FROM pre p LEFT JOIN post po USING (o_custkey)
+      ),
+      pooled AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM base
+      ),
+      th AS (
+        SELECT n, sx, sy,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+               ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho2
+        FROM pooled
+      )
+      SELECT b.arm, CAST(b.n_arm AS BIGINT) AS n,
+             b.sy_arm / b.n_arm AS raw_mean_cents,
+             b.sy_arm / b.n_arm
+               - th.theta * (b.sx_arm / b.n_arm - th.sx / th.n)
+               AS adj_mean_cents,
+             th.theta, th.rho2
+      FROM (
+        SELECT arm, CAST(count(*) AS DOUBLE) AS n_arm,
+               CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx_arm,
+               CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy_arm
+        FROM base GROUP BY 1
+      ) b CROSS JOIN th
+      ORDER BY arm
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
       kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo,
-      benford, ksTest)
+      benford, ksTest, cuped)
 }

@@ -183,4 +183,38 @@ class QualitySpec extends SparkSpec {
     inf.end()
     assert(sb.toString === "a" * 2000)
   }
+
+  test("CUPED: theta/rho2 match a driver replica; adjustment preserves the pooled mean") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.QualityQueries.cuped.run(spark, Sf001).collect()
+    assert(rows.length === 2)
+    val theta = rows.head.getAs[Double]("theta")
+    val rho2 = rows.head.getAs[Double]("rho2")
+    assert(rho2 >= 0.0 && rho2 <= 1.0)
+    // driver replica over the same (x, y) pairs
+    import spark.implicits._
+    val base = {
+      def cents(y: Int) = graft.Tables.orders(spark, Sf001)
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("v"))
+      cents(1995).withColumnRenamed("v", "x")
+        .join(cents(1996).withColumnRenamed("v", "y"), Seq("o_custkey"), "left")
+        .select(col("o_custkey"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+        .as[(Long, Long, Long)].collect()
+    }
+    val n = base.length.toDouble
+    def mean(f: ((Long, Long, Long)) => Long) = base.map(f).map(_.toDouble).sum / n
+    val (mx, my) = (mean(_._2), mean(_._3))
+    val cov = base.map(r => (r._2 - mx) * (r._3 - my)).sum / n
+    val vx = base.map(r => (r._2 - mx) * (r._2 - mx)).sum / n
+    val vy = base.map(r => (r._3 - my) * (r._3 - my)).sum / n
+    assert(math.abs(theta - cov / vx) < 1e-9 * math.abs(theta).max(1.0))
+    assert(math.abs(rho2 - cov * cov / (vx * vy)) < 1e-9)
+    // CUPED is mean-preserving overall: Σ n_arm·adj_mean == Σ n_arm·raw ≈ Σ y
+    val tot = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("adj_mean_cents")).sum
+    val totRaw = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("raw_mean_cents")).sum
+    assert(math.abs(tot - totRaw) < 1e-6 * math.abs(totRaw))
+  }
 }
