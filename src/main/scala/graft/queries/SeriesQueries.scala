@@ -735,8 +735,52 @@ object SeriesQueries {
       ORDER BY start_day
     """))
 
+  /** Exponential smoothing (EWMA, α = 0.2) of the daily revenue series —
+    * the recency-weighted level every forecasting/monitoring stack keeps.
+    * An EWMA is inherently SEQUENTIAL (S_t = α·x_t + (1−α)·S_{t−1}), so
+    * the engine form is the q_kaplan_meier ordered-fold: values sort by
+    * day into one bounded buffer (calendar-bounded — the q_cusum
+    * contract) and fold left seeded with the first value; DuckDB's
+    * list_reduce replays the identical IEEE sequence, so the smoothed
+    * level matches bit-for-bit across ~2400 chained fused ops. */
+  val ewma = QuerySpec(
+    "q_ewma",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("x"))
+      daily
+        .agg(
+          count(lit(1)).as("n_days"),
+          max("t").as("last_day"),
+          array_sort(collect_list(struct(col("t"), col("x")))).as("ps"))
+        .select(col("n_days"), col("last_day"),
+          aggregate(
+            // length = size(ps): a 2^31-ish literal overflows Slice's
+            // start+length int arithmetic into an empty result
+            expr("slice(transform(ps, p -> p.x), 2, size(ps))"),
+            expr("transform(ps, p -> p.x)[0]"),
+            (acc, x) => acc * lit(0.8) + x * lit(0.2)).as("ewma_level"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(max(t) AS BIGINT) AS last_day,
+             list_reduce(list(x ORDER BY t),
+                         (a, b) -> a * CAST(0.8 AS DOUBLE)
+                                   + b * CAST(0.2 AS DOUBLE)) AS ewma_level
+      FROM daily
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
-    bursts)
+    bursts, ewma)
 }

@@ -230,6 +230,21 @@ class SeriesSpec extends SparkSpec {
     assert(dense.map(_.getAs[Int]("dow")).toSet === (0 to 6).toSet)
   }
 
+  test("ewma query: the ordered fold replays driver-side over the real series") {
+    import spark.implicits._
+    val r = graft.queries.SeriesQueries.ewma.run(spark, Sf001).collect().head
+    val daily = graft.Tables.orders(spark, Sf001)
+      .groupBy(datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("x"))
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+    assert(r.getAs[Long]("n_days") === daily.length.toLong)
+    val want = daily.tail.foldLeft(daily.head)((acc, x) => acc * 0.8 + x * 0.2)
+    assert(r.getAs[Double]("ewma_level") === want, "bit-identical fold")
+    // the level is recency-weighted: it sits inside the series range
+    assert(want >= daily.min && want <= daily.max)
+  }
+
   test("sax motifs: quartiles are balanced and supports recount driver-side") {
     val rows = graft.queries.SeriesQueries.saxMotifs.run(spark, Sf001).collect()
     assert(rows.nonEmpty)
