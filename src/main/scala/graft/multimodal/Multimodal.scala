@@ -1239,7 +1239,17 @@ object Multimodal {
     * every resolved sample must land inside the `mdat` payload. Any
     * disagreement rejects (None). Version 0 and 1 full-box times are
     * both read; co64 (64-bit chunk offsets) is supported. */
-  private[graft] def parseMp4(bytes: Array[Byte]): Option[Mp4Track] = {
+  private[graft] def parseMp4(bytes: Array[Byte]): Option[Mp4Track] =
+    // reject-on-overrun backstop: box WALKS are bounds-checked, but the
+    // fixed-layout header reads inside a claimed box (mdhd times, stsd
+    // entry fields) trust the box's declared size — a crafted undersized
+    // box at EOF would otherwise throw executor-side instead of
+    // rejecting (the parsePng-FDICT lesson: one bad payload must never
+    // kill the job)
+    try parseMp4Unsafe(bytes)
+    catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  private def parseMp4Unsafe(bytes: Array[Byte]): Option[Mp4Track] = {
     def u16(i: Int): Int =
       ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
     def u32(i: Int): Long = {

@@ -631,6 +631,22 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4("RIFFxxxxAVI ".getBytes) === None)
     assert(Multimodal.parseAvi(mp4) === None)
     assert(Multimodal.parsePng(mp4) === None)
+    // an undersized fixed-layout box at EOF must REJECT, never throw:
+    // ftyp + an 8-byte (empty-body) moov/trak/mdia/mdhd nest would read
+    // header fields past the buffer without the backstop
+    def box(t: String, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + body.length)
+      val sz = out.length
+      out(0) = (sz >> 24).toByte; out(1) = (sz >> 16).toByte
+      out(2) = (sz >> 8).toByte; out(3) = sz.toByte
+      t.zipWithIndex.foreach { case (c, i) => out(4 + i) = c.toByte }
+      System.arraycopy(body, 0, out, 8, body.length)
+      out
+    }
+    val crafted = box("ftyp", "isomxxxx".getBytes) ++
+      box("mdat", Array[Byte](1)) ++
+      box("moov", box("trak", box("mdia", box("mdhd", Array.empty[Byte]))))
+    assert(Multimodal.parseMp4(crafted) === None)
   }
 
   test("MP4 container frame sampling keeps every Nth sample exactly") {
