@@ -584,4 +584,15 @@ class PlanSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("q_spgemm")(spark, Sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("no session-6 join-heavy query plans a cartesian product") {
+    // BNLJ is tolerated ONLY as the 1-row scalar/total attach; an actual
+    // CartesianProduct is banned everywhere (the repo-wide rule)
+    for (q <- Seq("q_dbscan", "q_item_cf", "q_journey_patterns", "q_hits",
+        "q_label_prop", "q_modularity", "q_assortativity", "q_mrr",
+        "q_rrf_fusion", "q_kaplan_meier", "q_cuped", "q_naive_bayes")) {
+      val p = plan(SparkEntry.queries(q)(spark, Sf001))
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+  }
 }
