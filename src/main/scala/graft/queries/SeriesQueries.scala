@@ -779,8 +779,76 @@ object SeriesQueries {
       FROM daily
     """))
 
+  /** Holt's linear-trend (double exponential) smoothing of the daily
+    * revenue series, α = 0.2, β = 0.1 — [[ewma]]'s big sibling: the level
+    * now carries a trend term, so the one-step forecast is level + trend
+    * instead of a flat line. The recursion
+    *   l_t = α·x_t + (1−α)(l_{t−1} + t_{t−1}),
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * is a TWO-component ordered fold; seeds are the textbook l₀ = x₀,
+    * b₀ = x₁ − x₀, folding from x₂. Spark's accumulator is a struct;
+    * DuckDB's list_reduce constrains accumulator and element to one
+    * type, so the oracle folds DOUBLE[] pairs — the seed [l₀, b₀]
+    * prepended to the remaining xs wrapped as singletons. Both engines
+    * write l_t's expression INLINE inside b_t (no intermediate binding
+    * in either lambda dialect), so the ~2·2400 chained IEEE ops replay
+    * bit-for-bit. Scale contract = q_ewma's: the folded buffer is
+    * calendar-bounded (one element per DAY), not row-bounded. */
+  val holt = QuerySpec(
+    "q_holt",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("x"))
+      daily
+        .agg(
+          count(lit(1)).as("n_days"),
+          max("t").as("last_day"),
+          array_sort(collect_list(struct(col("t"), col("x")))).as("ps"))
+        .select(col("n_days"), col("last_day"),
+          aggregate(
+            expr("slice(transform(ps, p -> p.x), 3, size(ps))"),
+            expr("named_struct('l', transform(ps, p -> p.x)[1], " +
+              "'b', transform(ps, p -> p.x)[1] - transform(ps, p -> p.x)[0])"),
+            (acc, x) => struct(
+              (x * lit(0.2) + (acc.getField("l") + acc.getField("b"))
+                * lit(0.8)).as("l"),
+              (((x * lit(0.2) + (acc.getField("l") + acc.getField("b"))
+                * lit(0.8)) - acc.getField("l")) * lit(0.1)
+                + acc.getField("b") * lit(0.9)).as("b"))).as("hw"))
+        .select(col("n_days"), col("last_day"),
+          col("hw.l").as("level"), col("hw.b").as("trend"),
+          (col("hw.l") + col("hw.b")).as("forecast"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+      ),
+      ser AS (SELECT count(*) AS n_days, max(t) AS last_day,
+                     list(x ORDER BY t) AS xs
+              FROM daily),
+      folded AS (
+        SELECT n_days, last_day,
+               list_reduce(
+                 list_prepend([xs[1], xs[2] - xs[1]],
+                              list_transform(xs[3:], v -> [v])),
+                 (a, b) -> [b[1] * 0.2 + (a[1] + a[2]) * 0.8,
+                            (b[1] * 0.2 + (a[1] + a[2]) * 0.8 - a[1]) * 0.1
+                              + a[2] * 0.9]) AS hw
+        FROM ser
+      )
+      SELECT n_days, last_day, hw[1] AS level, hw[2] AS trend,
+             hw[1] + hw[2] AS forecast
+      FROM folded
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
-    bursts, ewma)
+    bursts, ewma, holt)
 }
