@@ -372,5 +372,148 @@ object EvalQueries {
       ORDER BY query
     """))
 
-  val all: Seq[QuerySpec] = Seq(auc, confusion, calibration, aucGrouped, mrr)
+  /** Shared retrieval setup for the graded ranking metrics ([[mrr]]'s
+    * three term-queries, tf-ranked top-20, binary relevance lang='en'),
+    * as (query, rank, rel) legs. */
+  private def rankedLegs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+    Seq("data", "model", "stream").map { term =>
+      toks.filter(col("t") === term)
+        .groupBy("doc_id", "lang").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("tf").desc, col("doc_id"))))
+        .withColumn("query", lit(term))
+    }.reduce(_ unionByName _)
+      .select(col("query"), col("rank"),
+        (col("lang") === "en").cast("int").as("rel"))
+  }
+
+  /** The same legs in the oracle's dialect (the [[mrr]] oracle's LATERAL
+    * shape), ending as legs(query, rank, rel). */
+  private val LegsCte = """
+      toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+      legs AS (
+        SELECT q.query, r.rank,
+               CASE WHEN r.lang = 'en' THEN 1 ELSE 0 END AS rel
+        FROM (SELECT unnest(['data', 'model', 'stream']) AS query) q,
+        LATERAL (
+          SELECT doc_id, lang,
+                 row_number() OVER (ORDER BY tf DESC, doc_id) AS rank
+          FROM (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE t = q.query GROUP BY 1, 2)
+          ORDER BY tf DESC, doc_id LIMIT 20
+        ) r
+      )"""
+
+  /** Per-rank discount 1/log2(r+1) and its running (ideal) prefix sums,
+    * materialized ONCE as shortest-round-trip double literals shared by
+    * engine and oracle — log2's libm result is not pinned across
+    * runtimes, so the discount table is DATA here, not computation
+    * (the q_ewma lesson applied to transcendentals). */
+  private val NdcgK = 10
+  private val discounts: IndexedSeq[Double] =
+    (1 to NdcgK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  private val idealPrefix: IndexedSeq[Double] =
+    discounts.scanLeft(0.0)(_ + _).tail
+
+  /** DuckDB parses a bare decimal literal as DECIMAL (whose cast to
+    * double is the not-correctly-rounded path q_kfold_cv measured); its
+    * VARCHAR→DOUBLE parse IS correctly rounded, so literal doubles ship
+    * as strings. */
+  private def dlits(vs: Seq[Double]): String =
+    vs.map(v => s"CAST('$v' AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** NDCG@10 for the three term-queries over [[rankedLegs]]: DCG folds
+    * rel·w_r in rank order (the segment-fold discipline — a 10-term
+    * commutative double sum is already partition-order hazard), IDCG is
+    * the literal prefix-sum table indexed at min(k, |relevant|), and the
+    * quotient is the one closing division. A query with zero relevant
+    * docs reports NULL (undefined), not 0; a query retrieving NOTHING
+    * has no row at all (both metrics describe a ranking that must
+    * exist — 'model' matches no synthetic doc, so output is 2 rows). */
+  val ndcg = QuerySpec(
+    "q_ndcg",
+    (s, d) => {
+      val wArr = array(discounts.map(lit): _*)
+      val iArr = array(idealPrefix.map(lit): _*)
+      rankedLegs(s, d)
+        .withColumn("gw",
+          when(col("rel") === 1 && col("rank") <= NdcgK,
+            element_at(wArr, col("rank").cast("int"))).otherwise(lit(0.0)))
+        .groupBy("query")
+        .agg(
+          sum(col("rel").cast("long")).as("n_rel"),
+          aggregate(
+            expr("array_sort(collect_list(struct(rank, gw)))"),
+            lit(0.0),
+            (acc, p) => acc + p.getField("gw")).as("dcg"))
+        .withColumn("idcg",
+          when(col("n_rel") > 0,
+            element_at(iArr, least(lit(NdcgK), col("n_rel")).cast("int"))))
+        .withColumn("ndcg", col("dcg") / col("idcg"))
+        .select("query", "n_rel", "dcg", "idcg", "ndcg")
+        .orderBy("query")
+    },
+    Some(s"""
+      WITH $LegsCte,
+      gains AS (
+        SELECT query, rank, rel,
+               CASE WHEN rel = 1 AND rank <= $NdcgK
+                    THEN (${dlits(discounts)})[rank]
+                    ELSE CAST(0.0 AS DOUBLE) END AS gw
+        FROM legs
+      ),
+      agg AS (
+        SELECT query, CAST(sum(rel) AS BIGINT) AS n_rel,
+               list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                              list(gw ORDER BY rank)),
+                 (a, b) -> a + b) AS dcg
+        FROM gains GROUP BY query
+      )
+      SELECT query, n_rel, dcg,
+             CASE WHEN n_rel > 0
+                  THEN (${dlits(idealPrefix)})
+                         [least($NdcgK, n_rel)] END AS idcg,
+             dcg / CASE WHEN n_rel > 0
+                        THEN (${dlits(idealPrefix)})
+                               [least($NdcgK, n_rel)] END AS ndcg
+      FROM agg
+      ORDER BY query
+    """))
+
+  /** Rank-biased precision (Moffat & Zobel 2008) at persistence p = 1/2
+    * over the same legs: RBP = (1−p)·Σ rel_r·p^(r−1). p = 1/2 makes
+    * every term an exact dyadic rational (weights via integer shift,
+    * never pow()), so the sum is EXACT in double at any accumulation
+    * order — the one ranking metric that needs no fold discipline at
+    * all, which is why production dashboards love it at p = 1/2. */
+  val rbp = QuerySpec(
+    "q_rbp",
+    (s, d) =>
+      rankedLegs(s, d)
+        .withColumn("w", col("rel").cast("double") /
+          expr("CAST(shiftleft(1L, rank - 1) AS DOUBLE)"))
+        .groupBy("query")
+        .agg(
+          sum(col("rel").cast("long")).as("n_rel"),
+          (sum(col("w")) * lit(0.5)).as("rbp"))
+        .orderBy("query"),
+    Some(s"""
+      WITH $LegsCte
+      SELECT query, CAST(sum(rel) AS BIGINT) AS n_rel,
+             sum(CAST(rel AS DOUBLE)
+                 / CAST(1 << (rank - 1) AS DOUBLE)) * 0.5 AS rbp
+      FROM legs
+      GROUP BY query
+      ORDER BY query
+    """))
+
+  val all: Seq[QuerySpec] =
+    Seq(auc, confusion, calibration, aucGrouped, mrr, ndcg, rbp)
 }
