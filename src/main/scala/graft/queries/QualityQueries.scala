@@ -876,8 +876,148 @@ object QualityQueries {
       ORDER BY arm
     """))
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) test of the per-user event-count
+    * distribution between a fresh md5 A/B split — the NONPARAMETRIC
+    * sibling of [[abTest]]'s proportion z-test and [[ksTest]]'s
+    * distribution distance: rank-based, so one whale user can't drag the
+    * verdict the way a mean test allows. Runs START-TO-VERDICT in exact
+    * integers — the q_auc doubled-rank trick (2·avgrank = minrank +
+    * maxrank kills the tie halves), tie correction T = Σ(t³−t) over the
+    * VALUE-level frame, and the normal-approximation significance as the
+    * cross-multiplied comparison
+    *   10000·(2U−n_a·n_b)²·3·n·(n−1)  >  38415·n_a·n_b·(n(n−1)(n+1)−T)
+    * (3.8415 = χ²₍₁,.05₎ = 1.96², both sides decimal(38,0) — overflow is
+    * a loud NULL at ~3·10⁵ users; beyond that divide out the common
+    * factors or drop to the float z, the [[abTest]] trade).
+    *
+    * Two experiments ride ONE ranked value-level frame (the [[abTest]]
+    * two-row pattern — tie structure cnt/mn/mx is arm-independent, only
+    * the per-arm membership count differs): the md5 A/A split (true
+    * null — its verdict must stay 0) and big-spenders-vs-rest (a user with
+    * a >150-value purchase mechanically sits higher in the activity
+    * distribution — more events, more purchase draws; measured ns at
+    * sf0.01, significant at sf0.1, the [[abTest]] power pattern).
+    *
+    * Scale shape: one map-side-combinable per-user aggregate, then ALL
+    * ranking happens on the value-level frame (distinct per-user event
+    * counts — activity-bounded, hundreds of rows at any corpus size), so
+    * the single-partition cumulative window is over a bounded frame, the
+    * q_cusum contract. */
+  val mannWhitney = QuerySpec(
+    "q_mann_whitney",
+    (s, d) => {
+      val ev = events(s, d)
+      val buyers = ev
+        .filter(col("event_type") === "purchase" && col("value") > 150)
+        .select("user_id").distinct().withColumn("buy", lit(1L))
+      val perUser = ev
+        .groupBy("user_id").agg(count(lit(1)).as("m"))
+        .join(buyers, Seq("user_id"), "left")
+        .select(col("m"),
+          when(substring(md5(concat(lit("mw7:"),
+            col("user_id").cast("string"))), 1, 2) < "80", 1L)
+            .otherwise(0L).as("in_split"),
+          coalesce(col("buy"), lit(0L)).as("in_buy"))
+      val perValue = perUser.groupBy("m").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("in_split")).as("na_sp"), sum(col("in_buy")).as("na_by"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
+      val ranked = perValue
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col("cnt"), col("na_sp"), col("na_by"),
+          (col("cum") - col("cnt") + 1L).as("mn"), col("cum").as("mx"))
+      def leg(p: String) = Seq(
+        sum(col(s"na_$p")).as(s"${p}_n_a"),
+        sum(col("cnt") - col(s"na_$p")).as(s"${p}_n_b"),
+        sum(col(s"na_$p") * (col("mn") + col("mx"))).as(s"${p}_r2_a"))
+      val one = ranked.agg(
+        (leg("sp") ++ leg("by") :+
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+            .as("ties_t")).head,
+        (leg("sp") ++ leg("by") :+
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+            .as("ties_t")).tail: _*)
+      def row(name: String, p: String) = struct(
+        lit(name).as("experiment"),
+        col(s"${p}_n_a").as("n_a"), col(s"${p}_n_b").as("n_b"),
+        col(s"${p}_r2_a").as("r2_a"), col("ties_t"))
+      val d38 = "decimal(38,0)"
+      def dd(n: String) = col(n).cast(d38)
+      val n = dd("n_a") + dd("n_b")
+      val u2 = dd("r2_a") - dd("n_a") * (dd("n_a") + lit(1L).cast(d38))
+      val d2 = u2 - dd("n_a") * dd("n_b")
+      val lhs = lit(10000L).cast(d38) * d2 * d2 *
+        lit(3L).cast(d38) * n * (n - lit(1L).cast(d38))
+      val rhs = lit(38415L).cast(d38) * dd("n_a") * dd("n_b") *
+        (n * (n - lit(1L).cast(d38)) * (n + lit(1L).cast(d38)) - dd("ties_t"))
+      one.select(explode(array(
+          row("aa_split", "sp"), row("big_spenders_vs_rest", "by"))).as("r"))
+        .select("r.*")
+        .select(
+          col("experiment"), col("n_a"), col("n_b"),
+          u2.cast("long").as("u2_a"), col("ties_t"),
+          (lhs > rhs).cast("int").as("significant"))
+        .orderBy("experiment")
+    },
+    Some("""
+      WITH buyers AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 150
+      ),
+      pu AS (
+        SELECT count(*) AS m,
+               CASE WHEN substr(md5('mw7:' || CAST(e.user_id AS VARCHAR)), 1, 2)
+                    < '80' THEN 1 ELSE 0 END AS in_split,
+               CASE WHEN max(b.user_id) IS NOT NULL THEN 1 ELSE 0 END AS in_buy
+        FROM events e LEFT JOIN buyers b USING (user_id)
+        GROUP BY e.user_id
+      ),
+      pv AS (
+        SELECT m, count(*) AS cnt,
+               CAST(sum(in_split) AS BIGINT) AS na_sp,
+               CAST(sum(in_buy) AS BIGINT) AS na_by
+        FROM pu GROUP BY m
+      ),
+      rk AS (
+        SELECT cnt, na_sp, na_by,
+               sum(cnt) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                 - cnt + 1 AS mn,
+               sum(cnt) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS mx
+        FROM pv
+      ),
+      agg AS (
+        SELECT 'aa_split' AS experiment,
+               CAST(sum(na_sp) AS BIGINT) AS n_a,
+               CAST(sum(cnt - na_sp) AS BIGINT) AS n_b,
+               CAST(sum(na_sp * (mn + mx)) AS BIGINT) AS r2_a,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties_t
+        FROM rk
+        UNION ALL
+        SELECT 'big_spenders_vs_rest',
+               CAST(sum(na_by) AS BIGINT),
+               CAST(sum(cnt - na_by) AS BIGINT),
+               CAST(sum(na_by * (mn + mx)) AS BIGINT),
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT)
+        FROM rk
+      )
+      SELECT experiment, n_a, n_b,
+             CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a, ties_t,
+             CAST(CASE WHEN
+               CAST(10000 AS HUGEINT)
+                 * (r2_a - n_a * (CAST(n_a AS HUGEINT) + 1) - n_a * CAST(n_b AS HUGEINT))
+                 * (r2_a - n_a * (CAST(n_a AS HUGEINT) + 1) - n_a * CAST(n_b AS HUGEINT))
+                 * 3 * (n_a + n_b) * (n_a + CAST(n_b AS HUGEINT) - 1)
+               > CAST(38415 AS HUGEINT) * n_a * n_b
+                 * ((n_a + n_b) * (n_a + CAST(n_b AS HUGEINT) - 1)
+                      * (n_a + n_b + 1) - ties_t)
+             THEN 1 ELSE 0 END AS INTEGER) AS significant
+      FROM agg
+      ORDER BY experiment
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
       kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo,
-      benford, ksTest, cuped)
+      benford, ksTest, cuped, mannWhitney)
 }
