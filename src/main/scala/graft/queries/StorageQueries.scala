@@ -240,5 +240,84 @@ object StorageQueries {
       ORDER BY source, bin
     """))
 
-  val all: Seq[QuerySpec] = Seq(zorder, bucketJoin, skewJoin, compaction)
+  /** Hilbert-curve clustering evidence — [[zorder]]'s stronger twin,
+    * same tile protocol (16 equal tiles by the clustering key, per-tile
+    * min/max of both dimensions = the stats a lakehouse reader prunes
+    * on) with the key swapped for the codegen'd
+    * [[graft.functions.HilbertIndex]]: unlike the Morton key, every
+    * consecutive Hilbert index is a grid-NEIGHBOR, so tile bounding
+    * boxes have no power-of-two-seam jumps. Identical scale shape to
+    * q_zorder: Ranks.globalRank literal-cutpoint buckets, no global
+    * window over the scan.
+    *
+    * The oracle replays the 16-round flip-and-swap walk as a
+    * list_reduce fold with a BIGINT[3] accumulator [x, y, d] — all
+    * integer ops, so the fold is exact, and the tiling reuses the
+    * zorder oracle's ntile shape. */
+  val hilbertOrder = QuerySpec(
+    "q_hilbert_order",
+    (s, d) => {
+      val keyed = lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.functions.HilbertIndex
+          .hilbert_index(col("l_partkey"), col("l_suppkey")).as("h"))
+      val nParts = s.sessionState.conf.numShufflePartitions
+      graft.ops.Ranks
+        .globalRank(keyed,
+          Seq(col("h"), col("l_orderkey"), col("l_linenumber")),
+          nParts, "__rk", totalCol = Some("__n"))
+        .withColumn("tile",
+          graft.ops.Ranks.ntileFromRank(col("__rk"), col("__n"), 16))
+        .groupBy("tile")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"),
+          min("h").as("min_h"), max("h").as("max_h"))
+        .orderBy("tile")
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               list_reduce(
+                 list_prepend(
+                   [CAST(l_partkey & 65535 AS BIGINT),
+                    CAST(l_suppkey & 65535 AS BIGINT),
+                    CAST(0 AS BIGINT)],
+                   list_transform(
+                     [32768, 16384, 8192, 4096, 2048, 1024, 512, 256,
+                      128, 64, 32, 16, 8, 4, 2, 1],
+                     s -> [CAST(s AS BIGINT), CAST(0 AS BIGINT),
+                           CAST(0 AS BIGINT)])),
+                 (a, b) -> [
+                   CASE WHEN (a[2] & b[1]) <> 0 THEN a[1]
+                        WHEN (a[1] & b[1]) <> 0 THEN b[1] - 1 - a[2]
+                        ELSE a[2] END,
+                   CASE WHEN (a[2] & b[1]) <> 0 THEN a[2]
+                        WHEN (a[1] & b[1]) <> 0 THEN b[1] - 1 - a[1]
+                        ELSE a[1] END,
+                   a[3] + b[1] * b[1]
+                     * xor(3 * (CASE WHEN (a[1] & b[1]) <> 0
+                                THEN 1 ELSE 0 END),
+                           CASE WHEN (a[2] & b[1]) <> 0
+                           THEN 1 ELSE 0 END)])[3] AS h
+        FROM lineitem
+      ),
+      tiled AS (
+        SELECT *, ntile(16) OVER (ORDER BY h, l_orderkey, l_linenumber)
+                    AS tile
+        FROM keyed
+      )
+      SELECT CAST(tile AS INTEGER) AS tile, count(*) AS n_rows,
+             min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+             min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
+             min(h) AS min_h, max(h) AS max_h
+      FROM tiled
+      GROUP BY tile
+      ORDER BY tile
+    """))
+
+  val all: Seq[QuerySpec] =
+    Seq(zorder, bucketJoin, skewJoin, compaction, hilbertOrder)
 }

@@ -127,6 +127,28 @@ object ExpressionProps extends Properties("graft.functions") {
         (a == 0L || ZValue.compute(a, 0L) > ZValue.compute(a - 1, 0L))
     }
 
+  property("hilbert inverse walk round-trips the index") =
+    forAll(key16, key16) { (a, b) =>
+      HilbertIndex.inverse(HilbertIndex.compute(a, b)) == ((a, b))
+    }
+
+  property("hilbert consecutive indices are Manhattan-1 grid neighbors") =
+    forAll(Gen.choose(0L, (1L << 32) - 2L)) { d =>
+      // THE Hilbert invariant, and exactly what Z-order lacks: step d→d+1
+      // never jumps — worst-case Morton steps span half the grid at
+      // power-of-two seams
+      val (x1, y1) = HilbertIndex.inverse(d)
+      val (x2, y2) = HilbertIndex.inverse(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) == 1L
+    }
+
+  property("hilbert index is within [0, 2^32) and masks high bits") =
+    forAll(key16, key16) { (a, b) =>
+      val h = HilbertIndex.compute(a, b)
+      h >= 0L && h < (1L << 32) &&
+        HilbertIndex.compute(a | 0x7FFF0000L, b) == h
+    }
+
   private def jw(a: String, b: String): Double =
     JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
 
