@@ -559,7 +559,70 @@ object GraphQueries {
       FROM st
     """))
 
+  /** Deterministic random walks — the sampling primitive under
+    * node2vec/DeepWalk embeddings: one 4-step walk per seed node
+    * (≡ 0 mod 500) over the symmetrized co-occurrence graph, where
+    * step t from node u moves to argmin_{v ∈ N(u)} md5(walk:t:v) — a
+    * salted-hash draw, so the "randomness" is a pure function of
+    * (walk, step, neighbor) that any engine replays (the md5 split
+    * discipline of q_ab_test, applied to transitions). Tie-break on
+    * (hash, dst) is total, so the walk is unique.
+    *
+    * Scale shape: the walks are UNROLLED plan composition — each step
+    * is one equi-join of the walk frontier (seed-count rows) against
+    * the src-partitioned edge list plus a map-side-combinable struct-min
+    * argmin; no driver loop, no window over the big side, W·L join work
+    * total. The walk table this emits (walk, step, node) is exactly the
+    * corpus a skip-gram stage (q_skipgram_pairs) consumes downstream. */
+  val randomWalk = QuerySpec(
+    "q_random_walk",
+    (s, d) => {
+      val e = freqEdges(s, d).cache() // shares the graph-suite entry
+      val und = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = und.select(col("src")).distinct()
+        .filter(col("src") % 500 === 0)
+        .select(col("src").as("walk"), col("src").as("node"))
+      val steps = (1 to 4).scanLeft(seeds.withColumn("step", lit(0))) {
+        (cur, t) =>
+          cur.select(col("walk"), col("node"))
+            .join(und, col("node") === col("src"))
+            .select(col("walk"), col("dst"),
+              md5(concat_ws(":", col("walk"), lit(t), col("dst"))).as("h"))
+            .groupBy("walk").agg(min(struct(col("h"), col("dst"))).as("m"))
+            .select(col("walk"), col("m.dst").as("node"),
+              lit(t).as("step"))
+      }
+      steps.reduce(_ unionByName _)
+        .select("walk", "step", "node")
+        .orderBy("walk", "step")
+    },
+    Some {
+      val stepCtes = (1 to 4).map { t =>
+        s"""
+      s$t AS (
+        SELECT walk, dst,
+               row_number() OVER (
+                 PARTITION BY walk
+                 ORDER BY md5(concat_ws(':', walk, $t, dst)), dst) AS rn
+        FROM w${t - 1} JOIN und ON node = src
+      ),
+      w$t AS (SELECT walk, dst AS node FROM s$t WHERE rn = 1)"""
+      }.mkString(",")
+      val unions = (0 to 4).map(t =>
+        s"SELECT walk, $t AS step, node FROM w$t").mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH $FreqEdgeSql,
+      und AS (SELECT a AS src, b AS dst FROM fedge
+              UNION ALL SELECT b, a FROM fedge),
+      w0 AS (SELECT DISTINCT src AS walk, src AS node FROM und
+             WHERE src % 500 = 0),$stepCtes
+      $unions
+      ORDER BY walk, step
+    """
+    })
+
   val all: Seq[QuerySpec] =
     Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp, hits,
-      modularity, assortativity)
+      modularity, assortativity, randomWalk)
 }
