@@ -514,6 +514,74 @@ object EvalQueries {
       ORDER BY query
     """))
 
+  /** Isotonic (PAV) calibration of [[calibration]]'s reliability table:
+    * the non-decreasing fit of the per-bin positive rate, computed by
+    * the MINIMAX identity fitted(i) = max_{j≤i} min_{k≥i} avg(j..k)
+    * (Robertson–Wright–Dykstra) — the closed form of
+    * pool-adjacent-violators that needs no sequential pooling loop, so
+    * it is pure joins + min/max over the BIN frame. Every interval
+    * average is one division of two exact integer sums (Σpos, Σn over
+    * j..k); min/max then SELECT among those doubles — no accumulation,
+    * so both engines pick bit-identical values. The corpus-sized work
+    * is the one binning aggregate (map-side-combinable); the interval/
+    * candidate joins run over B≤10 bins — O(B³) pairs ≈ 550 rows,
+    * broadcast-tiny at any corpus scale because B is a literal, the
+    * same calendar-not-corpus bound as q_theil_sen. */
+  val isotonic = QuerySpec(
+    "q_isotonic",
+    (s, d) => {
+      val bins = scored(s, d)
+        .withColumn("bin",
+          least(floor(col("score") / 80000.0), lit(9.0)).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("label").cast("long")).as("p"))
+        .cache()
+      val ivl = bins.select(col("bin").as("jb"))
+        .join(bins.select(col("bin").as("kb")), col("jb") <= col("kb"))
+        .join(bins.select(col("bin").as("mb"), col("n"), col("p")),
+          col("mb") >= col("jb") && col("mb") <= col("kb"))
+        .groupBy("jb", "kb")
+        .agg((sum("p").cast("double") / sum("n").cast("double")).as("avgv"))
+      val fit = ivl
+        .join(bins.select(col("bin").as("i")),
+          col("jb") <= col("i") && col("kb") >= col("i"))
+        .groupBy("i", "jb").agg(min("avgv").as("mn"))
+        .groupBy("i").agg(max("mn").as("fitted"))
+      bins.join(fit, col("bin") === col("i"))
+        .select(col("bin"), col("n"), col("p").as("n_pos"),
+          (col("p").cast("double") / col("n").cast("double")).as("raw_rate"),
+          col("fitted").as("iso_rate"))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH $ScoredCte,
+      bins AS (
+        SELECT CAST(least(floor(score / 80000.0), 9.0) AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(label) AS BIGINT) AS p
+        FROM scored GROUP BY 1
+      ),
+      ivl AS (
+        SELECT j.bin AS jb, k.bin AS kb,
+               CAST(sum(m.p) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS avgv
+        FROM bins j
+        JOIN bins k ON j.bin <= k.bin
+        JOIN bins m ON m.bin >= j.bin AND m.bin <= k.bin
+        GROUP BY 1, 2
+      ),
+      cand AS (
+        SELECT i.bin AS i, v.jb, min(v.avgv) AS mn
+        FROM ivl v JOIN bins i ON v.jb <= i.bin AND v.kb >= i.bin
+        GROUP BY 1, 2
+      ),
+      fit AS (SELECT i, max(mn) AS fitted FROM cand GROUP BY i)
+      SELECT b.bin, b.n, b.p AS n_pos,
+             CAST(b.p AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+             f.fitted AS iso_rate
+      FROM bins b JOIN fit f ON f.i = b.bin
+      ORDER BY b.bin
+    """))
+
   val all: Seq[QuerySpec] =
-    Seq(auc, confusion, calibration, aucGrouped, mrr, ndcg, rbp)
+    Seq(auc, confusion, calibration, aucGrouped, mrr, ndcg, rbp, isotonic)
 }

@@ -431,7 +431,88 @@ object FeatureQueries {
       ORDER BY qid
     """))
 
+  /** Weight-of-evidence encoding + information value of the market
+    * segment against the urgent-order label — the credit-scoring
+    * categorical diagnostic: WOE_c = ln((good_c/G)/(bad_c/B)), written
+    * as ONE log of a ratio of int64 cross-products (good_c·B vs
+    * bad_c·G — exact until ~3·10⁹ events per cell), and
+    * IV = Σ_c (good_c/G − bad_c/B)·WOE_c. The IV total is a seeded
+    * fold in CATEGORY order on both sides (Spark: aggregate over the
+    * sorted collect_list; DuckDB: list_reduce over 0.0 prepended to
+    * the ORDER BY list) — never an unordered double sum. One
+    * map-side-combinable contingency aggregate; the 5-row category
+    * frame broadcasts back, so the fact scan is the only corpus-sized
+    * stage at 100 TB. */
+  val woeIv = QuerySpec(
+    "q_woe_iv",
+    (s, d) => {
+      val base = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          (col("o_orderpriority") === "1-URGENT").cast("long").as("pos"))
+      val perCat = base.groupBy("seg").agg(
+        sum(col("pos")).as("good"),
+        sum(lit(1L) - col("pos")).as("bad"))
+      val tot = perCat.agg(sum("good").as("g_tot"), sum("bad").as("b_tot"))
+      val withWoe = perCat.crossJoin(broadcast(tot))
+        // ln is NOT correctly rounded on either engine (libm vs
+        // Math.log can differ by 1 ulp on unlucky inputs — observed at
+        // sf0.001); rounding at 1e-9 FIRST makes every downstream
+        // product/sum run on bit-identical inputs (the q_pagerank
+        // convention)
+        .withColumn("woe",
+          round(log((col("good") * col("b_tot")).cast("double") /
+            (col("bad") * col("g_tot")).cast("double")), 9))
+        .withColumn("iv_term",
+          (col("good").cast("double") / col("g_tot").cast("double")
+            - col("bad").cast("double") / col("b_tot").cast("double"))
+            * col("woe"))
+      val ivTotal = withWoe
+        .agg(array_sort(collect_list(struct(col("seg"), col("iv_term"))))
+          .as("ps"))
+        .select(aggregate(expr("transform(ps, p -> p.iv_term)"),
+          lit(0.0), (acc, x) => acc + x).as("iv_total"))
+      withWoe.crossJoin(broadcast(ivTotal))
+        .select(col("seg"), col("good"), col("bad"), col("woe"),
+          col("iv_term"), col("iv_total"))
+        .orderBy("seg")
+    },
+    Some("""
+      WITH base AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(CASE WHEN o.o_orderpriority = '1-URGENT'
+                    THEN 1 ELSE 0 END AS BIGINT) AS pos
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      ),
+      per_cat AS (
+        SELECT seg, CAST(sum(pos) AS BIGINT) AS good,
+               CAST(sum(1 - pos) AS BIGINT) AS bad
+        FROM base GROUP BY seg
+      ),
+      tot AS (SELECT CAST(sum(good) AS BIGINT) AS g_tot,
+                     CAST(sum(bad) AS BIGINT) AS b_tot FROM per_cat),
+      woe AS (
+        SELECT seg, good, bad,
+               round(ln(CAST(good * b_tot AS DOUBLE)
+                        / CAST(bad * g_tot AS DOUBLE)), 9) AS woe,
+               (CAST(good AS DOUBLE) / CAST(g_tot AS DOUBLE)
+                 - CAST(bad AS DOUBLE) / CAST(b_tot AS DOUBLE))
+                 * round(ln(CAST(good * b_tot AS DOUBLE)
+                            / CAST(bad * g_tot AS DOUBLE)), 9) AS iv_term
+        FROM per_cat CROSS JOIN tot
+      ),
+      iv AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(iv_term ORDER BY seg)),
+                           (a, b) -> a + b) AS iv_total
+        FROM woe
+      )
+      SELECT seg, good, bad, woe.woe, iv_term, iv.iv_total
+      FROM woe CROSS JOIN iv
+      ORDER BY seg
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     histogram, targetEncode, chi2Feature, kfoldCv, skipgramPairs,
-    knnClassify)
+    knnClassify, woeIv)
 }

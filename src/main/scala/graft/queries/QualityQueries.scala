@@ -1016,8 +1016,117 @@ object QualityQueries {
       ORDER BY experiment
     """))
 
+  /** Difference-in-differences over [[cuped]]'s panel: per-customer 1995
+    * (pre) and 1996 (post) revenue, arms by customer-key parity. The DiD
+    * estimate is the arm contrast of the per-customer CHANGE d = y − x —
+    * algebraically (ȳ_T − x̄_T) − (ȳ_C − x̄_C) but computed on the
+    * per-unit deltas so the standard error is the honest two-sample one:
+    * s²_a from the Σd/Σd² decimal sufficient statistics (the d·d cross
+    * terms multiply as int64 BEFORE the DECIMAL(38) accumulation — the
+    * [[cuped]] exactness window), SE = √(s²_T/n_T + s²_C/n_C), written
+    * in ONE order on both sides so the IEEE sequence replays. A single
+    * map-side-combinable conditional aggregate carries both arms — no
+    * per-arm passes, no per-row adjusted column; at 100 TB the panel
+    * build (two filtered per-key aggregates + one key join) is the only
+    * corpus-sized work. */
+  val diffInDiff = QuerySpec(
+    "q_diff_in_diff",
+    (s, d) => {
+      val pre = orders(s, d).filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("x"))
+      val post = orders(s, d).filter(year(col("o_orderdate")) === 1996)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("y"))
+      val base = pre.join(post, Seq("o_custkey"), "left")
+        .select((col("o_custkey") % 2 === 0).cast("int").as("arm"),
+          (coalesce(col("y"), lit(0L)) - col("x")).as("delta"))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,6)")).cast("double")
+      base.agg(
+        sum(col("arm").cast("long")).as("n_t"),
+        sum(lit(1L) - col("arm")).as("n_c"),
+        dsum(when(col("arm") === 1, col("delta")).otherwise(lit(0L)))
+          .as("sd_t"),
+        dsum(when(col("arm") === 1, col("delta") * col("delta"))
+          .otherwise(lit(0L))).as("sdd_t"),
+        dsum(when(col("arm") === 0, col("delta")).otherwise(lit(0L)))
+          .as("sd_c"),
+        dsum(when(col("arm") === 0, col("delta") * col("delta"))
+          .otherwise(lit(0L))).as("sdd_c"))
+        // outputs round at 1e-4 cents: the DECIMAL(38,6)→double cast of
+        // the huge Σd² statistic double-rounds DIFFERENTLY in DuckDB
+        // (hugeint→double then /1e6) than in the JVM (BigDecimal, one
+        // correct rounding) — observed 1-ulp drift at sf0.001; 1e-4 is
+        // 5 orders below any decision the numbers feed
+        .select(col("n_t"), col("n_c"),
+          round(col("sd_t") / col("n_t").cast("double"), 4)
+            .as("mean_delta_t"),
+          round(col("sd_c") / col("n_c").cast("double"), 4)
+            .as("mean_delta_c"),
+          round(col("sd_t") / col("n_t").cast("double")
+            - col("sd_c") / col("n_c").cast("double"), 4).as("did_cents"),
+          round(sqrt(
+            (col("sdd_t") - col("sd_t") * col("sd_t")
+              / col("n_t").cast("double"))
+              / (col("n_t") - 1).cast("double") / col("n_t").cast("double")
+            + (col("sdd_c") - col("sd_c") * col("sd_c")
+              / col("n_c").cast("double"))
+              / (col("n_c") - 1).cast("double") / col("n_c").cast("double")),
+            4).as("se_cents"))
+    },
+    Some("""
+      WITH pre AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS x
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY 1
+      ),
+      post AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS y
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        GROUP BY 1
+      ),
+      base AS (
+        SELECT CAST(CASE WHEN p.o_custkey % 2 = 0 THEN 1 ELSE 0 END
+                    AS INTEGER) AS arm,
+               coalesce(po.y, 0) - p.x AS delta
+        FROM pre p LEFT JOIN post po USING (o_custkey)
+      ),
+      agg AS (
+        SELECT CAST(sum(arm) AS BIGINT) AS n_t,
+               CAST(sum(1 - arm) AS BIGINT) AS n_c,
+               CAST(sum(CAST(CASE WHEN arm = 1 THEN delta ELSE 0 END
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sd_t,
+               CAST(sum(CAST(CASE WHEN arm = 1 THEN delta * delta ELSE 0 END
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sdd_t,
+               CAST(sum(CAST(CASE WHEN arm = 0 THEN delta ELSE 0 END
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sd_c,
+               CAST(sum(CAST(CASE WHEN arm = 0 THEN delta * delta ELSE 0 END
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sdd_c
+        FROM base
+      )
+      SELECT n_t, n_c,
+             round(sd_t / CAST(n_t AS DOUBLE), 4) AS mean_delta_t,
+             round(sd_c / CAST(n_c AS DOUBLE), 4) AS mean_delta_c,
+             round(sd_t / CAST(n_t AS DOUBLE) - sd_c / CAST(n_c AS DOUBLE),
+                   4) AS did_cents,
+             round(sqrt(
+               (sdd_t - sd_t * sd_t / CAST(n_t AS DOUBLE))
+                 / CAST(n_t - 1 AS DOUBLE) / CAST(n_t AS DOUBLE)
+               + (sdd_c - sd_c * sd_c / CAST(n_c AS DOUBLE))
+                 / CAST(n_c - 1 AS DOUBLE) / CAST(n_c AS DOUBLE)), 4)
+               AS se_cents
+      FROM agg
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
       kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo,
-      benford, ksTest, cuped, mannWhitney)
+      benford, ksTest, cuped, mannWhitney, diffInDiff)
 }

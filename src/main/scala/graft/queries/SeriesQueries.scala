@@ -847,8 +847,158 @@ object SeriesQueries {
       FROM folded
     """))
 
+  /** Classical additive seasonal decomposition (the moving-average STL
+    * ancestor) of the daily revenue series: trend = centered 7-day
+    * moving average (defined ONLY where all 7 calendar days exist —
+    * a RANGE frame, so calendar gaps invalidate the window instead of
+    * silently sliding it), detrended = v − trend, seasonal index = the
+    * day-of-week mean of the detrended series. Exact-integer
+    * discipline: the detrended value is carried ×7 as
+    * n7 = 7·v − ts7 (BIGINT — no division, no float accumulation), so
+    * the per-dow mean is ONE double division of two exact integers and
+    * the within-dow sum of squares comes from the textbook
+    * Σn7² − S²/C identity over decimal-exact Σn7² (n7² multiplies as
+    * int64 first — exact while |n7| < ~3·10⁹, which holds at every
+    * test SF; at true scale pre-cast the factors). dow = t mod 7 on
+    * the epoch day — zone-free and identical in both engines. Both
+    * ordered windows run over the calendar-bounded daily aggregate
+    * (q_bursts' contract); at 100 TB the pre-aggregate is the only
+    * corpus-sized stage and it is one map-side-combinable groupBy. */
+  val stlDecompose = QuerySpec(
+    "q_stl_decompose",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w7 = Window.orderBy("t").rangeBetween(-3, 3)
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("v"))
+      daily
+        .withColumn("ts7", sum("v").over(w7))
+        .withColumn("tc7", count(lit(1)).over(w7))
+        .filter(col("tc7") === 7)
+        .select((col("t") % 7).as("dow"),
+          (col("v") * 7 - col("ts7")).as("n7"))
+        .groupBy("dow")
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum("n7").as("sum_n7"),
+          // n7² multiplies DECIMAL(18,0)×DECIMAL(18,0) → (37,0): int64
+          // would overflow at sf0.1 (|n7| ~ 5·10⁹); scale-0 decimal also
+          // keeps the final →double cast a SINGLE correct rounding in
+          // both engines (a scaled decimal double-rounds in DuckDB)
+          sum(col("n7").cast("decimal(18,0)") * col("n7").cast("decimal(18,0)"))
+            .cast("double").as("sum_sq"))
+        .select(col("dow"), col("n_days"), col("sum_n7"),
+          (col("sum_n7").cast("double") /
+            (col("n_days") * 7).cast("double")).as("seasonal_cents"),
+          (col("sum_sq") - col("sum_n7").cast("double")
+            * col("sum_n7").cast("double")
+            / col("n_days").cast("double")).as("ss_scaled"))
+        .orderBy("dow")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS v
+        FROM orders GROUP BY 1
+      ),
+      win AS (
+        SELECT t, v,
+               CAST(sum(v) OVER (ORDER BY t RANGE BETWEEN 3 PRECEDING
+                                 AND 3 FOLLOWING) AS BIGINT) AS ts7,
+               CAST(count(*) OVER (ORDER BY t RANGE BETWEEN 3 PRECEDING
+                                   AND 3 FOLLOWING) AS BIGINT) AS tc7
+        FROM daily
+      ),
+      det AS (
+        SELECT t % 7 AS dow, v * 7 - ts7 AS n7
+        FROM win WHERE tc7 = 7
+      )
+      SELECT dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n7) AS BIGINT) AS sum_n7,
+             CAST(sum(n7) AS DOUBLE) / CAST(count(*) * 7 AS DOUBLE)
+               AS seasonal_cents,
+             CAST(sum(CAST(n7 AS HUGEINT) * n7) AS DOUBLE)
+               - CAST(sum(n7) AS DOUBLE) * CAST(sum(n7) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS ss_scaled
+      FROM det
+      GROUP BY dow
+      ORDER BY dow
+    """))
+
+  /** Theil–Sen robust trend of the 1995 daily revenue series: the slope
+    * is the MEDIAN of all pairwise slopes (v_j−v_i)/(t_j−t_i), i<j —
+    * the estimator that shrugs off the outlier days that wreck OLS
+    * (up to 29% contamination). Inherently O(n²) pairs, but n is the
+    * CALENDAR (≤365 days here), not the corpus: the corpus-sized stage
+    * is the one map-side-combinable daily pre-aggregate, after which
+    * the pair join is a ~66k-row broadcast nested loop over a bounded
+    * frame — the same bound that makes the all-pairs shape safe at
+    * 100 TB. Each slope is one int64 subtraction pair + one double
+    * division (copied, never accumulated); the intercept is the
+    * Theil–Sen companion median(v_i − slope·t_i) — one multiply + one
+    * subtract per day against the already-reduced scalar. Medians are
+    * exact (both engines average the two middles on even counts). */
+  val theilSen = QuerySpec(
+    "q_theil_sen",
+    (s, d) => {
+      val daily = orders(s, d)
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("v"))
+        .cache()
+      val a = daily.select(col("t").as("t1"), col("v").as("v1"))
+      val b = daily.select(col("t").as("t2"), col("v").as("v2"))
+      val slopes = a.join(b, col("t2") > col("t1"))
+        .select(((col("v2") - col("v1")).cast("double") /
+          (col("t2") - col("t1")).cast("double")).as("slope"))
+      val fit = slopes.agg(
+        count(lit(1)).as("n_pairs"),
+        median(col("slope")).as("ts_slope"))
+      daily.crossJoin(broadcast(fit))
+        .groupBy("n_pairs", "ts_slope")
+        .agg(
+          count(lit(1)).as("n_days"),
+          median(col("v").cast("double") -
+            col("ts_slope") * col("t").cast("double")).as("ts_intercept"))
+        .select(col("n_days"), col("n_pairs"),
+          col("ts_slope").as("slope_cents_per_day"),
+          col("ts_intercept").as("intercept_cents"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS v
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY 1
+      ),
+      fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               median(CAST(b.v - a.v AS DOUBLE)
+                      / CAST(b.t - a.t AS DOUBLE)) AS ts_slope
+        FROM daily a JOIN daily b ON b.t > a.t
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             f.n_pairs,
+             f.ts_slope AS slope_cents_per_day,
+             median(CAST(d.v AS DOUBLE) - f.ts_slope * CAST(d.t AS DOUBLE))
+               AS intercept_cents
+      FROM daily d CROSS JOIN fit f
+      GROUP BY f.n_pairs, f.ts_slope
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
-    bursts, ewma, holt)
+    bursts, ewma, holt, stlDecompose, theilSen)
 }
