@@ -57,6 +57,14 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"nfc_normalize expects 1 argument, got ${args.length}")
     },
+    "multi_pattern_count" -> {
+      case Seq(c, rest @ _*) if rest.nonEmpty && rest.forall(a =>
+            a.foldable && a.eval() != null) =>
+        MultiPatternCount(c, rest.map(_.eval().toString))
+      case args => throw new IllegalArgumentException(
+        "multi_pattern_count expects (text, non-null string literal " +
+          s"patterns...), got ${args.length} args")
+    },
     "word_shingles" -> {
       case Seq(c, n) if n.foldable && (n.eval() match {
             case _: Number => true

@@ -353,7 +353,63 @@ object CurationQueries {
       ORDER BY doc_id
     """))
 
+  /** Dictionary scan via [[graft.functions.AhoCorasick]]: every
+    * occurrence of every blocklist term counted in ONE automaton pass
+    * per document — overlapping matches ("a a" inside "a a a") and
+    * nested patterns ("able" / "tab" / "a" inside "table") included,
+    * which is exactly what per-pattern LIKE scans get wrong and what
+    * makes the dictionary a single fused corpus pass instead of
+    * |dict| of them. The automaton rides into whole-stage codegen as a
+    * reference object (broadcast-small); the corpus never shuffles —
+    * the only exchange is the |dict|-row rollup. The oracle replays
+    * the overlap semantics positionally: count i where
+    * substr(text, i, |p|) = p. */
+  val multiPattern = QuerySpec(
+    "q_multi_pattern",
+    (s, d) => {
+      import graft.functions.MultiPatternCount
+      val pats = Seq("a", "a a", "scan", "ca", "an", "table", "able",
+        "tab", "row scan", "value", "lue", "batch")
+      val cnt = fanOut(s, documents(s, d))
+        .filter(col("text").isNotNull)
+        .select(org.apache.spark.sql.graftbridge.Bridge.toCol(
+          MultiPatternCount(
+            org.apache.spark.sql.graftbridge.Bridge.toExpr(col("text")),
+            pats)).as("cnt"))
+        .select(posexplode(col("cnt"))).toDF("idx", "occ")
+      cnt.groupBy("idx")
+        .agg(sum("occ").as("n_occurrences"),
+          sum((col("occ") > 0).cast("long")).as("n_docs"))
+        .select(
+          element_at(array(pats.map(lit): _*), col("idx").cast("int") + 1)
+            .as("pattern"),
+          col("n_occurrences"), col("n_docs"))
+        .orderBy("pattern")
+    },
+    Some("""
+      WITH pats AS (
+        SELECT unnest(['a', 'a a', 'scan', 'ca', 'an', 'table', 'able',
+                       'tab', 'row scan', 'value', 'lue', 'batch'])
+          AS pattern
+      ),
+      cnt AS (
+        SELECT p.pattern,
+               len(list_filter(
+                 range(1, len(d.text) - len(p.pattern) + 2),
+                 i -> substr(d.text, CAST(i AS INTEGER),
+                             len(p.pattern)) = p.pattern)) AS occ
+        FROM documents d CROSS JOIN pats p
+        WHERE d.text IS NOT NULL
+      )
+      SELECT pattern,
+             CAST(sum(occ) AS BIGINT) AS n_occurrences,
+             CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs
+      FROM cnt GROUP BY pattern
+      ORDER BY pattern
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(boilerplate, contextWindows, gopher, kmeansAssign, curriculum,
-      paretoFront, urlNormalize)
+      paretoFront, urlNormalize, multiPattern)
 }
