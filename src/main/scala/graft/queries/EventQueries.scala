@@ -644,8 +644,84 @@ object EventQueries {
       ORDER BY support DESC, a, b, c
     """))
 
+  /** Sequential-pattern SUPPORT (PrefixSpan semantics): a user supports
+    * pattern a→b iff ANY occurrence of a precedes ANY occurrence of b —
+    * not just the first occurrences [[journeyPatterns]] projects (the
+    * journey "b a b" supports a→b here, but first-occurrence says b
+    * came first). The exact check stays LINEAR via extremes instead of
+    * position self-joins: a→b exists iff first(a) < last(b), and
+    * a→b→c exists iff min{pos(b) > first(a)} < last(c) — the earliest
+    * b usable after a's first occurrence, then any later c. So the
+    * per-user work is O(events·|types|), never O(events²): one
+    * extremes groupBy (≤ |types| rows/user), one events⋈extremes join
+    * for the conditional-min frame, and bounded-fanout joins over
+    * ≤ |types|-row-per-user sides — the shape that survives 100 TB
+    * where raw position-pair joins quadratically explode on power
+    * users. Ordering is the exact (ts, event_id) struct (sub-ms ties
+    * never flap). */
+  val seqSupport = QuerySpec(
+    "q_seq_support",
+    (s, d) => {
+      val pos = events(s, d).select(col("user_id"), col("event_type"),
+        struct(col("ts"), col("event_id")).as("p"))
+      val ext = pos.groupBy("user_id", "event_type")
+        .agg(min("p").as("fp"), max("p").as("lp")).cache()
+      def side(n: String, c: String) = ext.select(col("user_id"),
+        col("event_type").as(n), col(c).as(s"${c}_$n"))
+      val two = side("a", "fp").join(side("b", "lp"), "user_id")
+        .filter(col("fp_a") < col("lp_b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        .select(concat(col("a"), lit(">"), col("b")).as("pattern"),
+          col("support"))
+      val mid = pos.join(side("a", "fp"), "user_id")
+        .filter(col("p") > col("fp_a"))
+        .select(col("user_id"), col("a"), col("event_type").as("b"),
+          col("p"))
+        .groupBy("user_id", "a", "b")
+        .agg(min("p").as("mp"))
+      val three = mid.join(side("c", "lp"), "user_id")
+        .filter(col("mp") < col("lp_c"))
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+        .select(concat(col("a"), lit(">"), col("b"), lit(">"), col("c"))
+          .as("pattern"), col("support"))
+      two.unionByName(three)
+        .filter(col("support") >= 5)
+        .orderBy(col("support").desc, col("pattern"))
+    },
+    Some("""
+      WITH pos AS (
+        SELECT user_id, event_type, ROW(ts, event_id) AS p FROM events
+      ),
+      ext AS (
+        SELECT user_id, event_type, min(p) AS fp, max(p) AS lp
+        FROM pos GROUP BY 1, 2
+      ),
+      two AS (
+        SELECT a.event_type || '>' || b.event_type AS pattern,
+               CAST(count(*) AS BIGINT) AS support
+        FROM ext a JOIN ext b ON b.user_id = a.user_id AND a.fp < b.lp
+        GROUP BY 1
+      ),
+      mid AS (
+        SELECT p.user_id, a.event_type AS ta, p.event_type AS tb,
+               min(p.p) AS mp
+        FROM pos p JOIN ext a ON a.user_id = p.user_id AND p.p > a.fp
+        GROUP BY 1, 2, 3
+      ),
+      three AS (
+        SELECT m.ta || '>' || m.tb || '>' || c.event_type AS pattern,
+               CAST(count(*) AS BIGINT) AS support
+        FROM mid m JOIN ext c ON c.user_id = m.user_id AND m.mp < c.lp
+        GROUP BY 1
+      )
+      SELECT pattern, support
+      FROM (SELECT * FROM two UNION ALL SELECT * FROM three)
+      WHERE support >= 5
+      ORDER BY support DESC, pattern
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
     scd2, cohortRetention, attribution, outlierIqr, rfm, decayScore,
-    xmlExtract, csvExtract, journeyPatterns)
+    xmlExtract, csvExtract, journeyPatterns, seqSupport)
 }
