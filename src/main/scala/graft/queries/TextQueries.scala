@@ -1790,6 +1790,75 @@ object TextQueries {
       LIMIT 10
     """))
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 empirical study) — the smoothing that actually
+    * ships in n-gram LMs, upgrading [[bigramLm]]'s raw MLE: the bigram
+    * count is discounted by d = 0.75 and the freed mass backs off to
+    * the CONTINUATION unigram — how many distinct contexts a word
+    * completes, N1+(·w2)/|bigram types| — rather than raw frequency
+    * (the "San Francisco" argument: "Francisco" is frequent but only
+    * ever follows "San", so its continuation probability is tiny).
+    *   P_KN(w2|w1) = (c −d)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/T
+    * Every factor is an exact integer aggregate (count, distinct-count
+    * on already-distinct keys, type total); the probability is a fixed
+    * 7-op IEEE sequence on their double casts, written identically in
+    * the oracle. All frames are map-side-combinable aggregates of the
+    * bigram-count frame — vocab²-bounded, corpus-frequency distributed;
+    * nothing re-touches the corpus after the one bigram count. */
+  val knBigram = QuerySpec(
+    "q_kn_bigram",
+    (s, d) => {
+      val big = fanOut(s, documents(s, d))
+        .select(explode(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .select(
+          substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"),
+          col("cnt"))
+        .cache()
+      val starts = big.groupBy("w1")
+        .agg(sum("cnt").as("c1"), count(lit(1)).as("n_follow"))
+      val cont = big.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+      val types = big.agg(count(lit(1)).as("bg_types"))
+      big.join(starts, "w1").join(cont, "w2").crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"), col("cnt"), col("c1"),
+          col("n_follow"), col("n_prec"),
+          ((col("cnt").cast("double") - 0.75) / col("c1").cast("double")
+            + lit(0.75) * col("n_follow").cast("double")
+              / col("c1").cast("double")
+              * (col("n_prec").cast("double") / col("bg_types").cast("double")))
+            .as("p_kn"))
+        .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+        .limit(30)
+    },
+    Some("""
+      WITH bg AS (
+        SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' '))) AS bg
+              FROM (SELECT list_filter(string_split_regex(lower(text), '\W+'),
+                                       t -> t <> '') AS toks
+                    FROM documents))
+        GROUP BY bg
+      ),
+      starts AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1,
+                        CAST(count(*) AS BIGINT) AS n_follow
+                 FROM bg GROUP BY w1),
+      cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+               FROM bg GROUP BY w2),
+      types AS (SELECT CAST(count(*) AS BIGINT) AS bg_types FROM bg)
+      SELECT w1, w2, cnt, c1, n_follow, n_prec,
+             (CAST(cnt AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+               + 0.75 * CAST(n_follow AS DOUBLE) / CAST(c1 AS DOUBLE)
+                 * (CAST(n_prec AS DOUBLE) / CAST(bg_types AS DOUBLE))
+               AS p_kn
+      FROM bg JOIN starts USING (w1) JOIN cont USING (w2)
+      CROSS JOIN types
+      ORDER BY cnt DESC, w1 ASC, w2 ASC
+      LIMIT 30
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     novelty,
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
@@ -1798,5 +1867,5 @@ object TextQueries {
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
     bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin, charEntropy,
-    unicodeNorm, rrfFusion)
+    unicodeNorm, rrfFusion, knBigram)
 }
