@@ -582,6 +582,163 @@ object EvalQueries {
       ORDER BY b.bin
     """))
 
+  /** Permutation feature importance (Breiman 2001's model-agnostic
+    * diagnostic) for the q_linreg_multi closed-form fit ŷ = b0 + b1·qty
+    * + b2·disc: break one feature's pairing with the target by a
+    * DETERMINISTIC permutation — rows re-paired by md5-rank so both
+    * engines draw the identical "shuffle" — and report how much the
+    * eval-slice SSE inflates. The model fits on the FULL scan (decimal
+    * sufficient statistics, the linreg_multi machinery unrounded);
+    * evaluation runs on a calendar-bounded slice (March 1995 ship
+    * dates), which is what keeps the two rank windows honest at
+    * 100 TB: the permutation pairing is rank-join machinery over the
+    * EVAL SAMPLE (the standard practice — importance is measured on a
+    * held-out slice), never the corpus. Each residual² is a fixed
+    * per-row IEEE sequence; sums go through the DECIMAL(38,18) cast
+    * (order-free exact), and outputs round once. imp_x = SSE_perm_x /
+    * SSE_base: 1.0 = feature carries nothing, ≫1 = load-bearing. */
+  val permImportance = QuerySpec(
+    "q_perm_importance",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      val x1 = col("l_quantity"); val x2 = col("l_discount")
+      val y = col("l_extendedprice")
+      val st = fanOut(s, lineitem(s, d)).agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x1).as("s1"), dsum(x2).as("s2"), dsum(y).as("sy"),
+        dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"),
+        dsum(x2 * x2).as("s22"), dsum(x1 * y).as("s1y"),
+        dsum(x2 * y).as("s2y"))
+      val sol = st.select(col("*"),
+        (col("s11") * col("s22") - col("s12") * col("s12")).as("c1"),
+        (col("s1") * col("s22") - col("s12") * col("s2")).as("c2"),
+        (col("s1") * col("s12") - col("s11") * col("s2")).as("c3"),
+        (col("s1y") * col("s22") - col("s12") * col("s2y")).as("e1"),
+        (col("s1y") * col("s12") - col("s11") * col("s2y")).as("e2"),
+        (col("s1") * col("s2y") - col("s1y") * col("s2")).as("e3"),
+        (col("s11") * col("s2y") - col("s1y") * col("s12")).as("f1"))
+      val withD = sol.select(col("*"),
+        (col("n") * col("c1") - col("s1") * col("c2") + col("s2") * col("c3"))
+          .as("dd"))
+      val fit = withD.select(
+        ((col("sy") * col("c1") - col("s1") * col("e1") + col("s2") * col("e2"))
+          / col("dd")).as("b0"),
+        ((col("n") * col("e1") - col("sy") * col("c2") + col("s2") * col("e3"))
+          / col("dd")).as("b1"),
+        ((col("n") * col("f1") - col("s1") * col("e3") + col("sy") * col("c3"))
+          / col("dd")).as("b2"))
+      val slice = lineitem(s, d)
+        .filter(col("l_shipdate") >= "1995-03-01" &&
+          col("l_shipdate") <= "1995-03-31")
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+          x1.as("x1"), x2.as("x2"), y.as("y"))
+        .cache()
+      // k is NOT unique (the synthetic lineitem carries duplicate
+      // (orderkey, linenumber) pairs), so every rank window tie-breaks
+      // through the FULL payload — two rows that still tie are
+      // bit-identical, and swapping identical rows can't change a sum
+      val base = slice.withColumn("rn",
+        row_number().over(Window.orderBy(col("k"), col("x1"), col("x2"),
+          col("y"))))
+      def permuted(salt: String, c: String, as: String) = slice.select(
+        col(c).as(as),
+        row_number().over(Window.orderBy(
+          md5(concat(lit(salt), col("k").cast("string"))),
+          col("k"), col("x1"), col("x2"), col("y"))).as("rn"))
+      def sse(x1c: org.apache.spark.sql.Column,
+          x2c: org.apache.spark.sql.Column) = {
+        val r = col("y") - (col("b0") + col("b1") * x1c + col("b2") * x2c)
+        dsum(r * r)
+      }
+      base.join(permuted("p1-", "x1", "x1p"), "rn")
+        .join(permuted("p2-", "x2", "x2p"), "rn")
+        .crossJoin(broadcast(fit))
+        .agg(count(lit(1)).as("n_eval"),
+          sse(col("x1"), col("x2")).as("sb"),
+          sse(col("x1p"), col("x2")).as("sp1"),
+          sse(col("x1"), col("x2p")).as("sp2"))
+        .select(col("n_eval"),
+          // SSE rounds at 1e-2 (values ~10¹⁰): the decimal→double cast
+          // drift in the sufficient statistics surfaces here at ~1e-4
+          round(col("sb"), 2).as("sse_base"),
+          round(col("sp1"), 2).as("sse_perm_qty"),
+          round(col("sp2"), 2).as("sse_perm_disc"),
+          round(col("sp1") / col("sb"), 6).as("imp_qty"),
+          round(col("sp2") / col("sb"), 6).as("imp_disc"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(l_discount AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS s11,
+               CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,18))) AS DOUBLE) AS s12,
+               CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,18))) AS DOUBLE) AS s22,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS s1y,
+               CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS s2y
+        FROM lineitem
+      ),
+      sol AS (
+        SELECT *,
+               s11*s22 - s12*s12 AS c1,
+               s1*s22 - s12*s2 AS c2,
+               s1*s12 - s11*s2 AS c3,
+               s1y*s22 - s12*s2y AS e1,
+               s1y*s12 - s11*s2y AS e2,
+               s1*s2y - s1y*s2 AS e3,
+               s11*s2y - s1y*s12 AS f1
+        FROM st
+      ),
+      wd AS (SELECT *, n*c1 - s1*c2 + s2*c3 AS dd FROM sol),
+      fit AS (
+        SELECT (sy*c1 - s1*e1 + s2*e2) / dd AS b0,
+               (n*e1 - sy*c2 + s2*e3) / dd AS b1,
+               (n*f1 - s1*e3 + sy*c3) / dd AS b2
+        FROM wd
+      ),
+      slice AS (
+        SELECT l_orderkey * 8 + l_linenumber AS k,
+               l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+        FROM lineitem
+        WHERE l_shipdate >= '1995-03-01' AND l_shipdate <= '1995-03-31'
+      ),
+      base AS (SELECT *, row_number() OVER (ORDER BY k, x1, x2, y) AS rn
+               FROM slice),
+      p1 AS (SELECT x1 AS x1p,
+                    row_number() OVER (ORDER BY
+                      md5('p1-' || CAST(k AS VARCHAR)), k, x1, x2, y) AS rn
+             FROM slice),
+      p2 AS (SELECT x2 AS x2p,
+                    row_number() OVER (ORDER BY
+                      md5('p2-' || CAST(k AS VARCHAR)), k, x1, x2, y) AS rn
+             FROM slice),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(CAST((y - (b0 + b1 * x1 + b2 * x2))
+                             * (y - (b0 + b1 * x1 + b2 * x2))
+                             AS DECIMAL(38,18))) AS DOUBLE) AS sb,
+               CAST(sum(CAST((y - (b0 + b1 * x1p + b2 * x2))
+                             * (y - (b0 + b1 * x1p + b2 * x2))
+                             AS DECIMAL(38,18))) AS DOUBLE) AS sp1,
+               CAST(sum(CAST((y - (b0 + b1 * x1 + b2 * x2p))
+                             * (y - (b0 + b1 * x1 + b2 * x2p))
+                             AS DECIMAL(38,18))) AS DOUBLE) AS sp2
+        FROM base JOIN p1 USING (rn) JOIN p2 USING (rn)
+        CROSS JOIN fit
+      )
+      SELECT n_eval,
+             round(sb, 2) AS sse_base,
+             round(sp1, 2) AS sse_perm_qty,
+             round(sp2, 2) AS sse_perm_disc,
+             round(sp1 / sb, 6) AS imp_qty,
+             round(sp2 / sb, 6) AS imp_disc
+      FROM agg
+    """))
+
   val all: Seq[QuerySpec] =
-    Seq(auc, confusion, calibration, aucGrouped, mrr, ndcg, rbp, isotonic)
+    Seq(auc, confusion, calibration, aucGrouped, mrr, ndcg, rbp, isotonic,
+      permImportance)
 }
