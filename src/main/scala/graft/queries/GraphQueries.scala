@@ -622,7 +622,107 @@ object GraphQueries {
     """
     })
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word ADJACENCY graph — undirected edges between words that
+    * appear consecutively ≥ 2 times corpus-wide (least/greatest
+    * canonicalization merges both directions), ranks from the SAME
+    * [[graft.ops.Graph.pageRank]] engine the co-occurrence query uses
+    * (segSize 8 so the multi-segment fold path runs — top words have
+    * degree ≫ 8). Top-20 by rank = the corpus keywords. The graph is
+    * vocab-bounded (edges ≤ distinct adjacent pairs), so every
+    * iteration is a join over a frame the corpus size only FILLS, never
+    * grows — the 100 TB shape. The oracle unrolls the 3 iterations as
+    * chained CTEs replaying the two-level sorted-segment folds
+    * term-for-term (the q_pagerank discipline, same (1.0−0.85)/n
+    * teleport spelling; node ids are WORDS, and both engines compare
+    * the lowercase-ASCII strings identically in the per-node
+    * (c, src) fold order). */
+  val textrank = QuerySpec(
+    "q_textrank",
+    (s, d) => {
+      import graft.ops.Text
+      val bg = fanOut(s, documents(s, d))
+        .select(explode(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
+        .select(
+          substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .filter(col("w1") =!= col("w2"))
+        .select(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b"))
+        .groupBy("a", "b").count()
+        .filter(col("count") >= 2)
+        .select("a", "b")
+      Graph.pageRank(bg, "a", "b", iters = 3, damping = 0.85, segSize = 8)
+        .select(col("id").as("word"), col("deg"),
+          round(col("rank"), 9).as("rank"))
+        .orderBy(round(col("rank"), 9).desc, col("word").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\W+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      ),
+      bg AS (
+        SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+        FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' '))) AS bg
+              FROM toks)
+      ),
+      wedge AS (
+        SELECT least(w1, w2) AS a, greatest(w1, w2) AS b
+        FROM bg WHERE w1 <> w2
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+      ),
+      und AS (SELECT a AS src, b AS dst FROM wedge
+              UNION ALL SELECT b, a FROM wedge),
+      deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+              FROM und GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+      r0 AS (SELECT id, deg, 1.0 / n AS rank FROM deg CROSS JOIN n),
+      p1 AS (SELECT e.dst AS id, r.rank / r.deg AS c,
+                    row_number() OVER (PARTITION BY e.dst
+                      ORDER BY r.rank / r.deg, e.src) AS rn
+             FROM und e JOIN r0 r ON r.id = e.src),
+      g1 AS (SELECT id, (rn - 1) // 8 AS seg,
+                    list_sum(list_sort(list(c))) AS s
+             FROM p1 GROUP BY 1, 2),
+      c1 AS (SELECT id, list_sum(list(s ORDER BY seg)) AS s
+             FROM g1 GROUP BY 1),
+      r1 AS (SELECT d.id, d.deg,
+                    (1.0 - 0.85) / n.n + 0.85 * coalesce(c1.s, 0.0) AS rank
+             FROM deg d CROSS JOIN n LEFT JOIN c1 ON c1.id = d.id),
+      p2 AS (SELECT e.dst AS id, r.rank / r.deg AS c,
+                    row_number() OVER (PARTITION BY e.dst
+                      ORDER BY r.rank / r.deg, e.src) AS rn
+             FROM und e JOIN r1 r ON r.id = e.src),
+      g2 AS (SELECT id, (rn - 1) // 8 AS seg,
+                    list_sum(list_sort(list(c))) AS s
+             FROM p2 GROUP BY 1, 2),
+      c2 AS (SELECT id, list_sum(list(s ORDER BY seg)) AS s
+             FROM g2 GROUP BY 1),
+      r2 AS (SELECT d.id, d.deg,
+                    (1.0 - 0.85) / n.n + 0.85 * coalesce(c2.s, 0.0) AS rank
+             FROM deg d CROSS JOIN n LEFT JOIN c2 ON c2.id = d.id),
+      p3 AS (SELECT e.dst AS id, r.rank / r.deg AS c,
+                    row_number() OVER (PARTITION BY e.dst
+                      ORDER BY r.rank / r.deg, e.src) AS rn
+             FROM und e JOIN r2 r ON r.id = e.src),
+      g3 AS (SELECT id, (rn - 1) // 8 AS seg,
+                    list_sum(list_sort(list(c))) AS s
+             FROM p3 GROUP BY 1, 2),
+      c3 AS (SELECT id, list_sum(list(s ORDER BY seg)) AS s
+             FROM g3 GROUP BY 1),
+      r3 AS (SELECT d.id, d.deg,
+                    (1.0 - 0.85) / n.n + 0.85 * coalesce(c3.s, 0.0) AS rank
+             FROM deg d CROSS JOIN n LEFT JOIN c3 ON c3.id = d.id)
+      SELECT id AS word, deg, round(rank, 9) AS rank
+      FROM r3 ORDER BY round(rank, 9) DESC, id ASC LIMIT 20
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp, hits,
-      modularity, assortativity, randomWalk)
+      modularity, assortativity, randomWalk, textrank)
 }
