@@ -409,7 +409,58 @@ object CurationQueries {
       ORDER BY pattern
     """))
 
+  /** Dataset card: the per-(lang, source) composition rollup every
+    * released corpus ships — doc counts, character and token volume,
+    * and mean doc length, with language-level subtotals and the grand
+    * total from ONE `ROLLUP` pass (grouping-set machinery, not three
+    * scans; grouping_id() disambiguates real values from subtotal
+    * NULLs). Token counts reuse the corpus tokenizer (exact integer
+    * sum of per-doc token counts); mean length is the single final
+    * division. One map-side-combinable aggregate over the documents
+    * scan — the report is O(|langs|·|sources|) rows no matter the
+    * corpus size. */
+  val datasetCard = QuerySpec(
+    "q_dataset_card",
+    (s, d) => {
+      import graft.ops.Text
+      fanOut(s, documents(s, d))
+        .select(col("lang"), col("source"), col("n_chars"),
+          when(col("text").isNull, lit(0))
+            .otherwise(size(Text.tokens(col("text")))).cast("long")
+            .as("n_toks"))
+        .rollup("lang", "source")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars_total"),
+          sum("n_toks").as("toks_total"))
+        .select(col("gid"), col("lang"), col("source"),
+          col("n_docs"), col("chars_total"), col("toks_total"),
+          (col("chars_total").cast("double") / col("n_docs").cast("double"))
+            .as("mean_chars"))
+        .orderBy(col("gid"), col("lang").asc_nulls_first,
+          col("source").asc_nulls_first)
+    },
+    Some("""
+      WITH base AS (
+        SELECT lang, source, n_chars,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(list_filter(
+                           string_split_regex(lower(text), '\W+'),
+                           t -> t <> '')) END AS n_toks
+        FROM documents
+      )
+      SELECT CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+             lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars_total,
+             CAST(sum(n_toks) AS BIGINT) AS toks_total,
+             CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_chars
+      FROM base
+      GROUP BY ROLLUP (lang, source)
+      ORDER BY gid, lang NULLS FIRST, source NULLS FIRST
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(boilerplate, contextWindows, gopher, kmeansAssign, curriculum,
-      paretoFront, urlNormalize, multiPattern)
+      paretoFront, urlNormalize, multiPattern, datasetCard)
 }

@@ -1125,8 +1125,92 @@ object QualityQueries {
       FROM agg
     """))
 
+  /** Population stability index between the 1995 and 1996 order-value
+    * distributions — the model-monitoring drift score every scoring
+    * pipeline tracks: PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) over 20
+    * equal-width price bins (top bin open). Exactness: the log runs on
+    * ONE ratio of int64 cross-products (c1·n2 vs c2·n1 — no division
+    * before the log) and rounds at 1e-9 FIRST (ln is not correctly
+    * rounded cross-engine — the q_woe_iv lesson), shares are single
+    * divisions of exact counts, and the total is a seeded fold in BIN
+    * order, never an unordered double sum. Bins empty on either side
+    * are excluded (the standard epsilon-free form: PSI is undefined at
+    * zero mass; production either drops or epsilon-floors — dropping is
+    * deterministic). Two filtered map-side-combinable aggregates; the
+    * 20-row bin frame does all subsequent work. */
+  val psi = QuerySpec(
+    "q_psi",
+    (s, d) => {
+      val binned = orders(s, d)
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .select(year(col("o_orderdate")).as("yr"),
+          least(floor(col("o_totalprice") / 30000.0), lit(19.0))
+            .cast("long").as("bin"))
+      val perBin = binned.groupBy("bin").agg(
+        sum((col("yr") === 1995).cast("long")).as("c1"),
+        sum((col("yr") === 1996).cast("long")).as("c2"))
+      val tot = perBin.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val terms = perBin.crossJoin(broadcast(tot))
+        .filter(col("c1") > 0 && col("c2") > 0)
+        .withColumn("woe",
+          round(log((col("c1") * col("n2")).cast("double") /
+            (col("c2") * col("n1")).cast("double")), 9))
+        .withColumn("psi_term",
+          (col("c1").cast("double") / col("n1").cast("double")
+            - col("c2").cast("double") / col("n2").cast("double"))
+            * col("woe"))
+      val total = terms
+        .agg(array_sort(collect_list(struct(col("bin"), col("psi_term"))))
+          .as("ps"))
+        .select(aggregate(expr("transform(ps, p -> p.psi_term)"),
+          lit(0.0), (acc, x) => acc + x).as("psi_total"))
+      terms.crossJoin(broadcast(total))
+        .select(col("bin"), col("c1"), col("c2"), col("woe"),
+          col("psi_term"), col("psi_total"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH binned AS (
+        SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+               CAST(least(floor(o_totalprice / 30000.0), 19.0) AS BIGINT)
+                 AS bin
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+      ),
+      per_bin AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c1,
+               CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c2
+        FROM binned GROUP BY 1
+      ),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(c2) AS BIGINT) AS n2 FROM per_bin),
+      terms AS (
+        SELECT bin, c1, c2,
+               round(ln(CAST(c1 * n2 AS DOUBLE)
+                        / CAST(c2 * n1 AS DOUBLE)), 9) AS woe,
+               (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 * round(ln(CAST(c1 * n2 AS DOUBLE)
+                            / CAST(c2 * n1 AS DOUBLE)), 9) AS psi_term
+        FROM per_bin CROSS JOIN tot
+        WHERE c1 > 0 AND c2 > 0
+      ),
+      total AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(psi_term ORDER BY bin)),
+                           (a, b) -> a + b) AS psi_total
+        FROM terms
+      )
+      SELECT bin, c1, c2, woe, psi_term, total.psi_total
+      FROM terms CROSS JOIN total
+      ORDER BY bin
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
       kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo,
-      benford, ksTest, cuped, mannWhitney, diffInDiff)
+      benford, ksTest, cuped, mannWhitney, diffInDiff, psi)
 }

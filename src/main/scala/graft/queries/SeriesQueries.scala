@@ -997,8 +997,131 @@ object SeriesQueries {
       GROUP BY f.n_pairs, f.ts_slope
     """))
 
+  /** Additive Holt–Winters (triple exponential smoothing, weekly
+    * season m = 7; α = 0.2, β = 0.1, γ = 0.3) — [[holt]] plus a
+    * seasonal register:
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1}),
+    *   b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1},
+    *   s_t = γ(x_t − l_t) + (1−γ) s_{t−m}.
+    * The state is a 9-slot DOUBLE array [l, b, s₀..s₆] folded over the
+    * day-ordered series (the [[ewma]]/[[holt]] ordered-fold
+    * discipline); the seasonal slot keys on t mod 7 — zone-free epoch-
+    * day arithmetic, so CALENDAR GAPS update the correct weekday slot
+    * instead of rotating a phantom season. Seeds are textbook:
+    * l₀ = mean of the first 7 observations (a seeded fold, not an
+    * unordered sum), b₀ = 0, s-slots from the first 7 observations'
+    * deviations (later duplicates of a weekday overwrite — made
+    * deterministic by the fold order). DuckDB's list_reduce constrains
+    * accumulator and element to one type, so the oracle folds
+    * DOUBLE[9] against [x, dow] pairs with 1-based indexes replaying
+    * Spark's 0-based transform — l_t is inlined everywhere it appears
+    * (no let-binding in either lambda dialect), keeping the ~3·2400
+    * chained IEEE ops bit-identical. Scale contract = [[ewma]]'s:
+    * the buffer is calendar-bounded. */
+  val holtWinters = QuerySpec(
+    "q_holt_winters",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("x"))
+      val l0 = "(aggregate(slice(transform(ps, p -> p.x), 1, 7), " +
+        "cast(0.0 as double), (a, v) -> a + v) / 7.0)"
+      val lp = s"(0.2 * (p.x - acc[cast(p.t % 7 as int) + 2]) " +
+        "+ 0.8 * (acc[0] + acc[1]))"
+      val hwFold =
+        s"""aggregate(
+           |  slice(ps, 8, size(ps)),
+           |  concat(
+           |    array($l0, cast(0.0 as double)),
+           |    aggregate(slice(ps, 1, 7),
+           |      array_repeat(cast(0.0 as double), 7),
+           |      (acc, p) -> transform(acc, (v, i) ->
+           |        IF(i = cast(p.t % 7 as int), p.x - $l0, v)))),
+           |  (acc, p) -> transform(acc, (v, i) ->
+           |    CASE WHEN i = 0 THEN $lp
+           |         WHEN i = 1 THEN 0.1 * ($lp - acc[0]) + 0.9 * acc[1]
+           |         WHEN i = cast(p.t % 7 as int) + 2
+           |           THEN 0.3 * (p.x - $lp) + 0.7 * v
+           |         ELSE v END))""".stripMargin
+      daily
+        .agg(
+          count(lit(1)).as("n_days"),
+          max("t").as("last_day"),
+          array_sort(collect_list(struct(col("t"), col("x")))).as("ps"))
+        .select(col("n_days"), col("last_day"), expr(hwFold).as("hw"))
+        .select(col("n_days"), col("last_day"),
+          expr("hw[0]").as("level"), expr("hw[1]").as("trend"),
+          expr("hw[2]").as("s0"), expr("hw[3]").as("s1"),
+          expr("hw[4]").as("s2"), expr("hw[5]").as("s3"),
+          expr("hw[6]").as("s4"), expr("hw[7]").as("s5"),
+          expr("hw[8]").as("s6"),
+          expr("hw[0] + hw[1] + hw[cast((last_day + 1) % 7 as int) + 2]")
+            .as("forecast"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+      ),
+      ser AS (SELECT count(*) AS n_days, max(t) AS last_day,
+                     list([x, CAST(t % 7 AS DOUBLE)] ORDER BY t) AS ds
+              FROM daily),
+      seeded AS (
+        SELECT n_days, last_day, ds,
+               list_concat(
+                 [list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(ds[1:7], e -> e[1])),
+                    (a, v) -> a + v) / 7.0,
+                  CAST(0.0 AS DOUBLE)],
+                 list_reduce(
+                   list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0,
+                                 0.0, 0.0],
+                                ds[1:7]),
+                   (acc, e) -> list_transform(acc, (v, i) ->
+                     CASE WHEN i = CAST(e[2] AS INTEGER) + 1
+                          THEN e[1] - list_reduce(
+                                 list_prepend(CAST(0.0 AS DOUBLE),
+                                   list_transform(ds[1:7], q -> q[1])),
+                                 (a, w) -> a + w) / 7.0
+                          ELSE v END))) AS seed
+        FROM ser
+      ),
+      folded AS (
+        SELECT n_days, last_day,
+               list_reduce(
+                 list_prepend(seed, ds[8:]),
+                 (acc, e) -> list_transform(acc, (v, i) ->
+                   CASE WHEN i = 1
+                          THEN 0.2 * (e[1] - acc[CAST(e[2] AS INTEGER) + 3])
+                               + 0.8 * (acc[1] + acc[2])
+                        WHEN i = 2
+                          THEN 0.1 * ((0.2 * (e[1]
+                                 - acc[CAST(e[2] AS INTEGER) + 3])
+                                 + 0.8 * (acc[1] + acc[2])) - acc[1])
+                               + 0.9 * acc[2]
+                        WHEN i = CAST(e[2] AS INTEGER) + 3
+                          THEN 0.3 * (e[1] - (0.2 * (e[1]
+                                 - acc[CAST(e[2] AS INTEGER) + 3])
+                                 + 0.8 * (acc[1] + acc[2])))
+                               + 0.7 * v
+                        ELSE v END)) AS hw
+        FROM seeded
+      )
+      SELECT n_days, last_day,
+             hw[1] AS level, hw[2] AS trend,
+             hw[3] AS s0, hw[4] AS s1, hw[5] AS s2, hw[6] AS s3,
+             hw[7] AS s4, hw[8] AS s5, hw[9] AS s6,
+             hw[1] + hw[2] + hw[CAST((last_day + 1) % 7 AS INTEGER) + 3]
+               AS forecast
+      FROM folded
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
-    bursts, ewma, holt, stlDecompose, theilSen)
+    bursts, ewma, holt, stlDecompose, theilSen, holtWinters)
 }
