@@ -738,7 +738,113 @@ object EvalQueries {
       FROM agg
     """))
 
+  /** Recall@10 / precision@10 over the term-retrieval legs — the
+    * coverage companion to [[mrr]]/[[ndcg]]'s rank quality: relevant =
+    * ALL 'en' docs containing the term corpus-wide (not just retrieved
+    * ones — the denominator mistake that silently inflates recall),
+    * retrieved = the same top-20-by-tf legs the other metrics rank.
+    * Every metric is exact-integer counts with one final division; the
+    * macro averages fold the three query terms in the fixed literal
+    * order. Corpus-sized work = one token explode + filtered
+    * aggregates; the rank window runs over ≤20-row legs. */
+  val recallAtK = QuerySpec(
+    "q_recall_at_k",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("data", "model", "stream")
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("t"))
+      val legs = terms.map { term =>
+        toks.filter(col("t") === term)
+          .groupBy("doc_id", "lang").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("tf").desc, col("doc_id"))))
+          .withColumn("query", lit(term))
+      }
+      val ranked = legs.reduce(_ unionByName _)
+      val hits = ranked.filter(col("lang") === "en" && col("rank") <= 10)
+        .groupBy("query").agg(count(lit(1)).as("hits_10"))
+      val rel = toks.filter(col("t").isin(terms: _*) &&
+          col("lang") === "en")
+        .select(col("t").as("query"), col("doc_id")).distinct()
+        .groupBy("query").agg(count(lit(1)).as("n_relevant"))
+      import s.implicits._
+      val pq = terms.toDF("query")
+        .join(rel, Seq("query"), "left")
+        .join(hits, Seq("query"), "left")
+        .select(col("query"),
+          coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+          coalesce(col("hits_10"), lit(0L)).as("hits_10"))
+        .withColumn("recall_10",
+          when(col("n_relevant") > 0,
+            col("hits_10").cast("double") / col("n_relevant").cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("precision_10", col("hits_10").cast("double") / 10.0)
+      val m = pq.agg(
+        max(when(col("query") === "data", col("recall_10"))).as("ra"),
+        max(when(col("query") === "model", col("recall_10"))).as("rb"),
+        max(when(col("query") === "stream", col("recall_10"))).as("rc"))
+        .select(((col("ra") + col("rb") + col("rc")) / lit(3.0))
+          .as("macro_recall_10"))
+      pq.crossJoin(broadcast(m)).orderBy("query")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents
+      ),
+      legs AS (
+        SELECT q.query, r.doc_id, r.lang, r.rank FROM (
+          SELECT unnest(['data', 'model', 'stream']) AS query) q,
+        LATERAL (
+          SELECT doc_id, lang,
+                 CAST(row_number() OVER (ORDER BY tf DESC, doc_id)
+                      AS INTEGER) AS rank
+          FROM (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE t = q.query GROUP BY 1, 2)
+          ORDER BY tf DESC, doc_id LIMIT 20
+        ) r
+      ),
+      hits AS (
+        SELECT query, CAST(count(*) AS BIGINT) AS hits_10
+        FROM legs WHERE lang = 'en' AND rank <= 10 GROUP BY 1
+      ),
+      rel AS (
+        SELECT t AS query, CAST(count(DISTINCT doc_id) AS BIGINT)
+                 AS n_relevant
+        FROM toks
+        WHERE t IN ('data', 'model', 'stream') AND lang = 'en'
+        GROUP BY 1
+      ),
+      pq AS (
+        SELECT q.query,
+               coalesce(rel.n_relevant, 0) AS n_relevant,
+               coalesce(hits.hits_10, 0) AS hits_10,
+               CASE WHEN coalesce(rel.n_relevant, 0) > 0
+                    THEN CAST(coalesce(hits.hits_10, 0) AS DOUBLE)
+                         / CAST(rel.n_relevant AS DOUBLE)
+                    ELSE 0.0 END AS recall_10,
+               CAST(coalesce(hits.hits_10, 0) AS DOUBLE) / 10.0
+                 AS precision_10
+        FROM (SELECT unnest(['data', 'model', 'stream']) AS query) q
+        LEFT JOIN rel USING (query) LEFT JOIN hits USING (query)
+      ),
+      m AS (
+        SELECT (max(CASE WHEN query = 'data' THEN recall_10 END)
+                + max(CASE WHEN query = 'model' THEN recall_10 END)
+                + max(CASE WHEN query = 'stream' THEN recall_10 END)) / 3.0
+                 AS macro_recall_10
+        FROM pq
+      )
+      SELECT pq.query, pq.n_relevant, pq.hits_10, pq.recall_10,
+             pq.precision_10, m.macro_recall_10
+      FROM pq CROSS JOIN m
+      ORDER BY pq.query
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(auc, confusion, calibration, aucGrouped, mrr, ndcg, rbp, isotonic,
-      permImportance)
+      permImportance, recallAtK)
 }

@@ -1209,8 +1209,86 @@ object QualityQueries {
       ORDER BY bin
     """))
 
+  /** Cramér's V association between market segment and order priority —
+    * the normalized-χ² strength-of-association read ([[mutualInfo]]'s
+    * frequentist sibling): χ² = Σ (o − e)²/e over the r×c contingency
+    * table, V = √(χ² / (n·min(r−1, c−1))). One map-side-combinable
+    * contingency aggregate; margins join back onto the ≤ r·c-row cell
+    * frame (broadcast-tiny). Expected counts e = rowtot·coltot/n are
+    * each ONE division of int64 products; the χ² total folds the cells
+    * in (seg, prio) order — the seeded-fold discipline, never an
+    * unordered double sum. V ∈ [0,1]; ~0.01 here (segment and priority
+    * are independent by construction — the A/A-style guardrail: a
+    * large V would flag a data bug). */
+  val cramersV = QuerySpec(
+    "q_cramers_v",
+    (s, d) => {
+      val base = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("prio"))
+      val cells = base.groupBy("seg", "prio").agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy("seg").agg(sum("o").as("rt"))
+      val cols = cells.groupBy("prio").agg(sum("o").as("ct"))
+      val tot = cells.agg(sum("o").as("n"),
+        countDistinct("seg").as("r"), countDistinct("prio").as("c"))
+      val terms = cells.join(rows, "seg").join(cols, "prio")
+        .crossJoin(broadcast(tot))
+        .withColumn("e",
+          (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+        .withColumn("term",
+          (col("o").cast("double") - col("e"))
+            * (col("o").cast("double") - col("e")) / col("e"))
+      val chi2 = terms
+        .agg(array_sort(collect_list(struct(col("seg"), col("prio"),
+          col("term")))).as("ps"))
+        .select(aggregate(expr("transform(ps, p -> p.term)"),
+          lit(0.0), (acc, x) => acc + x).as("chi2"))
+      chi2.crossJoin(broadcast(tot))
+        .select(col("n"), col("r"), col("c"), col("chi2"),
+          sqrt(col("chi2") / (col("n")
+            * least(col("r") - 1, col("c") - 1)).cast("double"))
+            .as("cramers_v"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      ),
+      cells AS (
+        SELECT seg, prio, CAST(count(*) AS BIGINT) AS o
+        FROM base GROUP BY 1, 2
+      ),
+      rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT prio, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                     CAST(count(DISTINCT seg) AS BIGINT) AS r,
+                     CAST(count(DISTINCT prio) AS BIGINT) AS c
+              FROM cells),
+      terms AS (
+        SELECT seg, prio,
+               (CAST(o AS DOUBLE)
+                 - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                 - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+        FROM cells JOIN rt USING (seg) JOIN ct USING (prio)
+        CROSS JOIN tot
+      ),
+      chi AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(term ORDER BY seg, prio)),
+                           (a, b) -> a + b) AS chi2
+        FROM terms
+      )
+      SELECT tot.n, tot.r, tot.c, chi.chi2,
+             sqrt(chi.chi2 / CAST(tot.n * least(tot.r - 1, tot.c - 1)
+                                  AS DOUBLE)) AS cramers_v
+      FROM chi CROSS JOIN tot
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
       kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo,
-      benford, ksTest, cuped, mannWhitney, diffInDiff, psi)
+      benford, ksTest, cuped, mannWhitney, diffInDiff, psi, cramersV)
 }
