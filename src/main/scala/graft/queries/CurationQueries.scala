@@ -376,7 +376,12 @@ object CurationQueries {
           MultiPatternCount(
             org.apache.spark.sql.graftbridge.Bridge.toExpr(col("text")),
             pats)).as("cnt"))
-        .select(posexplode(col("cnt"))).toDF("idx", "occ")
+        // _outer: plain posexplode lets InferFiltersFromGenerate push
+        // `size(cnt) > 0 AND cnt IS NOT NULL` down to the SCAN, running
+        // the automaton 3× per row before the fan-out exchange (seen in
+        // the physical plan); the outer variant infers nothing, and cnt
+        // is never null/empty here (text filtered non-null, |dict| fixed)
+        .select(posexplode_outer(col("cnt"))).toDF("idx", "occ")
       cnt.groupBy("idx")
         .agg(sum("occ").as("n_occurrences"),
           sum((col("occ") > 0).cast("long")).as("n_docs"))
