@@ -1120,8 +1120,108 @@ object SeriesQueries {
       FROM folded
     """))
 
+  /** Markov stationary distribution of the event-type chain: the row-
+    * normalized transition matrix P from [[transitions]]' adjacent
+    * pairs, then three unrolled power-iteration steps π ← πP from the
+    * uniform start — where user attention concentrates once the
+    * journey mixes. Each step is a join of the |states|-row π vector
+    * with the |states|²-bounded P frame; per-state contribution sums
+    * fold in (c, from) order (the q_pagerank sorted-fold discipline,
+    * seeded 0.0 both engines — at ≤ |states| terms one segment level
+    * suffices). States with no inbound mass coalesce to 0 against the
+    * full state list each step, so the vector never silently drops a
+    * state. The l1_gap |π₃ − π₂| (folded in state order) is the
+    * convergence read. Corpus-sized work = ONE windowed pair pass +
+    * one count aggregate; every iteration runs on frames the corpus
+    * only fills. */
+  val markovStationary = QuerySpec(
+    "q_markov_stationary",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = events(s, d)
+        .select(col("event_type").as("frm"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      val cnts = pairs.groupBy("frm", "dst").agg(count(lit(1)).as("cnt"))
+      val tot = cnts.groupBy("frm").agg(sum("cnt").as("from_total"))
+      val p = cnts.join(tot, "frm")
+        .select(col("frm"), col("dst"),
+          (col("cnt").cast("double") / col("from_total").cast("double"))
+            .as("p")).cache()
+      val states = events(s, d).select(col("event_type").as("state"))
+        .distinct().cache()
+      val n = lit(1.0) / states.count().toDouble
+      def step(pi: org.apache.spark.sql.DataFrame) = {
+        val sums = p.join(pi.withColumnRenamed("state", "frm"), "frm")
+          .select(col("dst"), (col("pi") * col("p")).as("c"), col("frm"))
+          .groupBy("dst")
+          .agg(aggregate(
+            array_sort(collect_list(struct(col("c"), col("frm")))),
+            lit(0.0), (acc, x) => acc + x.getField("c")).as("pi"))
+        states.join(sums, col("state") === col("dst"), "left")
+          .select(col("state"), coalesce(col("pi"), lit(0.0)).as("pi"))
+          .cache()
+      }
+      val pi1 = step(states.select(col("state"), n.as("pi")))
+      val pi2 = step(pi1)
+      val pi3 = step(pi2)
+      pi3.select(col("state"), col("pi").as("pi3"))
+        .join(pi2.select(col("state"), col("pi").as("pi2")), "state")
+        .select(col("state"), round(col("pi2"), 9).as("pi2"),
+          round(col("pi3"), 9).as("pi3"),
+          round(abs(col("pi3") - col("pi2")), 9).as("gap"))
+        .orderBy("state")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT event_type AS frm,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+      ),
+      cnts AS (
+        SELECT frm, dst, CAST(count(*) AS BIGINT) AS cnt
+        FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+      ),
+      tot AS (SELECT frm, CAST(sum(cnt) AS BIGINT) AS from_total
+              FROM cnts GROUP BY 1),
+      p AS (SELECT c.frm, c.dst,
+                   CAST(cnt AS DOUBLE) / CAST(from_total AS DOUBLE) AS p
+            FROM cnts c JOIN tot USING (frm)),
+      states AS (SELECT DISTINCT event_type AS state FROM events),
+      nn AS (SELECT 1.0 / CAST(count(*) AS DOUBLE) AS u FROM states),
+      pi0 AS (SELECT state, u AS pi FROM states CROSS JOIN nn),
+      s1 AS (SELECT p.dst,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list(pi.pi * p.p ORDER BY pi.pi * p.p, p.frm)),
+                      (a, b) -> a + b) AS pi
+             FROM p JOIN pi0 pi ON pi.state = p.frm GROUP BY 1),
+      pi1 AS (SELECT st.state, coalesce(s1.pi, 0.0) AS pi
+              FROM states st LEFT JOIN s1 ON s1.dst = st.state),
+      s2 AS (SELECT p.dst,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list(pi.pi * p.p ORDER BY pi.pi * p.p, p.frm)),
+                      (a, b) -> a + b) AS pi
+             FROM p JOIN pi1 pi ON pi.state = p.frm GROUP BY 1),
+      pi2 AS (SELECT st.state, coalesce(s2.pi, 0.0) AS pi
+              FROM states st LEFT JOIN s2 ON s2.dst = st.state),
+      s3 AS (SELECT p.dst,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list(pi.pi * p.p ORDER BY pi.pi * p.p, p.frm)),
+                      (a, b) -> a + b) AS pi
+             FROM p JOIN pi2 pi ON pi.state = p.frm GROUP BY 1),
+      pi3 AS (SELECT st.state, coalesce(s3.pi, 0.0) AS pi
+              FROM states st LEFT JOIN s3 ON s3.dst = st.state)
+      SELECT pi3.state, round(pi2.pi, 9) AS pi2, round(pi3.pi, 9) AS pi3,
+             round(abs(pi3.pi - pi2.pi), 9) AS gap
+      FROM pi3 JOIN pi2 USING (state)
+      ORDER BY state
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
-    bursts, ewma, holt, stlDecompose, theilSen, holtWinters)
+    bursts, ewma, holt, stlDecompose, theilSen, holtWinters,
+    markovStationary)
 }
