@@ -1859,6 +1859,81 @@ object TextQueries {
       LIMIT 30
     """))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): per document, hash every 3-gram, slide a window
+    * of w = 4 consecutive hashes, keep each window's MINIMUM — the
+    * guarantee the paper proves is that any shared run of ≥ w+k−1
+    * tokens yields at least one SHARED fingerprint, so local overlap
+    * detection needs only an equi-join on selected fingerprints, never
+    * position alignment. The k-gram hash is md5 (hex string — the one
+    * hash both engines spell identically), so "minimum" is
+    * lexicographic min, deterministic everywhere. Pairs sharing ≥ 3
+    * distinct fingerprints surface, scored by the shared count.
+    * Scale shape: fingerprinting is pure per-row expression work
+    * (array HOFs inside codegen — ~|tokens| hashes + |tokens| window
+    * mins per doc); the pair join runs on the winnowed posting list
+    * (w× smaller than the k-gram set, the paper's point) keyed by
+    * fingerprint — the q_dedup_near posting-join shape with the
+    * density cap inherent to selection. */
+  val winnowFp = QuerySpec(
+    "q_winnow_fp",
+    (s, d) => {
+      val k = 3; val w = 4
+      val fps = fanOut(s, documents(s, d))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= k + w - 1)
+        .select(col("doc_id"),
+          expr(s"""transform(sequence(1, size(toks) - ${k - 1}),
+                     i -> md5(concat_ws(' ', slice(toks, i, $k))))""")
+            .as("kg"))
+        .select(col("doc_id"),
+          explode(array_distinct(
+            expr(s"""transform(sequence(1, size(kg) - ${w - 1}),
+                       i -> array_min(slice(kg, i, $w)))""")))
+            .as("fp"))
+        .cache()
+      val pairs = fps.as("x").join(fps.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 3)
+      pairs.orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
+        .limit(30)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           t -> t <> '') AS toks
+        FROM documents WHERE text IS NOT NULL
+      ),
+      kg AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 1),
+                 i -> md5(array_to_string(toks[i:i+2], ' '))) AS kg
+        FROM toks WHERE len(toks) >= 6
+      ),
+      fps AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(kg) - 2),
+                 i -> list_min(kg[i:i+3])))) AS fp
+        FROM kg
+      ),
+      pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM fps x JOIN fps y
+          ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+      )
+      SELECT doc_a, doc_b, shared_fps
+      FROM pairs
+      ORDER BY shared_fps DESC, doc_a, doc_b
+      LIMIT 30
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     novelty,
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
@@ -1867,5 +1942,5 @@ object TextQueries {
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
     bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin, charEntropy,
-    unicodeNorm, rrfFusion, knBigram)
+    unicodeNorm, rrfFusion, knBigram, winnowFp)
 }
