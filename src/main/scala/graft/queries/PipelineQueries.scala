@@ -771,10 +771,126 @@ object PipelineQueries {
       ORDER BY split
     """))
 
+  /** Consistent-hash ring assignment (Karger et al. 1997) with virtual
+    * nodes — the shard-rebalancing layout [[hashSplit]]'s modulo can't
+    * give: mod N reassigns ~(N−1)/N of all keys when N changes; the
+    * ring moves only the departed node's arc. 4 nodes × 8 vnodes
+    * hash onto the md5 ring (hex strings — the one hash both engines
+    * spell identically; lexicographic order IS the ring order); a doc
+    * lands on the first vnode clockwise from its own hash (min vnode
+    * hash ≥ doc hash, wrapping to the global min). The query assigns
+    * every doc on the full ring AND on the ring with node 'n3'
+    * removed, reporting per-node counts and the MEASURED moved
+    * fraction — which must equal n3's share exactly, the property the
+    * algorithm exists for (asserted as an in-plan verdict: every
+    * moved doc was on n3). The 32-row vnode frame broadcasts; the
+    * corpus-side work is two broadcast-join min-aggregates — nothing
+    * global, nothing iterative. */
+  val hashRing = QuerySpec(
+    "q_hash_ring",
+    (s, d) => {
+      import s.implicits._
+      val nodes = Seq("n0", "n1", "n2", "n3")
+      val vn = nodes.flatMap(n => (0 until 8).map(v => (n, s"$n#v$v")))
+        .toDF("node", "vkey")
+        .select(col("node"), md5(col("vkey")).as("vh"))
+        .cache()
+      def assign(ring: org.apache.spark.sql.DataFrame, as: String) = {
+        val ringMin = ring.orderBy("vh").limit(1)
+          .select(col("node").as("wrap_node"))
+        val docs = documents(s, d)
+          .select(col("doc_id"), md5(col("doc_id").cast("string")).as("dh"))
+        docs.join(broadcast(ring), col("vh") >= col("dh"), "left")
+          .groupBy("doc_id", "dh")
+          .agg(min(struct(col("vh"), col("node"))).as("first"))
+          .crossJoin(broadcast(ringMin))
+          .select(col("doc_id"),
+            coalesce(col("first.node"), col("wrap_node")).as(as))
+      }
+      val full = assign(vn, "node_full")
+      val reduced = assign(vn.filter(col("node") =!= "n3"), "node_reduced")
+      val joined = full.join(reduced, "doc_id").cache()
+      val perNode = joined.groupBy(col("node_full").as("node"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("node_full") =!= col("node_reduced")).cast("long"))
+            .as("n_moved"))
+      val tot = joined.agg(
+        count(lit(1)).as("n_total"),
+        sum((col("node_full") =!= col("node_reduced")).cast("long"))
+          .as("moved_total"),
+        min((col("node_full") === "n3" ||
+          col("node_full") === col("node_reduced")).cast("int"))
+          .as("only_n3_moved"))
+      perNode.crossJoin(broadcast(tot))
+        .select(col("node"), col("n_docs"), col("n_moved"),
+          (col("moved_total").cast("double") / col("n_total").cast("double"))
+            .as("moved_frac"),
+          col("only_n3_moved"))
+        .orderBy("node")
+    },
+    Some("""
+      WITH nodes AS (SELECT unnest(['n0', 'n1', 'n2', 'n3']) AS node),
+      vn AS (
+        SELECT node, md5(node || '#v' || CAST(v AS VARCHAR)) AS vh
+        FROM nodes CROSS JOIN (SELECT unnest(range(0, 8)) AS v)
+      ),
+      docs AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS dh FROM documents
+      ),
+      full_assign AS (
+        SELECT d.doc_id,
+               coalesce(min(CASE WHEN v.vh >= d.dh THEN v.vh END),
+                        (SELECT min(vh) FROM vn)) AS pick
+        FROM docs d CROSS JOIN vn v
+        GROUP BY d.doc_id, d.dh
+      ),
+      full_named AS (
+        SELECT f.doc_id, v.node AS node_full
+        FROM full_assign f JOIN vn v ON v.vh = f.pick
+      ),
+      vn2 AS (SELECT * FROM vn WHERE node <> 'n3'),
+      red_assign AS (
+        SELECT d.doc_id,
+               coalesce(min(CASE WHEN v.vh >= d.dh THEN v.vh END),
+                        (SELECT min(vh) FROM vn2)) AS pick
+        FROM docs d CROSS JOIN vn2 v
+        GROUP BY d.doc_id, d.dh
+      ),
+      red_named AS (
+        SELECT f.doc_id, v.node AS node_reduced
+        FROM red_assign f JOIN vn2 v ON v.vh = f.pick
+      ),
+      joined AS (
+        SELECT doc_id, node_full, node_reduced
+        FROM full_named JOIN red_named USING (doc_id)
+      ),
+      per_node AS (
+        SELECT node_full AS node, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN node_full <> node_reduced
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        FROM joined GROUP BY 1
+      ),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN node_full <> node_reduced
+                        THEN 1 ELSE 0 END) AS BIGINT) AS moved_total,
+               CAST(min(CASE WHEN node_full = 'n3'
+                             OR node_full = node_reduced
+                        THEN 1 ELSE 0 END) AS INTEGER) AS only_n3_moved
+        FROM joined
+      )
+      SELECT node, n_docs, n_moved,
+             CAST(moved_total AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS moved_frac,
+             only_n3_moved
+      FROM per_node CROSS JOIN tot
+      ORDER BY node
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     exportShards,
     hashSplit, chunkDocs, packSequences, domainCap, globalShuffle,
     truncateTokens, mixtureWeights, sourceDrift, ragIndex,
     importanceWeight, weightedSample, negativeSample, tokenizeIds,
-    timeSplit)
+    timeSplit, hashRing)
 }
