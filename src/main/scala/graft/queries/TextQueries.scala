@@ -1934,6 +1934,78 @@ object TextQueries {
       LIMIT 30
     """))
 
+
+
+  /** Vocabulary coverage curve — the tokenizer-design read: what share
+    * of all token OCCURRENCES does a top-k frequency vocabulary cover,
+    * for k ∈ {10, 20, 50, 100, 200}? (The OOV-rate complement; Zipf
+    * corpora typically cover >90% with a few hundred types — this
+    * corpus's small synthetic vocabulary saturates early, which the
+    * curve shows honestly.) Types rank by (count DESC, token) — a
+    * total order, so the cumulative sum is deterministic; the rank
+    * window runs over the VOCABULARY frame (type-bounded, never the
+    * corpus — the only corpus-sized stage is the one token-count
+    * aggregate). Coverage is exact-integer cumsum / total, one
+    * division per k. */
+  val vocabCoverage = QuerySpec(
+    "q_vocab_coverage",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = fanOut(s, documents(s, d))
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val ranked = vocab
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))))
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy(col("cnt").desc, col("tok"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = vocab.agg(sum("cnt").as("n_occ"),
+        count(lit(1)).as("n_types"))
+      import s.implicits._
+      Seq(10, 20, 50, 100, 200).toDF("k")
+        .join(ranked, col("rk") <= col("k"), "left")
+        .groupBy("k")
+        .agg(max("cum").as("covered"), max("rk").as("types_used"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_types"), col("n_occ"),
+          coalesce(col("types_used"), lit(0)).as("types_used"),
+          coalesce(col("covered"), lit(0L)).as("covered"),
+          (coalesce(col("covered"), lit(0L)).cast("double")
+            / col("n_occ").cast("double")).as("coverage"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+      ),
+      cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+               FROM vocab GROUP BY 1),
+      ranked AS (
+        SELECT tok, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER)
+                 AS rk,
+               CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum
+        FROM cnts
+      ),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_occ,
+                     CAST(count(*) AS BIGINT) AS n_types FROM cnts),
+      ks AS (SELECT CAST(unnest([10, 20, 50, 100, 200]) AS INTEGER) AS k)
+      SELECT k, tot.n_types, tot.n_occ,
+             CAST(coalesce(max(rk), 0) AS INTEGER) AS types_used,
+             CAST(coalesce(max(cum), 0) AS BIGINT) AS covered,
+             CAST(coalesce(max(cum), 0) AS DOUBLE) / CAST(tot.n_occ AS DOUBLE)
+               AS coverage
+      FROM ks LEFT JOIN ranked ON ranked.rk <= ks.k
+      CROSS JOIN tot
+      GROUP BY k, tot.n_occ, tot.n_types
+      ORDER BY k
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     novelty,
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
@@ -1942,5 +2014,5 @@ object TextQueries {
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
     bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin, charEntropy,
-    unicodeNorm, rrfFusion, knBigram, winnowFp)
+    unicodeNorm, rrfFusion, knBigram, winnowFp, vocabCoverage)
 }
