@@ -57,6 +57,11 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"nfc_normalize expects 1 argument, got ${args.length}")
     },
+    "damerau_levenshtein" -> {
+      case Seq(a, b) => DamerauLevenshtein(a, b)
+      case args => throw new IllegalArgumentException(
+        s"damerau_levenshtein expects 2 arguments, got ${args.length}")
+    },
     "multi_pattern_count" -> {
       case Seq(c, rest @ _*) if rest.nonEmpty && rest.forall(a =>
             a.foldable && a.eval() != null) =>

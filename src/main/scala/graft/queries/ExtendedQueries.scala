@@ -1125,6 +1125,75 @@ object ExtendedQueries {
       ORDER BY o_orderpriority, rk
     """))
 
+  /** Unrestricted Damerau–Levenshtein ([[graft.functions
+    * .DamerauLevenshtein]], Lowrance–Wagner 1975) exercised two ways —
+    * the [[jaroWinklerMatch]]/[[fuzzyMatch]] family's missing metric,
+    * oracled EXACTLY against DuckDB's damerau_levenshtein (the reason
+    * to implement the full alphabet-table algorithm, not the two-row
+    * OSA shortcut: "ca"→"abc" must be 2 on both engines):
+    *  - `vocab_pair`: all pairs of DISTINCT part names at dl ≤ 4 — the
+    *    all-pairs frame is NAME-VOCABULARY-bounded (64 names at every
+    *    SF), never corpus-sized, the record-linkage blocking story;
+    *  - `typo_twin`: each name against its deterministic adjacent-swap
+    *    mutation — the Damerau 1964 motivation made measurable: dl = 1
+    *    where plain levenshtein charges 2 (win = lv − dl ≥ 1 whenever
+    *    the swapped chars differ), an A/A-style guardrail that the
+    *    transposition arm actually fires. */
+  val damerauPairs = QuerySpec(
+    "q_damerau",
+    (s, d) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      import graft.functions.{DamerauLevenshtein => DL}
+      def dl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        Bridge.toCol(DL(Bridge.toExpr(a), Bridge.toExpr(b)))
+      val names = part(s, d).select("p_name").distinct().cache()
+      val pairs = names.select(col("p_name").as("a"))
+        .join(names.select(col("p_name").as("b")), col("a") < col("b"))
+        .select(lit("vocab_pair").as("arm"), col("a"), col("b"),
+          dl(col("a"), col("b")).as("dl"),
+          levenshtein(col("a"), col("b")).as("lv"))
+        .filter(col("dl") <= 4)
+      val twins = names
+        .select(lit("typo_twin").as("arm"), col("p_name").as("a"),
+          concat(substring(col("p_name"), 1, 1),
+            substring(col("p_name"), 3, 1),
+            substring(col("p_name"), 2, 1),
+            expr("substring(p_name, 4)")).as("b"))
+        .select(col("arm"), col("a"), col("b"),
+          dl(col("a"), col("b")).as("dl"),
+          levenshtein(col("a"), col("b")).as("lv"))
+      pairs.unionByName(twins)
+        .select(col("arm"), col("a"), col("b"), col("dl"), col("lv"),
+          (col("lv") - col("dl")).as("win"))
+        .orderBy("arm", "a", "b")
+    },
+    Some("""
+      WITH names AS (SELECT DISTINCT p_name FROM part),
+      pairs AS (
+        SELECT 'vocab_pair' AS arm, a.p_name AS a, b.p_name AS b,
+               CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER)
+                 AS dl,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lv
+        FROM names a JOIN names b ON a.p_name < b.p_name
+        WHERE damerau_levenshtein(a.p_name, b.p_name) <= 4
+      ),
+      twins AS (
+        SELECT 'typo_twin' AS arm, p_name AS a,
+               substr(p_name, 1, 1) || substr(p_name, 3, 1)
+                 || substr(p_name, 2, 1) || substr(p_name, 4) AS b
+        FROM names
+      ),
+      twin_d AS (
+        SELECT arm, a, b,
+               CAST(damerau_levenshtein(a, b) AS INTEGER) AS dl,
+               CAST(levenshtein(a, b) AS INTEGER) AS lv
+        FROM twins
+      )
+      SELECT arm, a, b, dl, lv, lv - dl AS win
+      FROM (SELECT * FROM pairs UNION ALL SELECT * FROM twin_d)
+      ORDER BY arm, a, b
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
     movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
@@ -1132,5 +1201,5 @@ object ExtendedQueries {
     crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce,
     dateSpine, typedAgg, rangeFrame, intervalJoin, schemaProfile,
     correlatedAgg, winsorize, samplePerKey, sketchRollup, jaroWinklerMatch,
-    recordLinkage)
+    recordLinkage, damerauPairs)
 }
