@@ -595,4 +595,20 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
     }
   }
+
+  test("no session-7 join-heavy query plans a cartesian product") {
+    // the new inequality/interval joins (isotonic intervals, theil-sen
+    // pairs, damerau vocab pairs, hash-ring clockwise search) are all
+    // BOUNDED-side broadcast nested loops by construction — a shuffled
+    // CartesianProduct anywhere means a broadcast threshold regressed
+    for (q <- Seq("q_isotonic", "q_theil_sen", "q_woe_iv", "q_psi",
+        "q_cramers_v", "q_seq_support", "q_damerau", "q_hash_ring",
+        "q_winnow_fp", "q_recall_at_k", "q_perm_importance",
+        "q_diff_in_diff", "q_kn_bigram", "q_vocab_coverage",
+        "q_multi_pattern", "q_dataset_card", "q_stl_decompose",
+        "q_markov_stationary")) {
+      val p = plan(SparkEntry.queries(q)(spark, Sf001))
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+  }
 }
