@@ -612,10 +612,14 @@ object SeriesQueries {
     * discretization is exact and engine-portable), then count every
     * 3-day CONSECUTIVE symbol trigram with support ≥ 2 — the repeated-
     * shape detector (weekly ramp-ups, settlement dips) of the series-
-    * mining literature in its replayable form. The quartile comes from
-    * [[graft.ops.Ranks.globalRank]] + ntileFromRank (literal-cutpoint
-    * buckets; RanksSpec proves ≡ ntile(4), which is what the oracle
-    * runs); trigram adjacency is two equi-joins on t+1/t+2, so calendar
+    * mining literature in its replayable form. The quartile is plain
+    * ntile(4) over ONE ordered window on the CALENDAR-BOUNDED daily
+    * frame (the q_bursts/q_ewma contract — ≤ 2 400 rows at any corpus
+    * size, so a single-partition sort is one cheap job; the
+    * globalRank machinery this previously used exists for CORPUS-sized
+    * rank problems and here only bought four extra scheduler
+    * round-trips, the q_kcore latency class the r6 bench flagged);
+    * trigram adjacency is two equi-joins on t+1/t+2, so calendar
     * gaps simply produce no motif — never a false adjacency. */
   val saxMotifs = QuerySpec(
     "q_sax_motifs",
@@ -625,12 +629,10 @@ object SeriesQueries {
           lit("1970-01-01").cast("date")).as("t"))
         .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
           .cast("long").as("v"))
-        .cache() // globalRank's build jobs re-read it
-      val nParts = s.sessionState.conf.numShufflePartitions
-      val ranked = graft.ops.Ranks.globalRank(daily,
-        Seq(col("v"), col("t")), nParts, "__rk", totalCol = Some("__n"))
-      val sym = ranked.select(col("t"),
-        graft.ops.Ranks.ntileFromRank(col("__rk"), col("__n"), 4).as("q"))
+        .cache() // three self-join branches re-read it
+      import org.apache.spark.sql.expressions.Window
+      val sym = daily.select(col("t"),
+        ntile(4).over(Window.orderBy(col("v"), col("t"))).as("q"))
       val tri = sym.select(col("t"), col("q").as("q0"))
         .join(sym.select((col("t") - 1).as("t"), col("q").as("q1")), "t")
         .join(sym.select((col("t") - 2).as("t"), col("q").as("q2")), "t")
