@@ -1287,8 +1287,113 @@ object QualityQueries {
       FROM chi CROSS JOIN tot
     """))
 
+  /** Differentially-private median via the exponential mechanism
+    * (McSherry & Talwar 2007) over the 20-bin price grid — the
+    * quantile companion to [[dpCounts]]' Laplace counts: INTERVAL
+    * candidates — a bin's utility is its best point's rank distance
+    * (0 when it straddles the median, else the closer edge, as the
+    * exact integer min|2·cum − n|) — selection weight exp(ε·u/2)
+    * with ε = 1, and ONE
+    * seeded md5-uniform draw (the [[bootstrap]] convention —
+    * bit-reproducible, engine-portable) picks the first bin whose
+    * cumulative weight crosses u·Σw. Weights round at 1e-12 (exp is
+    * libm, the ln lesson); the cumulative walk is a window prefix sum
+    * in BIN order — a fixed left fold on both engines. At n ≫ 1/ε the
+    * mechanism concentrates on the true median bin (reported alongside
+    * for the utility read); the privacy-utility cliff IS the output.
+    * One map-side-combinable binning aggregate; everything after runs
+    * on the 20-row frame. */
+  val dpQuantile = QuerySpec(
+    "q_dp_quantile",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val binned = orders(s, d)
+        .select(least(floor(col("o_totalprice") / 30000.0), lit(19.0))
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+      val wOrd = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = binned
+        .withColumn("cum", sum("c").over(wOrd))
+        .crossJoin(broadcast(binned.agg(sum("c").as("n"))))
+        // interval-candidate utility: a bin is as good as its BEST point
+        // — 0 if it straddles the median, else the closer edge's rank
+        // distance (a bin-ENDPOINT utility makes every weight underflow
+        // to 0 at count scale and the mechanism degenerates to bin 0)
+        .withColumn("udist",
+          when(col("cum") * 2 >= col("n") &&
+            (col("cum") - col("c")) * 2 <= col("n"), lit(0L))
+            .otherwise(least(abs(col("cum") * 2 - col("n")),
+              abs((col("cum") - col("c")) * 2 - col("n")))))
+        .withColumn("w",
+          round(exp(col("udist").cast("double") * lit(-0.25)), 12))
+        .withColumn("cw", sum("w").over(wOrd))
+      val tot = cum.agg(max("cw").as("totw"), max("n").as("n_all"),
+        min(when(col("cum") * 2 >= col("n"), col("bin"))).as("true_med_bin"))
+      val u01 = (conv(substring(md5(lit("dpq7:42")), 1, 12), 16, 10)
+        .cast("bigint") + lit(1)) / lit(281474976710656.0)
+      cum.drop("n").crossJoin(broadcast(tot.withColumn("u01", u01)))
+        .filter(col("cw") >= col("u01") * col("totw"))
+        .orderBy("bin").limit(1)
+        .select(col("n_all").as("n"), col("true_med_bin"),
+          col("bin").as("chosen_bin"),
+          (col("bin") * 30000L).as("chosen_lo"),
+          ((col("bin") + 1L) * 30000L).as("chosen_hi"),
+          col("w").as("w_chosen"),
+          round(col("u01"), 12).as("u01"))
+    },
+    Some("""
+      WITH binned AS (
+        SELECT CAST(least(floor(o_totalprice / 30000.0), 19.0) AS BIGINT)
+                 AS bin,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+      ),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM binned),
+      cum AS (
+        SELECT bin, c,
+               CAST(sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum,
+               n.n
+        FROM binned CROSS JOIN n
+      ),
+      wt AS (
+        SELECT bin, cum, n,
+               round(exp(CAST(CASE WHEN cum * 2 >= n AND (cum - c) * 2 <= n
+                              THEN 0
+                              ELSE least(abs(cum * 2 - n),
+                                         abs((cum - c) * 2 - n)) END
+                         AS DOUBLE) * -0.25), 12) AS w
+        FROM cum
+      ),
+      cw AS (
+        SELECT bin, n, w,
+               sum(w) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cw,
+               cum
+        FROM wt
+      ),
+      tot AS (
+        SELECT max(cw) AS totw, max(n) AS n,
+               min(CASE WHEN cum * 2 >= n THEN bin END) AS true_med_bin
+        FROM cw
+      ),
+      sel AS (
+        SELECT cw.*, tot.totw, tot.true_med_bin,
+               (CAST(('0x' || substr(md5('dpq7:42'), 1, 12)) AS BIGINT) + 1)
+                 / 281474976710656.0 AS u01
+        FROM cw CROSS JOIN tot
+      )
+      SELECT n, true_med_bin, bin AS chosen_bin,
+             bin * 30000 AS chosen_lo, (bin + 1) * 30000 AS chosen_hi,
+             w AS w_chosen, round(u01, 12) AS u01
+      FROM sel
+      WHERE cw >= u01 * totw
+      ORDER BY bin LIMIT 1
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
       kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo,
-      benford, ksTest, cuped, mannWhitney, diffInDiff, psi, cramersV)
+      benford, ksTest, cuped, mannWhitney, diffInDiff, psi, cramersV,
+      dpQuantile)
 }
