@@ -664,8 +664,13 @@ object EventQueries {
     (s, d) => {
       val pos = events(s, d).select(col("user_id"), col("event_type"),
         struct(col("ts"), col("event_id")).as("p"))
+      // localCheckpoint, not cache: this frame scales with users×types
+      // (corpus-proportional) and serves three join branches — an
+      // unreleased .cache() here is a session-lifetime leak (the
+      // prefixCandidates lesson); checkpoint blocks are reclaimed on
+      // dereference
       val ext = pos.groupBy("user_id", "event_type")
-        .agg(min("p").as("fp"), max("p").as("lp")).cache()
+        .agg(min("p").as("fp"), max("p").as("lp")).localCheckpoint()
       def side(n: String, c: String) = ext.select(col("user_id"),
         col("event_type").as(n), col(c).as(s"${c}_$n"))
       val two = side("a", "fp").join(side("b", "lp"), "user_id")

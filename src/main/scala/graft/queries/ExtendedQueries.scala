@@ -1146,7 +1146,7 @@ object ExtendedQueries {
       import graft.functions.{DamerauLevenshtein => DL}
       def dl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         Bridge.toCol(DL(Bridge.toExpr(a), Bridge.toExpr(b)))
-      val names = part(s, d).select("p_name").distinct().cache()
+      val names = part(s, d).select("p_name").distinct().localCheckpoint()
       val pairs = names.select(col("p_name").as("a"))
         .join(names.select(col("p_name").as("b")), col("a") < col("b"))
         .select(lit("vocab_pair").as("arm"), col("a"), col("b"),

@@ -809,7 +809,9 @@ object PipelineQueries {
       }
       val full = assign(vn, "node_full")
       val reduced = assign(vn.filter(col("node") =!= "n3"), "node_reduced")
-      val joined = full.join(reduced, "doc_id").cache()
+      // one row per doc (corpus-proportional), read by both the per-node
+      // and total aggregates: localCheckpoint, not a leaked cache
+      val joined = full.join(reduced, "doc_id").localCheckpoint()
       val perNode = joined.groupBy(col("node_full").as("node"))
         .agg(count(lit(1)).as("n_docs"),
           sum((col("node_full") =!= col("node_reduced")).cast("long"))

@@ -1147,12 +1147,15 @@ object SeriesQueries {
         .filter(col("dst").isNotNull)
       val cnts = pairs.groupBy("frm", "dst").agg(count(lit(1)).as("cnt"))
       val tot = cnts.groupBy("frm").agg(sum("cnt").as("from_total"))
+      // |states|²-bounded and |states|-bounded frames each read 3–4
+      // times: localCheckpoint (eager, reclaimed on dereference) rather
+      // than a cache this query would leak into the session
       val p = cnts.join(tot, "frm")
         .select(col("frm"), col("dst"),
           (col("cnt").cast("double") / col("from_total").cast("double"))
-            .as("p")).cache()
+            .as("p")).localCheckpoint()
       val states = events(s, d).select(col("event_type").as("state"))
-        .distinct().cache()
+        .distinct().localCheckpoint()
       val n = lit(1.0) / states.count().toDouble
       def step(pi: org.apache.spark.sql.DataFrame) = {
         val sums = p.join(pi.withColumnRenamed("state", "frm"), "frm")
@@ -1163,7 +1166,7 @@ object SeriesQueries {
             lit(0.0), (acc, x) => acc + x.getField("c")).as("pi"))
         states.join(sums, col("state") === col("dst"), "left")
           .select(col("state"), coalesce(col("pi"), lit(0.0)).as("pi"))
-          .cache()
+          .localCheckpoint()
       }
       val pi1 = step(states.select(col("state"), n.as("pi")))
       val pi2 = step(pi1)

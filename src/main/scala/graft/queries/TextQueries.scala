@@ -1892,7 +1892,9 @@ object TextQueries {
             expr(s"""transform(sequence(1, size(kg) - ${w - 1}),
                        i -> array_min(slice(kg, i, $w)))""")))
             .as("fp"))
-        .cache()
+        // corpus-proportional posting list feeding both join sides:
+        // localCheckpoint (reclaimed on dereference), never a leaked cache
+        .localCheckpoint()
       val pairs = fps.as("x").join(fps.as("y"),
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
