@@ -418,7 +418,80 @@ object MlQueries {
       ORDER BY f_status, f_year
     """))
 
+  /** Rank-1 ALS / power iteration on the customer×brand purchase matrix
+    * — matrix factorization as relational algebra, EXACT: with v⁰ ≡ 1,
+    * every alternation is an integer matrix-vector product
+    * (u¹ = R·1 = row sums; v¹ = Rᵀu¹; u² = R·v¹), so the first three
+    * half-steps stay in exact integers accumulated as DECIMAL(38,0) —
+    * no float accumulation ANYWHERE, which is what makes a distributed
+    * eigenvector iteration hash-gateable cell-for-cell (the same
+    * sufficient-statistics discipline as q_linreg, lifted from vectors
+    * to a matrix). u² is the unnormalized leading-eigenvector score of
+    * R·Rᵀ — "how much does this customer load on the dominant
+    * purchasing pattern" — the quantity a real recommender's first
+    * factor captures. Magnitudes stay < 2⁵³ through u² at every test
+    * SF (documented bound; the NEXT half-step v² would overflow double
+    * exactness and is deliberately not taken). Every step is a
+    * map-side-combinable aggregate or a broadcast-bounded join on the
+    * brand dimension (|brands| = 25); nothing iterates per-row. */
+  val alsRank1 = QuerySpec(
+    "q_als_rank1",
+    (s, d) => {
+      val r = lineitem(s, d)
+        .join(part(s, d).select(col("p_partkey").as("l_partkey"),
+          col("p_brand")), "l_partkey")
+        .join(orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey")), "l_orderkey")
+        .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
+        .agg(sum(col("l_quantity").cast("long")).as("r"))
+        .localCheckpoint()
+      val u1 = r.groupBy("c").agg(sum("r").as("n1"))
+      val v1 = r.join(u1, "c")
+        .groupBy("b")
+        .agg(sum((col("n1") * col("r")).cast("decimal(38,0)"))
+          .cast("double").as("v1"))
+      val u2 = r.join(broadcast(v1), "b")
+        .groupBy("c")
+        // products are INTEGER-valued (r·v1 with v1 an exact integer in
+        // double): scale-0 decimal keeps the final →double cast a single
+        // correct rounding in both engines (a scaled decimal
+        // double-rounds in DuckDB — the q_diff_in_diff lesson)
+        .agg(sum((col("r").cast("double") * col("v1"))
+          .cast("decimal(38,0)")).cast("double").as("u2"))
+      u2.join(u1, "c")
+        .select(col("c").as("custkey"), col("n1").as("qty_total"),
+          col("u2").as("factor_score"))
+        .orderBy(col("factor_score").desc, col("custkey"))
+        .limit(15)
+    },
+    Some("""
+      WITH r AS (
+        SELECT o.o_custkey AS c, p.p_brand AS b,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+      ),
+      u1 AS (SELECT c, CAST(sum(r) AS BIGINT) AS n1 FROM r GROUP BY 1),
+      v1 AS (
+        SELECT b, CAST(sum(CAST(n1 * r AS DECIMAL(38,0))) AS DOUBLE) AS v1
+        FROM r JOIN u1 USING (c)
+        GROUP BY 1
+      ),
+      u2 AS (
+        SELECT c, CAST(sum(CAST(CAST(r AS DOUBLE) * v1 AS DECIMAL(38,0)))
+                       AS DOUBLE) AS u2
+        FROM r JOIN v1 USING (b)
+        GROUP BY 1
+      )
+      SELECT c AS custkey, n1 AS qty_total, u2 AS factor_score
+      FROM u2 JOIN u1 USING (c)
+      ORDER BY factor_score DESC, custkey
+      LIMIT 15
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     vectorAssemble, randomSplit, gbtPredict, gbt100, sampleStratified, pca,
-    spgemm, naiveBayes)
+    spgemm, naiveBayes, alsRank1)
 }
