@@ -2008,6 +2008,99 @@ object TextQueries {
       ORDER BY k
     """))
 
+
+
+  /** Weighted (multiset) Jaccard over 3-shingle term frequencies —
+    * what set-Jaccard loses on repetitive documents: Σ min(tf_a, tf_b)
+    * / Σ max(tf_a, tf_b), the histogram-intersection similarity. Two
+    * stages, the PPJoin candidate/verify discipline: candidates come
+    * from a DF-CAPPED posting join (shingles in ≤ 20 docs — Σdf²
+    * bounded, the Zipf head never joins), then the score is computed
+    * EXACTLY over the candidates' FULL tf vectors (the cap bounds the
+    * join, never the answer on surviving pairs; a pair sharing only
+    * head shingles is invisible — the q_dedup_near trade, documented
+    * there). Σmax never materializes: Σmax = tot_a + tot_b − Σmin,
+    * so the score is integer sums and ONE division; the ≥ 0.4
+    * threshold applies as the cross-multiplied integer test
+    * 5·Σmin ≥ 2·(tot_a + tot_b − Σmin). */
+  val weightedJaccard = QuerySpec(
+    "q_weighted_jaccard",
+    (s, d) => {
+      val tf = fanOut(s, documents(s, d))
+        .select(col("doc_id"),
+          explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val tot = tf.groupBy("doc_id").agg(sum("tf").as("tot"))
+      val df = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+      val rare = tf.join(df.filter(col("df") <= 20).select("sh"), "sh")
+      val cand = rare.select(col("sh"), col("doc_id").as("a"))
+        .join(rare.select(col("sh"), col("doc_id").as("b")), "sh")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val inter = cand
+        .join(tf.select(col("doc_id").as("a"), col("sh"),
+          col("tf").as("tfa")), "a")
+        .join(tf.select(col("doc_id").as("b"), col("sh"),
+          col("tf").as("tfb")), Seq("b", "sh"))
+        .groupBy("a", "b").agg(sum(least(col("tfa"), col("tfb"))).as("smin"))
+      inter
+        .join(tot.select(col("doc_id").as("a"), col("tot").as("tot_a")), "a")
+        .join(tot.select(col("doc_id").as("b"), col("tot").as("tot_b")), "b")
+        .filter(col("smin") * 5 >= (col("tot_a") + col("tot_b")
+          - col("smin")) * 2)
+        .select(col("a"), col("b"), col("smin"),
+          (col("tot_a") + col("tot_b") - col("smin")).as("smax"),
+          (col("smin").cast("double") /
+            (col("tot_a") + col("tot_b") - col("smin")).cast("double"))
+            .as("wjac"))
+        .orderBy(col("wjac").desc, col("a"), col("b"))
+        .limit(30)
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+                   ELSE [] END) AS sh
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\W+'),
+                                   t -> t <> '') AS toks
+                FROM documents)
+        )
+        GROUP BY 1, 2
+      ),
+      tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tot
+              FROM tf GROUP BY 1),
+      df AS (SELECT sh FROM tf GROUP BY sh HAVING count(*) <= 20),
+      rare AS (SELECT tf.* FROM tf JOIN df USING (sh)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      ),
+      inter AS (
+        SELECT c.a, c.b,
+               CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS smin
+        FROM cand c
+        JOIN tf ta ON ta.doc_id = c.a
+        JOIN tf tb ON tb.doc_id = c.b AND tb.sh = ta.sh
+        GROUP BY 1, 2
+      )
+      SELECT i.a, i.b, i.smin,
+             x.tot + y.tot - i.smin AS smax,
+             CAST(i.smin AS DOUBLE) / CAST(x.tot + y.tot - i.smin AS DOUBLE)
+               AS wjac
+      FROM inter i
+      JOIN tot x ON x.doc_id = i.a
+      JOIN tot y ON y.doc_id = i.b
+      WHERE i.smin * 5 >= (x.tot + y.tot - i.smin) * 2
+      ORDER BY wjac DESC, i.a, i.b
+      LIMIT 30
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     novelty,
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
@@ -2016,5 +2109,6 @@ object TextQueries {
     substringDedup, containment, bigramLm, lmScore, giniDiversity,
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
     bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin, charEntropy,
-    unicodeNorm, rrfFusion, knBigram, winnowFp, vocabCoverage)
+    unicodeNorm, rrfFusion, knBigram, winnowFp, vocabCoverage,
+    weightedJaccard)
 }
