@@ -722,7 +722,74 @@ object GraphQueries {
       FROM r3 ORDER BY round(rank, 9) DESC, id ASC LIMIT 20
     """))
 
+  /** Graph diameter lower bound by the 2-sweep BFS (the iFUB/double-
+    * sweep heuristic, Magnien–Latapy–Habib 2009): BFS from a
+    * deterministic anchor (min node id), hop to the FARTHEST node
+    * found (tie → min id), BFS again from there — the second
+    * eccentricity is a diameter lower bound that is exact on trees
+    * and empirically tight on real graphs, at the cost of TWO
+    * frontier walks instead of the all-pairs BFS nobody can run at
+    * scale. Both sweeps are [[graft.ops.Graph.bfsHops]] frontier
+    * rounds (work = frontier adjacency per hop); scope is the
+    * anchor's component (a disconnected far component is invisible —
+    * the honest contract, stated rather than papered over). The
+    * oracle chains two bounded recursive CTEs, the second seeded by
+    * the first's argmax. */
+  val graphDiameter = QuerySpec(
+    "q_graph_diameter",
+    (s, d) => {
+      val e = freqEdges(s, d).cache()
+      val nodes = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id"))).distinct()
+      val anchor = nodes.orderBy("id").limit(1)
+      val sweep1 = Graph.bfsHops(e, "a", "b", anchor, "id", maxHops = 40)
+      val far = sweep1.orderBy(col("hops").desc, col("id").asc).limit(1)
+        .select(col("id"), col("hops").as("ecc_anchor"))
+      val sweep2 = Graph.bfsHops(e, "a", "b", far.select("id"), "id",
+        maxHops = 40)
+      val summary = sweep2.agg(max("hops").as("diameter_lb"),
+        count(lit(1)).as("n_reached"))
+      anchor.select(col("id").as("anchor_id"))
+        .crossJoin(broadcast(far.select(col("id").as("far_id"),
+          col("ecc_anchor"))))
+        .crossJoin(broadcast(summary))
+    },
+    Some(s"""
+      WITH RECURSIVE $FreqEdgeSql,
+      edges AS (
+        SELECT a AS s, b AS t FROM fedge
+        UNION ALL
+        SELECT b, a FROM fedge
+      ),
+      nodes AS (SELECT DISTINCT s AS id FROM edges),
+      anchor AS (SELECT min(id) AS id FROM nodes),
+      w1(id, hop) AS (
+        SELECT id, 0 FROM anchor
+        UNION
+        SELECT e.t, w.hop + 1
+        FROM w1 w JOIN edges e ON e.s = w.id
+        WHERE w.hop < 40
+      ),
+      h1 AS (SELECT id, CAST(min(hop) AS INTEGER) AS hops
+             FROM w1 GROUP BY id),
+      far AS (SELECT id, hops AS ecc_anchor FROM h1
+              ORDER BY hops DESC, id ASC LIMIT 1),
+      w2(id, hop) AS (
+        SELECT id, 0 FROM far
+        UNION
+        SELECT e.t, w.hop + 1
+        FROM w2 w JOIN edges e ON e.s = w.id
+        WHERE w.hop < 40
+      ),
+      h2 AS (SELECT id, CAST(min(hop) AS INTEGER) AS hops
+             FROM w2 GROUP BY id)
+      SELECT a.id AS anchor_id, f.id AS far_id, f.ecc_anchor,
+             (SELECT CAST(max(hops) AS INTEGER) FROM h2) AS diameter_lb,
+             (SELECT CAST(count(*) AS BIGINT) FROM h2) AS n_reached
+      FROM anchor a CROSS JOIN far f
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp, hits,
-      modularity, assortativity, randomWalk, textrank)
+      modularity, assortativity, randomWalk, textrank, graphDiameter)
 }
