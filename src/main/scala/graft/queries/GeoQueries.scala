@@ -244,5 +244,112 @@ object GeoQueries {
       ORDER BY key
     """))
 
-  def all: Seq[QuerySpec] = Seq(neighborJoin, knn, gridAgg, nearest, dbscanQ)
+  /** Local Outlier Factor (Breunig et al. 2000) at k = 3 over the
+    * radius-bounded kNN graph — density-RATIO outlier detection, the
+    * diagnostic [[dbscanQ]]'s binary core/noise split can't give:
+    * LOF(p) = mean_o∈kNN(p) lrd(o) / lrd(p), lrd = k / Σ reach-dist,
+    * reach-dist(p→o) = max(kdist(o), d(p,o)). Honest radius scoping
+    * (the [[knn]] contract) makes the definition chain PARTIAL:
+    * kdist needs a full k neighbors, lrd needs all k neighbors to
+    * carry a kdist, LOF needs all k to carry an lrd — each stage is
+    * an inner join + count-equals-k filter, deterministic and
+    * identical in the oracle, rather than an unstated silent drop.
+    * All distances are √(exact int dist2) (sqrt is correctly rounded
+    * — the one libm op allowed unrounded); the two 3-term sums fold
+    * in NEIGHBOR-RANK order on both engines. Top-15 by LOF
+    * (tie → key): scores ≈ 1 are inliers, the tail is the read. */
+  val lofQ = QuerySpec(
+    "q_lof",
+    (s, d) => {
+      val nn = Geo.radiusKnn(points(s, d), Cell, Radius, k = 3)
+        .localCheckpoint()
+      val full = nn.groupBy("key_a").agg(count(lit(1)).as("nc"))
+        .filter(col("nc") === 3).select(col("key_a"))
+      val kdist = nn.filter(col("rank") === 3)
+        .join(full, "key_a")
+        .select(col("key_a").as("key"), sqrt(col("dist2").cast("double"))
+          .as("kdist"))
+      val reach = nn.join(full, "key_a")
+        .join(kdist.select(col("key").as("key_b"), col("kdist")
+          .as("kdist_o")), "key_b")
+        .select(col("key_a"), col("rank"),
+          greatest(col("kdist_o"), sqrt(col("dist2").cast("double")))
+          .as("rd"))
+      val lrd = reach.groupBy("key_a")
+        .agg(count(lit(1)).as("nr"),
+          aggregate(
+            array_sort(collect_list(struct(col("rank"), col("rd")))),
+            lit(0.0), (acc, x) => acc + x.getField("rd")).as("srd"))
+        .filter(col("nr") === 3)
+        .select(col("key_a").as("key"), (lit(3.0) / col("srd")).as("lrd"))
+      val lof = nn.join(lrd.select(col("key").as("key_a"),
+          col("lrd").as("lrd_p")), "key_a")
+        .join(lrd.select(col("key").as("key_b"), col("lrd").as("lrd_o")),
+          "key_b")
+        .groupBy(col("key_a"), col("lrd_p"))
+        .agg(count(lit(1)).as("no"),
+          aggregate(
+            array_sort(collect_list(struct(col("rank"), col("lrd_o")))),
+            lit(0.0), (acc, x) => acc + x.getField("lrd_o")).as("slrd"))
+        .filter(col("no") === 3)
+        .select(col("key_a").as("key"),
+          (col("slrd") / col("lrd_p") / lit(3.0)).as("lof"))
+      lof.orderBy(col("lof").desc, col("key")).limit(15)
+    },
+    Some(s"""
+      $PtsCte,
+      cand AS (
+        SELECT a.k AS key_a, b.k AS key_b,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        FROM pts a JOIN pts b ON a.k <> b.k
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= ${Radius * Radius}
+      ),
+      nn AS (
+        SELECT key_a, key_b, dist2,
+               CAST(row_number() OVER (PARTITION BY key_a
+                                       ORDER BY dist2, key_b) AS INTEGER)
+                 AS rank
+        FROM cand QUALIFY rank <= 3
+      ),
+      fullk AS (SELECT key_a FROM nn GROUP BY key_a HAVING count(*) = 3),
+      kdist AS (
+        SELECT n.key_a AS key, sqrt(CAST(n.dist2 AS DOUBLE)) AS kdist
+        FROM nn n JOIN fullk USING (key_a)
+        WHERE n.rank = 3
+      ),
+      reach AS (
+        SELECT n.key_a, n.rank,
+               greatest(ko.kdist, sqrt(CAST(n.dist2 AS DOUBLE))) AS rd
+        FROM nn n
+        JOIN fullk USING (key_a)
+        JOIN kdist ko ON ko.key = n.key_b
+      ),
+      lrd AS (
+        SELECT key_a AS key,
+               3.0 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                              list(rd ORDER BY rank)),
+                                 (a, b) -> a + b) AS lrd
+        FROM reach
+        GROUP BY key_a
+        HAVING count(*) = 3
+      ),
+      lof AS (
+        SELECT n.key_a AS key,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(lo.lrd ORDER BY n.rank)),
+                           (a, b) -> a + b) / lp.lrd / 3.0 AS lof
+        FROM nn n
+        JOIN lrd lp ON lp.key = n.key_a
+        JOIN lrd lo ON lo.key = n.key_b
+        GROUP BY n.key_a, lp.lrd
+        HAVING count(*) = 3
+      )
+      SELECT key, lof FROM lof
+      ORDER BY lof DESC, key
+      LIMIT 15
+    """))
+
+  def all: Seq[QuerySpec] =
+    Seq(neighborJoin, knn, gridAgg, nearest, dbscanQ, lofQ)
 }
