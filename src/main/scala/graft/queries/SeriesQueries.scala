@@ -1224,9 +1224,104 @@ object SeriesQueries {
       ORDER BY state
     """))
 
+  /** Matrix profile of the daily revenue series (Yeh et al. 2016, the
+    * UCR matrix-profile line), window m = 7, EXACT-INTEGER distance:
+    * for every 7-day window, the squared Euclidean distance to its
+    * nearest non-overlapping neighbor (exclusion |Δt| ≥ 7) and that
+    * neighbor's date — low values are MOTIFS (repeated weekly shapes),
+    * high values are DISCORDS (anomalous weeks), the two reads the
+    * matrix-profile literature is built on. Deliberately
+    * NON-normalized (the z-normalized variant divides by window σ —
+    * float chains an exact gate can't carry) over whole-DOLLAR values
+    * (cents DIV 100: keeps Σ of 7 squared diffs < 2⁶³ through sf10+),
+    * so every distance is an exact int64 and the argmin is a struct
+    * min — zero float ops anywhere. Windows come from gaps-and-islands
+    * runs (the q_streak anchor), so a window NEVER spans a calendar
+    * gap. The O(n²) pair scan is CALENDAR-bounded (≤ 2 400 windows —
+    * the q_theil_sen contract); per-window state is 7 scalar columns,
+    * never arrays on the pair rows. */
+  val matrixProfile = QuerySpec(
+    "q_matrix_profile",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(expr("(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 " +
+          "AS BIGINT)) DIV 100").as("v"))
+      val runs = daily
+        .withColumn("anchor", col("t") - row_number().over(Window.orderBy("t")))
+        .groupBy("anchor")
+        .agg(array_sort(collect_list(struct(col("t"), col("v")))).as("ps"))
+        .filter(size(col("ps")) >= 7)
+      val win = runs.select(explode(expr(
+        """transform(sequence(0, size(ps) - 7), i -> struct(
+          |  ps[i].t AS wt,
+          |  ps[i].v AS w0, ps[i+1].v AS w1, ps[i+2].v AS w2,
+          |  ps[i+3].v AS w3, ps[i+4].v AS w4, ps[i+5].v AS w5,
+          |  ps[i+6].v AS w6))""".stripMargin)).as("w"))
+        .select("w.*")
+        .localCheckpoint()
+      def d2 = (0 to 6).map(k =>
+        (col(s"a.w$k") - col(s"b.w$k")) * (col(s"a.w$k") - col(s"b.w$k")))
+        .reduce(_ + _)
+      win.as("a").join(win.as("b"),
+          abs(col("a.wt") - col("b.wt")) >= 7)
+        .groupBy(col("a.wt").as("wt"))
+        .agg(min(struct(d2.as("d2"), col("b.wt").as("nn"))).as("m"))
+        .select(col("wt"), col("m.d2").as("mp_dist2"),
+          col("m.nn").as("nn_wt"))
+        .orderBy("wt")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) // 100 AS v
+        FROM orders GROUP BY 1
+      ),
+      runs AS (
+        SELECT t - row_number() OVER (ORDER BY t) AS anchor, t, v
+        FROM daily
+      ),
+      grp AS (
+        SELECT anchor, list(ROW(t, v) ORDER BY t) AS ps
+        FROM runs GROUP BY anchor
+        HAVING count(*) >= 7
+      ),
+      win AS (
+        SELECT w['wt'] AS wt,
+               w['w0'] AS w0, w['w1'] AS w1, w['w2'] AS w2, w['w3'] AS w3,
+               w['w4'] AS w4, w['w5'] AS w5, w['w6'] AS w6
+        FROM (
+          SELECT unnest(list_transform(range(1, len(ps) - 5), i -> {
+                   'wt': ps[i][1],
+                   'w0': ps[i][2], 'w1': ps[i+1][2], 'w2': ps[i+2][2],
+                   'w3': ps[i+3][2], 'w4': ps[i+4][2], 'w5': ps[i+5][2],
+                   'w6': ps[i+6][2]})) AS w
+          FROM grp)
+      ),
+      prof AS (
+        SELECT a.wt,
+               min(ROW(
+                 (a.w0-b.w0)*(a.w0-b.w0) + (a.w1-b.w1)*(a.w1-b.w1)
+                 + (a.w2-b.w2)*(a.w2-b.w2) + (a.w3-b.w3)*(a.w3-b.w3)
+                 + (a.w4-b.w4)*(a.w4-b.w4) + (a.w5-b.w5)*(a.w5-b.w5)
+                 + (a.w6-b.w6)*(a.w6-b.w6),
+                 b.wt)) AS m
+        FROM win a JOIN win b ON abs(a.wt - b.wt) >= 7
+        GROUP BY a.wt
+      )
+      SELECT wt, CAST(m[1] AS BIGINT) AS mp_dist2,
+             CAST(m[2] AS BIGINT) AS nn_wt
+      FROM prof
+      ORDER BY wt
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
     bursts, ewma, holt, stlDecompose, theilSen, holtWinters,
-    markovStationary)
+    markovStationary, matrixProfile)
 }
