@@ -79,6 +79,50 @@ object Graph {
     visited
   }
 
+  /** Per-anchor min-hop BFS — [[bfsHops]] with each anchor's wavefront
+    * tracked separately: state rows are (anchor, id, hops), the landmark-
+    * distance primitive behind closeness/eccentricity estimates. Work per
+    * round is the labeled frontier's adjacency and total state is
+    * |anchors| × V_reached, so callers BOUND the anchor set (sampled
+    * landmarks — the standard way to closeness at scale; an all-sources
+    * BFS is O(V·E) and never ships). Same per-round localCheckpoint +
+    * observed-count discipline as [[bfsHops]].
+    *
+    * Returns (anchor, id, hops) for every node within `maxHops` of each
+    * anchor — the anchor itself at hop 0. */
+  def labeledBfs(edges: DataFrame, aCol: String, bCol: String,
+      anchors: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val und = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .sortWithinPartitions("src")
+      .cache()
+    var visited = anchors.select(col(idCol).cast("long").as("anchor"))
+      .distinct()
+      .withColumn("id", col("anchor"))
+      .withColumn("hops", lit(0))
+      .localCheckpoint()
+    var frontier = visited.select("anchor", "id")
+    var hop = 1
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && hop <= maxHops) {
+      val (next, n) = checkpointWithCount(und
+        .join(frontier.select(col("id").as("src"), col("anchor")), "src")
+        .select(col("anchor"), col("dst").as("id"))
+        .distinct()
+        .join(visited, Seq("anchor", "id"), "left_anti")
+        .withColumn("hops", lit(hop)))
+      frontierSize = n
+      visited = visited.union(next)
+      frontier = next.select("anchor", "id")
+      hop += 1
+    }
+    und.unpersist()
+    visited
+  }
+
   /** PageRank over an undirected edge list, fixed iteration count —
     * r ← (1−d)/N + d·Σ_in r(u)/deg(u). Each round is one edge join + one
     * aggregate over the graph (never the corpus); lineage truncates per

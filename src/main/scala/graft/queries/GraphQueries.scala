@@ -789,7 +789,195 @@ object GraphQueries {
       FROM anchor a CROSS JOIN far f
     """))
 
+  /** Per-node (local) clustering coefficient — [[triangles]]' global
+    * coefficient broken down to nodes: lcc(v) = 2·tri(v) / (deg(v)·
+    * (deg(v)−1)), the density of v's neighborhood. Triangles enumerate
+    * once via the same a<b<c three-join (each triangle exactly once),
+    * then EXPLODE to their three corners — per-node counts are one
+    * aggregate over 3·T rows, never a neighborhood self-join per node.
+    * The coefficient is one IEEE division of exact integers, portable
+    * across engines; deg < 2 nodes (lcc undefined) are filtered, not
+    * zero-filled, on both sides. Scale: same heavy-hitter note as
+    * [[triangles]] — at 100 TB a degree cap on the first join's build
+    * side bounds the enumeration; the test graph needs none. */
+  val localClustering = QuerySpec(
+    "q_local_clustering",
+    (s, d) => {
+      val e = freqEdges(s, d).cache() // shares the hops/triangles entry
+      val deg = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val tri = e.as("x")
+        .join(e.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("ta"), col("x.b").as("tb"),
+          col("y.b").as("tc"))
+        .join(e.select(col("a").as("ta"), col("b").as("tc")),
+          Seq("ta", "tc"))
+      val perNode = tri
+        .select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("tri"))
+      deg.filter(col("deg") >= 2)
+        .join(perNode, Seq("id"), "left")
+        .select(col("id").as("part_id"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"),
+          ((coalesce(col("tri"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double")).as("lcc"))
+        .orderBy("part_id")
+    },
+    Some(s"""
+      WITH $FreqEdgeSql,
+      deg AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS id FROM fedge UNION ALL SELECT b FROM fedge)
+        GROUP BY id
+      ),
+      tri AS (
+        SELECT x.a AS ta, x.b AS tb, y.b AS tc
+        FROM fedge x JOIN fedge y ON y.a = x.b
+             JOIN fedge z ON z.a = x.a AND z.b = y.b
+      ),
+      pernode AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS tri
+        FROM (SELECT unnest([ta, tb, tc]) AS id FROM tri)
+        GROUP BY id
+      )
+      SELECT d.id AS part_id, d.deg,
+             CAST(coalesce(p.tri, 0) AS BIGINT) AS tri,
+             CAST(coalesce(p.tri, 0) * 2 AS DOUBLE)
+               / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS lcc
+      FROM deg d LEFT JOIN pernode p ON p.id = d.id
+      WHERE d.deg >= 2
+      ORDER BY part_id
+    """))
+
+  /** Link prediction over the co-occurrence graph — common-neighbor
+    * count + the resource-allocation index Σ_z 1/deg(z) for NON-adjacent
+    * pairs sharing a neighbor, top-30. RA beats raw counts by
+    * discounting hub-mediated wedges; Adamic-Adar's 1/ln(deg) needs a
+    * transcendental, RA stays rational. The 1/deg terms quantize to
+    * MICRO-UNITS (10¹² DIV deg — exact integer division both engines
+    * replay bit-for-bit) so the sum is deterministic under any partition
+    * order; a float Σ 1/deg would drift in the last ulp. Wedges
+    * enumerate per common neighbor z with deg(z) ≤ 64 — the df-cap
+    * discipline from the posting-join dedups: Σ deg² through hubs is
+    * the quadratic term at 100 TB, and a capped wedge count is the same
+    * trade q_dedup_near documents (hub-only pairs invisible; cap on
+    * BOTH sides, so the gate still bites). Existing edges leave by
+    * anti-join before ranking. */
+  val linkPredict = QuerySpec(
+    "q_link_predict",
+    (s, d) => {
+      val e = freqEdges(s, d).cache() // shares the hops/triangles entry
+      val deg = e.select(col("a").as("z"))
+        .union(e.select(col("b").as("z")))
+        .groupBy("z").agg(count(lit(1)).as("deg"))
+      val adj = e.select(col("a").as("z"), col("b").as("n"))
+        .union(e.select(col("b").as("z"), col("a").as("n")))
+        .join(deg.filter(col("deg") <= 64), "z")
+      val wedge = adj.select(col("z"), col("n").as("u"), col("deg"))
+        .join(adj.select(col("z"), col("n").as("w")), "z")
+        .filter(col("u") < col("w"))
+      val scored = wedge.groupBy("u", "w").agg(
+        count(lit(1)).as("cn"),
+        sum(expr("1000000000000 DIV deg")).as("ra_micro"))
+      scored
+        .join(e.select(col("a").as("u"), col("b").as("w")),
+          Seq("u", "w"), "left_anti")
+        .select(col("u").as("part_a"), col("w").as("part_b"),
+          col("cn"), col("ra_micro"),
+          (col("ra_micro").cast("double") / 1e12).as("ra"))
+        .orderBy(col("ra_micro").desc, col("cn").desc,
+          col("part_a"), col("part_b"))
+        .limit(30)
+    },
+    Some(s"""
+      WITH $FreqEdgeSql,
+      deg AS (
+        SELECT z, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS z FROM fedge UNION ALL SELECT b FROM fedge)
+        GROUP BY z
+      ),
+      adj AS (
+        SELECT s.z, s.n, d.deg
+        FROM (SELECT a AS z, b AS n FROM fedge
+              UNION ALL SELECT b, a FROM fedge) s
+        JOIN deg d ON d.z = s.z AND d.deg <= 64
+      ),
+      scored AS (
+        SELECT x.n AS u, y.n AS w,
+               CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(1000000000000 // x.deg) AS BIGINT) AS ra_micro
+        FROM adj x JOIN adj y ON y.z = x.z AND x.n < y.n
+        GROUP BY 1, 2
+      )
+      SELECT s.u AS part_a, s.w AS part_b, s.cn, s.ra_micro,
+             CAST(s.ra_micro AS DOUBLE) / 1e12 AS ra
+      FROM scored s
+      LEFT JOIN fedge f ON f.a = s.u AND f.b = s.w
+      WHERE f.a IS NULL
+      ORDER BY s.ra_micro DESC, s.cn DESC, part_a, part_b
+      LIMIT 30
+    """))
+
+  /** Landmark closeness centrality — exact hop distances from the
+    * deterministic landmark set (nodes ≡ 0 mod 500, [[graphHops]]'
+    * seeds) via the labeled per-anchor BFS, radius 10. Closeness =
+    * (reached−1) / Σ hops over the ball; n_reached counts the anchor
+    * itself. All-sources closeness is O(V·E) and never ships at scale —
+    * landmark closeness is the production form (state |anchors|·V,
+    * Graph.labeledBfs scaladoc), and the radius bound makes the cost a
+    * ball, not the component. One IEEE division of exact integers per
+    * anchor. */
+  val closeness = QuerySpec(
+    "q_closeness",
+    (s, d) => {
+      val e = freqEdges(s, d).cache() // shares the hops/triangles entry
+      val nodes = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id"))).distinct()
+      val anchors = nodes.filter(pmod(col("id"), lit(500)) === 0)
+      Graph.labeledBfs(e, "a", "b", anchors, "id", maxHops = 10)
+        .groupBy("anchor")
+        .agg(count(lit(1)).as("n_reached"),
+          sum("hops").as("sum_hops"))
+        .select(col("anchor").as("part_id"), col("n_reached"),
+          col("sum_hops"),
+          when(col("sum_hops") === 0, lit(0.0))
+            .otherwise((col("n_reached") - 1).cast("double") /
+              col("sum_hops").cast("double")).as("closeness"))
+        .orderBy("part_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $FreqEdgeSql,
+      edges AS (
+        SELECT a AS s, b AS t FROM fedge
+        UNION ALL
+        SELECT b, a FROM fedge
+      ),
+      nodes AS (SELECT DISTINCT s AS id FROM edges),
+      walk(anchor, id, hop) AS (
+        SELECT id, id, 0 FROM nodes WHERE id % 500 = 0
+        UNION
+        SELECT w.anchor, e.t, w.hop + 1
+        FROM walk w JOIN edges e ON e.s = w.id
+        WHERE w.hop < 10
+      ),
+      dist AS (
+        SELECT anchor, id, min(hop) AS hops
+        FROM walk GROUP BY anchor, id
+      )
+      SELECT anchor AS part_id,
+             CAST(count(*) AS BIGINT) AS n_reached,
+             CAST(sum(hops) AS BIGINT) AS sum_hops,
+             CASE WHEN sum(hops) = 0 THEN 0.0
+                  ELSE CAST(count(*) - 1 AS DOUBLE)
+                       / CAST(sum(hops) AS DOUBLE)
+             END AS closeness
+      FROM dist GROUP BY anchor
+      ORDER BY part_id
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp, hits,
-      modularity, assortativity, randomWalk, textrank, graphDiameter)
+      modularity, assortativity, randomWalk, textrank, graphDiameter,
+      localClustering, linkPredict, closeness)
 }
