@@ -1391,9 +1391,395 @@ object QualityQueries {
       ORDER BY bin LIMIT 1
     """))
 
+  /** Spearman rank correlation between per-customer activity (order
+    * count) and spend ($100 bins) — the monotone-association sibling of
+    * [[graft.queries.RelationalQueries]]'s Pearson q_corr: rank-based,
+    * so one whale's magnitude can't drag the coefficient. Exact to the
+    * last bit: both variables are integers with BOUNDED value frames
+    * (counts are small ints; binning caps spend levels at range/step),
+    * so average ranks come from cumulative windows over the value-level
+    * frames ([[mannWhitney]]'s doubled-rank trick — 2·avgrank = mn+mx
+    * kills the tie halves), the five sufficient sums accumulate as
+    * DECIMAL(38,0) (Σ(2r_x)(2r_y) ≤ 4n³ — 38 digits holds past 10¹¹
+    * customers), and ρ is ONE double expression both engines evaluate
+    * identically, rounded at 1e-6. Scale shape: one map-side-combinable
+    * per-customer aggregate; every window runs on the bounded value
+    * frames, never the customer frame. */
+  val spearman = QuerySpec(
+    "q_spearman",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val per = orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("m"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        .select(col("m"),
+          expr("CAST(sp * 100 AS BIGINT) DIV 10000").as("yb"))
+      def rank2(df: org.apache.spark.sql.DataFrame, v: String) = {
+        val w = W.orderBy(v).rowsBetween(W.unboundedPreceding, W.currentRow)
+        df.groupBy(v).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(w))
+          .select(col(v), (col("cum") * 2 - col("cnt") + 1).as("r2"))
+      }
+      val joined = per
+        .join(rank2(per, "m").withColumnRenamed("r2", "rx2"), "m")
+        .join(rank2(per, "yb").withColumnRenamed("r2", "ry2"), "yb")
+      val d38 = "decimal(38,0)"
+      val one = joined.agg(
+        count(lit(1)).as("n"),
+        sum(col("rx2").cast(d38)).as("sx"),
+        sum(col("ry2").cast(d38)).as("sy"),
+        sum((col("rx2") * col("rx2")).cast(d38)).as("sxx"),
+        sum((col("ry2") * col("ry2")).cast(d38)).as("syy"),
+        sum((col("rx2") * col("ry2")).cast(d38)).as("sxy"))
+      one.select(col("n"),
+        round((col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt((col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
+            .cast("double"))), 6).as("rho"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT count(*) AS m,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 // 10000 AS yb
+        FROM orders GROUP BY o_custkey
+      ),
+      rx AS (
+        SELECT m, 2 * sum(cnt) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                 - cnt + 1 AS rx2
+        FROM (SELECT m, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY m)
+      ),
+      ry AS (
+        SELECT yb, 2 * sum(cnt) OVER (ORDER BY yb ROWS UNBOUNDED PRECEDING)
+                 - cnt + 1 AS ry2
+        FROM (SELECT yb, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY yb)
+      ),
+      j AS (
+        SELECT p.m, p.yb, rx.rx2, ry.ry2
+        FROM per p JOIN rx USING (m) JOIN ry USING (yb)
+      ),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(rx2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(ry2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(rx2 AS DECIMAL(38,0)) * rx2) AS DECIMAL(38,0))
+                 AS sxx,
+               CAST(sum(CAST(ry2 AS DECIMAL(38,0)) * ry2) AS DECIMAL(38,0))
+                 AS syy,
+               CAST(sum(CAST(rx2 AS DECIMAL(38,0)) * ry2) AS DECIMAL(38,0))
+                 AS sxy
+        FROM j
+      )
+      SELECT n,
+             round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                    AS DOUBLE))
+                  * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                    AS DOUBLE))), 6) AS rho
+      FROM st
+    """))
+
+  /** Kruskal-Wallis H across the five order-priority classes on binned
+    * order value — the k-group extension of [[mannWhitney]]: does ANY
+    * priority class sit higher in the price distribution? Ranks ride the
+    * same bounded value-level frame + doubled-rank machinery as
+    * [[spearman]]; per-group counts, doubled-rank sums, and the tie term
+    * T = Σ(t³−t) are exact integers. The Σ (ΣR_g)²/n_g term PIVOTS the
+    * five known priority classes into one row first (conditional
+    * aggregation — never a partition-order float fold, and never engine-
+    * specific DECIMAL-division scale rules), so H with the 1−T/(n³−n)
+    * correction is ONE fixed double expression both engines evaluate
+    * identically, rounded at 1e-6. Significance compares that same
+    * double to χ²₍₄,.05₎ = 9.4877. */
+  val kruskalWallis = QuerySpec(
+    "q_kruskal",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val rows = orders(s, d).select(col("o_orderpriority").as("g"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+          "DIV 10000").as("v"))
+      val w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+      val vals = rows.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col("v"), (col("cum") * 2 - col("cnt") + 1).as("r2"),
+          (col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"))
+      val gs = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW")
+      val aggs = count(lit(1)).as("n") +:
+        gs.zipWithIndex.flatMap { case (g, i) => Seq(
+          sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n$i"),
+          sum(when(col("g") === g, col("r2")).otherwise(0L))
+            .as(s"sr$i")) }
+      val piv = rows.join(vals, "v").agg(aggs.head, aggs.tail: _*)
+      val ties = vals.agg(sum("tt").as("t"))
+      val nD = col("n").cast("double")
+      // Σ (2·ΣR_g)²/n_g in fixed group order; /4 folded into the 12→3.
+      val s2 = gs.indices.map { i =>
+        col(s"sr$i").cast("double") * col(s"sr$i").cast("double") /
+          col(s"n$i").cast("double") }.reduce(_ + _)
+      val h = (lit(3.0) / (nD * (nD + 1.0))) * s2 - lit(3.0) * (nD + 1.0)
+      val hCorr = h / (lit(1.0) - col("t").cast("double") /
+        (nD * nD * nD - nD))
+      piv.crossJoin(ties).select(
+        col("n"), lit(5).as("k"),
+        round(hCorr, 6).as("h"),
+        (round(hCorr, 6) > 9.4877).cast("int").as("significant"))
+    },
+    Some("""
+      WITH rows_ AS (
+        SELECT o_orderpriority AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 // 10000 AS v
+        FROM orders
+      ),
+      vals AS (
+        SELECT v, 2 * sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                 - cnt + 1 AS r2,
+               cnt * cnt * cnt - cnt AS tt
+        FROM (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM rows_
+              GROUP BY v)
+      ),
+      piv AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN g = '1-URGENT' THEN r2 ELSE 0 END)
+                 AS BIGINT) AS sr0,
+               CAST(sum(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN g = '2-HIGH' THEN r2 ELSE 0 END)
+                 AS BIGINT) AS sr1,
+               CAST(sum(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN g = '3-MEDIUM' THEN r2 ELSE 0 END)
+                 AS BIGINT) AS sr2,
+               CAST(sum(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN g = '4-NOT SPECIFIED' THEN r2 ELSE 0 END)
+                 AS BIGINT) AS sr3,
+               CAST(sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n4,
+               CAST(sum(CASE WHEN g = '5-LOW' THEN r2 ELSE 0 END)
+                 AS BIGINT) AS sr4
+        FROM rows_ JOIN vals USING (v)
+      ),
+      tie AS (SELECT CAST(sum(tt) AS BIGINT) AS t FROM vals),
+      hh AS (
+        SELECT n,
+               ((3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+                * (CAST(sr0 AS DOUBLE) * CAST(sr0 AS DOUBLE)
+                     / CAST(n0 AS DOUBLE)
+                   + CAST(sr1 AS DOUBLE) * CAST(sr1 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE)
+                   + CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE)
+                     / CAST(n2 AS DOUBLE)
+                   + CAST(sr3 AS DOUBLE) * CAST(sr3 AS DOUBLE)
+                     / CAST(n3 AS DOUBLE)
+                   + CAST(sr4 AS DOUBLE) * CAST(sr4 AS DOUBLE)
+                     / CAST(n4 AS DOUBLE))
+                - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+               / (1.0 - CAST(t AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) AS hc
+        FROM piv CROSS JOIN tie
+      )
+      SELECT n, 5 AS k, round(hc, 6) AS h,
+             CAST(round(hc, 6) > 9.4877 AS INTEGER) AS significant
+      FROM hh
+    """))
+
+  /** Wald–Wolfowitz runs test on the daily-revenue series — is the
+    * above/below-the-mean sign sequence random, or does it trend/cycle?
+    * The sign compares EXACTLY by cross-multiplication (rev·n vs Σrev in
+    * cents — no float mean ever materializes; exact-equal days drop on
+    * both sides), runs count by one lag over the calendar-bounded daily
+    * frame (the q_cusum window contract), and the .05 normal-approx
+    * verdict is the cross-multiplied integer test
+    *   (R·n − 2ab − n)² · (n−1) · 10000  >  38415 · 2ab · (2ab − n)
+    * in DECIMAL(38,0) (z² > 1.96² with μ = 2ab/n+1, σ² = 2ab(2ab−n)/
+    * (n²(n−1)) — both sides exact). z itself ships as one identical
+    * double expression rounded at 1e-6. */
+  val runsTest = QuerySpec(
+    "q_runs_test",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum("rev").as("s"))
+      val signed = daily.crossJoin(broadcast(tot))
+        .filter(col("rev") * col("n") =!= col("s"))
+        .select(col("day"),
+          (col("rev") * col("n") > col("s")).cast("int").as("up"))
+      val runs = signed
+        .withColumn("prev", lag("up", 1).over(W.orderBy("day")))
+        .agg(
+          sum(col("up")).as("n_above"),
+          sum(lit(1) - col("up")).as("n_below"),
+          (sum((col("prev").isNull || col("prev") =!= col("up"))
+            .cast("long"))).as("runs"))
+      val d38 = "decimal(38,0)"
+      def dd(c: String) = col(c).cast(d38)
+      val a = dd("n_above"); val b = dd("n_below")
+      val m = a + b; val r = dd("runs")
+      val ab2 = lit(2L).cast(d38) * a * b
+      val num = r * m - ab2 - m
+      val lhs = num * num * (m - lit(1L).cast(d38)) * lit(10000L).cast(d38)
+      val rhs = lit(38415L).cast(d38) * ab2 * (ab2 - m)
+      val mD = m.cast("double")
+      val z = (r.cast("double") - (ab2.cast("double") / mD + 1.0)) /
+        sqrt(ab2.cast("double") * (ab2.cast("double") - mD) /
+          (mD * mD * (mD - 1.0)))
+      runs.select(
+        (col("n_above") + col("n_below")).as("n_days"),
+        col("n_above"), col("n_below"), col("runs"),
+        round(z, 6).as("z"),
+        (lhs > rhs).cast("int").as("significant"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+      ),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(rev) AS BIGINT) AS s FROM daily),
+      signed AS (
+        SELECT day, CASE WHEN rev * n > s THEN 1 ELSE 0 END AS up
+        FROM daily CROSS JOIN tot
+        WHERE rev * n <> s
+      ),
+      lagged AS (
+        SELECT up, lag(up) OVER (ORDER BY day) AS prev FROM signed
+      ),
+      st AS (
+        SELECT CAST(sum(up) AS BIGINT) AS n_above,
+               CAST(sum(1 - up) AS BIGINT) AS n_below,
+               CAST(sum(CASE WHEN prev IS NULL OR prev <> up THEN 1 ELSE 0
+                 END) AS BIGINT) AS runs
+        FROM lagged
+      ),
+      calc AS (
+        SELECT n_above, n_below, runs,
+               CAST(n_above AS DECIMAL(38,0)) AS a,
+               CAST(n_below AS DECIMAL(38,0)) AS b,
+               CAST(runs AS DECIMAL(38,0)) AS r,
+               CAST(n_above AS DECIMAL(38,0))
+                 + CAST(n_below AS DECIMAL(38,0)) AS m
+        FROM st
+      )
+      SELECT n_above + n_below AS n_days, n_above, n_below, runs,
+             round((CAST(r AS DOUBLE)
+                    - (CAST(2 * a * b AS DOUBLE) / CAST(m AS DOUBLE) + 1.0))
+                   / sqrt(CAST(2 * a * b AS DOUBLE)
+                          * (CAST(2 * a * b AS DOUBLE) - CAST(m AS DOUBLE))
+                          / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                             * (CAST(m AS DOUBLE) - 1.0))), 6) AS z,
+             CAST((r * m - 2 * a * b - m) * (r * m - 2 * a * b - m)
+                    * (m - 1) * 10000
+                  > 38415 * (2 * a * b) * (2 * a * b - m) AS INTEGER)
+               AS significant
+      FROM calc
+    """))
+
+  /** Jarque–Bera normality test on order values — skewness and excess
+    * kurtosis from the four raw-moment sums over integer CENTS, each an
+    * exact DECIMAL(38,0) (Σx⁴ ≤ 38 digits through ~10⁶ orders at this
+    * price range — past that, pre-scale to whole dollars). Central
+    * moments, S, K, and JB = n/6·(S² + K²/4) are one fixed double
+    * expression tree both engines evaluate identically, rounded at
+    * 1e-6; the verdict compares JB to χ²₍₂,.05₎ = 5.9915. */
+  val jarqueBera = QuerySpec(
+    "q_jarque_bera",
+    (s, d) => {
+      val x = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)")
+      val d38 = "decimal(38,0)"
+      val agg = orders(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(d38)).as("s1"),
+        sum((x.cast(d38) * x)).as("s2"),
+        sum((x.cast(d38) * x * x)).as("s3"),
+        sum((x.cast(d38) * x * x * x)).as("s4"))
+      val nD = col("n").cast("double")
+      val m = col("s1").cast("double") / nD
+      val m2 = col("s2").cast("double") / nD - m * m
+      val m3 = col("s3").cast("double") / nD - lit(3.0) * m *
+        (col("s2").cast("double") / nD) + lit(2.0) * m * m * m
+      val m4 = col("s4").cast("double") / nD - lit(4.0) * m *
+        (col("s3").cast("double") / nD) + lit(6.0) * m * m *
+        (col("s2").cast("double") / nD) - lit(3.0) * m * m * m * m
+      val skew = m3 / (m2 * sqrt(m2))
+      val kurt = m4 / (m2 * m2) - 3.0
+      val jb = (nD / 6.0) * (skew * skew + kurt * kurt / 4.0)
+      agg.select(col("n"),
+        round(skew, 6).as("skew"),
+        round(kurt, 6).as("excess_kurt"),
+        round(jb, 6).as("jb"),
+        (round(jb, 6) > 5.9915).cast("int").as("significant"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) AS DECIMAL(38,0))) AS s1,
+               sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS s2,
+               sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS s3,
+               sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS s4
+        FROM orders
+      ),
+      mom AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        FROM st
+      ),
+      cm AS (
+        SELECT n, m,
+               r2 - m * m AS m2,
+               r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
+               r4 - 4.0 * m * r3 + 6.0 * m * m * r2
+                 - 3.0 * m * m * m * m AS m4
+        FROM mom
+      ),
+      sk AS (
+        SELECT n,
+               m3 / (m2 * sqrt(m2)) AS skew,
+               m4 / (m2 * m2) - 3.0 AS kurt
+        FROM cm
+      )
+      SELECT n, round(skew, 6) AS skew, round(kurt, 6) AS excess_kurt,
+             round((CAST(n AS DOUBLE) / 6.0)
+                   * (skew * skew + kurt * kurt / 4.0), 6) AS jb,
+             CAST(round((CAST(n AS DOUBLE) / 6.0)
+                   * (skew * skew + kurt * kurt / 4.0), 6) > 5.9915
+               AS INTEGER) AS significant
+      FROM sk
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
       kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo,
       benford, ksTest, cuped, mannWhitney, diffInDiff, psi, cramersV,
-      dpQuantile)
+      dpQuantile, spearman, kruskalWallis, runsTest, jarqueBera)
 }
