@@ -844,7 +844,225 @@ object EvalQueries {
       ORDER BY pq.query
     """))
 
+  /** Cohen's kappa between two 3-level "raters" over the scored frame —
+    * chance-corrected agreement, the metric behind LLM-judge /
+    * human-label QA: rater A bands the revenue score (<150k / <300k /
+    * ≥300k), rater B bands the item count (<3 / <5 / ≥5). The 3×3
+    * table pivots through one conditional aggregate (nine exact longs in
+    * fixed band order — never a partition-order fold); p_o and p_e are
+    * rationals over n and n², and κ = (p_o − p_e)/(1 − p_e) is one
+    * double expression from DECIMAL(38,0) operands (Σ row_i·col_i ≤ n²
+    * — exact past 10¹⁵ rows), rounded at 1e-6. */
+  val cohenKappa = QuerySpec(
+    "q_cohen_kappa",
+    (s, d) => {
+      val items = lineitem(s, d)
+        .groupBy(col("l_orderkey").as("id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      val rated = orders(s, d).select(col("o_orderkey").as("id"))
+        .join(items, Seq("id"), "left")
+        .select(
+          when(coalesce(col("rev"), lit(java.math.BigDecimal.ZERO))
+            < 150000, 0)
+            .when(coalesce(col("rev"), lit(java.math.BigDecimal.ZERO))
+              < 300000, 1).otherwise(2).as("a"),
+          when(coalesce(col("n_items"), lit(0L)) < 3, 0)
+            .when(coalesce(col("n_items"), lit(0L)) < 5, 1)
+            .otherwise(2).as("b"))
+      val cells = (for (i <- 0 to 2; j <- 0 to 2) yield
+        sum((col("a") === i && col("b") === j).cast("long"))
+          .as(s"c$i$j")) :+ count(lit(1)).as("n")
+      val piv = rated.agg(cells.head, cells.tail: _*)
+      val d38 = "decimal(38,0)"
+      def c(i: Int, j: Int) = col(s"c$i$j").cast(d38)
+      val diag = c(0, 0) + c(1, 1) + c(2, 2)
+      def rowS(i: Int) = c(i, 0) + c(i, 1) + c(i, 2)
+      def colS(j: Int) = c(0, j) + c(1, j) + c(2, j)
+      val pe2 = rowS(0) * colS(0) + rowS(1) * colS(1) + rowS(2) * colS(2)
+      val nD = col("n").cast(d38)
+      val po = diag.cast("double") / nD.cast("double")
+      val pe = pe2.cast("double") / (nD * nD).cast("double")
+      piv.select(col("n"), diag.cast("long").as("n_agree"),
+        round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    },
+    Some("""
+      WITH rated AS (
+        SELECT CASE WHEN coalesce(li.rev, 0) < 150000 THEN 0
+                    WHEN coalesce(li.rev, 0) < 300000 THEN 1
+                    ELSE 2 END AS a,
+               CASE WHEN coalesce(li.n_items, 0) < 3 THEN 0
+                    WHEN coalesce(li.n_items, 0) < 5 THEN 1
+                    ELSE 2 END AS b
+        FROM orders o LEFT JOIN (
+          SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+          FROM lineitem GROUP BY 1
+        ) li ON li.l_orderkey = o.o_orderkey
+      ),
+      piv AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a=0 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS c00,
+               CAST(sum(CASE WHEN a=0 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS c01,
+               CAST(sum(CASE WHEN a=0 AND b=2 THEN 1 ELSE 0 END) AS BIGINT) AS c02,
+               CAST(sum(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS c10,
+               CAST(sum(CASE WHEN a=1 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS c11,
+               CAST(sum(CASE WHEN a=1 AND b=2 THEN 1 ELSE 0 END) AS BIGINT) AS c12,
+               CAST(sum(CASE WHEN a=2 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS c20,
+               CAST(sum(CASE WHEN a=2 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS c21,
+               CAST(sum(CASE WHEN a=2 AND b=2 THEN 1 ELSE 0 END) AS BIGINT) AS c22
+        FROM rated
+      ),
+      kv AS (
+        SELECT n, c00 + c11 + c22 AS n_agree,
+               CAST(c00 + c11 + c22 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+               CAST(CAST(c00+c01+c02 AS DECIMAL(38,0)) * (c00+c10+c20)
+                    + CAST(c10+c11+c12 AS DECIMAL(38,0)) * (c01+c11+c21)
+                    + CAST(c20+c21+c22 AS DECIMAL(38,0)) * (c02+c12+c22)
+                 AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) AS pe
+        FROM piv
+      )
+      SELECT n, n_agree, round(po, 6) AS p_o, round(pe, 6) AS p_e,
+             round((po - pe) / (1.0 - pe), 6) AS kappa
+      FROM kv
+    """))
+
+  /** Matthews correlation coefficient at [[confusion]]'s decision
+    * threshold (score ≥ 200000) — the single-number confusion summary
+    * that stays honest under class imbalance. Cells are exact longs; the
+    * denominator product (tp+fp)(tp+fn)(tn+fp)(tn+fn) ≤ n⁴ accumulates
+    * as DECIMAL(38,0) (exact through ~10⁹ rows) so sqrt sees ONE exact
+    * operand — never sqrt-of-products-of-sqrts, whose rounding differs.
+    * MCC is one double expression, rounded at 1e-6. */
+  val mcc = QuerySpec(
+    "q_mcc",
+    (s, d) => {
+      val sc = scored(s, d)
+      val piv = sc.agg(
+        sum((col("label") === 1 && col("score") >= 200000).cast("long"))
+          .as("tp"),
+        sum((col("label") === 0 && col("score") >= 200000).cast("long"))
+          .as("fp"),
+        sum((col("label") === 1 && col("score") < 200000).cast("long"))
+          .as("fn"),
+        sum((col("label") === 0 && col("score") < 200000).cast("long"))
+          .as("tn"))
+      val d38 = "decimal(38,0)"
+      def c(n: String) = col(n).cast(d38)
+      val num = c("tp") * c("tn") - c("fp") * c("fn")
+      val den = (c("tp") + c("fp")) * (c("tp") + c("fn")) *
+        (c("tn") + c("fp")) * (c("tn") + c("fn"))
+      piv.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(num.cast("double") / sqrt(den.cast("double")), 6).as("mcc"))
+    },
+    Some(s"""
+      WITH $ScoredCte,
+      piv AS (
+        SELECT CAST(sum(CASE WHEN label = 1 AND score >= 200000 THEN 1
+                 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN label = 0 AND score >= 200000 THEN 1
+                 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN label = 1 AND score < 200000 THEN 1
+                 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN label = 0 AND score < 200000 THEN 1
+                 ELSE 0 END) AS BIGINT) AS tn
+        FROM scored
+      )
+      SELECT tp, fp, fn, tn,
+             round(CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                        - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+                   / sqrt(CAST((CAST(tp AS DECIMAL(38,0)) + fp)
+                               * (CAST(tp AS DECIMAL(38,0)) + fn)
+                               * (CAST(tn AS DECIMAL(38,0)) + fp)
+                               * (CAST(tn AS DECIMAL(38,0)) + fn)
+                     AS DOUBLE)), 6) AS mcc
+      FROM piv
+    """))
+
+  /** Gains table by BINNED score deciles — the campaign-targeting /
+    * quality-threshold read: rank orders by revenue score, cut into ten
+    * bands, report per-band and cumulative response. NO global sort:
+    * scores quantize to $1000 bins (a bounded value-level frame), the
+    * cumulative-count window assigns each bin the decile
+    * ceil(10·cum/n) — a bin straddling a boundary lands wholly in the
+    * later band, the documented binned-decile semantics (exact at any
+    * scale; the alternative, an exact ntile over all rows, is a global
+    * single-partition window). Counts are exact longs; rate, cumulative
+    * gain, and lift are single double divisions. Deciles run HIGH score
+    * → LOW (decile 1 = top scores), the targeting convention. */
+  val gainsDeciles = QuerySpec(
+    "q_gains_deciles",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val sc = scored(s, d)
+        .select(expr("CAST(score AS BIGINT) DIV 1000").as("bin"),
+          col("label"))
+      val bins = sc.groupBy("bin").agg(count(lit(1)).as("cnt"),
+        sum(col("label").cast("long")).as("pos"))
+      val w = W.orderBy(col("bin").desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val tot = bins.agg(sum("cnt").as("n"), sum("pos").as("p"))
+      val dec = bins.crossJoin(broadcast(tot))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col("cnt"), col("pos"), col("n"), col("p"),
+          ceil(col("cum") * 10 / col("n")).cast("int").as("decile"))
+      dec.groupBy("decile")
+        .agg(sum("cnt").as("n_orders"), sum("pos").as("n_resp"),
+          max("n").as("n"), max("p").as("p"))
+        .withColumn("cum_resp",
+          sum("n_resp").over(W.orderBy("decile")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select(col("decile"), col("n_orders"), col("n_resp"),
+          round(col("n_resp").cast("double") /
+            col("n_orders").cast("double"), 6).as("resp_rate"),
+          round(col("cum_resp").cast("double") /
+            col("p").cast("double"), 6).as("cum_gain"),
+          round((col("n_resp").cast("double") *
+            col("n").cast("double")) /
+            (col("n_orders").cast("double") * col("p").cast("double")), 6)
+            .as("lift"))
+        .orderBy("decile")
+    },
+    Some(s"""
+      WITH $ScoredCte,
+      binned AS (
+        SELECT CAST(score AS BIGINT) // 1000 AS bin, label FROM scored
+      ),
+      bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(label) AS BIGINT) AS pos
+        FROM binned GROUP BY bin
+      ),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(sum(pos) AS BIGINT) AS p FROM bins),
+      dec AS (
+        SELECT cnt, pos, n, p,
+               CAST(ceil(CAST(sum(cnt) OVER (ORDER BY bin DESC
+                   ROWS UNBOUNDED PRECEDING) * 10 AS BIGINT) / n)
+                 AS INTEGER) AS decile
+        FROM bins CROSS JOIN tot
+      ),
+      byd AS (
+        SELECT decile, CAST(sum(cnt) AS BIGINT) AS n_orders,
+               CAST(sum(pos) AS BIGINT) AS n_resp,
+               max(n) AS n, max(p) AS p
+        FROM dec GROUP BY decile
+      )
+      SELECT decile, n_orders, n_resp,
+             round(CAST(n_resp AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+               AS resp_rate,
+             round(CAST(sum(n_resp) OVER (ORDER BY decile
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(p AS DOUBLE), 6) AS cum_gain,
+             round((CAST(n_resp AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(n_orders AS DOUBLE) * CAST(p AS DOUBLE)), 6) AS lift
+      FROM byd
+      ORDER BY decile
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(auc, confusion, calibration, aucGrouped, mrr, ndcg, rbp, isotonic,
-      permImportance, recallAtK)
+      permImportance, recallAtK, cohenKappa, mcc, gainsDeciles)
 }

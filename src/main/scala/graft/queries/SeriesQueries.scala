@@ -1319,9 +1319,200 @@ object SeriesQueries {
       ORDER BY wt
     """))
 
+  /** Nelson–Aalen cumulative hazard over [[kaplanMeier]]'s inter-order
+    * duration frame — the estimator that SUMS hazards d/n instead of
+    * multiplying survivals, the standard KM companion. Each hazard term
+    * quantizes ONCE to pico-units (10¹²·d DIV n_risk — exact integer
+    * division both engines replay; d and n_risk ride DECIMAL(38,0) so
+    * the product never overflows), making the cumulative sum exact
+    * integers in any partition order; Ĥ(t) ships as the single division
+    * micro/10¹². Risk sets come from one cumulative window over the
+    * duration-level frame (calendar-bounded — the [[cusum]] contract). */
+  val nelsonAalen = QuerySpec(
+    "q_nelson_aalen",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val horizon = orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("hz"))
+      val dur = orders(s, d)
+        .withColumn("nxt", lead(to_date(col("o_orderdate")), 1).over(w))
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("nxt").isNotNull,
+            datediff(col("nxt"), to_date(col("o_orderdate"))))
+            .otherwise(datediff(col("hz"), to_date(col("o_orderdate"))))
+            .as("t"),
+          col("nxt").isNotNull.cast("int").as("ev"))
+      val byt = dur.groupBy("t")
+        .agg(sum("ev").as("d"), count(lit(1)).as("c"))
+      val tot = byt.agg(sum("c").as("n"))
+      val wt = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+      val risk = byt.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("n") - sum("c").over(wt) + col("c"))
+        .withColumn("term", expr(
+          "CAST(1000000000000 AS DECIMAL(38,0)) * d DIV n_risk"))
+      risk
+        .withColumn("na_pico", sum("term").over(wt))
+        .filter(col("d") > 0)
+        .select(col("t").cast("long").as("t_days"), col("n_risk"),
+          col("d").as("n_events"), col("na_pico").cast("long").as("na_pico"),
+          (col("na_pico").cast("double") / 1e12).as("cum_hazard"))
+        .orderBy("t_days")
+    },
+    Some("""
+      WITH hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+      seq AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt,
+               lead(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS nxt
+        FROM orders
+      ),
+      dur AS (
+        SELECT CAST(CASE WHEN nxt IS NOT NULL THEN nxt - dt
+                         ELSE h - dt END AS BIGINT) AS t,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM seq, hz
+      ),
+      byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM dur GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+      risk AS (
+        SELECT t, d, c,
+               CAST(n - sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) + c
+                    AS BIGINT) AS n_risk
+        FROM byt, tot
+      ),
+      term AS (
+        SELECT t, d, n_risk,
+               CAST(CAST(1000000000000 AS HUGEINT) * d // n_risk AS BIGINT)
+                 AS tm
+        FROM risk
+      )
+      SELECT t AS t_days, n_risk, d AS n_events,
+             CAST(sum(tm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS na_pico,
+             CAST(sum(tm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS DOUBLE) / 1e12 AS cum_hazard
+      FROM term
+      WHERE d > 0
+      ORDER BY t_days
+    """))
+
+  /** Log-rank O/E comparison of repurchase timing between the BUILDING
+    * market segment and everyone else, on the same duration frame —
+    * "does cohort A return faster?" without choosing a horizon. Per
+    * distinct duration: observed events per cohort (exact), expected
+    * under the null e1 = Σ d·n1/n with each term quantized ONCE to
+    * micro-units (10⁶·d·n1 DIV n in DECIMAL(38,0) — deterministic in
+    * any partition order, the [[nelsonAalen]] discipline); at-risk
+    * counts are two cumulative windows over the bounded duration frame.
+    * Ships O, E, and the O/E hazard-ratio estimate — the standard
+    * epidemiology summary; the χ² variance term needs n³ products and
+    * adds nothing the ratio doesn't show here. */
+  val logRank = QuerySpec(
+    "q_log_rank",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val horizon = orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("hz"))
+      val seg = customer(s, d).select(col("c_custkey").as("o_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("int").as("g1"))
+      val dur = orders(s, d)
+        .withColumn("nxt", lead(to_date(col("o_orderdate")), 1).over(w))
+        .crossJoin(broadcast(horizon))
+        .join(seg, "o_custkey")
+        .select(
+          when(col("nxt").isNotNull,
+            datediff(col("nxt"), to_date(col("o_orderdate"))))
+            .otherwise(datediff(col("hz"), to_date(col("o_orderdate"))))
+            .as("t"),
+          col("nxt").isNotNull.cast("int").as("ev"), col("g1"))
+      val byt = dur.groupBy("t").agg(
+        sum(col("ev") * col("g1")).as("d1"),
+        sum(col("ev") * (lit(1) - col("g1"))).as("d2"),
+        sum(col("g1").cast("long")).as("c1"),
+        sum(lit(1L) - col("g1")).as("c2"))
+      val tot = byt.agg(sum("c1").as("n1t"), sum("c2").as("n2t"))
+      val wt = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+      val risk = byt.crossJoin(broadcast(tot))
+        .withColumn("n1", col("n1t") - sum("c1").over(wt) + col("c1"))
+        .withColumn("n2", col("n2t") - sum("c2").over(wt) + col("c2"))
+        .filter(col("d1") + col("d2") > 0)
+        .withColumn("e1m", expr("CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(d1 + d2) * n1 DIV (n1 + n2)"))
+        .withColumn("e2m", expr("CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(d1 + d2) * n2 DIV (n1 + n2)"))
+      risk.agg(
+        sum("d1").as("o1"), sum("d2").as("o2"),
+        sum("e1m").cast("long").as("e1_micro"),
+        sum("e2m").cast("long").as("e2_micro"))
+        .select(col("o1"), col("o2"), col("e1_micro"), col("e2_micro"),
+          round((col("o1").cast("double") /
+            (col("e1_micro").cast("double") / 1e6)) /
+            (col("o2").cast("double") /
+              (col("e2_micro").cast("double") / 1e6)), 6)
+            .as("hazard_ratio"))
+    },
+    Some("""
+      WITH hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+      seq AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt,
+               lead(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS nxt
+        FROM orders
+      ),
+      dur AS (
+        SELECT CAST(CASE WHEN s.nxt IS NOT NULL THEN s.nxt - s.dt
+                         ELSE hz.h - s.dt END AS BIGINT) AS t,
+               CASE WHEN s.nxt IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+        FROM seq s CROSS JOIN hz
+        JOIN customer c ON c.c_custkey = s.o_custkey
+      ),
+      byt AS (
+        SELECT t, CAST(sum(ev * g1) AS BIGINT) AS d1,
+               CAST(sum(ev * (1 - g1)) AS BIGINT) AS d2,
+               CAST(sum(g1) AS BIGINT) AS c1,
+               CAST(sum(1 - g1) AS BIGINT) AS c2
+        FROM dur GROUP BY 1
+      ),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1t,
+                     CAST(sum(c2) AS BIGINT) AS n2t FROM byt),
+      risk AS (
+        SELECT t, d1, d2,
+               CAST(n1t - sum(c1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                    + c1 AS BIGINT) AS n1,
+               CAST(n2t - sum(c2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                    + c2 AS BIGINT) AS n2
+        FROM byt, tot
+      ),
+      terms AS (
+        SELECT d1, d2,
+               CAST(CAST(1000000 AS HUGEINT) * (d1 + d2) * n1 // (n1 + n2)
+                 AS BIGINT) AS e1m,
+               CAST(CAST(1000000 AS HUGEINT) * (d1 + d2) * n2 // (n1 + n2)
+                 AS BIGINT) AS e2m
+        FROM risk WHERE d1 + d2 > 0
+      )
+      SELECT CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(d2) AS BIGINT) AS o2,
+             CAST(sum(e1m) AS BIGINT) AS e1_micro,
+             CAST(sum(e2m) AS BIGINT) AS e2_micro,
+             round((CAST(sum(d1) AS DOUBLE)
+                    / (CAST(sum(e1m) AS DOUBLE) / 1e6))
+                   / (CAST(sum(d2) AS DOUBLE)
+                      / (CAST(sum(e2m) AS DOUBLE) / 1e6)), 6)
+               AS hazard_ratio
+      FROM terms
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
     bursts, ewma, holt, stlDecompose, theilSen, holtWinters,
-    markovStationary, matrixProfile)
+    markovStationary, matrixProfile, nelsonAalen, logRank)
 }
