@@ -787,8 +787,78 @@ object AnalyticsQueries {
       ORDER BY item, rank
     """))
 
+  /** Gini coefficient of customer spend concentration — the inequality
+    * read behind "do 20% of customers carry 80% of revenue?". Spend
+    * quantizes to $100 bins (the q_spearman bounded value frame), and
+    * the mean-absolute-difference form computes EXACTLY from one
+    * cumulative window over the bins:
+    *   Σᵢⱼ|bᵢ−bⱼ| = 2·Σ_v cnt_v·(v·cum_cnt_<v − cum_sum_<v),
+    * all integers in DECIMAL(38,0) (Σ|diff| ≤ n²·b_max), then
+    * G = Σ|diff| / (2·n·Σb) is ONE double division, rounded at 1e-6.
+    * No pair join, no global sort over customers — the value frame is
+    * bounded by the bin range, the window by the frame. */
+  val lorenzGini = QuerySpec(
+    "q_lorenz_gini",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val per = orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        .select(expr("CAST(sp * 100 AS BIGINT) DIV 10000").as("b"))
+      val bins = per.groupBy("b").agg(count(lit(1)).as("cnt"))
+      val w = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+      val d38 = "decimal(38,0)"
+      val cum = bins
+        .withColumn("ccnt", sum("cnt").over(w) - col("cnt"))
+        .withColumn("csum", sum(col("b") * col("cnt")).over(w) -
+          col("b") * col("cnt"))
+      val st = cum.agg(
+        sum("cnt").as("n"),
+        sum(col("b").cast(d38) * col("cnt")).as("s"),
+        (sum(col("cnt").cast(d38) *
+          (col("b").cast(d38) * col("ccnt") - col("csum").cast(d38)))
+          * 2).as("sad"))
+      st.select(col("n"),
+        round(col("sad").cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("s").cast("double")), 6)
+          .as("gini"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) // 10000 AS b
+        FROM orders GROUP BY o_custkey
+      ),
+      bins AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY b
+      ),
+      cum AS (
+        SELECT b, cnt,
+               sum(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - cnt
+                 AS ccnt,
+               sum(b * cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                 - b * cnt AS csum
+        FROM bins
+      ),
+      st AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(CAST(b AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))
+                 AS s,
+               CAST(sum(CAST(cnt AS DECIMAL(38,0))
+                        * (CAST(b AS DECIMAL(38,0)) * ccnt
+                           - CAST(csum AS DECIMAL(38,0)))) * 2
+                 AS DECIMAL(38,0)) AS sad
+        FROM cum
+      )
+      SELECT n,
+             round(CAST(sad AS DOUBLE)
+                   / (2.0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+               AS gini
+      FROM st
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg,
     cube, explodeTokens, upsert, heavyHitters, bloomProbe, incrementalAgg,
-    bloomJoin, kmvOverlap, cmsProbe, itemsets, itemCf)
+    bloomJoin, kmvOverlap, cmsProbe, itemsets, itemCf, lorenzGini)
 }

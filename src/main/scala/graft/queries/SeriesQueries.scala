@@ -1510,9 +1510,190 @@ object SeriesQueries {
       FROM terms
     """))
 
+  /** Permutation entropy (m = 3) of the daily revenue series — the
+    * ordinal-pattern complexity measure (Bandt–Pompe): how predictable
+    * is the local up/down shape? Each consecutive-row triple maps to one
+    * of six ordinal patterns via EXACT integer comparisons on cents
+    * (ties break by position — the stable-sort convention, so the
+    * pattern id is three booleans, no float rank anywhere); pattern
+    * counts pivot in fixed id order and H = ln N − (1/N)·Σ c·ln c
+    * normalizes by ln 6 in one identical double expression, rounded at
+    * 1e-6. White noise → 1, monotone trend → 0. The lead windows run on
+    * the calendar-bounded daily frame (the [[cusum]] contract). */
+  val permEntropy = QuerySpec(
+    "q_perm_entropy",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev"))
+      val w = W.orderBy("day")
+      val trip = daily
+        .withColumn("x1", lead("rev", 1).over(w))
+        .withColumn("x2", lead("rev", 2).over(w))
+        .filter(col("x2").isNotNull)
+      // "i precedes j" under stable (value, position) order; positions
+      // are 0,1,2 so ties resolve to the earlier index.
+      val c01 = (col("rev") <= col("x1")).cast("int")
+      val c02 = (col("rev") <= col("x2")).cast("int")
+      val c12 = (col("x1") <= col("x2")).cast("int")
+      val pat = trip.select((c01 * 4 + c02 * 2 + c12).as("p"))
+      val cells = (0 to 7).map(i =>
+        sum((col("p") === i).cast("long")).as(s"c$i")) :+
+        count(lit(1)).as("n")
+      val piv = pat.agg(cells.head, cells.tail: _*)
+      val nD = col("n").cast("double")
+      val sclc = (0 to 7).map { i =>
+        val c = col(s"c$i").cast("double")
+        when(col(s"c$i") > 0, c * log(c)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      val h = log(nD) - sclc / nD
+      piv.select(col("n").as("n_windows"),
+        round(h, 6).as("h"),
+        round(h / log(lit(6.0)), 6).as("pe_norm"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+      ),
+      trip AS (
+        SELECT rev AS x0,
+               lead(rev, 1) OVER (ORDER BY day) AS x1,
+               lead(rev, 2) OVER (ORDER BY day) AS x2
+        FROM daily
+      ),
+      pat AS (
+        SELECT (CASE WHEN x0 <= x1 THEN 4 ELSE 0 END
+                + CASE WHEN x0 <= x2 THEN 2 ELSE 0 END
+                + CASE WHEN x1 <= x2 THEN 1 ELSE 0 END) AS p
+        FROM trip WHERE x2 IS NOT NULL
+      ),
+      piv AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN p = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(sum(CASE WHEN p = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+               CAST(sum(CASE WHEN p = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+               CAST(sum(CASE WHEN p = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+               CAST(sum(CASE WHEN p = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7
+        FROM pat
+      ),
+      hh AS (
+        SELECT n,
+               ln(CAST(n AS DOUBLE))
+               - (CASE WHEN c0 > 0 THEN CAST(c0 AS DOUBLE)
+                    * ln(CAST(c0 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE)
+                    * ln(CAST(c1 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN c2 > 0 THEN CAST(c2 AS DOUBLE)
+                    * ln(CAST(c2 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN c3 > 0 THEN CAST(c3 AS DOUBLE)
+                    * ln(CAST(c3 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN c4 > 0 THEN CAST(c4 AS DOUBLE)
+                    * ln(CAST(c4 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN c5 > 0 THEN CAST(c5 AS DOUBLE)
+                    * ln(CAST(c5 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN c6 > 0 THEN CAST(c6 AS DOUBLE)
+                    * ln(CAST(c6 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN c7 > 0 THEN CAST(c7 AS DOUBLE)
+                    * ln(CAST(c7 AS DOUBLE)) ELSE 0.0 END)
+                 / CAST(n AS DOUBLE) AS h
+        FROM piv
+      )
+      SELECT n AS n_windows, round(h, 6) AS h,
+             round(h / ln(6.0), 6) AS pe_norm
+      FROM hh
+    """))
+
+  /** Binary-segmentation changepoint on daily revenue — the
+    * variance-reduction sibling of [[cusum]]'s mean-shift scan: the
+    * split minimizing total SSE equivalently MAXIMIZES P²/i + (S−P)²/
+    * (n−i), and with cents as exact integers that score quantizes to
+    * (P²·(n−i) + (S−P)²·i) DIV (i·(n−i)·S) in DECIMAL(38,0) — an exact
+    * integer every engine agrees on (the constant S divisor keeps the
+    * argmax and bounds the quotient to ~S/n·10⁴ ≪ 2⁶³ at any SF; ties
+    * from the quantization and from equal scores both resolve to the
+    * earliest day), so the winner never rides a float. One cumulative
+    * window over the calendar-bounded daily frame, one ORDER BY ...
+    * LIMIT 1. Segment means ship in dollars as single divisions of
+    * exact sums. */
+  val binarySegment = QuerySpec(
+    "q_binary_segment",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev"))
+      val w = W.orderBy("day").rowsBetween(W.unboundedPreceding,
+        W.currentRow)
+      val tot = daily.agg(count(lit(1)).as("n"), sum("rev").as("s"))
+      val cum = daily.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(W.orderBy("day")))
+        .withColumn("p", sum("rev").over(w))
+        .filter(col("i") < col("n"))
+      val d38 = "decimal(38,0)"
+      val scored = cum.withColumn("score_q", expr(
+        "(CAST(p AS DECIMAL(38,0)) * p * (n - i) " +
+          "+ CAST(s - p AS DECIMAL(38,0)) * (s - p) * i) " +
+          "DIV (CAST(i AS DECIMAL(38,0)) * (n - i) * s)"))
+      scored.orderBy(col("score_q").desc, col("day"))
+        .limit(1)
+        .select(col("day").as("split_day"),
+          col("i").cast("long").as("n_left"),
+          (col("n") - col("i")).cast("long").as("n_right"),
+          round(col("p").cast("double") /
+            (col("i").cast("double") * 100.0), 6).as("mean_left_usd"),
+          round((col("s") - col("p")).cast("double") /
+            ((col("n") - col("i")).cast("double") * 100.0), 6)
+            .as("mean_right_usd"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+      ),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(rev) AS BIGINT) AS s FROM daily),
+      cum AS (
+        SELECT day,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+               CAST(sum(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS p,
+               n, s
+        FROM daily CROSS JOIN tot
+      ),
+      scored AS (
+        SELECT day, i, p, n, s,
+               (CAST(p AS HUGEINT) * p * (n - i)
+                + CAST(s - p AS HUGEINT) * (s - p) * i)
+                 // (CAST(i AS HUGEINT) * (n - i) * s) AS score_q
+        FROM cum WHERE i < n
+      )
+      SELECT day AS split_day, i AS n_left, n - i AS n_right,
+             round(CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6)
+               AS mean_left_usd,
+             round(CAST(s - p AS DOUBLE)
+                   / (CAST(n - i AS DOUBLE) * 100.0), 6) AS mean_right_usd
+      FROM scored
+      ORDER BY score_q DESC, day
+      LIMIT 1
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
     bursts, ewma, holt, stlDecompose, theilSen, holtWinters,
-    markovStationary, matrixProfile, nelsonAalen, logRank)
+    markovStationary, matrixProfile, nelsonAalen, logRank, permEntropy,
+    binarySegment)
 }

@@ -2130,6 +2130,130 @@ object TextQueries {
       LIMIT 30
     """))
 
+  /** Flesch reading ease per document — the classic readability screen a
+    * curation pipeline runs next to [[qualityScore]]: 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    * approximated as VOWEL-GROUP runs ([aeiouy]+ on the lowercased text)
+    * and sentences as terminal-punctuation runs (floored at 1). All
+    * three counts are exact integers from `regexp_count` (one scan per
+    * doc, embarrassingly parallel — the fanOut note on [[textStats]]
+    * applies); the score is one double expression both engines evaluate
+    * identically, rounded at 1e-6. */
+  val flesch = QuerySpec(
+    "q_flesch",
+    (s, d) => {
+      val lowered = lower(col("text"))
+      val words = regexp_count(lowered, lit("[a-z]+"))
+      val syll = regexp_count(lowered, lit("[aeiouy]+"))
+      val sent = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+      documents(s, d)
+        .select(col("doc_id"), words.cast("long").as("words"),
+          sent.cast("long").as("sentences"),
+          syll.cast("long").as("syllables"))
+        .filter(col("words") > 0)
+        .withColumn("flesch", round(
+          lit(206.835) -
+            lit(1.015) * (col("words").cast("double") /
+              col("sentences").cast("double")) -
+            lit(84.6) * (col("syllables").cast("double") /
+              col("words").cast("double")), 6))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                 AS BIGINT) AS words,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                 AS BIGINT) AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS BIGINT) AS syllables
+        FROM documents
+      )
+      SELECT doc_id, words, sentences, syllables,
+             round(206.835
+                   - 1.015 * (CAST(words AS DOUBLE)
+                              / CAST(sentences AS DOUBLE))
+                   - 84.6 * (CAST(syllables AS DOUBLE)
+                             / CAST(words AS DOUBLE)), 6) AS flesch
+      FROM c
+      WHERE words > 0
+      ORDER BY doc_id
+    """))
+
+  /** Zipf slope of the corpus rank–frequency curve — how head-heavy is
+    * the vocabulary? OLS on (ln rank, ln count) over the TOP-200 tokens:
+    * the top-k is a TakeOrdered (never a global window over the
+    * vocabulary), and the 200-row regression frame is bounded by the
+    * constant, not the corpus. Each transcendental quantizes ONCE to
+    * nano-units (round(ln·10⁹) — engines' ln agree far past the 1e-9
+    * boundary), after which the five OLS sums are exact DECIMAL(38,0)
+    * and the slope is one double division, rounded at 1e-6. A healthy
+    * natural-language corpus sits near −1. */
+  val zipfSlope = QuerySpec(
+    "q_zipf_slope",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val top = fanOut(s, documents(s, d))
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(200)
+      val ranked = top
+        .withColumn("rk", row_number().over(
+          W.orderBy(col("cnt").desc, col("tok"))))
+        .select(
+          expr("CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000000) AS BIGINT)")
+            .as("x"),
+          expr("CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000000) AS BIGINT)")
+            .as("y"))
+      val d38 = "decimal(38,0)"
+      val st = ranked.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"))
+      st.select(col("n"),
+        round((col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast("double"), 6).as("slope"))
+    },
+    Some("""
+      WITH top AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                    t -> t <> '')) AS tok
+          FROM documents
+        )
+        GROUP BY tok
+        ORDER BY cnt DESC, tok
+        LIMIT 200
+      ),
+      ranked AS (
+        SELECT CAST(round(ln(CAST(row_number()
+                 OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) * 1000000000)
+                 AS BIGINT) AS x,
+               CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000000) AS BIGINT)
+                 AS y
+        FROM top
+      ),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                 AS sxx,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                 AS sxy
+        FROM ranked
+      )
+      SELECT n,
+             round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+                   / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                     AS DOUBLE), 6) AS slope
+      FROM st
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     novelty,
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
@@ -2139,5 +2263,5 @@ object TextQueries {
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
     bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin, charEntropy,
     unicodeNorm, rrfFusion, knBigram, winnowFp, vocabCoverage,
-    weightedJaccard)
+    weightedJaccard, flesch, zipfSlope)
 }
