@@ -340,6 +340,58 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** k-truss peel (Cohen 2008) over an a<b edge list: repeatedly drop
+    * edges supported by fewer than k−2 triangles until stable — the
+    * edge-level strengthening of [[kCore]] (every k-truss edge sits in a
+    * (k−1)-core, not vice versa). Each round enumerates surviving
+    * triangles ONCE via the a<b<c three-join and explodes them to their
+    * three edges (the q_triangles / local-clustering shape — at 100 TB
+    * the standard hub-degree cap bounds the enumeration), counts
+    * support map-side-combinably, and semi-joins the survivors; rounds
+    * localCheckpoint with the observed-count convergence read
+    * ([[checkpointWithCount]] — one job per round).
+    *
+    * Runs AT MOST `maxRounds` rounds (no convergence requirement —
+    * callers mirror the bound; peeling is monotone, so an early
+    * fixpoint equals the round-`maxRounds` state) and returns the
+    * surviving edges plus a `converged` flag. */
+  def kTruss(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int): (DataFrame, Boolean) = {
+    require(k >= 3, s"k=$k must be at least 3")
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    var (e, prevEdges) = checkpointWithCount(pairs
+      .select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct())
+    var converged = prevEdges == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val tri = e.as("x")
+        .join(e.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("ta"), col("x.b").as("tb"),
+          col("y.b").as("tc"))
+        .join(e.select(col("a").as("ta"), col("b").as("tc")),
+          Seq("ta", "tc"))
+      val sup = tri.select(
+          explode(array(
+            struct(col("ta").as("a"), col("tb").as("b")),
+            struct(col("tb").as("a"), col("tc").as("b")),
+            struct(col("ta").as("a"), col("tc").as("b")))).as("e"))
+        .select(col("e.a"), col("e.b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("__sup"))
+        .filter(col("__sup") >= k - 2)
+        .select("a", "b")
+      val (next, n) = checkpointWithCount(
+        e.join(sup, Seq("a", "b"), "left_semi"))
+      converged = n == prevEdges
+      e = next
+      prevEdges = n
+      round += 1
+    }
+    (e, converged || prevEdges == 0L)
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
     * list, in the EXACT-INTEGER unnormalized form: starting from
     * a₀ ≡ 1, alternate h ← A·a and a ← Aᵀ·h for `iters` authority

@@ -512,7 +512,92 @@ object FeatureQueries {
       ORDER BY seg
     """))
 
+  /** Pointwise mutual information over [[skipgramPairs]]' context
+    * windows — the collocation detector behind phrase mining and
+    * embedding objectives: PMI = ln((c₁₂/N)/((c₁/T)·(c₂/T))), pairs
+    * from the same lead-window extraction (distance ≤ 2 rightward, one
+    * doc-partitioned window, no position self-join), unigrams from one
+    * token count. Every count is an exact long, so the ln argument is
+    * one exact rational — identical double both engines, rounded at
+    * 1e-6 — and the support floor (c₁₂ ≥ 20) plus top-30 keeps the
+    * output the bounded verifiable slice (TakeOrdered, no full sort). */
+  val pmi = QuerySpec(
+    "q_pmi",
+    (s, d) => {
+      val toks = fanOut(s, documents(s, d))
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "w")
+        .localCheckpoint() // pairs AND unigrams read it
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val led = toks.select(
+        col("w").as("w1"),
+        lead(col("w"), 1).over(win).as("n1"),
+        lead(col("w"), 2).over(win).as("n2"))
+      val pairs = led.select(col("w1"), col("n1").as("w2"))
+        .filter(col("w2").isNotNull)
+        .union(led.select(col("w1"), col("n2").as("w2"))
+          .filter(col("w2").isNotNull))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = toks.groupBy(col("w").as("tok"))
+        .agg(count(lit(1)).as("c"))
+      val nPairs = pairs.agg(sum("c12").as("np"))
+      val nToks = uni.agg(sum("c").as("t"))
+      pairs.filter(col("c12") >= 20)
+        .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(nPairs)).crossJoin(broadcast(nToks))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          round(log(
+            (col("c12").cast("double") / col("np").cast("double")) /
+              ((col("c1").cast("double") / col("t").cast("double")) *
+                (col("c2").cast("double") / col("t").cast("double")))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(30)
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ),
+      toks AS (
+        SELECT doc_id, pos, ws[pos] AS w
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws))) AS pos
+              FROM w)
+      ),
+      led AS (
+        SELECT w AS w1,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+               lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+        FROM toks
+      ),
+      pairs AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+          SELECT w1, n1 AS w2 FROM led WHERE n1 IS NOT NULL
+          UNION ALL
+          SELECT w1, n2 FROM led WHERE n2 IS NOT NULL)
+        GROUP BY w1, w2
+      ),
+      uni AS (
+        SELECT w AS tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+      ),
+      np AS (SELECT CAST(sum(c12) AS BIGINT) AS np FROM pairs),
+      tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni)
+      SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+             round(ln((CAST(p.c12 AS DOUBLE) / CAST(np.np AS DOUBLE))
+                      / ((CAST(u1.c AS DOUBLE) / CAST(tt.t AS DOUBLE))
+                         * (CAST(u2.c AS DOUBLE) / CAST(tt.t AS DOUBLE)))),
+                   6) AS pmi
+      FROM pairs p
+      JOIN uni u1 ON u1.tok = p.w1
+      JOIN uni u2 ON u2.tok = p.w2
+      CROSS JOIN np CROSS JOIN tt
+      WHERE p.c12 >= 20
+      ORDER BY pmi DESC, p.w1, p.w2
+      LIMIT 30
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     histogram, targetEncode, chi2Feature, kfoldCv, skipgramPairs,
-    knnClassify, woeIv)
+    knnClassify, woeIv, pmi)
 }

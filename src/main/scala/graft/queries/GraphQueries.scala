@@ -976,8 +976,62 @@ object GraphQueries {
       ORDER BY part_id
     """))
 
+  /** 3-truss of the co-occurrence graph ([[graft.ops.Graph.kTruss]]):
+    * the subgraph where every surviving edge sits in ≥ 1 triangle of
+    * survivors — the cohesion filter that keeps genuinely clustered
+    * "bought-together" groups and sheds chains/stars [[kcore]] lets
+    * through. Six peel rounds, mirrored EXACTLY by the oracle's
+    * unrolled MATERIALIZED round CTEs (the q_kcore pattern — peeling is
+    * monotone, so an early Spark fixpoint equals the round-6 state);
+    * `converged_ok` certifies the fixpoint on both sides. */
+  val ktruss = QuerySpec(
+    "q_ktruss",
+    (s, d) => {
+      val e = freqEdges(s, d).cache() // shares the graph-suite entry
+      val (truss, conv) = Graph.kTruss(e, "a", "b", k = 3, maxRounds = 6)
+      truss.select(col("a").as("part_a"), col("b").as("part_b"),
+          lit(if (conv) 1 else 0).as("converged_ok"))
+        .orderBy("part_a", "part_b")
+    },
+    Some {
+      // MATERIALIZED: the q_kcore lesson — inlined round CTEs expand
+      // into an exponential re-scan tree.
+      val rounds = (1 to 6).map { r =>
+        val prev = s"e${r - 1}"
+        s"""
+      t$r AS MATERIALIZED (
+        SELECT x.a AS ta, x.b AS tb, y.b AS tc
+        FROM $prev x JOIN $prev y ON y.a = x.b
+             JOIN $prev z ON z.a = x.a AND z.b = y.b
+      ),
+      s$r AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT ta AS a, tb AS b FROM t$r
+          UNION ALL SELECT tb, tc FROM t$r
+          UNION ALL SELECT ta, tc FROM t$r)
+        GROUP BY 1, 2
+        HAVING count(*) >= 1
+      ),
+      e$r AS MATERIALIZED (
+        SELECT e.a, e.b FROM $prev e
+        JOIN s$r s ON s.a = e.a AND s.b = e.b
+      )"""
+      }.mkString(",")
+      s"""
+      WITH $FreqEdgeSql,
+      e0 AS MATERIALIZED (SELECT a, b FROM fedge),
+      $rounds
+      SELECT a AS part_a, b AS part_b,
+             CAST(CASE WHEN (SELECT count(*) FROM e5) =
+                            (SELECT count(*) FROM e6)
+                       THEN 1 ELSE 0 END AS INTEGER) AS converged_ok
+      FROM e6
+      ORDER BY part_a, part_b
+    """
+    })
+
   val all: Seq[QuerySpec] =
     Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp, hits,
       modularity, assortativity, randomWalk, textrank, graphDiameter,
-      localClustering, linkPredict, closeness)
+      localClustering, linkPredict, closeness, ktruss)
 }

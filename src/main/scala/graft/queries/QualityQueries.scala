@@ -1777,9 +1777,190 @@ object QualityQueries {
       FROM sk
     """))
 
+  /** Partial correlation r_xy·z of order value (x, cents) and line-item
+    * count (y) CONTROLLING for order date (z, epoch day) — does the
+    * value↔size association survive once the shared time trend is
+    * removed? The three pairwise Pearson r's come from ONE map-side-
+    * combinable aggregate of nine DECIMAL(38,0) sufficient sums (the
+    * q_corr discipline: x ≤ 5·10⁷ cents ⇒ Σxy exact through ~10⁹
+    * rows), then r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) is
+    * one fixed double expression tree, every r rounded at 1e-6 BEFORE
+    * composing (so both engines compose identical operands) and the
+    * result once more after. */
+  val partialCorr = QuerySpec(
+    "q_partial_corr",
+    (s, d) => {
+      val items = lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("ny"))
+      val base = orders(s, d).join(items, Seq("o_orderkey"), "left")
+        .select(
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("x"),
+          coalesce(col("ny"), lit(0L)).as("y"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date")).cast("long").as("z"))
+      val d38 = "decimal(38,0)"
+      def dsum(e: org.apache.spark.sql.Column, n: String) =
+        sum(e.cast(d38)).as(n)
+      val st = base.agg(
+        count(lit(1)).as("n"),
+        dsum(col("x"), "sx"), dsum(col("y"), "sy"), dsum(col("z"), "sz"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("y").cast(d38) * col("y")).as("syy"),
+        sum(col("z").cast(d38) * col("z")).as("szz"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        sum(col("x").cast(d38) * col("z")).as("sxz"),
+        sum(col("y").cast(d38) * col("z")).as("syz"))
+      val nD = col("n").cast(d38)
+      def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+        round((nD * col(sab) - col(sa) * col(sb)).cast("double") /
+          (sqrt((nD * col(saa) - col(sa) * col(sa)).cast("double")) *
+            sqrt((nD * col(sbb) - col(sb) * col(sb)).cast("double"))), 6)
+      val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+      val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+      val ryz = r("syz", "sy", "sz", "syy", "szz")
+      st.select(col("n"),
+        rxy.as("r_xy"), rxz.as("r_xz"), ryz.as("r_yz"),
+        round((rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+          .as("r_xy_given_z"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS x,
+               coalesce(li.ny, 0) AS y,
+               CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
+                 AS BIGINT) AS z
+        FROM orders o LEFT JOIN (
+          SELECT l_orderkey, CAST(count(*) AS BIGINT) AS ny
+          FROM lineitem GROUP BY 1
+        ) li ON li.l_orderkey = o.o_orderkey
+      ),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                 AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                 AS syy,
+               CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0))
+                 AS szz,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                 AS sxy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * z) AS DECIMAL(38,0))
+                 AS sxz,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * z) AS DECIMAL(38,0))
+                 AS syz
+        FROM base
+      ),
+      rr AS (
+        SELECT n,
+               round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                      AS DOUBLE))), 6) AS r_xy,
+               round(CAST(CAST(n AS DECIMAL(38,0)) * sxz - sx * sz AS DOUBLE)
+                 / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * szz - sz * sz
+                      AS DOUBLE))), 6) AS r_xz,
+               round(CAST(CAST(n AS DECIMAL(38,0)) * syz - sy * sz AS DOUBLE)
+                 / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * szz - sz * sz
+                      AS DOUBLE))), 6) AS r_yz
+        FROM st
+      )
+      SELECT n, r_xy, r_xz, r_yz,
+             round((r_xy - r_xz * r_yz)
+                   / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6)
+               AS r_xy_given_z
+      FROM rr
+    """))
+
+  /** Cronbach's α over three per-customer "scale items" (order count,
+    * spend in $100 bins, distinct active months) — the internal-
+    * consistency read a metric designer runs before averaging signals
+    * into one score. α = k/(k−1)·(1 − Σᵢvarᵢ/var_total) computes from
+    * the variance identity n·Σx² − (Σx)² per item and for the row sum,
+    * all DECIMAL(38,0)-exact from ONE aggregate (the common 1/n²
+    * cancels in the ratio), then one double division rounded at 1e-6.
+    * One map-side-combinable customer aggregate feeds everything. */
+  val cronbachAlpha = QuerySpec(
+    "q_cronbach_alpha",
+    (s, d) => {
+      val per = orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("i1"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 " +
+            "AS BIGINT) DIV 10000").as("i2"),
+          countDistinct(date_trunc("month", to_date(col("o_orderdate"))))
+            .as("i3"))
+        .withColumn("t", col("i1") + col("i2") + col("i3"))
+      val d38 = "decimal(38,0)"
+      val st = per.agg(
+        count(lit(1)).as("n"),
+        sum(col("i1").cast(d38)).as("s1"),
+        sum(col("i1").cast(d38) * col("i1")).as("q1"),
+        sum(col("i2").cast(d38)).as("s2"),
+        sum(col("i2").cast(d38) * col("i2")).as("q2"),
+        sum(col("i3").cast(d38)).as("s3"),
+        sum(col("i3").cast(d38) * col("i3")).as("q3"),
+        sum(col("t").cast(d38)).as("st"),
+        sum(col("t").cast(d38) * col("t")).as("qt"))
+      val nD = col("n").cast(d38)
+      def v(q: String, s: String) = nD * col(q) - col(s) * col(s)
+      val sumVi = (v("q1", "s1") + v("q2", "s2") + v("q3", "s3"))
+        .cast("double")
+      val vT = v("qt", "st").cast("double")
+      st.select(col("n"),
+        round(lit(1.5) * (lit(1.0) - sumVi / vT), 6).as("alpha"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT count(*) AS i1,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) // 10000 AS i2,
+               CAST(count(DISTINCT date_trunc('month',
+                 CAST(o_orderdate AS DATE))) AS BIGINT) AS i3
+        FROM orders GROUP BY o_custkey
+      ),
+      wt AS (SELECT i1, i2, i3, i1 + i2 + i3 AS t FROM per),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(i1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+               CAST(sum(CAST(i1 AS DECIMAL(38,0)) * i1) AS DECIMAL(38,0))
+                 AS q1,
+               CAST(sum(CAST(i2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+               CAST(sum(CAST(i2 AS DECIMAL(38,0)) * i2) AS DECIMAL(38,0))
+                 AS q2,
+               CAST(sum(CAST(i3 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s3,
+               CAST(sum(CAST(i3 AS DECIMAL(38,0)) * i3) AS DECIMAL(38,0))
+                 AS q3,
+               CAST(sum(CAST(t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS st_,
+               CAST(sum(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0))
+                 AS qt
+        FROM wt
+      )
+      SELECT n,
+             round(1.5 * (1.0 -
+               CAST((CAST(n AS DECIMAL(38,0)) * q1 - s1 * s1)
+                    + (CAST(n AS DECIMAL(38,0)) * q2 - s2 * s2)
+                    + (CAST(n AS DECIMAL(38,0)) * q3 - s3 * s3) AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(38,0)) * qt - st_ * st_
+                 AS DOUBLE)), 6) AS alpha
+      FROM st
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
       kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo,
       benford, ksTest, cuped, mannWhitney, diffInDiff, psi, cramersV,
-      dpQuantile, spearman, kruskalWallis, runsTest, jarqueBera)
+      dpQuantile, spearman, kruskalWallis, runsTest, jarqueBera,
+      partialCorr, cronbachAlpha)
 }

@@ -1690,10 +1690,137 @@ object SeriesQueries {
       LIMIT 1
     """))
 
+  /** OLS weights (ln m − mean)/Sxx for m = 8,16,32,64 — computed once
+    * in Scala and interpolated into BOTH plans so the engines compose
+    * literally identical doubles. */
+  private val HurstWeights: Seq[Double] = {
+    val xs = Seq(8.0, 16.0, 32.0, 64.0).map(math.log)
+    val xbar = xs.sum / 4.0
+    val sxx = xs.map(v => (v - xbar) * (v - xbar)).sum
+    xs.map(v => (v - xbar) / sxx)
+  }
+
+  /** Hurst exponent of daily revenue by rescaled-range (R/S) analysis —
+    * long-memory vs mean-reversion, the complement of [[acf]]'s short
+    * lags. For block sizes m ∈ {8,16,32,64}: full blocks only, and the
+    * within-block R/S stays EXACT until one sqrt — cumulative
+    * deviations scale by m (m·P_k − k·S, integers), so
+    * R/S = (max−min of those) / √(m·Σx²−S²) with the square sums in
+    * DECIMAL(38,0) (daily cents² passes 2⁶³), one double per block,
+    * quantized ONCE to nano-units. Per-size means are then exact
+    * integer sums, ln(mean) is one identical double, and the 4-point
+    * OLS slope pivots in fixed size order with the (ln m − mean)/Sxx
+    * weights embedded as ONE set of double literals interpolated into
+    * BOTH plans. H ≈ 0.5 is a random walk; every window partitions by
+    * (size, block), never globally. */
+  val hurst = QuerySpec(
+    "q_hurst",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev"))
+        .withColumn("i", row_number().over(W.orderBy("day")))
+      import s.implicits._
+      val sizes = Seq(8L, 16L, 32L, 64L).toDF("m")
+      val blocks = daily.crossJoin(broadcast(sizes))
+        .withColumn("g", expr("CAST(i - 1 AS BIGINT) DIV m"))
+        .withColumn("k", expr("CAST(i - 1 AS BIGINT) % m + 1"))
+      val wB = W.partitionBy("m", "g").orderBy("k")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val cums = blocks.withColumn("cum", sum("rev").over(wB))
+      val st = blocks.groupBy("m", "g")
+        .agg(count(lit(1)).as("cnt"), sum("rev").as("sv"),
+          sum(col("rev").cast("decimal(38,0)") * col("rev")).as("qv"))
+        .filter(col("cnt") === col("m"))
+      val dev = cums
+        .join(st.select("m", "g", "sv", "qv"), Seq("m", "g"))
+        .groupBy("m", "g", "sv", "qv")
+        .agg(max(col("cum") * col("m") - col("k") * col("sv")).as("mx"),
+          min(col("cum") * col("m") - col("k") * col("sv")).as("mn"))
+        .filter(col("qv") * col("m") - col("sv").cast("decimal(38,0)")
+          * col("sv") > 0)
+        .select(col("m"), expr(
+          "CAST(round((mx - mn) / sqrt(CAST(qv * m - CAST(sv AS " +
+            "DECIMAL(38,0)) * sv AS DOUBLE)) * 1000000000) AS BIGINT)")
+          .as("rsn"))
+      val bySize = dev.groupBy("m")
+        .agg(count(lit(1)).as("nb"), sum("rsn").as("srs"))
+        .select(col("m"),
+          log(col("srs").cast("double") /
+            (col("nb").cast("double") * 1e9)).as("y"))
+      val piv = bySize.agg(
+        max(when(col("m") === 8, col("y"))).as("y0"),
+        max(when(col("m") === 16, col("y"))).as("y1"),
+        max(when(col("m") === 32, col("y"))).as("y2"),
+        max(when(col("m") === 64, col("y"))).as("y3"))
+      val slope = HurstWeights.zipWithIndex
+        .map { case (w, i) => lit(w) * col(s"y$i") }.reduce(_ + _)
+      piv.select(round(slope, 6).as("hurst"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS rev,
+               CAST(row_number() OVER (ORDER BY CAST(o_orderdate AS DATE))
+                 AS BIGINT) AS i
+        FROM orders GROUP BY 1
+      ),
+      sizes AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS m),
+      blocks AS (
+        SELECT d.rev, s.m, (d.i - 1) // s.m AS g, (d.i - 1) % s.m + 1 AS k
+        FROM daily d CROSS JOIN sizes s
+      ),
+      cums AS (
+        SELECT m, g, k, rev,
+               sum(rev) OVER (PARTITION BY m, g ORDER BY k
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM blocks
+      ),
+      st AS (
+        SELECT m, g, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(rev) AS BIGINT) AS sv,
+               sum(CAST(rev AS HUGEINT) * rev) AS qv
+        FROM blocks GROUP BY m, g
+      ),
+      dev AS (
+        SELECT c.m,
+               CAST(round((max(c.cum * c.m - c.k * s.sv)
+                           - min(c.cum * c.m - c.k * s.sv))
+                          / sqrt(CAST(s.qv * c.m
+                                      - CAST(s.sv AS HUGEINT) * s.sv
+                                 AS DOUBLE))
+                          * 1000000000) AS BIGINT) AS rsn
+        FROM cums c JOIN st s ON s.m = c.m AND s.g = c.g AND s.cnt = s.m
+        WHERE s.qv * c.m - CAST(s.sv AS HUGEINT) * s.sv > 0
+        GROUP BY c.m, c.g, s.sv, s.qv
+      ),
+      bysize AS (
+        SELECT m,
+               ln(CAST(sum(rsn) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * 1e9)) AS y
+        FROM dev GROUP BY m
+      ),
+      piv AS (
+        SELECT max(CASE WHEN m = 8 THEN y END) AS y0,
+               max(CASE WHEN m = 16 THEN y END) AS y1,
+               max(CASE WHEN m = 32 THEN y END) AS y2,
+               max(CASE WHEN m = 64 THEN y END) AS y3
+        FROM bysize
+      )
+      SELECT round(${HurstWeights(0)} * y0 + ${HurstWeights(1)} * y1
+                   + ${HurstWeights(2)} * y2 + ${HurstWeights(3)} * y3, 6)
+        AS hurst
+      FROM piv
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
     bursts, ewma, holt, stlDecompose, theilSen, holtWinters,
     markovStationary, matrixProfile, nelsonAalen, logRank, permEntropy,
-    binarySegment)
+    binarySegment, hurst)
 }
