@@ -465,7 +465,86 @@ object CurationQueries {
       ORDER BY gid, lang NULLS FIRST, source NULLS FIRST
     """))
 
+  /** Simplified (centroid) silhouette per cluster — the cluster-quality
+    * read on [[kmeansAssign]]'s partition: s = 1 − √d_own/√d_next over
+    * the same broadcast nested-loop distance pass (corpus scanned once,
+    * k = 8 centroids, no shuffle on the big side until the per-vector
+    * top-2). Distances round at 1e-6 BEFORE the sqrt ratio (the
+    * kmeansAssign margin argument), each vector's s quantizes ONCE to
+    * nano-units, and per-cluster means are exact integer sums over the
+    * members — deterministic in any partition order. s → 1 means tight
+    * and well-separated; s → 0 means the next centroid is as close as
+    * your own. */
+  val silhouette = QuerySpec(
+    "q_silhouette",
+    (s, d) => {
+      import graft.ops.Similarity
+      val W = org.apache.spark.sql.expressions.Window
+      val emb = fanOut(s, embeddings(s, d))
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      val cents = embeddings(s, d).orderBy(col("vec_id").asc).limit(8)
+        .select(col("vec_id").as("cid"),
+          Similarity.asDouble(col("embedding")).as("cv"))
+      val d2 = emb.crossJoin(broadcast(cents))
+        .withColumn("d2", round(
+          aggregate(
+            zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x), 6))
+      val top2 = d2
+        .withColumn("rn", row_number().over(
+          W.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)))
+        .filter(col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
+          max(when(col("rn") === 1, col("d2"))).as("da"),
+          max(when(col("rn") === 2, col("d2"))).as("db"))
+      val sil = top2.withColumn("snano",
+        when(col("db") === 0.0, lit(0L)).otherwise(
+          expr("CAST(round((1.0 - sqrt(da) / sqrt(db)) * 1000000000) " +
+            "AS BIGINT)")))
+      sil.groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), sum("snano").as("ssum"))
+        .select(col("cid"), col("n_members"),
+          round(col("ssum").cast("double") /
+            (col("n_members").cast("double") * 1e9), 6).as("mean_sil"))
+        .orderBy("cid")
+    },
+    Some("""
+      WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                 FROM embeddings ORDER BY vec_id LIMIT 8),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               round(list_sum(list_transform(
+                     list_zip(e.embedding::DOUBLE[], c.cvec),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+        FROM embeddings e CROSS JOIN c
+      ),
+      r AS (SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cid ASC) AS rn
+            FROM d),
+      top2 AS (
+        SELECT vec_id,
+               max(CASE WHEN rn = 1 THEN cid END) AS cid,
+               max(CASE WHEN rn = 1 THEN d2 END) AS da,
+               max(CASE WHEN rn = 2 THEN d2 END) AS db
+        FROM r WHERE rn <= 2 GROUP BY vec_id
+      ),
+      sil AS (
+        SELECT cid,
+               CASE WHEN db = 0.0 THEN 0
+                    ELSE CAST(round((1.0 - sqrt(da) / sqrt(db))
+                      * 1000000000) AS BIGINT) END AS snano
+        FROM top2
+      )
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+             round(CAST(sum(snano) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1e9), 6) AS mean_sil
+      FROM sil GROUP BY cid
+      ORDER BY cid
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(boilerplate, contextWindows, gopher, kmeansAssign, curriculum,
-      paretoFront, urlNormalize, multiPattern, datasetCard)
+      paretoFront, urlNormalize, multiPattern, datasetCard, silhouette)
 }

@@ -1817,10 +1817,89 @@ object SeriesQueries {
       FROM piv
     """))
 
+  /** Entropy rate of the per-user event-type chain — how predictable is
+    * the NEXT event given the current one? The empirical-frequency form
+    * H = −Σᵢⱼ (cᵢⱼ/N)·ln(cᵢⱼ/cᵢ·) over [[transitions]]' lag pairs:
+    * counts are exact longs over the bounded |types|² frame, each
+    * transition's ln(cᵢⱼ/cᵢ) quantizes ONCE to nano-units so the
+    * weighted sum Σ cᵢⱼ·nanoᵢⱼ is an exact integer under any partition
+    * order ([[hurst]]'s discipline), and the rate is one division. Also
+    * ships the row entropy of the marginal for the H_rate ≤ H_marginal
+    * sanity relation the spec asserts. */
+  val entropyRate = QuerySpec(
+    "q_entropy_rate",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val pairs = events(s, d)
+        .select(col("event_type").as("ft"),
+          lead("event_type", 1).over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")).as("tt"))
+        .filter(col("tt").isNotNull)
+      val cnts = pairs.groupBy("ft", "tt").agg(count(lit(1)).as("c"))
+      val marg = cnts.groupBy("ft").agg(sum("c").as("cf"))
+      val terms = cnts.join(marg, "ft")
+        .select(col("c"),
+          expr("CAST(round(ln(CAST(c AS DOUBLE) / CAST(cf AS DOUBLE)) " +
+            "* 1000000000) AS BIGINT)").as("nano"),
+          col("cf"))
+      val tot = terms.agg(sum("c").as("n"),
+        sum(col("c") * col("nano")).as("sw"))
+      val mterms = marg.crossJoin(broadcast(
+          marg.agg(sum("cf").as("n"))))
+        .select(col("cf"),
+          expr("CAST(round(ln(CAST(cf AS DOUBLE) / CAST(n AS DOUBLE)) " +
+            "* 1000000000) AS BIGINT)").as("nano"))
+      val mtot = mterms.agg(sum(col("cf") * col("nano")).as("sm"),
+        sum("cf").as("nm"))
+      tot.crossJoin(broadcast(mtot)).select(
+        col("n").as("n_transitions"),
+        round(-col("sw").cast("double") /
+          (col("n").cast("double") * 1e9), 6).as("h_rate"),
+        round(-col("sm").cast("double") /
+          (col("nm").cast("double") * 1e9), 6).as("h_marginal"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT event_type AS ft,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS tt
+        FROM events
+      ),
+      cnts AS (
+        SELECT ft, tt, CAST(count(*) AS BIGINT) AS c
+        FROM pairs WHERE tt IS NOT NULL GROUP BY 1, 2
+      ),
+      marg AS (SELECT ft, CAST(sum(c) AS BIGINT) AS cf
+               FROM cnts GROUP BY 1),
+      terms AS (
+        SELECT c.c,
+               CAST(round(ln(CAST(c.c AS DOUBLE) / CAST(m.cf AS DOUBLE))
+                 * 1000000000) AS BIGINT) AS nano
+        FROM cnts c JOIN marg m USING (ft)
+      ),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                     CAST(sum(c * nano) AS BIGINT) AS sw FROM terms),
+      mn AS (SELECT CAST(sum(cf) AS BIGINT) AS nm FROM marg),
+      mterms AS (
+        SELECT m.cf,
+               CAST(round(ln(CAST(m.cf AS DOUBLE) / CAST(mn.nm AS DOUBLE))
+                 * 1000000000) AS BIGINT) AS nano
+        FROM marg m CROSS JOIN mn
+      ),
+      mtot AS (SELECT CAST(sum(cf * nano) AS BIGINT) AS sm,
+                      CAST(sum(cf) AS BIGINT) AS nm2 FROM mterms)
+      SELECT tot.n AS n_transitions,
+             round(-CAST(tot.sw AS DOUBLE)
+                   / (CAST(tot.n AS DOUBLE) * 1e9), 6) AS h_rate,
+             round(-CAST(mtot.sm AS DOUBLE)
+                   / (CAST(mtot.nm2 AS DOUBLE) * 1e9), 6) AS h_marginal
+      FROM tot CROSS JOIN mtot
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
     bursts, ewma, holt, stlDecompose, theilSen, holtWinters,
     markovStationary, matrixProfile, nelsonAalen, logRank, permEntropy,
-    binarySegment, hurst)
+    binarySegment, hurst, entropyRate)
 }

@@ -2254,6 +2254,68 @@ object TextQueries {
       FROM st
     """))
 
+  /** Tokenizer fertility by language — subword tokens per whitespace
+    * word under [[bpeLearn]]'s 8 trained merges, split by the `lang`
+    * column: the metric that tells you which languages your tokenizer
+    * punishes (fertility ≫ 1 ⇒ more sequence length per word ⇒ more
+    * compute per sentence). Rides [[bpeEncode]]'s bounded-dictionary
+    * join (corpus streams once; the dictionary is vocabulary-sized),
+    * aggregated per language instead of per doc — exact integer sums,
+    * two single-division ratios. The oracle extends the same unrolled
+    * merge chain. */
+  val fertility = QuerySpec(
+    "q_fertility",
+    (s, d) => {
+      val enc = graft.ops.Bpe.encode(documents(s, d), "doc_id", "text",
+        nMerges = 8)
+      enc.join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_tokens").as("n_tokens"),
+          sum("n_chars").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens"),
+          round(col("n_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility"),
+          round(col("n_chars").cast("double") /
+            col("n_tokens").cast("double"), 6).as("chars_per_token"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH w0 AS (
+        SELECT raw, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS raw FROM documents) AS u0
+        WHERE raw <> '' GROUP BY raw),
+      s1 AS (SELECT rtrim(regexp_replace(raw, '(.)', '\\1 ', 'g')) AS w, cnt
+             FROM w0),
+      ${(1 to 8).map(bpeStepSql).mkString(",")},
+      dict AS (SELECT replace(w, ' ', '') AS word,
+                      CAST(len(string_split(w, ' ')) AS BIGINT) AS nt
+               FROM s9),
+      dw AS (SELECT doc_id, raw AS word FROM (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS raw
+               FROM documents) AS x WHERE raw <> ''),
+      perdoc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(len(word)) AS BIGINT) AS n_chars
+        FROM dw JOIN dict USING (word)
+        GROUP BY doc_id
+      )
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(p.n_words) AS BIGINT) AS n_words,
+             CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+             round(CAST(sum(p.n_tokens) AS DOUBLE)
+                   / CAST(sum(p.n_words) AS DOUBLE), 6) AS fertility,
+             round(CAST(sum(p.n_chars) AS DOUBLE)
+                   / CAST(sum(p.n_tokens) AS DOUBLE), 6) AS chars_per_token
+      FROM perdoc p JOIN documents d USING (doc_id)
+      GROUP BY d.lang
+      ORDER BY d.lang
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     novelty,
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
@@ -2263,5 +2325,5 @@ object TextQueries {
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
     bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin, charEntropy,
     unicodeNorm, rrfFusion, knBigram, winnowFp, vocabCoverage,
-    weightedJaccard, flesch, zipfSlope)
+    weightedJaccard, flesch, zipfSlope, fertility)
 }
