@@ -1896,10 +1896,272 @@ object SeriesQueries {
       FROM tot CROSS JOIN mtot
     """))
 
+  /** Kendall τ-b of daily revenue against time (1995, [[theilSen]]'s
+    * calendar-bounded O(n²) pair frame) — the rank-based trend test
+    * whose sign [[theilSen]]'s slope estimates: days are distinct so
+    * x-ties vanish, concordant/discordant/tied counts are EXACT longs
+    * from one pair join on integer cents, the y-tie term Σt(t−1)/2
+    * comes out of the same pair aggregate (tie = v₂ = v₁ pairs, so
+    * n₀ − t_y = C + D directly — no separate value-frame pass), and
+    * τ-b = (C−D)/√(n₀·(C+D)) is one double expression over exact
+    * DECIMAL(38,0) operands, rounded at 1e-6. */
+  val kendallTau = QuerySpec(
+    "q_kendall",
+    (s, d) => {
+      val daily = orders(s, d)
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("v"))
+        .cache()
+      val a = daily.select(col("t").as("t1"), col("v").as("v1"))
+      val b = daily.select(col("t").as("t2"), col("v").as("v2"))
+      val pairs = a.join(b, col("t2") > col("t1"))
+        .agg(
+          sum((col("v2") > col("v1")).cast("long")).as("c"),
+          sum((col("v2") < col("v1")).cast("long")).as("disc"),
+          sum((col("v2") === col("v1")).cast("long")).as("tie"))
+      val nDays = daily.agg(count(lit(1)).as("n"))
+      val d38 = "decimal(38,0)"
+      pairs.crossJoin(broadcast(nDays)).select(
+        col("n").as("n_days"), col("c").as("concordant"),
+        col("disc").as("discordant"), col("tie").as("tied"),
+        round((col("c") - col("disc")).cast("double") /
+          sqrt(((col("c") + col("disc") + col("tie")).cast(d38) *
+            (col("c") + col("disc")).cast(d38)).cast("double")), 6)
+          .as("tau_b"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS v
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY 1
+      ),
+      p AS (
+        SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c,
+               CAST(sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END) AS BIGINT)
+                 AS disc,
+               CAST(sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tie
+        FROM daily a JOIN daily b ON b.t > a.t
+      ),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+      SELECT n AS n_days, c AS concordant, disc AS discordant, tie AS tied,
+             round(CAST(c - disc AS DOUBLE)
+                   / sqrt(CAST(CAST(c + disc + tie AS DECIMAL(38,0))
+                               * CAST(c + disc AS DECIMAL(38,0))
+                          AS DOUBLE)), 6) AS tau_b
+      FROM p CROSS JOIN nn
+    """))
+
+  /** Ljung–Box Q over [[acf]]'s first three lags — "is there ANY serial
+    * correlation?", the portmanteau companion to per-lag reads:
+    * Q = n(n+2)·Σ r_k²/(n−k). The r_k are the SAME 1e-6-rounded
+    * autocorrelations the gate already pins, n is the day count, so Q
+    * is one fixed double expression over gate-exact operands; the
+    * verdict compares Q to χ²₍₃,.05₎ = 7.8147. */
+  val ljungBox = QuerySpec(
+    "q_ljung_box",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("t"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("x"))
+        .cache()
+      val n = daily.agg(count(lit(1)).as("n"))
+      val rk = Series.autocorr(daily, "t", "x", maxLag = 3)
+        .select(col("lag"), col("acf"))
+      val piv = rk.agg(
+        max(when(col("lag") === 1, col("acf"))).as("r1"),
+        max(when(col("lag") === 2, col("acf"))).as("r2"),
+        max(when(col("lag") === 3, col("acf"))).as("r3"))
+      val nD = col("n").cast("double")
+      val q = nD * (nD + 2.0) *
+        (col("r1") * col("r1") / (nD - 1.0) +
+          col("r2") * col("r2") / (nD - 2.0) +
+          col("r3") * col("r3") / (nD - 3.0))
+      piv.crossJoin(broadcast(n)).select(
+        col("n").as("n_days"), col("r1"), col("r2"), col("r3"),
+        round(q, 6).as("q_stat"),
+        (round(q, 6) > 7.8147).cast("int").as("significant"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+      ),
+      lags AS (SELECT unnest([1, 2, 3]) AS lag),
+      pairs AS (
+        SELECT l.lag, a.x AS x, b.x AS y
+        FROM daily a JOIN lags l ON true
+        JOIN daily b ON b.t = a.t + l.lag
+      ),
+      st AS (
+        SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag
+      ),
+      rk AS (
+        SELECT lag,
+               CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                    THEN round((n * sxy - sx * sy) /
+                               (sqrt(n * sxx - sx * sx) *
+                                sqrt(n * syy - sy * sy)), 6)
+               END AS acf
+        FROM st
+      ),
+      piv AS (
+        SELECT max(CASE WHEN lag = 1 THEN acf END) AS r1,
+               max(CASE WHEN lag = 2 THEN acf END) AS r2,
+               max(CASE WHEN lag = 3 THEN acf END) AS r3
+        FROM rk
+      ),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      qq AS (
+        SELECT n, r1, r2, r3,
+               CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                 * (r1 * r1 / (CAST(n AS DOUBLE) - 1.0)
+                    + r2 * r2 / (CAST(n AS DOUBLE) - 2.0)
+                    + r3 * r3 / (CAST(n AS DOUBLE) - 3.0)) AS q
+        FROM piv CROSS JOIN nn
+      )
+      SELECT n AS n_days, r1, r2, r3, round(q, 6) AS q_stat,
+             CAST(round(q, 6) > 7.8147 AS INTEGER) AS significant
+      FROM qq
+    """))
+
+  /** Split-conformal prediction interval for the daily-revenue trend —
+    * distribution-free coverage, the modern answer to "how wrong is the
+    * forecast?": fit OLS on CALIBRATION days (even epoch day), take the
+    * ⌈0.9(n+1)⌉-th smallest absolute residual as the conformal radius,
+    * measure empirical coverage on TEST days (odd). The fit is exact
+    * decimal sufficient sums → two shared double coefficients; each
+    * |residual| quantizes ONCE to micro-units (an exact long both
+    * engines agree on), so the order statistic is an integer selection
+    * over the calendar-bounded calibration frame and the coverage
+    * compare is integer-vs-integer. Guaranteed ≥ 90% marginal coverage
+    * in expectation; the observed rate ships. */
+  val conformal = QuerySpec(
+    "q_conformal",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("v"))
+        .withColumn("cal", (col("t") % 2 === 0).cast("int"))
+        .cache()
+      val d38 = "decimal(38,0)"
+      val fit = daily.filter(col("cal") === 1).agg(
+        count(lit(1)).as("nc"),
+        sum(col("t").cast(d38)).as("st"),
+        sum(col("v").cast(d38)).as("sv"),
+        sum(col("t").cast(d38) * col("t")).as("stt"),
+        sum(col("t").cast(d38) * col("v")).as("stv"))
+        .select(col("nc"),
+          ((col("nc").cast(d38) * col("stv") - col("st") * col("sv"))
+            .cast("double") /
+            (col("nc").cast(d38) * col("stt") - col("st") * col("st"))
+            .cast("double")).as("beta"),
+          col("st").cast("double").as("stD"),
+          col("sv").cast("double").as("svD"))
+        .select(col("nc"), col("beta"),
+          ((col("svD") - col("beta") * col("stD")) /
+            col("nc").cast("double")).as("alpha"))
+      val scored = daily.crossJoin(broadcast(fit))
+        .withColumn("am", expr("CAST(round(abs(CAST(v AS DOUBLE) - alpha " +
+          "- beta * CAST(t AS DOUBLE)) * 1000000) AS BIGINT)"))
+      val qv = scored.filter(col("cal") === 1)
+        .withColumn("rn", row_number().over(W.orderBy("am")))
+        .filter(col("rn") === ceil(lit(0.9) * (col("nc") + 1)).cast("int"))
+        .select(col("am").as("q_micro"))
+      scored.filter(col("cal") === 0)
+        .crossJoin(broadcast(qv))
+        .agg(count(lit(1)).as("n_test"),
+          sum((col("am") <= col("q_micro")).cast("long")).as("n_covered"),
+          max(col("q_micro")).as("q_micro"))
+        .select(col("n_test"), col("n_covered"),
+          round(col("q_micro").cast("double") / 1e6 / 100.0, 6)
+            .as("radius_usd"),
+          round(col("n_covered").cast("double") /
+            col("n_test").cast("double"), 6).as("coverage"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS v,
+               CASE WHEN CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                 AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS cal
+        FROM orders GROUP BY 1
+      ),
+      fit0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS nc,
+               CAST(sum(CAST(t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS st,
+               CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv,
+               CAST(sum(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0))
+                 AS stt,
+               CAST(sum(CAST(t AS DECIMAL(38,0)) * v) AS DECIMAL(38,0))
+                 AS stv
+        FROM daily WHERE cal = 1
+      ),
+      fit1 AS (
+        SELECT nc,
+               CAST(CAST(nc AS DECIMAL(38,0)) * stv - st * sv AS DOUBLE)
+                 / CAST(CAST(nc AS DECIMAL(38,0)) * stt - st * st AS DOUBLE)
+                 AS beta,
+               CAST(st AS DOUBLE) AS std, CAST(sv AS DOUBLE) AS svd
+        FROM fit0
+      ),
+      fit AS (
+        SELECT nc, beta, (svd - beta * std) / CAST(nc AS DOUBLE) AS alpha
+        FROM fit1
+      ),
+      scored AS (
+        SELECT d.cal,
+               CAST(round(abs(CAST(d.v AS DOUBLE) - f.alpha
+                              - f.beta * CAST(d.t AS DOUBLE)) * 1000000)
+                 AS BIGINT) AS am,
+               f.nc
+        FROM daily d CROSS JOIN fit f
+      ),
+      qv AS (
+        SELECT am AS q_micro FROM (
+          SELECT am, nc, row_number() OVER (ORDER BY am) AS rn
+          FROM scored WHERE cal = 1)
+        WHERE rn = CAST(ceil(0.9 * (nc + 1)) AS INTEGER)
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN s.am <= q.q_micro THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_covered,
+             round(CAST(max(q.q_micro) AS DOUBLE) / 1e6 / 100.0, 6)
+               AS radius_usd,
+             round(CAST(sum(CASE WHEN s.am <= q.q_micro THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS coverage
+      FROM scored s CROSS JOIN qv q
+      WHERE s.cal = 0
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
     bursts, ewma, holt, stlDecompose, theilSen, holtWinters,
     markovStationary, matrixProfile, nelsonAalen, logRank, permEntropy,
-    binarySegment, hurst, entropyRate)
+    binarySegment, hurst, entropyRate, kendallTau, ljungBox, conformal)
 }

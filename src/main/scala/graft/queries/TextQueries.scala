@@ -2316,6 +2316,103 @@ object TextQueries {
       ORDER BY d.lang
     """))
 
+  /** Heaps-law exponent of vocabulary growth — V(N) ≈ K·N^β, the
+    * companion curve to [[zipfSlope]]'s rank–frequency read and the
+    * planning number behind "how big does the vocab get at 10× data?".
+    * Eight doc-prefix checkpoints k_j = ⌈n·j/8⌉ need only TWO bounded
+    * per-token/per-doc aggregates: V(k) = tokens whose FIRST-occurrence
+    * doc_id < k (one min per token), N(k) = Σ token counts of docs with
+    * doc_id < k — no per-prefix corpus rescan. ln N and ln V quantize
+    * once to nano-units, the OLS over the 8-point frame is exact
+    * DECIMAL(38,0) ([[zipfSlope]]'s discipline), and β ships with the
+    * smallest/largest checkpoints for scale context. English corpora
+    * sit near β ≈ 0.5. */
+  val heapsLaw = QuerySpec(
+    "q_heaps_law",
+    (s, d) => {
+      import s.implicits._
+      val toks = fanOut(s, documents(s, d))
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val firstDoc = toks.groupBy("tok").agg(min("doc_id").as("fd"))
+        .localCheckpoint()
+      val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        .localCheckpoint()
+      val n = documents(s, d).agg(max(col("doc_id")) + 1).head().getLong(0)
+      val ks = (1 to 8).map(j => math.ceil(n * j / 8.0).toLong)
+      val kdf = ks.toDF("k")
+      val vk = kdf.join(firstDoc, col("fd") < col("k"))
+        .groupBy("k").agg(count(lit(1)).as("v"))
+      val nk = kdf.join(perDoc, col("doc_id") < col("k"))
+        .groupBy("k").agg(sum("nt").as("nt"))
+      val pts = vk.join(nk, "k").select(
+        expr("CAST(round(ln(CAST(nt AS DOUBLE)) * 1000000000) AS BIGINT)")
+          .as("x"),
+        expr("CAST(round(ln(CAST(v AS DOUBLE)) * 1000000000) AS BIGINT)")
+          .as("y"),
+        col("k"), col("v"), col("nt"))
+      val d38 = "decimal(38,0)"
+      val st = pts.agg(count(lit(1)).as("np"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+        max(col("nt")).as("n_tokens"))
+      st.select(col("np").cast("int").as("n_points"),
+        col("v_min"), col("v_max"), col("n_tokens"),
+        round((col("np").cast(d38) * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("np").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast("double"), 6).as("beta"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+      ),
+      firstdoc AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok),
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+                 FROM toks GROUP BY doc_id),
+      nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+      ks AS (SELECT CAST(ceil(n * j / 8.0) AS BIGINT) AS k
+             FROM nn, (SELECT unnest([1,2,3,4,5,6,7,8]) AS j)),
+      vk AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS v
+        FROM ks JOIN firstdoc ON fd < k GROUP BY k
+      ),
+      nk AS (
+        SELECT k, CAST(sum(nt) AS BIGINT) AS nt
+        FROM ks JOIN perdoc ON doc_id < k GROUP BY k
+      ),
+      pts AS (
+        SELECT CAST(round(ln(CAST(nk.nt AS DOUBLE)) * 1000000000) AS BIGINT)
+                 AS x,
+               CAST(round(ln(CAST(vk.v AS DOUBLE)) * 1000000000) AS BIGINT)
+                 AS y,
+               vk.v, nk.nt
+        FROM vk JOIN nk USING (k)
+      ),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                 AS sxx,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                 AS sxy,
+               CAST(min(v) AS BIGINT) AS v_min,
+               CAST(max(v) AS BIGINT) AS v_max,
+               CAST(max(nt) AS BIGINT) AS n_tokens
+        FROM pts
+      )
+      SELECT CAST(np AS INTEGER) AS n_points, v_min, v_max, n_tokens,
+             round(CAST(CAST(np AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+                   / CAST(CAST(np AS DECIMAL(38,0)) * sxx - sx * sx
+                     AS DOUBLE), 6) AS beta
+      FROM st
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     novelty,
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
@@ -2325,5 +2422,5 @@ object TextQueries {
     featureHash, snmDedup, sqlCustomFuncs, incrementalDedup, chunkRewrite,
     bpeLearn, bpeEncode, bm25, ccLabels, prefixJoin, charEntropy,
     unicodeNorm, rrfFusion, knBigram, winnowFp, vocabCoverage,
-    weightedJaccard, flesch, zipfSlope, fertility)
+    weightedJaccard, flesch, zipfSlope, fertility, heapsLaw)
 }
