@@ -2319,20 +2319,24 @@ object TextQueries {
   /** Heaps-law exponent of vocabulary growth — V(N) ≈ K·N^β, the
     * companion curve to [[zipfSlope]]'s rank–frequency read and the
     * planning number behind "how big does the vocab get at 10× data?".
-    * Eight doc-prefix checkpoints k_j = ⌈n·j/8⌉ need only TWO bounded
-    * per-token/per-doc aggregates: V(k) = tokens whose FIRST-occurrence
-    * doc_id < k (one min per token), N(k) = Σ token counts of docs with
-    * doc_id < k — no per-prefix corpus rescan. ln N and ln V quantize
-    * once to nano-units, the OLS over the 8-point frame is exact
-    * DECIMAL(38,0) ([[zipfSlope]]'s discipline), and β ships with the
-    * smallest/largest checkpoints for scale context. English corpora
-    * sit near β ≈ 0.5. */
+    * The unit is 3-word SHINGLES, not unigrams — the synthetic corpus
+    * has a ~31-word closed vocabulary that saturates instantly (β = 0,
+    * a degenerate fit), while its shingle space keeps growing, so the
+    * gate exercises a live curve; on real text the same query runs on
+    * whichever unit the vocab plan needs. Eight doc-prefix checkpoints
+    * k_j = ⌈n·j/8⌉ need only TWO bounded aggregates: V(k) = shingles
+    * whose FIRST-occurrence doc_id < k (one min per shingle), N(k) =
+    * Σ shingle counts of docs with doc_id < k — no per-prefix corpus
+    * rescan. ln N and ln V quantize once to nano-units and the OLS
+    * over the 8-point frame is exact DECIMAL(38,0) ([[zipfSlope]]'s
+    * discipline). */
   val heapsLaw = QuerySpec(
     "q_heaps_law",
     (s, d) => {
       import s.implicits._
       val toks = fanOut(s, documents(s, d))
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          explode(Text.shingles(Text.tokens(col("text")), 3)).as("tok"))
       val firstDoc = toks.groupBy("tok").agg(min("doc_id").as("fd"))
         .localCheckpoint()
       val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
@@ -2367,9 +2371,14 @@ object TextQueries {
     Some("""
       WITH toks AS (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\W+'),
-                                  t -> t <> '')) AS tok
-        FROM documents
+               unnest(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
       ),
       firstdoc AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok),
       perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
