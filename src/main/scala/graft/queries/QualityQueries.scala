@@ -1957,10 +1957,229 @@ object QualityQueries {
       FROM st
     """))
 
+  /** Wilcoxon signed-rank test on PAIRED per-customer spend (1995 H2 −
+    * H1, cents) — [[mannWhitney]]'s paired sibling: did the same
+    * customers spend more in the second half? Zero differences drop
+    * (both sides); |d| bins to $100 (the [[spearman]] bounded value
+    * frame) and ranks ride the doubled-rank cumulative window; the
+    * doubled positive-rank sum W₂ is an exact long. Significance is the
+    * cross-multiplied DECIMAL(38,0) normal-approximation test
+    *   (2·W₂ − n(n+1))² · 3·10⁴  >  38415 · (2n(n+1)(2n+1) − T),
+    * T = Σ(t³−t) the tie term — equivalent to z² > 1.96² with
+    * μ(W₂) = n(n+1)/2 and σ²(W₂) = [2n(n+1)(2n+1) − T]/12, every
+    * operand exact. */
+  val wilcoxon = QuerySpec(
+    "q_wilcoxon",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val cents = expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val per = orders(s, d)
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy("o_custkey")
+        .agg(
+          sum(when(month(col("o_orderdate")) <= 6, cents).otherwise(0L))
+            .as("h1"),
+          sum(when(month(col("o_orderdate")) > 6, cents).otherwise(0L))
+            .as("h2"))
+        .select((col("h2") - col("h1")).as("diff"))
+        .filter(col("diff") =!= 0)
+        .select(expr("abs(diff) DIV 10000").as("ad"),
+          (col("diff") > 0).cast("long").as("pos"))
+        .filter(col("ad") > 0) // |d| under one bin carries no rank signal
+      val w = W.orderBy("ad").rowsBetween(W.unboundedPreceding, W.currentRow)
+      val vals = per.groupBy("ad").agg(count(lit(1)).as("cnt"),
+        sum("pos").as("np"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col("cnt"), col("np"),
+          (col("cum") * 2 - col("cnt") + 1).as("r2"),
+          (col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"))
+      val st = vals.agg(
+        sum("cnt").as("n"), sum(col("np") * col("r2")).as("w2"),
+        sum("tt").as("t"))
+      val d38 = "decimal(38,0)"
+      def dd(c: String) = col(c).cast(d38)
+      val n = dd("n"); val w2 = dd("w2"); val t = dd("t")
+      // (W₂ − n(n+1)/2)² = (2W₂ − n(n+1))²/4: double once more so the
+      // mean term stays integer, fold the /4 into the 12·10⁴ → 3·10⁴
+      val num = lit(2L).cast(d38) * w2 - n * (n + lit(1L).cast(d38))
+      // σ² for W₂ (doubled W⁺): [2n(n+1)(2n+1) − T]/12; spell the .05
+      // z-test cross-multiplied so both sides stay integers
+      val lhs = num * num * lit(30000L).cast(d38)
+      val rhs = lit(38415L).cast(d38) *
+        (lit(2L).cast(d38) * n * (n + lit(1L).cast(d38)) *
+          (lit(2L).cast(d38) * n + lit(1L).cast(d38)) - t)
+      val nD = col("n").cast("double")
+      val z = (col("w2").cast("double") - nD * (nD + 1.0) / 2.0) /
+        sqrt((lit(2.0) * nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) -
+          col("t").cast("double")) / 12.0)
+      st.select(col("n").as("n_pairs"), col("w2").as("w2_plus"),
+        col("t").as("ties_t"), round(z, 6).as("z"),
+        (lhs > rhs).cast("int").as("significant"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT sum(CASE WHEN month(CAST(o_orderdate AS DATE)) > 6
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) ELSE 0 END)
+               - sum(CASE WHEN month(CAST(o_orderdate AS DATE)) <= 6
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) ELSE 0 END) AS diff
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY o_custkey
+      ),
+      dd AS (
+        SELECT abs(diff) // 10000 AS ad,
+               CASE WHEN diff > 0 THEN 1 ELSE 0 END AS pos
+        FROM per WHERE diff <> 0 AND abs(diff) // 10000 > 0
+      ),
+      vals AS (
+        SELECT cnt, np,
+               2 * sum(cnt) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING)
+                 - cnt + 1 AS r2,
+               cnt * cnt * cnt - cnt AS tt
+        FROM (SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(pos) AS BIGINT) AS np
+              FROM dd GROUP BY ad)
+      ),
+      st AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(np * r2) AS BIGINT) AS w2,
+               CAST(sum(tt) AS BIGINT) AS t
+        FROM vals
+      )
+      SELECT n AS n_pairs, w2 AS w2_plus, t AS ties_t,
+             round((CAST(w2 AS DOUBLE)
+                    - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+                   / sqrt((2.0 * CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) + 1.0)
+                           * (2.0 * CAST(n AS DOUBLE) + 1.0)
+                           - CAST(t AS DOUBLE)) / 12.0), 6) AS z,
+             CAST((2 * CAST(w2 AS DECIMAL(38,0))
+                     - CAST(n AS DECIMAL(38,0))
+                       * (CAST(n AS DECIMAL(38,0)) + 1))
+                   * (2 * CAST(w2 AS DECIMAL(38,0))
+                     - CAST(n AS DECIMAL(38,0))
+                       * (CAST(n AS DECIMAL(38,0)) + 1)) * 30000
+                   > 38415 * (2 * CAST(n AS DECIMAL(38,0))
+                              * (CAST(n AS DECIMAL(38,0)) + 1)
+                              * (2 * CAST(n AS DECIMAL(38,0)) + 1)
+                              - CAST(t AS DECIMAL(38,0)))
+               AS INTEGER) AS significant
+      FROM st
+    """))
+
+  /** McNemar's test of paired activity change — of the customers who
+    * changed state between 1994 and 1995 (active = placed ≥ 1 order),
+    * is the flow symmetric? Only the DISCORDANT cells matter:
+    * χ² = (b−c)²/(b+c), one division of exact longs; significance is
+    * the cross-multiplied test (b−c)²·10⁴ > 38415·(b+c) against
+    * χ²₍₁,.05₎. The paired-binary sibling of [[abTest]]. */
+  val mcnemar = QuerySpec(
+    "q_mcnemar",
+    (s, d) => {
+      val o = orders(s, d)
+      val flags = customer(s, d).select(col("c_custkey").as("k"))
+        .join(o.filter(year(col("o_orderdate")) === 1994)
+          .select(col("o_custkey").as("k")).distinct()
+          .withColumn("a94", lit(1)), Seq("k"), "left")
+        .join(o.filter(year(col("o_orderdate")) === 1995)
+          .select(col("o_custkey").as("k")).distinct()
+          .withColumn("a95", lit(1)), Seq("k"), "left")
+        .select(coalesce(col("a94"), lit(0)).as("a94"),
+          coalesce(col("a95"), lit(0)).as("a95"))
+      val st = flags.agg(
+        sum((col("a94") === 1 && col("a95") === 0).cast("long")).as("b"),
+        sum((col("a94") === 0 && col("a95") === 1).cast("long")).as("c"),
+        count(lit(1)).as("n"))
+      val bc = col("b") - col("c"); val tot = col("b") + col("c")
+      st.select(col("n").as("n_customers"), col("b").as("only_1994"),
+        col("c").as("only_1995"),
+        round((bc * bc).cast("double") / tot.cast("double"), 6)
+          .as("chi2"),
+        (bc * bc * 10000 > tot * 38415).cast("int").as("significant"))
+    },
+    Some("""
+      WITH a94 AS (SELECT DISTINCT o_custkey AS k FROM orders
+                   WHERE year(CAST(o_orderdate AS DATE)) = 1994),
+      a95 AS (SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+      flags AS (
+        SELECT CASE WHEN a94.k IS NOT NULL THEN 1 ELSE 0 END AS f94,
+               CASE WHEN a95.k IS NOT NULL THEN 1 ELSE 0 END AS f95
+        FROM customer c
+        LEFT JOIN a94 ON a94.k = c.c_custkey
+        LEFT JOIN a95 ON a95.k = c.c_custkey
+      ),
+      st AS (
+        SELECT CAST(sum(CASE WHEN f94 = 1 AND f95 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b,
+               CAST(sum(CASE WHEN f94 = 0 AND f95 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM flags
+      )
+      SELECT n AS n_customers, b AS only_1994, c AS only_1995,
+             round(CAST((b - c) * (b - c) AS DOUBLE)
+                   / CAST(b + c AS DOUBLE), 6) AS chi2,
+             CAST((b - c) * (b - c) * 10000 > (b + c) * 38415 AS INTEGER)
+               AS significant
+      FROM st
+    """))
+
+  /** l-diversity audit — [[kAnonymity]]'s companion: a group can be
+    * k-anonymous yet expose its members if everyone shares one
+    * sensitive value. Quasi-identifier = (nation, market segment),
+    * sensitive attribute = account-balance band ($2000 steps, floor
+    * division — negatives land in the negative band on both engines
+    * via integer cents). Per group: size, distinct sensitive values
+    * (the l), and the frequency of the modal value (distinct-l is
+    * blind to skew; the mode count feeds the recursive-(c,l) read).
+    * All exact integers, one ratio. */
+  val lDiversity = QuerySpec(
+    "q_l_diversity",
+    (s, d) => {
+      val base = customer(s, d).select(
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        expr("CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 2000) " +
+          "AS BIGINT)").as("sv"))
+      val bySv = base.groupBy("nk", "seg", "sv")
+        .agg(count(lit(1)).as("c"))
+      bySv.groupBy("nk", "seg")
+        .agg(sum("c").as("group_n"),
+          count(lit(1)).as("l_distinct"),
+          max("c").as("modal_n"))
+        .select(col("nk"), col("seg"), col("group_n"), col("l_distinct"),
+          col("modal_n"),
+          round(col("modal_n").cast("double") /
+            col("group_n").cast("double"), 6).as("modal_share"))
+        .orderBy("nk", "seg")
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_nationkey AS nk, c_mktsegment AS seg,
+               CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 2000)
+                 AS BIGINT) AS sv
+        FROM customer
+      ),
+      bysv AS (
+        SELECT nk, seg, sv, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2, 3
+      )
+      SELECT nk, seg, CAST(sum(c) AS BIGINT) AS group_n,
+             CAST(count(*) AS BIGINT) AS l_distinct,
+             CAST(max(c) AS BIGINT) AS modal_n,
+             round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS modal_share
+      FROM bysv GROUP BY nk, seg
+      ORDER BY nk, seg
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(dqChecks, snapshotDiff, joinSizeEstimate, qualityLogreg, bootstrap,
       kAnonymity, dpCounts, abTest, compressRatio, pseudonymize, mutualInfo,
       benford, ksTest, cuped, mannWhitney, diffInDiff, psi, cramersV,
       dpQuantile, spearman, kruskalWallis, runsTest, jarqueBera,
-      partialCorr, cronbachAlpha)
+      partialCorr, cronbachAlpha, wilcoxon, mcnemar, lDiversity)
 }

@@ -2158,10 +2158,107 @@ object SeriesQueries {
       WHERE s.cal = 0
     """))
 
+  /** Ridge regularization path for [[linregMulti]]'s two-feature fit —
+    * closed form at λ ∈ {0, 10³, 10⁵}: center, solve the 2×2 system
+    * (S₁₁+λ, S₁₂; S₁₂, S₂₂+λ)β = (S₁y, S₂y) by Cramer, recover the
+    * intercept from the means. One sufficient-stats aggregate
+    * (decimal(38,18) accumulation, the linregMulti discipline) CROSS
+    * JOINED with the three literal λ rows — the whole path costs one
+    * extra broadcast, not three fits. λ = 0 must reproduce
+    * [[linregMulti]]'s slopes (spec-asserted); rising λ shrinks both
+    * slopes toward zero, the read that tells you how much the fit
+    * leans on thin data. All doubles compose one fixed expression
+    * tree, rounded at 1e-6. */
+  val ridgePath = QuerySpec(
+    "q_ridge_path",
+    (s, d) => {
+      import s.implicits._
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      val x1 = col("l_quantity"); val x2 = col("l_discount")
+      val y = col("l_extendedprice")
+      val st = fanOut(s, lineitem(s, d)).agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x1).as("s1"), dsum(x2).as("s2"), dsum(y).as("sy"),
+        dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"),
+        dsum(x2 * x2).as("s22"), dsum(x1 * y).as("s1y"),
+        dsum(x2 * y).as("s2y"))
+      val cen = st.select(col("*"),
+        (col("s11") - col("s1") * col("s1") / col("n")).as("c11"),
+        (col("s12") - col("s1") * col("s2") / col("n")).as("c12"),
+        (col("s22") - col("s2") * col("s2") / col("n")).as("c22"),
+        (col("s1y") - col("s1") * col("sy") / col("n")).as("c1y"),
+        (col("s2y") - col("s2") * col("sy") / col("n")).as("c2y"))
+      val lam = Seq(0.0, 1000.0, 100000.0).toDF("lambda")
+      cen.crossJoin(broadcast(lam))
+        .select(col("lambda"), col("*"))
+        .withColumn("det", (col("c11") + col("lambda")) *
+          (col("c22") + col("lambda")) - col("c12") * col("c12"))
+        .withColumn("b1u", (col("c1y") * (col("c22") + col("lambda")) -
+          col("c12") * col("c2y")) / col("det"))
+        .withColumn("b2u", ((col("c11") + col("lambda")) * col("c2y") -
+          col("c12") * col("c1y")) / col("det"))
+        .select(col("lambda"),
+          round((col("sy") - col("b1u") * col("s1") -
+            col("b2u") * col("s2")) / col("n"), 6).as("b0"),
+          round(col("b1u"), 6).as("b1"),
+          round(col("b2u"), 6).as("b2"))
+        .orderBy("lambda")
+    },
+    Some("""
+      WITH st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(l_discount AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE)
+                 AS sy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,18)))
+                 AS DOUBLE) AS s11,
+               CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,18)))
+                 AS DOUBLE) AS s12,
+               CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,18)))
+                 AS DOUBLE) AS s22,
+               CAST(sum(CAST(l_quantity * l_extendedprice
+                 AS DECIMAL(38,18))) AS DOUBLE) AS s1y,
+               CAST(sum(CAST(l_discount * l_extendedprice
+                 AS DECIMAL(38,18))) AS DOUBLE) AS s2y
+        FROM lineitem
+      ),
+      cen AS (
+        SELECT *,
+               s11 - s1 * s1 / n AS c11,
+               s12 - s1 * s2 / n AS c12,
+               s22 - s2 * s2 / n AS c22,
+               s1y - s1 * sy / n AS c1y,
+               s2y - s2 * sy / n AS c2y
+        FROM st
+      ),
+      lam AS (SELECT CAST(unnest([0.0, 1000.0, 100000.0]) AS DOUBLE)
+                AS lambda),
+      sol AS (
+        SELECT lambda, n, s1, s2, sy, c11, c12, c22, c1y, c2y,
+               (c11 + lambda) * (c22 + lambda) - c12 * c12 AS det
+        FROM cen CROSS JOIN lam
+      ),
+      b AS (
+        SELECT lambda, n, s1, s2, sy,
+               (c1y * (c22 + lambda) - c12 * c2y) / det AS b1u,
+               ((c11 + lambda) * c2y - c12 * c1y) / det AS b2u
+        FROM sol
+      )
+      SELECT lambda,
+             round((sy - b1u * s1 - b2u * s2) / n, 6) AS b0,
+             round(b1u, 6) AS b1,
+             round(b2u, 6) AS b2
+      FROM b
+      ORDER BY lambda
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
     bursts, ewma, holt, stlDecompose, theilSen, holtWinters,
     markovStationary, matrixProfile, nelsonAalen, logRank, permEntropy,
-    binarySegment, hurst, entropyRate, kendallTau, ljungBox, conformal)
+    binarySegment, hurst, entropyRate, kendallTau, ljungBox, conformal,
+    ridgePath)
 }
