@@ -919,15 +919,16 @@ object GraphQueries {
       LIMIT 30
     """))
 
-  /** Landmark closeness centrality — exact hop distances from the
-    * deterministic landmark set (nodes ≡ 0 mod 500, [[graphHops]]'
-    * seeds) via the labeled per-anchor BFS, radius 10. Closeness =
+  /** Landmark closeness centrality — exact hop distances from a
+    * deterministic CAPPED landmark set (the 16 lowest node ids ≡ 0 mod
+    * 500) via the labeled per-anchor BFS, radius 10. Closeness =
     * (reached−1) / Σ hops over the ball; n_reached counts the anchor
     * itself. All-sources closeness is O(V·E) and never ships at scale —
-    * landmark closeness is the production form (state |anchors|·V,
-    * Graph.labeledBfs scaladoc), and the radius bound makes the cost a
-    * ball, not the component. One IEEE division of exact integers per
-    * anchor. */
+    * landmark closeness is the production form, and the CAP is what
+    * makes it honest: a mod-only filter grows linearly with the graph,
+    * so labeled-BFS state would scale as V²/500; sixteen landmarks keep
+    * state at 16·ball regardless of graph size (Graph.labeledBfs
+    * scaladoc). One IEEE division of exact integers per anchor. */
   val closeness = QuerySpec(
     "q_closeness",
     (s, d) => {
@@ -935,6 +936,7 @@ object GraphQueries {
       val nodes = e.select(col("a").as("id"))
         .union(e.select(col("b").as("id"))).distinct()
       val anchors = nodes.filter(pmod(col("id"), lit(500)) === 0)
+        .orderBy("id").limit(16)
       Graph.labeledBfs(e, "a", "b", anchors, "id", maxHops = 10)
         .groupBy("anchor")
         .agg(count(lit(1)).as("n_reached"),
@@ -954,8 +956,10 @@ object GraphQueries {
         SELECT b, a FROM fedge
       ),
       nodes AS (SELECT DISTINCT s AS id FROM edges),
+      anchors AS (SELECT id FROM nodes WHERE id % 500 = 0
+                  ORDER BY id LIMIT 16),
       walk(anchor, id, hop) AS (
-        SELECT id, id, 0 FROM nodes WHERE id % 500 = 0
+        SELECT id, id, 0 FROM anchors
         UNION
         SELECT w.anchor, e.t, w.hop + 1
         FROM walk w JOIN edges e ON e.s = w.id
