@@ -2334,13 +2334,15 @@ object TextQueries {
     "q_heaps_law",
     (s, d) => {
       import s.implicits._
+      // checkpoint the exploded shingles ONCE: both the first-occurrence
+      // and per-doc aggregates read it, and the shingling pass is the
+      // whole cost of this query
       val toks = fanOut(s, documents(s, d))
         .select(col("doc_id"),
           explode(Text.shingles(Text.tokens(col("text")), 3)).as("tok"))
+        .localCheckpoint()
       val firstDoc = toks.groupBy("tok").agg(min("doc_id").as("fd"))
-        .localCheckpoint()
       val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-        .localCheckpoint()
       val n = documents(s, d).agg(max(col("doc_id")) + 1).head().getLong(0)
       val ks = (1 to 8).map(j => math.ceil(n * j / 8.0).toLong)
       val kdf = ks.toDF("k")
