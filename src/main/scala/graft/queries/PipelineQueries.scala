@@ -449,6 +449,53 @@ object PipelineQueries {
       ORDER BY cid
     """))
 
+  /** Shared DuckDB CTE chain for the DSIR per-doc weights — ONE
+    * definition, so [[importanceWeight]] and [[essAudit]] can never
+    * drift on what "the weight" is. Final CTE `dsir`: (doc_id, n_tok,
+    * weight) with the 1e-9 round already applied (weight 0.0 for
+    * token-less docs). */
+  private val DsirWeightSql = """occ AS (
+        SELECT doc_id, source,
+               CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(h, 2, 1)) - 1
+                    AS INTEGER) AS b
+        FROM (
+          SELECT doc_id, source, md5(t) AS h
+          FROM (SELECT doc_id, source,
+                       unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                          x -> x <> '')) AS t
+                FROM documents)
+        )
+      ),
+      buckets AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS c_cnt,
+               CAST(coalesce(sum(CASE WHEN source IN ('src0','src1','src2')
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_cnt
+        FROM occ GROUP BY b
+      ),
+      totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS c_tot,
+               CAST(coalesce(sum(CASE WHEN source IN ('src0','src1','src2')
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_tot
+        FROM occ
+      ),
+      per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               sum(CAST(CAST((t_cnt + 1) * (c_tot + 256) AS DOUBLE)
+                        / CAST((c_cnt + 1) * (t_tot + 256) AS DOUBLE)
+                        AS DECIMAL(38,18))) AS rsum
+        FROM occ JOIN buckets USING (b) CROSS JOIN totals
+        GROUP BY doc_id
+      ),
+      dsir AS (
+        SELECT d.doc_id, coalesce(n_tok, 0) AS n_tok,
+               CASE WHEN n_tok IS NULL THEN 0.0
+                    ELSE round(CAST(rsum AS DOUBLE) / CAST(n_tok AS DOUBLE),
+                               9)
+               END AS weight
+        FROM documents d LEFT JOIN per USING (doc_id)
+      )"""
+
   /** Hashed-n-gram importance weights for targeted data selection — the
     * DSIR shape (Xie et al. 2023: score raw docs by how target-like their
     * hashed n-gram distribution is, no classifier, no vocabulary pass).
@@ -512,51 +559,13 @@ object PipelineQueries {
           (col("weight") > 1.0).cast("int"))
         .orderBy("doc_id")
     },
-    Some("""
-      WITH occ AS (
-        SELECT doc_id, source,
-               CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                    + strpos('0123456789abcdef', substr(h, 2, 1)) - 1
-                    AS INTEGER) AS b
-        FROM (
-          SELECT doc_id, source, md5(t) AS h
-          FROM (SELECT doc_id, source,
-                       unnest(list_filter(string_split_regex(lower(text), '\W+'),
-                                          x -> x <> '')) AS t
-                FROM documents)
-        )
-      ),
-      buckets AS (
-        SELECT b, CAST(count(*) AS BIGINT) AS c_cnt,
-               CAST(coalesce(sum(CASE WHEN source IN ('src0','src1','src2')
-                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_cnt
-        FROM occ GROUP BY b
-      ),
-      totals AS (
-        SELECT CAST(count(*) AS BIGINT) AS c_tot,
-               CAST(coalesce(sum(CASE WHEN source IN ('src0','src1','src2')
-                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_tot
-        FROM occ
-      ),
-      per AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-               sum(CAST(CAST((t_cnt + 1) * (c_tot + 256) AS DOUBLE)
-                        / CAST((c_cnt + 1) * (t_tot + 256) AS DOUBLE)
-                        AS DECIMAL(38,18))) AS rsum
-        FROM occ JOIN buckets USING (b) CROSS JOIN totals
-        GROUP BY doc_id
-      )
-      SELECT d.doc_id,
-             coalesce(n_tok, 0) AS n_tok,
-             CASE WHEN n_tok IS NULL THEN 0.0
-                  ELSE round(CAST(rsum AS DOUBLE) / CAST(n_tok AS DOUBLE), 9)
-             END AS weight,
-             CAST(CASE WHEN n_tok IS NULL THEN 0
-                       WHEN round(CAST(rsum AS DOUBLE) / CAST(n_tok AS DOUBLE),
-                                  9) > 1.0
-                       THEN 1 ELSE 0 END AS INTEGER) AS keep
-      FROM documents d LEFT JOIN per USING (doc_id)
-      ORDER BY d.doc_id
+    Some(s"""
+      WITH $DsirWeightSql
+      SELECT doc_id, n_tok, weight,
+             CAST(CASE WHEN weight > 1.0 THEN 1 ELSE 0 END AS INTEGER)
+               AS keep
+      FROM dsir
+      ORDER BY doc_id
     """))
 
   /** Weighted sample without replacement, derandomized (Router.aresKey
@@ -889,10 +898,63 @@ object PipelineQueries {
       ORDER BY node
     """))
 
+  /** Effective sample size of the DSIR importance weights, per source —
+    * the audit that tells you whether weighted training actually USES
+    * the corpus: ESS = (Σw)²/Σw², and ESS/n ≪ 1 means a few documents
+    * carry all the mass (the resampling would collapse onto them). ESS
+    * is scale-invariant, so the per-doc weights quantize ONCE to
+    * nano-units (the same rounded weight [[importanceWeight]] ships)
+    * and both sums are exact DECIMAL(38,0) — deterministic under any
+    * partition order, one double division at the end. The oracle reads
+    * the SAME shared `dsir` CTE chain, so the two queries cannot drift
+    * on the weight definition. */
+  val essAudit = QuerySpec(
+    "q_ess",
+    (s, d) => {
+      val w = importanceWeight.run(s, d)
+        .join(documents(s, d).select("doc_id", "source"), "doc_id")
+        .select(col("source"),
+          expr("CAST(round(weight * 1000000000) AS BIGINT)").as("wq"))
+      val d38 = "decimal(38,0)"
+      w.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("wq").cast(d38)).as("sw"),
+          sum(col("wq").cast(d38) * col("wq")).as("sq"))
+        .select(col("source"), col("n_docs"),
+          round((col("sw") * col("sw")).cast("double") /
+            col("sq").cast("double"), 6).as("ess"),
+          round((col("sw") * col("sw")).cast("double") /
+            (col("sq").cast("double") * col("n_docs").cast("double")), 6)
+            .as("ess_ratio"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH $DsirWeightSql,
+      j AS (
+        SELECT d.source,
+               CAST(round(weight * 1000000000) AS BIGINT) AS wq
+        FROM dsir JOIN documents d USING (doc_id)
+      ),
+      st AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(wq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sw,
+               CAST(sum(CAST(wq AS DECIMAL(38,0)) * wq) AS DECIMAL(38,0))
+                 AS sq
+        FROM j GROUP BY source
+      )
+      SELECT source, n_docs,
+             round(CAST(sw * sw AS DOUBLE) / CAST(sq AS DOUBLE), 6) AS ess,
+             round(CAST(sw * sw AS DOUBLE)
+                   / (CAST(sq AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6)
+               AS ess_ratio
+      FROM st
+      ORDER BY source
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     exportShards,
     hashSplit, chunkDocs, packSequences, domainCap, globalShuffle,
     truncateTokens, mixtureWeights, sourceDrift, ragIndex,
     importanceWeight, weightedSample, negativeSample, tokenizeIds,
-    timeSplit, hashRing)
+    timeSplit, hashRing, essAudit)
 }

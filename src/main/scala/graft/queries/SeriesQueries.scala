@@ -2254,11 +2254,88 @@ object SeriesQueries {
       ORDER BY lambda
     """))
 
+  /** Seasonal Mann–Kendall trend test — [[kendallTau]] made
+    * seasonality-proof: compare days only WITHIN their day-of-week
+    * season (dow = (t+4) mod 7, the [[seasonalProfile]] epoch-day
+    * convention), so a weekly cycle can't masquerade as trend.
+    * S = ΣₛΣ_{i<j} sign(vⱼ−vᵢ) and Var = Σₛ nₛ(nₛ−1)(2nₛ+5)/18 are
+    * exact integers over the 1995 calendar-bounded pair frame (the
+    * [[theilSen]] O(n²) scoping; cents make exact value ties
+    * measure-rare and a tied pair simply contributes 0 to S). The .05
+    * verdict is the cross-multiplied continuity-corrected test
+    * (|S|−1)²·18·10⁴ > 38415·Σnₛ(nₛ−1)(2nₛ+5), both sides
+    * DECIMAL(38,0); z ships rounded at 1e-6. */
+  val seasonalMk = QuerySpec(
+    "q_seasonal_mk",
+    (s, d) => {
+      val daily = orders(s, d)
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("v"))
+        .withColumn("dow", expr("CAST((t + 4) % 7 AS INTEGER)"))
+        .cache()
+      val a = daily.select(col("dow"), col("t").as("t1"), col("v").as("v1"))
+      val b = daily.select(col("dow"), col("t").as("t2"), col("v").as("v2"))
+      val sAgg = a.join(b, Seq("dow")).filter(col("t2") > col("t1"))
+        .agg(sum(signum(col("v2") - col("v1")).cast("long")).as("s"))
+      val vAgg = daily.groupBy("dow").agg(count(lit(1)).as("ns"))
+        .agg(sum(col("ns") * (col("ns") - 1) * (col("ns") * 2 + 5))
+          .as("v18"), sum("ns").as("n"))
+      val d38 = "decimal(38,0)"
+      val absS = abs(col("s")).cast(d38)
+      val lhs = (absS - lit(1L).cast(d38)) * (absS - lit(1L).cast(d38)) *
+        lit(180000L).cast(d38)
+      val rhs = lit(38415L).cast(d38) * col("v18").cast(d38)
+      val z = (col("s").cast("double") - signum(col("s").cast("double"))) /
+        sqrt(col("v18").cast("double") / 18.0)
+      sAgg.crossJoin(broadcast(vAgg)).select(
+        col("n").as("n_days"), col("s").as("mk_s"),
+        round(z, 6).as("z"),
+        (col("s") =!= 0 && lhs > rhs).cast("int").as("significant"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS v,
+               CAST((CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                 AS BIGINT) + 4) % 7 AS INTEGER) AS dow
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY 1
+      ),
+      sa AS (
+        SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s
+        FROM daily a JOIN daily b ON b.dow = a.dow AND b.t > a.t
+      ),
+      va AS (
+        SELECT CAST(sum(ns * (ns - 1) * (ns * 2 + 5)) AS BIGINT) AS v18,
+               CAST(sum(ns) AS BIGINT) AS n
+        FROM (SELECT CAST(count(*) AS BIGINT) AS ns
+              FROM daily GROUP BY dow)
+      )
+      SELECT n AS n_days, s AS mk_s,
+             round((CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+                   / sqrt(CAST(v18 AS DOUBLE) / 18.0), 6) AS z,
+             CAST(s <> 0 AND
+                  (CAST(abs(s) AS DECIMAL(38,0)) - 1)
+                    * (CAST(abs(s) AS DECIMAL(38,0)) - 1) * 180000
+                  > 38415 * CAST(v18 AS DECIMAL(38,0)) AS INTEGER)
+               AS significant
+      FROM sa CROSS JOIN va
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
     bursts, ewma, holt, stlDecompose, theilSen, holtWinters,
     markovStationary, matrixProfile, nelsonAalen, logRank, permEntropy,
     binarySegment, hurst, entropyRate, kendallTau, ljungBox, conformal,
-    ridgePath)
+    ridgePath, seasonalMk)
 }
