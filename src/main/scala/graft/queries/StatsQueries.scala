@@ -1,0 +1,796 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.Series
+
+/** Parametric / epidemiological statistics surface — the classical
+  * mean-comparison and stratified-table tests that complement the
+  * nonparametric family in [[QualityQueries]] (Kruskal–Wallis, runs,
+  * Wilcoxon, McNemar) the way untitled.py:162-165's correlation loop
+  * complements its aggregates: one scan, exact sufficient statistics,
+  * one fixed IEEE expression both engines replay identically.
+  *
+  * Shared discipline (the q_corr / q_kruskal contract):
+  *  - values enter as EXACT integers (cents via DECIMAL(18,2)·100);
+  *  - per-group sufficient statistics (n, Σv, Σv²) accumulate in
+  *    DECIMAL(38,0) — order-free, tie-free, portable;
+  *  - the KNOWN group set pivots in fixed order through conditional
+  *    aggregation (never a partition-order float fold);
+  *  - the test statistic is ONE double expression tree over those exact
+  *    operands, rounded at 1e-6; significance verdicts compare the
+  *    rounded statistic against a pinned critical value.
+  *
+  * Scale shape (100 TB): every query is one map-side-combinable
+  * aggregate over the fact table (Levene adds one broadcast join of 5
+  * group medians); output is a single row regardless of SF.
+  */
+object StatsQueries {
+
+  private val d38 = "decimal(38,0)"
+
+  /** Cents of a DOUBLE money column as an exact BIGINT. */
+  private def cents(c: Column): Column =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
+  private val priorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val segments = Seq(
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  /** The testdata's full shipdate span (sf-independent: the generator
+    * draws uniformly over it; all seven years populate every SF). */
+  private val shipYears = Seq(1995, 1996, 1997, 1998, 1999, 2000, 2001)
+
+  /** Fixed-order Σ Sᵍ²/nᵍ double tree over pivoted group columns. */
+  private def sumSq(k: Int): Column =
+    (0 until k).map { i =>
+      col(s"s$i").cast("double") * col(s"s$i").cast("double") /
+        col(s"n$i").cast("double")
+    }.reduce(_ + _)
+
+  /** One-way ANOVA F of order value (cents) across the five known
+    * priority classes — the parametric companion to [[QualityQueries
+    * .kruskalWallis]] on the same grouping. SSB and SSW come from the
+    * pivoted exact statistics:
+    *   SSB = Σ Sᵍ²/nᵍ − S²/n,   SSW = Σv² − Σ Sᵍ²/nᵍ,
+    *   F = (SSB/(k−1)) / (SSW/(n−k)).
+    * Significance uses the asymptotic F(4,∞) .05 critical value
+    * χ²₍₄,.05₎/4 = 2.371925 — documented approximation: n−k is ≥ 1 500
+    * even at sf0.001, where F(4, 1500) ≈ 2.3746 differs in the third
+    * decimal and the observed F is nowhere near the boundary. */
+  val anova = QuerySpec(
+    "q_anova",
+    (s, d) => {
+      val rows = orders(s, d).select(col("o_orderpriority").as("g"),
+        cents(col("o_totalprice")).as("v"))
+      val aggs =
+        count(lit(1)).as("n") +:
+          (sum(col("v").cast(d38)).as("sv") +:
+            (sum((col("v").cast(d38)) * col("v")).as("q") +:
+              priorities.zipWithIndex.flatMap { case (g, i) => Seq(
+                sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n$i"),
+                sum(when(col("g") === g, col("v").cast(d38))
+                  .otherwise(lit(0).cast(d38))).as(s"s$i"))
+              }))
+      val piv = rows.agg(aggs.head, aggs.tail: _*)
+      val nD = col("n").cast("double")
+      val ssb = sumSq(5) -
+        col("sv").cast("double") * col("sv").cast("double") / nD
+      val ssw = col("q").cast("double") - sumSq(5)
+      val f = (ssb / lit(4.0)) / (ssw / (nD - lit(5.0)))
+      piv.select(col("n"), lit(5).as("k"), round(f, 6).as("f"),
+        (round(f, 6) > 2.371925).cast("int").as("significant"))
+    },
+    Some("""
+      WITH rows_ AS (
+        SELECT o_orderpriority AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM orders
+      ),
+      piv AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv,
+               CAST(sum(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS q,
+               CAST(sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN g = '1-URGENT' THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s0,
+               CAST(sum(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN g = '2-HIGH' THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s1,
+               CAST(sum(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN g = '3-MEDIUM' THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s2,
+               CAST(sum(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN g = '4-NOT SPECIFIED' THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s3,
+               CAST(sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+               CAST(sum(CASE WHEN g = '5-LOW' THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s4
+        FROM rows_
+      ),
+      ff AS (
+        SELECT n,
+               (((CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                  + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+                  + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE))
+                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                / 4.0)
+               / ((CAST(q AS DOUBLE)
+                   - (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                      + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                      + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+                      + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) - 5.0)) AS f
+        FROM piv
+      )
+      SELECT n, 5 AS k, round(f, 6) AS f,
+             CAST(round(f, 6) > 2.371925 AS INTEGER) AS significant
+      FROM ff
+    """))
+
+  /** Welch's unequal-variance t-test: BUILDING vs MACHINERY customer
+    * account balances (cents). Means and variances come from exact
+    * (n, Σv, Σv²) per segment; t and the Welch–Satterthwaite df are one
+    * double tree each. Verdict |t| > 1.96 (normal limit — df is in the
+    * thousands at every SF the driver runs). */
+  val welchT = QuerySpec(
+    "q_welch_t",
+    (s, d) => {
+      val rows = customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("g"), cents(col("c_acctbal")).as("v"))
+      val piv = rows.agg(
+        sum(when(col("g") === "BUILDING", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "BUILDING", col("v").cast(d38))
+          .otherwise(lit(0).cast(d38))).as("s1"),
+        sum(when(col("g") === "BUILDING", col("v").cast(d38) * col("v"))
+          .otherwise(lit(0).cast(d38))).as("q1"),
+        sum(when(col("g") === "MACHINERY", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "MACHINERY", col("v").cast(d38))
+          .otherwise(lit(0).cast(d38))).as("s2"),
+        sum(when(col("g") === "MACHINERY", col("v").cast(d38) * col("v"))
+          .otherwise(lit(0).cast(d38))).as("q2"))
+      def m(i: Int) = col(s"s$i").cast("double") / col(s"n$i").cast("double")
+      def v(i: Int) = (col(s"q$i").cast("double") -
+        col(s"s$i").cast("double") * col(s"s$i").cast("double") /
+          col(s"n$i").cast("double")) / (col(s"n$i").cast("double") - 1.0)
+      def se2(i: Int) = v(i) / col(s"n$i").cast("double")
+      val t = (m(1) - m(2)) / sqrt(se2(1) + se2(2))
+      val df = (se2(1) + se2(2)) * (se2(1) + se2(2)) /
+        (se2(1) * se2(1) / (col("n1").cast("double") - 1.0) +
+          se2(2) * se2(2) / (col("n2").cast("double") - 1.0))
+      piv.select(col("n1"), col("n2"), round(t, 6).as("t"),
+        round(df, 4).as("df_welch"),
+        (abs(round(t, 6)) > 1.96).cast("int").as("significant"))
+    },
+    Some("""
+      WITH rows_ AS (
+        SELECT c_mktsegment AS g,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      ),
+      piv AS (
+        SELECT
+          CAST(sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN g = 'BUILDING' THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s1,
+          CAST(sum(CASE WHEN g = 'BUILDING' THEN CAST(v AS DECIMAL(38,0)) * v ELSE 0 END) AS DECIMAL(38,0)) AS q1,
+          CAST(sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(sum(CASE WHEN g = 'MACHINERY' THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s2,
+          CAST(sum(CASE WHEN g = 'MACHINERY' THEN CAST(v AS DECIMAL(38,0)) * v ELSE 0 END) AS DECIMAL(38,0)) AS q2
+        FROM rows_
+      ),
+      tt AS (
+        SELECT n1, n2,
+               (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+                      + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)) AS t,
+               (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+                + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))
+               * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+                  + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))
+               / ((((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE))
+                  * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) - 1.0)
+                  + (((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))
+                  * (((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))
+                  / (CAST(n2 AS DOUBLE) - 1.0)) AS df
+        FROM piv
+      )
+      SELECT n1, n2, round(t, 6) AS t, round(df, 4) AS df_welch,
+             CAST(abs(round(t, 6)) > 1.96 AS INTEGER) AS significant
+      FROM tt
+    """))
+
+  /** Brown–Forsythe (median-centered Levene) homogeneity-of-variance
+    * test for account balances across the five market segments — the
+    * gatekeeper assumption check for [[anova]]-style pooling. Group
+    * medians double to exact half-cent integers (cents are < 2⁵³, and
+    * the even-n midpoint is a half — both engines interpolate
+    * identically), deviations zᵢ = |2v − med2(g)| stay exact BIGINT,
+    * and the statistic is one-way ANOVA on z via the same pivoted
+    * sufficient statistics. One broadcast join of 5 median rows; one
+    * aggregate per pass. Verdict F(4,∞) as in [[anova]]. */
+  val levene = QuerySpec(
+    "q_levene",
+    (s, d) => {
+      val rows = customer(s, d)
+        .select(col("c_mktsegment").as("g"), cents(col("c_acctbal")).as("v"))
+      val med = rows.groupBy("g")
+        .agg((median(col("v")) * 2).cast("long").as("med2"))
+      val z = rows.join(broadcast(med), "g")
+        .select(col("g"), abs(col("v") * 2 - col("med2")).as("z"))
+      val aggs =
+        count(lit(1)).as("n") +:
+          (sum(col("z").cast(d38)).as("sv") +:
+            (sum((col("z").cast(d38)) * col("z")).as("q") +:
+              segments.zipWithIndex.flatMap { case (g, i) => Seq(
+                sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n$i"),
+                sum(when(col("g") === g, col("z").cast(d38))
+                  .otherwise(lit(0).cast(d38))).as(s"s$i"))
+              }))
+      val piv = z.agg(aggs.head, aggs.tail: _*)
+      val nD = col("n").cast("double")
+      val ssb = sumSq(5) -
+        col("sv").cast("double") * col("sv").cast("double") / nD
+      val ssw = col("q").cast("double") - sumSq(5)
+      val f = (ssb / lit(4.0)) / (ssw / (nD - lit(5.0)))
+      piv.select(col("n"), lit(5).as("k"), round(f, 6).as("f_bf"),
+        (round(f, 6) > 2.371925).cast("int").as("significant"))
+    },
+    Some("""
+      WITH rows_ AS (
+        SELECT c_mktsegment AS g,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM customer
+      ),
+      med AS (
+        SELECT g, CAST(2 * median(v) AS BIGINT) AS med2 FROM rows_ GROUP BY g
+      ),
+      z AS (
+        SELECT rows_.g, abs(v * 2 - med2) AS z
+        FROM rows_ JOIN med USING (g)
+      ),
+      piv AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv,
+               CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS q,
+               CAST(sum(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN g = 'AUTOMOBILE' THEN CAST(z AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s0,
+               CAST(sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN g = 'BUILDING' THEN CAST(z AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s1,
+               CAST(sum(CASE WHEN g = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN g = 'FURNITURE' THEN CAST(z AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s2,
+               CAST(sum(CASE WHEN g = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN g = 'HOUSEHOLD' THEN CAST(z AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s3,
+               CAST(sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+               CAST(sum(CASE WHEN g = 'MACHINERY' THEN CAST(z AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s4
+        FROM z
+      ),
+      ff AS (
+        SELECT n,
+               (((CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                  + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+                  + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE))
+                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                / 4.0)
+               / ((CAST(q AS DOUBLE)
+                   - (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                      + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                      + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+                      + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) - 5.0)) AS f
+        FROM piv
+      )
+      SELECT n, 5 AS k, round(f, 6) AS f_bf,
+             CAST(round(f, 6) > 2.371925 AS INTEGER) AS significant
+      FROM ff
+    """))
+
+  /** Mantel–Haenszel stratified 2×2 analysis: does a deep discount
+    * (l_discount > 0.05) associate with returns (l_returnflag = 'R')
+    * after blocking by ship YEAR? Confounding-by-era is exactly what a
+    * pooled 2×2 gets wrong; the MH estimator pools per-stratum odds
+    * ratios weighted by bᵢcᵢ/nᵢ.
+    *
+    * The seven strata PIVOT into one row (the q_kruskal conditional-
+    * aggregation discipline), so every cross-stratum sum is a FIXED
+    * double expression tree over exact integer counts — deterministic
+    * under any partitioning, no quantization needed (integer division
+    * is a trap here: DuckDB's `//` on DECIMAL routes through DOUBLE,
+    * so a DIV-based "exact" form silently diverges past 2⁵³). OR_MH
+    * pools aᵢdᵢ/nᵢ over bᵢcᵢ/nᵢ; the continuity-corrected CMH χ²
+    * uses Σaᵢ (exact), ΣE[aᵢ], ΣVar[aᵢ]. Verdict χ²₍₁,.05₎ = 3.8415
+    * on the rounded statistic. */
+  val mantelHaenszel = QuerySpec(
+    "q_mantel_haenszel",
+    (s, d) => {
+      val rows = lineitem(s, d).select(
+        year(col("l_shipdate")).as("y"),
+        (col("l_discount") > 0.05).cast("int").as("e"),
+        (col("l_returnflag") === "R").cast("int").as("r"))
+      val aggs = shipYears.zipWithIndex.flatMap { case (yv, i) => Seq(
+        sum(when(col("y") === yv && col("e") === 1 && col("r") === 1, 1L)
+          .otherwise(0L)).as(s"a$i"),
+        sum(when(col("y") === yv && col("e") === 1 && col("r") === 0, 1L)
+          .otherwise(0L)).as(s"b$i"),
+        sum(when(col("y") === yv && col("e") === 0 && col("r") === 1, 1L)
+          .otherwise(0L)).as(s"c$i"),
+        sum(when(col("y") === yv && col("e") === 0 && col("r") === 0, 1L)
+          .otherwise(0L)).as(s"d$i"))
+      }
+      val piv = rows.agg(aggs.head, aggs.tail: _*)
+      def dbl(e: String): Column = expr(e).cast("double")
+      def stratum(i: Int): (Column, Column, Column, Column, Column) = {
+        val n = dbl(s"a$i + b$i + c$i + d$i")
+        val rT = dbl(s"a$i") * dbl(s"d$i") / n
+        val sT = dbl(s"b$i") * dbl(s"c$i") / n
+        val aT = dbl(s"a$i")
+        val eT = dbl(s"a$i + b$i") * dbl(s"a$i + c$i") / n
+        // V_i = (a+b)/n · (c+d) · (a+c)/n · (b+d)/(n−1): interleaved
+        // divisions keep every intermediate ≤ n², far inside double range.
+        val vT = (dbl(s"a$i + b$i") / n) * dbl(s"c$i + d$i") *
+          (dbl(s"a$i + c$i") / n) * (dbl(s"b$i + d$i") / (n - lit(1.0)))
+        (rT, sT, aT, eT, vT)
+      }
+      val parts = shipYears.indices.map(stratum)
+      val rSum = parts.map(_._1).reduce(_ + _)
+      val sSum = parts.map(_._2).reduce(_ + _)
+      val aSum = parts.map(_._3).reduce(_ + _)
+      val eSum = parts.map(_._4).reduce(_ + _)
+      val vSum = parts.map(_._5).reduce(_ + _)
+      val orMh = rSum / sSum
+      val dev = abs(aSum - eSum) - lit(0.5)
+      val chi2 = dev * dev / vSum
+      piv.select(lit(shipYears.size).as("n_strata"),
+        round(orMh, 6).as("or_mh"), round(chi2, 6).as("chi2_cmh"),
+        (round(chi2, 6) > 3.8415).cast("int").as("significant"))
+    },
+    Some {
+      val strata = shipYears.indices.map { i =>
+        val y = shipYears(i)
+        s"""
+          CAST(sum(CASE WHEN y = $y AND e = 1 AND r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a$i,
+          CAST(sum(CASE WHEN y = $y AND e = 1 AND r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b$i,
+          CAST(sum(CASE WHEN y = $y AND e = 0 AND r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c$i,
+          CAST(sum(CASE WHEN y = $y AND e = 0 AND r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d$i"""
+      }.mkString(",")
+      def nD(i: Int) = s"CAST(a$i + b$i + c$i + d$i AS DOUBLE)"
+      val rSum = shipYears.indices.map(i =>
+        s"CAST(a$i AS DOUBLE) * CAST(d$i AS DOUBLE) / ${nD(i)}")
+        .mkString(" + ")
+      val sSum = shipYears.indices.map(i =>
+        s"CAST(b$i AS DOUBLE) * CAST(c$i AS DOUBLE) / ${nD(i)}")
+        .mkString(" + ")
+      val aSum = shipYears.indices.map(i => s"CAST(a$i AS DOUBLE)")
+        .mkString(" + ")
+      val eSum = shipYears.indices.map(i =>
+        s"CAST(a$i + b$i AS DOUBLE) * CAST(a$i + c$i AS DOUBLE) / ${nD(i)}")
+        .mkString(" + ")
+      val vSum = shipYears.indices.map { i =>
+        s"""(CAST(a$i + b$i AS DOUBLE) / ${nD(i)}) * CAST(c$i + d$i AS DOUBLE)
+            * (CAST(a$i + c$i AS DOUBLE) / ${nD(i)})
+            * (CAST(b$i + d$i AS DOUBLE) / (${nD(i)} - 1.0))"""
+      }.mkString(" + ")
+      s"""
+      WITH rows_ AS (
+        SELECT year(l_shipdate) AS y,
+               CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS e,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem
+      ),
+      piv AS (SELECT $strata FROM rows_),
+      sums AS (
+        SELECT ($rSum) AS rsum,
+               ($sSum) AS ssum,
+               ($aSum) AS asum,
+               ($eSum) AS esum,
+               ($vSum) AS vsum
+        FROM piv
+      )
+      SELECT ${shipYears.size} AS n_strata,
+             round(rsum / ssum, 6) AS or_mh,
+             round((abs(asum - esum) - 0.5) * (abs(asum - esum) - 0.5)
+                   / vsum, 6) AS chi2_cmh,
+             CAST(round((abs(asum - esum) - 0.5) * (abs(asum - esum) - 0.5)
+                   / vsum, 6) > 3.8415 AS INTEGER) AS significant
+      FROM sums
+      """
+    })
+
+  /** Partial autocorrelation of daily revenue at lags 1–3 via
+    * Durbin–Levinson on the GATE-PINNED autocorrelations (the q_acf
+    * values, each rounded at 1e-6 before composing — the q_partial_corr
+    * discipline, so the recursion sees bit-identical inputs in both
+    * engines). PACF is the AR-order diagnostic ACF can't give: an AR(p)
+    * series cuts off at lag p in PACF while ACF decays forever.
+    *   φ₁₁ = r₁;  φ₂₂ = (r₂−r₁²)/(1−r₁²);  φ₂₁ = r₁−φ₂₂r₁;
+    *   φ₃₃ = (r₃−φ₂₁r₂−φ₂₂r₁)/(1−φ₂₁r₁−φ₂₂r₂). */
+  val pacf = QuerySpec(
+    "q_pacf",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("t"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("x"))
+      val rs = Series.autocorr(daily, "t", "x", maxLag = 3)
+        .agg(
+          max(when(col("lag") === 1, col("acf"))).as("r1"),
+          max(when(col("lag") === 2, col("acf"))).as("r2"),
+          max(when(col("lag") === 3, col("acf"))).as("r3"))
+      val r1 = col("r1"); val r2 = col("r2"); val r3 = col("r3")
+      val p2 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+      val phi21 = r1 - p2 * r1
+      val p3 = (r3 - phi21 * r2 - p2 * r1) /
+        (lit(1.0) - phi21 * r1 - p2 * r2)
+      rs.select(round(r1, 6).as("pacf1"), round(p2, 6).as("pacf2"),
+        round(p3, 6).as("pacf3"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+      ),
+      lags AS (SELECT unnest([1, 2, 3]) AS lag),
+      pairs AS (
+        SELECT l.lag, a.x AS x, b.x AS y
+        FROM daily a JOIN lags l ON true JOIN daily b ON b.t = a.t + l.lag
+      ),
+      st AS (
+        SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag
+      ),
+      acf AS (
+        SELECT lag,
+               round((n * sxy - sx * sy) /
+                     (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                 AS r
+        FROM st
+      ),
+      rp AS (
+        SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+               max(CASE WHEN lag = 2 THEN r END) AS r2,
+               max(CASE WHEN lag = 3 THEN r END) AS r3
+        FROM acf
+      ),
+      dl AS (
+        SELECT r1, r2, r3,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+        FROM rp
+      ),
+      dl2 AS (
+        SELECT r1, r2, r3, p2, r1 - p2 * r1 AS phi21 FROM dl
+      )
+      SELECT round(r1, 6) AS pacf1, round(p2, 6) AS pacf2,
+             round((r3 - phi21 * r2 - p2 * r1) /
+                   (1.0 - phi21 * r1 - p2 * r2), 6) AS pacf3
+      FROM dl2
+    """))
+
+  /** Cross-correlation of daily revenue (x, cents→double) against daily
+    * order COUNT (y) at lags −3…3 — the lead/lag diagnostic between two
+    * series that [[pacf]]/q_acf can't see (both are single-series). A
+    * negative-lag peak means count leads revenue; positive means it
+    * trails. Matched pairs per lag via one shifted self-join of the
+    * calendar-bounded daily frame; Pearson per lag through the
+    * DECIMAL(38,18) sufficient statistics of the q_acf contract. */
+  val ccf = QuerySpec(
+    "q_ccf",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("t"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("x"),
+          count(lit(1)).cast("double").as("y"))
+      val probes = daily.select(col("t"), col("y"),
+          explode(array((-3 to 3).map(lit(_)): _*)).as("lag"))
+        .select((col("t") - col("lag")).as("t0"), col("lag"), col("y"))
+      val pairs = daily.select(col("t").as("t0"), col("x")).join(probes, "t0")
+      def dsum(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
+      pairs.groupBy("lag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("y") * col("y")).as("syy"),
+          dsum(col("x") * col("y")).as("sxy"))
+        .select(col("lag"), col("n").cast("long").as("n_pairs"),
+          when(
+            col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0 &&
+              col("n") * col("syy") - col("sy") * col("sy") =!= 0.0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+            .as("ccf"))
+        .orderBy("lag")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+      ),
+      lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+      pairs AS (
+        SELECT l.lag, a.x AS x, b.y AS y
+        FROM daily a JOIN lags l ON true JOIN daily b ON b.t = a.t + l.lag
+      ),
+      st AS (
+        SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag
+      )
+      SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+             CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                  THEN round((n * sxy - sx * sy) /
+                             (sqrt(n * sxx - sx * sx) *
+                              sqrt(n * syy - sy * sy)), 6)
+             END AS ccf
+      FROM st
+      ORDER BY lag
+    """))
+
+  /** Discrete-Fourier power of daily revenue at the weekly harmonics
+    * k = 1, 2, 3 (period 7/k days) — the spectral seasonality probe
+    * behind [[SeriesQueries.seasonalProfile]]'s time-domain view. The
+    * seven cos/sin basis values per harmonic are TRANSCENDENTAL, so they
+    * enter both plans as identical nano-quantized INTEGER literals
+    * computed once here (the q_hurst OLS-weights precedent); the
+    * projection Σ vᵢ·c_nano(dowᵢ) is then an exact DECIMAL(38,0) integer
+    * under any partition order (v in cents). amp_ratio_k =
+    * √(Sc²+Ss²)·2/(n·mean) — dimensionless, one double tree. */
+  val periodogram = QuerySpec(
+    "q_periodogram", {
+      // dow → round(cos/sin(2πk·dow/7)·1e9), k = 1..3; identical literals
+      // land in the SQL string below via the same expressions.
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date")).as("t"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("v"))
+          .withColumn("dow", pmod(col("t"), lit(7)))
+        def basis(k: Int, f: Double => Double): Column =
+          coalesce((0 to 6).map { dw =>
+            when(col("dow") === dw,
+              lit(math.round(f(2.0 * math.Pi * k * dw / 7.0) * 1e9)))
+          }: _*)
+        val aggs = count(lit(1)).as("n") +:
+          (sum(col("v").cast(d38)).as("sv") +:
+            (1 to 3).flatMap { k => Seq(
+              sum(col("v").cast(d38) * basis(k, math.cos)).as(s"sc$k"),
+              sum(col("v").cast(d38) * basis(k, math.sin)).as(s"ss$k"))
+            })
+        val piv = daily.agg(aggs.head, aggs.tail: _*)
+        def amp(k: Int): Column = round(
+          sqrt(col(s"sc$k").cast("double") * col(s"sc$k").cast("double") +
+            col(s"ss$k").cast("double") * col(s"ss$k").cast("double")) *
+            lit(2.0) / (col("sv").cast("double") * lit(1e9)), 6)
+        piv.select(col("n").as("n_days"), amp(1).as("amp_weekly"),
+          amp(2).as("amp_half_week"), amp(3).as("amp_third_week"))
+      }
+    },
+    Some {
+      def basisSql(k: Int, f: Double => Double): String =
+        "CASE dow " + (0 to 6).map { dw =>
+          s"WHEN $dw THEN ${math.round(f(2.0 * math.Pi * k * dw / 7.0) * 1e9)}"
+        }.mkString(" ") + " END"
+      val projs = (1 to 3).map { k =>
+        s"""CAST(sum(CAST(v AS DECIMAL(38,0)) * (${basisSql(k, math.cos)}))
+               AS DECIMAL(38,0)) AS sc$k,
+            CAST(sum(CAST(v AS DECIMAL(38,0)) * (${basisSql(k, math.sin)}))
+               AS DECIMAL(38,0)) AS ss$k"""
+      }.mkString(",")
+      val amps = (1 to 3).map { k =>
+        val nm = Seq("amp_weekly", "amp_half_week", "amp_third_week")(k - 1)
+        s"""round(sqrt(CAST(sc$k AS DOUBLE) * CAST(sc$k AS DOUBLE)
+                       + CAST(ss$k AS DOUBLE) * CAST(ss$k AS DOUBLE))
+                  * 2.0 / (CAST(sv AS DOUBLE) * 1e9), 6) AS $nm"""
+      }.mkString(",")
+      s"""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS v
+        FROM orders GROUP BY 1
+      ),
+      dowed AS (SELECT ((t % 7) + 7) % 7 AS dow, v FROM daily),
+      piv AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv,
+               $projs
+        FROM dowed
+      )
+      SELECT n AS n_days, $amps FROM piv
+      """
+    })
+
+  /** Jensen–Shannon divergence between the 1995 and 1996 order-value
+    * distributions over q_psi's 20 fixed bins — the bounded, symmetric,
+    * zero-tolerant drift measure PSI isn't (PSI drops zero-mass bins;
+    * JS's m = (p+q)/2 is nonzero wherever either side has mass, so
+    * every populated bin contributes). Per-bin terms p·ln(2p/(p+q))
+    * quantize ONCE to nano-units (exact integer cross-bin sum under any
+    * order); js = (Σp-terms + Σq-terms)/2 normalized by ln 2 into
+    * [0, 1]. */
+  val jsDivergence = QuerySpec(
+    "q_js_divergence",
+    (s, d) => {
+      val binned = orders(s, d)
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .select(year(col("o_orderdate")).as("yr"),
+          least(floor(col("o_totalprice") / 30000.0), lit(19.0))
+            .cast("long").as("bin"))
+      val perBin = binned.groupBy("bin").agg(
+        sum((col("yr") === 1995).cast("long")).as("c1"),
+        sum((col("yr") === 1996).cast("long")).as("c2"))
+      val tot = perBin.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val terms = perBin.crossJoin(broadcast(tot))
+        .select(col("bin"), col("c1"), col("c2"),
+          // p ln(2p/(p+q)) with p = c1/n1, q = c2/n2: the ratio argument
+          // 2(c1/n1)/((c1/n1)+(c2/n2)) = 2·c1·n2/(c1·n2 + c2·n1); the
+          // cross products multiply as DOUBLES (c·n would overflow int64
+          // at ~10¹⁰ rows/side; identical doubles in both engines since
+          // the operands are exact integers), ln, then one nano-cast.
+          expr("""CASE WHEN c1 > 0 THEN CAST(round(
+                    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) *
+                    ln(2.0 * (CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                       / (CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          + CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))) * 1e9)
+                  AS BIGINT) ELSE 0 END""").as("tp"),
+          expr("""CASE WHEN c2 > 0 THEN CAST(round(
+                    CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) *
+                    ln(2.0 * (CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                       / (CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          + CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))) * 1e9)
+                  AS BIGINT) ELSE 0 END""").as("tq"))
+      terms.agg(count(lit(1)).as("n_bins"),
+          sum("tp").as("sp"), sum("tq").as("sq"))
+        .select(col("n_bins"),
+          round((col("sp") + col("sq")).cast("double") /
+            (lit(2e9) * lit(math.log(2.0))), 6).as("js"))
+    },
+    Some("""
+      WITH binned AS (
+        SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+               CAST(least(floor(o_totalprice / 30000.0), 19.0) AS BIGINT)
+                 AS bin
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+      ),
+      per_bin AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c1,
+               CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c2
+        FROM binned GROUP BY 1
+      ),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(c2) AS BIGINT) AS n2 FROM per_bin),
+      terms AS (
+        SELECT bin,
+               CASE WHEN c1 > 0 THEN CAST(round(
+                   CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) *
+                   ln(2.0 * (CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                      / (CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         + CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))) * 1e9)
+                 AS BIGINT) ELSE 0 END AS tp,
+               CASE WHEN c2 > 0 THEN CAST(round(
+                   CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) *
+                   ln(2.0 * (CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                      / (CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         + CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))) * 1e9)
+                 AS BIGINT) ELSE 0 END AS tq
+        FROM per_bin CROSS JOIN tot
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_bins,
+             round(CAST(sum(tp) + sum(tq) AS DOUBLE)
+                   / (2e9 * ln(2.0)), 6) AS js
+      FROM terms
+    """))
+
+  /** t-closeness audit (Li et al. 2007) over q_k_anonymity's quasi-
+    * identifier groups (segment × $1000 balance band): per group, the
+    * ordered-distance EMD between the group's distribution of the
+    * SENSITIVE attribute (order priority of the customer's orders,
+    * rank-ordered 1..5) and the global one. For 1-D ordered categories
+    * EMD = Σᵢ |CDF_g(i) − CDF(i)| / (k−1); the four CDF differences sit
+    * as COLUMNS of one row (fixed 5-level pivot), so the EMD is a fixed
+    * double tree over exact integer counts — deterministic under any
+    * partitioning — quantized ONCE to nano-units at the end via the
+    * round-then-cast idiom (never integer DIV on wide operands: DuckDB's
+    * `//` on DECIMAL routes through DOUBLE past 2⁵³). A group passes at
+    * t = 0.2 (the paper's worked threshold). Output: one audit row per
+    * quasi-group (bounded: groups ≪ rows), worst-first. */
+  val tCloseness = QuerySpec(
+    "q_t_closeness",
+    (s, d) => {
+      val joined = customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000.0).cast("int").as("bb"),
+          col("o_orderpriority").substr(1, 1).cast("int").as("lvl"))
+      def cums(prefix: String) = (1 to 4).map { i =>
+        sum(when(col("lvl") <= i, 1L).otherwise(0L)).as(s"$prefix$i") }
+      val g = joined.groupBy("seg", "bb")
+        .agg(count(lit(1)).as("ng"), cums("cg"): _*)
+      val tot = joined.agg(count(lit(1)).as("nn"), cums("ct"): _*)
+      val terms = (1 to 4).map { i =>
+        abs(col(s"cg$i").cast("double") / col("ng").cast("double") -
+          col(s"ct$i").cast("double") / col("nn").cast("double"))
+      }.reduce(_ + _)
+      g.crossJoin(broadcast(tot))
+        .withColumn("__emd", terms)
+        .select(col("seg"), col("bb"), col("ng"),
+          expr("CAST(round((__emd / 4.0) * 1e9) AS BIGINT)").as("emd_nano"))
+        .withColumn("t_close",
+          round(col("emd_nano").cast("double") / 1e9, 6))
+        .withColumn("passes_t02", (col("emd_nano") <= 200000000L).cast("int"))
+        .orderBy(col("emd_nano").desc, col("seg"), col("bb"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bb,
+               CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS lvl
+        FROM customer JOIN orders ON c_custkey = o_custkey
+      ),
+      g AS (
+        SELECT seg, bb, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(CASE WHEN lvl <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS cg1,
+               CAST(sum(CASE WHEN lvl <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS cg2,
+               CAST(sum(CASE WHEN lvl <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS cg3,
+               CAST(sum(CASE WHEN lvl <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS cg4
+        FROM j GROUP BY 1, 2
+      ),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(CASE WHEN lvl <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS ct1,
+               CAST(sum(CASE WHEN lvl <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ct2,
+               CAST(sum(CASE WHEN lvl <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS ct3,
+               CAST(sum(CASE WHEN lvl <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS ct4
+        FROM j
+      ),
+      e AS (
+        SELECT seg, bb, ng,
+               CAST(round(((abs(CAST(cg1 AS DOUBLE) / CAST(ng AS DOUBLE)
+                               - CAST(ct1 AS DOUBLE) / CAST(nn AS DOUBLE))
+                            + abs(CAST(cg2 AS DOUBLE) / CAST(ng AS DOUBLE)
+                                 - CAST(ct2 AS DOUBLE) / CAST(nn AS DOUBLE))
+                            + abs(CAST(cg3 AS DOUBLE) / CAST(ng AS DOUBLE)
+                                 - CAST(ct3 AS DOUBLE) / CAST(nn AS DOUBLE))
+                            + abs(CAST(cg4 AS DOUBLE) / CAST(ng AS DOUBLE)
+                                 - CAST(ct4 AS DOUBLE) / CAST(nn AS DOUBLE)))
+                           / 4.0) * 1e9) AS BIGINT) AS emd_nano
+        FROM g CROSS JOIN tot
+      )
+      SELECT seg, bb, ng, emd_nano,
+             round(CAST(emd_nano AS DOUBLE) / 1e9, 6) AS t_close,
+             CAST(emd_nano <= 200000000 AS INTEGER) AS passes_t02
+      FROM e
+      ORDER BY emd_nano DESC, seg, bb
+    """))
+
+  val all: Seq[QuerySpec] = Seq(
+    anova, welchT, levene, mantelHaenszel, pacf,
+    ccf, periodogram, jsDivergence, tCloseness)
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Invariants for the session-9 parametric-statistics batch. */
+class Round7gSpec extends SparkSpec {
+
+  test("anova: F non-negative; group counts partition the orders") {
+    val r = StatsQueries.anova.run(spark, Sf001).head()
+    assert(r.getAs[Double]("f") >= 0.0)
+    assert(r.getAs[Long]("n") ===
+      graft.Tables.orders(spark, Sf001).count())
+  }
+
+  test("welch t: symmetric under group swap (|t| invariant), df bounded") {
+    val r = StatsQueries.welchT.run(spark, Sf001).head()
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    val df = r.getAs[Double]("df_welch")
+    // Welch df lies between min(n1,n2)−1 and n1+n2−2
+    assert(df >= math.min(n1, n2) - 1.0 && df <= n1 + n2 - 2.0)
+  }
+
+  test("brown-forsythe F is non-negative and uses every customer") {
+    val r = StatsQueries.levene.run(spark, Sf001).head()
+    assert(r.getAs[Double]("f_bf") >= 0.0)
+    assert(r.getAs[Long]("n") ===
+      graft.Tables.customer(spark, Sf001).count())
+  }
+
+  test("mantel-haenszel: OR positive; chi2 non-negative") {
+    val r = StatsQueries.mantelHaenszel.run(spark, Sf001).head()
+    assert(r.getAs[Double]("or_mh") > 0.0)
+    assert(r.getAs[Double]("chi2_cmh") >= 0.0)
+  }
+
+  test("pacf lag-1 equals acf lag-1; all pacf in [-1, 1]") {
+    val p = StatsQueries.pacf.run(spark, Sf001).head()
+    val acf1 = graft.ops.Series.autocorr(
+      graft.Tables.orders(spark, Sf001)
+        .groupBy(org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("o_orderdate")),
+          org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+          .as("t"))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("o_totalprice")
+            .cast("decimal(18,2)")).cast("double").as("x")),
+      "t", "x", maxLag = 1)
+      .head().getAs[Double]("acf")
+    assert(p.getAs[Double]("pacf1") === acf1)
+    Seq("pacf1", "pacf2", "pacf3").foreach { c =>
+      assert(math.abs(p.getAs[Double](c)) <= 1.0)
+    }
+  }
+
+  test("ccf at lag 0 is plain Pearson of the two daily series; |ccf|<=1") {
+    val rows = StatsQueries.ccf.run(spark, Sf001).collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("ccf")
+      assert(math.abs(v) <= 1.0)
+    }
+    // lag 0 has the most pairs (no trimming at the series edges)
+    val n0 = rows.find(_.getAs[Int]("lag") == 0).get.getAs[Long]("n_pairs")
+    rows.foreach(r => assert(r.getAs[Long]("n_pairs") <= n0))
+  }
+
+  test("periodogram amplitudes are non-negative and finite") {
+    val r = StatsQueries.periodogram.run(spark, Sf001).head()
+    Seq("amp_weekly", "amp_half_week", "amp_third_week").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && !v.isNaN && !v.isInfinite)
+    }
+  }
+
+  test("js divergence within [0, 1]; symmetric by construction") {
+    val r = StatsQueries.jsDivergence.run(spark, Sf001).head()
+    val js = r.getAs[Double]("js")
+    assert(js >= 0.0 && js <= 1.0)
+  }
+
+  test("t-closeness: emd in [0,1]; every quasi-group audited") {
+    val rows = StatsQueries.tCloseness.run(spark, Sf001).collect()
+    rows.foreach { r =>
+      val e = r.getAs[Long]("emd_nano")
+      assert(e >= 0L && e <= 1000000000L)
+      val t = r.getAs[Double]("t_close")
+      assert(math.abs(t - e / 1e9) < 1e-6)
+    }
+    // groups partition the (customer ⋈ orders) rows
+    val total = rows.map(_.getAs[Long]("ng")).sum
+    assert(total === graft.Tables.customer(spark, Sf001)
+      .join(graft.Tables.orders(spark, Sf001),
+        org.apache.spark.sql.functions.col("c_custkey") ===
+          org.apache.spark.sql.functions.col("o_custkey"))
+      .count())
+  }
+}
