@@ -27,6 +27,28 @@ final case class ImageFeatures(
     mean_g: Double,
     mean_b: Double)
 
+/** Typed features decoded from a real BMP payload. `top_r/g/b` are the
+  * IMAGE-space top-left pixel's channels — the orientation witness: a
+  * decoder that forgets DIB rows are stored bottom-up reports the
+  * bottom row here and hash-mismatches loudly. */
+final case class BmpFeatures(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long,
+    top_r: Int,
+    top_g: Int,
+    top_b: Int)
+
+/** 64-bit average perceptual hash of a decoded image (8×8 grid). */
+final case class ImageHash(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    ahash: Long)
+
 /** Typed features decoded from a real audio payload. */
 final case class AudioFeatures(
     doc_id: Long,
@@ -247,6 +269,181 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "payload")
+  }
+
+  /** Parsed 24-bit BI_RGB BMP: geometry, row direction, and where the
+    * padded pixel rows start. Rows are 4-byte aligned (`rowStride`);
+    * pixel byte order inside a row is B, G, R (the DIB convention the
+    * AVI path already exercises). */
+  final case class BmpHeader(width: Int, height: Int, bottomUp: Boolean,
+      pixelStart: Int) {
+    def rowStride: Int = (3 * width + 3) & ~3
+  }
+
+  /** Parse a BMP payload holding an uncompressed 24-bit BITMAPINFOHEADER
+    * DIB — the still-image sibling of [[parseAvi]]'s frame DIBs, and the
+    * one mainstream image container a bare JVM can own byte-for-byte.
+    *
+    * Strictness (the family's false-positive guard): 'BM' magic, the
+    * header's fileSize field must equal the actual payload length, the
+    * DIB header must be exactly BITMAPINFOHEADER (size 40), planes = 1,
+    * bpp = 24, compression = BI_RGB (0), and the pixel array (declared
+    * offset to EOF) must be exactly rowStride·|height| bytes. Height
+    * may be negative — a top-down DIB — and the sign is surfaced so
+    * decoders handle BOTH row orders. Any disagreement rejects (None). */
+  private[graft] def parseBmp(bytes: Array[Byte]): Option[BmpHeader] = {
+    def u16(i: Int): Int =
+      (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long = {
+      var v = 0L; var j = 3
+      while (j >= 0) { v = (v << 8) | (bytes(i + j) & 0xFFL); j -= 1 }
+      v
+    }
+    def i32(i: Int): Int = u32(i).toInt
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    if (u32(2) != bytes.length) return None
+    val pixelOff = u32(10)
+    if (u32(14) != 40) return None // BITMAPINFOHEADER only
+    val w = i32(18)
+    val hRaw = i32(22)
+    val h = math.abs(hRaw)
+    if (w < 1 || hRaw == 0) return None
+    if (u16(26) != 1 || u16(28) != 24) return None
+    if (u32(30) != 0) return None // BI_RGB
+    val stride = (3L * w + 3) & ~3L
+    if (pixelOff < 54 || pixelOff > bytes.length) return None
+    if (bytes.length - pixelOff != stride * h) return None
+    Some(BmpHeader(w, h, bottomUp = hRaw > 0, pixelStart = pixelOff.toInt))
+  }
+
+  /** Emit a standard bottom-up 24-bit BI_RGB BMP from an IMAGE-space
+    * (top-down, RGB-interleaved) pixel plane — the encoder flips row
+    * order and channel order, so a round-trip through [[parseBmp]]
+    * exercises both conventions. */
+  private[graft] def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && rgb.length == 3 * w * h,
+      s"pixel plane must be exactly 3*$w*$h bytes, got ${rgb.length}")
+    val stride = (3 * w + 3) & ~3
+    val out = new Array[Byte](54 + stride * h)
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def put32(i: Int, v: Long): Unit = {
+      var j = 0
+      while (j < 4) { out(i + j) = ((v >> (8 * j)) & 0xFF).toByte; j += 1 }
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length.toLong); put32(10, 54L)
+    put32(14, 40L); put32(18, w.toLong); put32(22, h.toLong)
+    put16(26, 1); put16(28, 24); put32(30, 0L)
+    put32(34, (stride * h).toLong)
+    var y = 0
+    while (y < h) {
+      val srcRow = 3 * y * w                      // image-space row y
+      val dstRow = 54 + stride * (h - 1 - y)      // stored bottom-up
+      var x = 0
+      while (x < w) {
+        out(dstRow + 3 * x) = rgb(srcRow + 3 * x + 2)     // B
+        out(dstRow + 3 * x + 1) = rgb(srcRow + 3 * x + 1) // G
+        out(dstRow + 3 * x + 2) = rgb(srcRow + 3 * x)     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real BMP decode over (doc_id, payload) rows: exact integer channel
+    * sums plus the image-space TOP-LEFT pixel (the bottom-up orientation
+    * witness — means alone cannot see a row flip). Undecodable payloads
+    * drop. */
+  def decodeBmpImages(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseBmp(bytes).map { hd =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < hd.height) {
+              val row = hd.pixelStart + y * hd.rowStride
+              var x = 0
+              while (x < hd.width) {
+                sb += bytes(row + 3 * x) & 0xFF
+                sg += bytes(row + 3 * x + 1) & 0xFF
+                sr += bytes(row + 3 * x + 2) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            // image-space top row: LAST stored row when bottom-up
+            val topRow = hd.pixelStart +
+              (if (hd.bottomUp) (hd.height - 1) * hd.rowStride else 0)
+            BmpFeatures(id, hd.width, hd.height, sr, sg, sb,
+              bytes(topRow + 2) & 0xFF, bytes(topRow + 1) & 0xFF,
+              bytes(topRow) & 0xFF)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** 8×8 average perceptual hash (aHash) of P6 payloads — the
+    * image-dedup primitive: near-identical renditions (recompression,
+    * mild brightness shifts) land within a few bits, so a Hamming-banded
+    * join ([[graft.ops.Similarity.hammingPairs]]) finds them without any
+    * pairwise pixel work. Grid cell (cy, cx) covers pixel rows
+    * [cy·h/8, (cy+1)·h/8) × cols [cx·w/8, (cx+1)·w/8) (exact integer
+    * boundaries); bit cy·8+cx is set iff the cell's gray sum exceeds the
+    * image's, compared CROSS-MULTIPLIED in int64 (exact to ~64-MPx
+    * images: 765·N² < 2⁶³ needs N = w·h ≲ 1.1·10⁸) — no float mean, no
+    * rounding ambiguity at the threshold. Images smaller than the grid
+    * drop (a 7px side has empty cells — dedup on sub-icon images is
+    * noise anyway). */
+  def averageHash(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parsePpm(bytes).filter(h => h.width >= 8 && h.height >= 8)
+            .map { hd =>
+              val cellSum = new Array[Long](64)
+              val cellCnt = new Array[Long](64)
+              var y = 0
+              while (y < hd.height) {
+                val cy = y * 8 / hd.height
+                var x = 0
+                while (x < hd.width) {
+                  val i = hd.pixelStart + 3 * (y * hd.width + x)
+                  val gray = (bytes(i) & 0xFF) + (bytes(i + 1) & 0xFF) +
+                    (bytes(i + 2) & 0xFF)
+                  val cell = cy * 8 + x * 8 / hd.width
+                  cellSum(cell) += gray
+                  cellCnt(cell) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              var totalSum = 0L
+              var k = 0
+              while (k < 64) { totalSum += cellSum(k); k += 1 }
+              val totalCnt = hd.width.toLong * hd.height
+              var hash = 0L
+              k = 0
+              while (k < 64) {
+                if (cellSum(k) * totalCnt > totalSum * cellCnt(k))
+                  hash |= 1L << k
+                k += 1
+              }
+              ImageHash(id, hd.width, hd.height, hash)
+            }
+        }
+      }
+      .toDF()
   }
 
   /** Parsed WAV header: PCM stream geometry and where the sample data
@@ -1792,6 +1989,21 @@ object Multimodal {
               var i = hd.pixelStart
               while (i < bytes.length) { s += bytes(i) & 0xFF; i += 3 }
               SniffedMedia(id, "ppm", s.toDouble / (hd.width.toLong * hd.height))
+            }
+          else if (has("BM"))
+            // 'BM' can open arbitrary text; parseBmp's fileSize/stride
+            // cross-checks are the false-positive guard, as with MP3
+            parseBmp(bytes).map { hd =>
+              var s = 0L
+              var y = 0
+              while (y < hd.height) {
+                val row = hd.pixelStart + y * hd.rowStride
+                var x = 0
+                while (x < 3 * hd.width) { s += bytes(row + x) & 0xFF; x += 1 }
+                y += 1
+              }
+              SniffedMedia(id, "bmp",
+                s.toDouble / (3.0 * hd.width * hd.height))
             }
           else if (has("RIFF") && has("WAVE", 8))
             parseWav(bytes).map { hd =>

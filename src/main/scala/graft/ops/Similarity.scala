@@ -439,4 +439,59 @@ object Similarity {
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         (coalesce(col("n_dups"), lit(0L)) === 0).cast("int").as("keep"))
   }
+
+  /** All pairs of 64-bit hashes within Hamming distance `maxHam`, via
+    * band-equality blocking — the bit-domain LSH the SimHash/MinHash
+    * dedups use, packaged for perceptual image hashes
+    * ([[graft.multimodal.Multimodal.averageHash]]) or any other bitmap
+    * signature. Each hash splits into `bands` disjoint `bandBits`-bit
+    * bands; a pair is a candidate iff SOME band matches exactly, then
+    * the true Hamming distance (one codegen'd `bit_count(a ^ b)`)
+    * verifies. Pigeonhole completeness: distance ≤ d flips at most d
+    * bands, so with bands > d every true pair shares an untouched band —
+    * 4×15-bit bands are EXACT for maxHam ≤ 3 and high-recall heuristic
+    * beyond (the standard recall/cost dial; more bands = more recall,
+    * more candidates).
+    *
+    * Scale shape (100 TB): one shuffle on (band_idx, band_val);
+    * candidate work is Σ_buckets |bucket|², bounded by `maxBucket` — the
+    * posting-join df-cap discipline: a band value shared by more than
+    * `maxBucket` hashes (a flat-color thumbnail, an all-zero watermark)
+    * is dropped from CANDIDATE GENERATION in that band only, exactly the
+    * hub-cap trade q_dedup_near documents. Bands use UNSIGNED shifts so
+    * a bit-63 hash (valid: hashes are signed-long bitmaps) bands
+    * correctly. Output: (key_a, key_b, hash_a, hash_b, hamming),
+    * key_a < key_b, each qualifying pair once. */
+  def hammingPairs(hashes: DataFrame, keyCol: String, hashCol: String,
+      bands: Int, bandBits: Int, maxHam: Int,
+      maxBucket: Int = 1024): DataFrame = {
+    require(bands >= 2 && bandBits >= 1 && bands * bandBits <= 64,
+      s"need 2+ bands and bands*bandBits <= 64, got $bands x $bandBits")
+    require(maxHam >= 0 && maxBucket >= 2,
+      s"need maxHam >= 0 and maxBucket >= 2, got $maxHam / $maxBucket")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val base = hashes.select(col(keyCol).cast("long").as("k"),
+      col(hashCol).cast("long").as("h"))
+    val banded = base.select(col("k"), col("h"),
+      posexplode(array((0 until bands).map { b =>
+        expr(s"shiftrightunsigned(h, ${b * bandBits}) & $mask")
+      }: _*)).as(Seq("band_idx", "band_val")))
+    val keepBuckets = banded.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select("band_idx", "band_val")
+    val b2 = banded.join(keepBuckets, Seq("band_idx", "band_val"))
+    val cand = b2
+      .select(col("band_idx"), col("band_val"),
+        col("k").as("key_a"), col("h").as("hash_a"))
+      .join(b2.select(col("band_idx"), col("band_val"),
+        col("k").as("key_b"), col("h").as("hash_b")),
+        Seq("band_idx", "band_val"))
+      .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b", "hash_a", "hash_b")
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(hash_a ^ hash_b) AS INT)"))
+      .filter(col("hamming") <= maxHam)
+  }
 }

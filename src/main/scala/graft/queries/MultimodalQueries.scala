@@ -783,8 +783,159 @@ object MultimodalQueries {
       ORDER BY doc_id
     """))
 
+  /** REAL BMP decode through the gate — the uncompressed-DIB sibling of
+    * q_image_decode: every doc_id deterministically becomes a valid
+    * bottom-up 24-bit BI_RGB BMP (dims and PER-ROW channel colors are
+    * arithmetic in doc_id; widths 5–11 exercise every row-padding
+    * residue, row-varying colors make orientation observable), built
+    * executor-side as actual bytes via [[Multimodal.encodeBmp]]. The
+    * engine parses the container back ([[Multimodal.decodeBmpImages]]);
+    * the oracle recomputes exact channel SUMS and the image-space
+    * top-left pixel from doc_id arithmetic alone — a broken stride,
+    * BGR interleave, or bottom-up handling hash-mismatches loudly. */
+  val bmpDecode = QuerySpec(
+    "q_bmp_decode",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (id % 7 + 5).toInt
+            val h = ((id * 3) % 6 + 3).toInt
+            val rgb = new Array[Byte](3 * w * h)
+            var y = 0
+            while (y < h) {
+              val r = ((id * 37 + y * 11) % 256).toByte
+              val g = ((id * 57 + y * 13 + 11) % 256).toByte
+              val b = ((id * 97 + y * 17 + 29) % 256).toByte
+              var x = 0
+              while (x < w) {
+                val i = 3 * (y * w + x)
+                rgb(i) = r; rgb(i + 1) = g; rgb(i + 2) = b
+                x += 1
+              }
+              y += 1
+            }
+            (id, Multimodal.encodeBmp(w, h, rgb))
+          }
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.decodeBmpImages(s, packed).orderBy("doc_id")
+    },
+    Some("""
+      WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 7 + 5 AS BIGINT) AS w,
+               CAST((doc_id * 3) % 6 + 3 AS BIGINT) AS h
+        FROM documents
+      ),
+      rows_ AS (
+        SELECT doc_id, w, h, unnest(range(h)) AS y FROM dims
+      ),
+      sums AS (
+        SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+               CAST(sum((doc_id * 37 + y * 11) % 256) AS BIGINT) AS sr,
+               CAST(sum((doc_id * 57 + y * 13 + 11) % 256) AS BIGINT) AS sg,
+               CAST(sum((doc_id * 97 + y * 17 + 29) % 256) AS BIGINT) AS sb
+        FROM rows_ GROUP BY doc_id
+      )
+      SELECT doc_id,
+             CAST(w AS INTEGER) AS width,
+             CAST(h AS INTEGER) AS height,
+             CAST(w * sr AS BIGINT) AS sum_r,
+             CAST(w * sg AS BIGINT) AS sum_g,
+             CAST(w * sb AS BIGINT) AS sum_b,
+             CAST((doc_id * 37) % 256 AS INTEGER) AS top_r,
+             CAST((doc_id * 57 + 11) % 256 AS INTEGER) AS top_g,
+             CAST((doc_id * 97 + 29) % 256 AS INTEGER) AS top_b
+      FROM sums
+      ORDER BY doc_id
+    """))
+
+  /** Perceptual-hash image dedup end-to-end: deterministic 16×16 P6
+    * images whose 8×8 cell pattern IS a 60-bit md5-derived class
+    * signature (class c = doc_id % 100) with the low v = (doc_id÷100)%4
+    * bits flipped — so same-class renditions sit within Hamming 3 and
+    * cross-class images at ≥ 13 (the 100 fixed md5 patterns have
+    * pairwise distance ≥ 16; v-flips move ≤ 3 bits — checked offline,
+    * deterministic forever). [[Multimodal.averageHash]] must recover
+    * each signature bit-exactly (popcounts 20–43 keep the mean
+    * threshold non-degenerate), and [[graft.ops.Similarity
+    * .hammingPairs]] (4×15-bit bands — exact for distance ≤ 3 by
+    * pigeonhole) must find exactly the same-class pairs. The oracle
+    * rebuilds every hash from md5 arithmetic (both engines agree on
+    * md5 hex), pairs classes directly, and replays hash_a and the
+    * pairwise distances bit-for-bit: a wrong grid boundary, threshold
+    * tie, band shift, or bucket cap shows up as a missing/extra pair or
+    * a wrong hash. Output: total pair count + the 100 closest pairs. */
+  val imageHash = QuerySpec(
+    "q_image_hash",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val packed = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ids.map { id =>
+            val c = (id % 100).toInt
+            val v = ((id / 100) % 4).toInt
+            md.reset()
+            val hex = md.digest(s"imghash:$c".getBytes("US-ASCII"))
+              .map(b => f"${b & 0xFF}%02x").mkString
+            val pattern = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+            val hash = pattern ^ ((1L << v) - 1)
+            val rgb = new Array[Byte](3 * 16 * 16)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val bit = (hash >>> ((y / 2) * 8 + x / 2)) & 1L
+                val value = if (bit == 1L) 255.toByte else 0.toByte
+                val i = 3 * (y * 16 + x)
+                rgb(i) = value; rgb(i + 1) = value; rgb(i + 2) = value
+                x += 1
+              }
+              y += 1
+            }
+            (id, Multimodal.encodePpm(16, 16, rgb))
+          }
+        }
+        .toDF("doc_id", "payload")
+      val hashes = Multimodal.averageHash(s, packed)
+      val pairs = graft.ops.Similarity.hammingPairs(
+        hashes, "doc_id", "ahash", bands = 4, bandBits = 15, maxHam = 6)
+      val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+      pairs.crossJoin(broadcast(tot))
+        .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"),
+          col("hamming"), col("hash_a"), col("n_pairs"))
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(100)
+    },
+    Some("""
+      WITH img AS (
+        SELECT doc_id,
+               xor(CAST(('0x' || substr(md5('imghash:' ||
+                          CAST(doc_id % 100 AS VARCHAR)), 1, 15)) AS BIGINT),
+                   CAST((1 << ((doc_id // 100) % 4)) - 1 AS BIGINT)) AS h
+        FROM documents
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming,
+               a.h AS hash_a
+        FROM img a JOIN img b
+          ON a.doc_id % 100 = b.doc_id % 100 AND a.doc_id < b.doc_id
+      ),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+      SELECT doc_a, doc_b, hamming, hash_a, n_pairs
+      FROM pairs CROSS JOIN tot
+      ORDER BY hamming, doc_a, doc_b
+      LIMIT 100
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(multimodal, frameSample, imageDecode, audioDecode, videoDecode,
       pngDecode, gifDecode, jpegDecode, jpegTranscode, mediaDispatch,
-      mp4Demux, mp3Frames)
+      mp4Demux, mp3Frames, bmpDecode, imageHash)
 }
