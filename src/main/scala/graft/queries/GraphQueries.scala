@@ -1034,8 +1034,55 @@ object GraphQueries {
     """
     })
 
+  /** Hill estimator of the degree-distribution tail exponent — the
+    * power-law diagnostic that tells you whether hub-cap disciplines
+    * (df-cap joins, SNM blocking) are load-bearing on this graph:
+    * α̂ = 1 + k / Σ_{d ≥ xmin} ln(d / xmin) over the co-purchase degree
+    * table, xmin = 8 pinned. Degrees are exact integers; each distinct
+    * degree's ln(d/8) quantizes ONCE to nano-units, so the tail sum
+    * Σ count_d·nano_d is exact under any partition order (the
+    * q_entropy_rate discipline) and α̂ is one double. The degree TABLE
+    * (not the node list) does all the work — |distinct degrees| rows. */
+  val hillTail = QuerySpec(
+    "q_hill_tail",
+    (s, d) => {
+      val e = freqEdges(s, d)
+      val deg = e.select(col("a").as("z"))
+        .union(e.select(col("b").as("z")))
+        .groupBy("z").agg(count(lit(1)).as("deg"))
+      val byDeg = deg.groupBy("deg").agg(count(lit(1)).as("cnt"))
+        .filter(col("deg") >= 8)
+        .select(col("deg"), col("cnt"),
+          expr("CAST(round(ln(CAST(deg AS DOUBLE) / 8.0) * 1000000000) " +
+            "AS BIGINT)").as("nano"))
+      byDeg.agg(sum("cnt").as("k_tail"),
+          sum(col("cnt") * col("nano")).as("s_nano"))
+        .select(col("k_tail"), lit(8).as("x_min"),
+          round(lit(1.0) + col("k_tail").cast("double") * 1e9 /
+            col("s_nano").cast("double"), 6).as("alpha"))
+    },
+    Some(s"""
+      WITH $FreqEdgeSql,
+      deg AS (
+        SELECT z, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS z FROM fedge UNION ALL SELECT b FROM fedge)
+        GROUP BY z
+      ),
+      bydeg AS (
+        SELECT deg, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(round(ln(CAST(deg AS DOUBLE) / 8.0) * 1000000000)
+                 AS BIGINT) AS nano
+        FROM deg WHERE deg >= 8 GROUP BY deg
+      )
+      SELECT CAST(sum(cnt) AS BIGINT) AS k_tail,
+             8 AS x_min,
+             round(1.0 + CAST(sum(cnt) AS DOUBLE) * 1e9
+                   / CAST(sum(cnt * nano) AS DOUBLE), 6) AS alpha
+      FROM bydeg
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp, hits,
       modularity, assortativity, randomWalk, textrank, graphDiameter,
-      localClustering, linkPredict, closeness, ktruss)
+      localClustering, linkPredict, closeness, ktruss, hillTail)
 }

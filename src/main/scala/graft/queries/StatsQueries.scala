@@ -790,7 +790,342 @@ object StatsQueries {
       ORDER BY emd_nano DESC, seg, bb
     """))
 
+  /** Shared daily-revenue OLS residual frame (the q_conformal fit, over
+    * ALL days): (t, v cents, e_micro = round(1e6·(v − α − βt))) — the
+    * residual quantizes ONCE to micro-cents so every downstream
+    * statistic sums exact integers. α, β come from DECIMAL(38,0)
+    * sufficient statistics (identical doubles in both engines). */
+  private def residualFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("v"))
+    val fit = daily.agg(
+      count(lit(1)).as("n"),
+      sum(col("t").cast(d38)).as("st"),
+      sum(col("v").cast(d38)).as("sv"),
+      sum(col("t").cast(d38) * col("t")).as("stt"),
+      sum(col("t").cast(d38) * col("v")).as("stv"))
+      .select(col("n"),
+        ((col("n").cast(d38) * col("stv") - col("st") * col("sv"))
+          .cast("double") /
+          (col("n").cast(d38) * col("stt") - col("st") * col("st"))
+          .cast("double")).as("beta"),
+        col("st").cast("double").as("stD"),
+        col("sv").cast("double").as("svD"))
+      .select(col("n"), col("beta"),
+        ((col("svD") - col("beta") * col("stD")) /
+          col("n").cast("double")).as("alpha"))
+    daily.crossJoin(broadcast(fit))
+      .select(col("t"), col("v"), col("n"),
+        expr("CAST(round((CAST(v AS DOUBLE) - alpha - beta * " +
+          "CAST(t AS DOUBLE)) * 1000000) AS BIGINT)").as("e_micro"))
+  }
+
+  /** The same residual frame as shared DuckDB CTEs (kept textually in
+    * lockstep with [[residualFrame]] — one definition of "the residual"
+    * per engine pair). */
+  private val ResidualSql = """
+      daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+      ),
+      fit0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS st,
+               CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv,
+               CAST(sum(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0))
+                 AS stt,
+               CAST(sum(CAST(t AS DECIMAL(38,0)) * v) AS DECIMAL(38,0))
+                 AS stv
+        FROM daily
+      ),
+      fit1 AS (
+        SELECT n,
+               CAST(CAST(n AS DECIMAL(38,0)) * stv - st * sv AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(38,0)) * stt - st * st AS DOUBLE)
+                 AS beta,
+               CAST(st AS DOUBLE) AS std, CAST(sv AS DOUBLE) AS svd
+        FROM fit0
+      ),
+      fit AS (
+        SELECT n, beta, (svd - beta * std) / CAST(n AS DOUBLE) AS alpha
+        FROM fit1
+      ),
+      resid AS (
+        SELECT t, v, n,
+               CAST(round((CAST(v AS DOUBLE) - alpha - beta
+                 * CAST(t AS DOUBLE)) * 1000000) AS BIGINT) AS e_micro
+        FROM daily CROSS JOIN fit
+      )"""
+
+  /** Durbin–Watson first-order autocorrelation diagnostic on the daily-
+    * revenue trend residuals: DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² over the calendar-
+    * bounded daily frame (the q_cusum window contract). Micro-quantized
+    * residuals make both sums exact DECIMAL(38,0) integers under any
+    * partition order; DW ≈ 2(1−ρ̂) ships alongside. */
+  val durbinWatson = QuerySpec(
+    "q_durbin_watson",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val lagged = residualFrame(s, d)
+        .withColumn("e_prev", lag("e_micro", 1).over(W.orderBy("t")))
+      lagged.agg(
+        count(lit(1)).as("n_days"),
+        sum(col("e_micro").cast(d38) * col("e_micro")).as("see"),
+        sum(when(col("e_prev").isNotNull,
+          (col("e_micro") - col("e_prev")).cast(d38) *
+            (col("e_micro") - col("e_prev"))).otherwise(lit(0).cast(d38)))
+          .as("sdd"))
+        .select(col("n_days"),
+          round(col("sdd").cast("double") / col("see").cast("double"), 6)
+            .as("dw"),
+          round(lit(1.0) - (col("sdd").cast("double") /
+            col("see").cast("double")) / 2.0, 6).as("rho_hat"))
+    },
+    Some(s"""
+      WITH $ResidualSql,
+      lagged AS (
+        SELECT e_micro, lag(e_micro) OVER (ORDER BY t) AS e_prev FROM resid
+      ),
+      sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CAST(e_micro AS DECIMAL(38,0)) * e_micro)
+                 AS DECIMAL(38,0)) AS see,
+               CAST(sum(CASE WHEN e_prev IS NOT NULL
+                 THEN CAST(e_micro - e_prev AS DECIMAL(38,0))
+                      * (e_micro - e_prev) ELSE 0 END)
+                 AS DECIMAL(38,0)) AS sdd
+        FROM lagged
+      )
+      SELECT n_days,
+             round(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE), 6) AS dw,
+             round(1.0 - (CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)) / 2.0, 6)
+               AS rho_hat
+      FROM sums
+    """))
+
+  /** Breusch–Pagan heteroscedasticity test on the same residuals: does
+    * the SQUARED residual trend with time? BP = n·R² of the auxiliary
+    * regression e² ~ t, χ²₍₁₎ under the null. e² is a double product of
+    * identical doubles (deterministic at any magnitude), quantized ONCE
+    * to cents² (exact to |e| ≤ $3·10⁷/day — daily AGGREGATE residuals;
+    * rescale the series before this test if yours exceed that); the
+    * auxiliary R² then comes from exact DECIMAL sufficient statistics —
+    * one double tree. Verdict 3.8415. */
+  val breuschPagan = QuerySpec(
+    "q_breusch_pagan",
+    (s, d) => {
+      val u = residualFrame(s, d).select(col("t"),
+        expr("CAST(round((CAST(e_micro AS DOUBLE) / 1e6) " +
+          "* (CAST(e_micro AS DOUBLE) / 1e6)) AS BIGINT)").as("u"))
+      // sums stay DECIMAL-exact; the r² composition runs in DOUBLES
+      // (suu ≈ Σu² can reach 10³⁵, so n·suu would overflow DECIMAL(38)
+      // — the composition is a fixed tree on identical doubles, so it
+      // stays engine-portable without the decimal headroom)
+      u.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("t").cast(d38)).cast("double").as("st"),
+        sum(col("u").cast(d38)).cast("double").as("su"),
+        sum(col("t").cast(d38) * col("t")).cast("double").as("stt"),
+        sum(col("u").cast(d38) * col("u")).cast("double").as("suu"),
+        sum(col("t").cast(d38) * col("u")).cast("double").as("stu"))
+        .select(col("n").cast("long").as("n"),
+          (((col("n") * col("stu") - col("st") * col("su")) *
+            (col("n") * col("stu") - col("st") * col("su"))) /
+            ((col("n") * col("stt") - col("st") * col("st")) *
+              (col("n") * col("suu") - col("su") * col("su")))).as("r2"))
+        .select(col("n").as("n_days"),
+          round(col("r2"), 6).as("r2_aux"),
+          round(col("n").cast("double") * col("r2"), 6).as("bp"),
+          (round(col("n").cast("double") * col("r2"), 6) > 3.8415)
+            .cast("int").as("significant"))
+    },
+    Some(s"""
+      WITH $ResidualSql,
+      u AS (
+        SELECT t, CAST(round((CAST(e_micro AS DOUBLE) / 1e6)
+                 * (CAST(e_micro AS DOUBLE) / 1e6)) AS BIGINT) AS u
+        FROM resid
+      ),
+      st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(t AS DECIMAL(38,0))) AS DOUBLE) AS st,
+               CAST(sum(CAST(u AS DECIMAL(38,0))) AS DOUBLE) AS su,
+               CAST(sum(CAST(t AS DECIMAL(38,0)) * t) AS DOUBLE) AS stt,
+               CAST(sum(CAST(u AS DECIMAL(38,0)) * u) AS DOUBLE) AS suu,
+               CAST(sum(CAST(t AS DECIMAL(38,0)) * u) AS DOUBLE) AS stu
+        FROM u
+      ),
+      rr AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               ((n * stu - st * su) * (n * stu - st * su))
+               / ((n * stt - st * st) * (n * suu - su * su)) AS r2
+        FROM st
+      )
+      SELECT n AS n_days, round(r2, 6) AS r2_aux,
+             round(CAST(n AS DOUBLE) * r2, 6) AS bp,
+             CAST(round(CAST(n AS DOUBLE) * r2, 6) > 3.8415 AS INTEGER)
+               AS significant
+      FROM rr
+    """))
+
+  /** Variance inflation factors for the lineitem feature triple
+    * (quantity, extendedprice, discount) — the multicollinearity audit
+    * before any regression ships. With three regressors each VIF has
+    * the closed form 1/(1−R²ᵢ), R²ᵢ = (r_ij² + r_ik² − 2·r_ij·r_ik·r_jk)
+    * / (1 − r_jk²); the pairwise correlations come from ONE scan's
+    * DECIMAL(38,18) sufficient statistics and ROUND AT 1e-6 BEFORE
+    * composing (the q_partial_corr discipline — the recursion sees
+    * bit-identical inputs in both engines). */
+  val vif = QuerySpec(
+    "q_vif",
+    (s, d) => {
+      def dsum(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
+      val (q, p, dc) = (col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      def corrOf(sx: String, sy: String, sxy: String, sxx: String,
+          syy: String) = round(
+        (col("n") * col(sxy) - col(sx) * col(sy)) /
+          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+            sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
+      val rs = lineitem(s, d)
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(q).as("sq"), dsum(p).as("sp"), dsum(dc).as("sd"),
+          dsum(q * q).as("sqq"), dsum(p * p).as("spp"),
+          dsum(dc * dc).as("sdd"),
+          dsum(q * p).as("sqp"), dsum(q * dc).as("sqd"),
+          dsum(p * dc).as("spd"))
+        .select(
+          corrOf("sq", "sp", "sqp", "sqq", "spp").as("r_qp"),
+          corrOf("sq", "sd", "sqd", "sqq", "sdd").as("r_qd"),
+          corrOf("sp", "sd", "spd", "spp", "sdd").as("r_pd"))
+      def r2(ij: String, ik: String, jk: String): Column =
+        (col(ij) * col(ij) + col(ik) * col(ik) -
+          lit(2.0) * col(ij) * col(ik) * col(jk)) /
+          (lit(1.0) - col(jk) * col(jk))
+      rs.select(col("r_qp"), col("r_qd"), col("r_pd"),
+        round(lit(1.0) / (lit(1.0) - r2("r_qp", "r_qd", "r_pd")), 6)
+          .as("vif_qty"),
+        round(lit(1.0) / (lit(1.0) - r2("r_qp", "r_pd", "r_qd")), 6)
+          .as("vif_price"),
+        round(lit(1.0) / (lit(1.0) - r2("r_qd", "r_pd", "r_qp")), 6)
+          .as("vif_disc"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sq,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sp,
+               CAST(sum(CAST(l_discount AS DECIMAL(38,18))) AS DOUBLE) AS sd,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sqq,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS spp,
+               CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,18))) AS DOUBLE) AS sdd,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sqp,
+               CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,18))) AS DOUBLE) AS sqd,
+               CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,18))) AS DOUBLE) AS spd
+        FROM lineitem
+      ),
+      rs AS (
+        SELECT round((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq)
+                 * sqrt(n * spp - sp * sp)), 6) AS r_qp,
+               round((n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq)
+                 * sqrt(n * sdd - sd * sd)), 6) AS r_qd,
+               round((n * spd - sp * sd) / (sqrt(n * spp - sp * sp)
+                 * sqrt(n * sdd - sd * sd)), 6) AS r_pd
+        FROM st
+      )
+      SELECT r_qp, r_qd, r_pd,
+             round(1.0 / (1.0 - (r_qp * r_qp + r_qd * r_qd
+               - 2.0 * r_qp * r_qd * r_pd) / (1.0 - r_pd * r_pd)), 6)
+               AS vif_qty,
+             round(1.0 / (1.0 - (r_qp * r_qp + r_pd * r_pd
+               - 2.0 * r_qp * r_pd * r_qd) / (1.0 - r_qd * r_qd)), 6)
+               AS vif_price,
+             round(1.0 / (1.0 - (r_qd * r_qd + r_pd * r_pd
+               - 2.0 * r_qd * r_pd * r_qp) / (1.0 - r_qp * r_qp)), 6)
+               AS vif_disc
+      FROM rs
+    """))
+
+  /** Hosmer–Lemeshow calibration audit of a PINNED logistic returns
+    * model (score = −1.2 + 8·discount − 0.02·quantity — auditing a
+    * published model is the production shape; fitting lives in
+    * q_quality_logreg): observed vs expected returns across the seven
+    * populated p̂ bins (p̂ ∈ [0.0975, 0.397] under these coefficients,
+    * so floor(20·p̂) ∈ 1…7 — a FIXED bin set, pivoted in order). Per-row
+    * p̂ quantizes ONCE to nano-units so every E_g is an exact integer;
+    * HL = Σ (O−E)²/(E(1−E/n)) is a fixed 7-term double tree. Verdict
+    * χ²₍₅,.05₎ = 11.0705 (g−2 df). */
+  val hosmerLemeshow = QuerySpec(
+    "q_hosmer_lemeshow",
+    (s, d) => {
+      val rows = lineitem(s, d).select(
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        expr("""CAST(round(1e9 / (1.0 + exp(-(-1.2 + 8.0 * l_discount
+                 - 0.02 * l_quantity)))) AS BIGINT)""").as("p_nano"))
+        .withColumn("g", expr("CAST(p_nano * 20 DIV 1000000000 AS INT)"))
+      val aggs = (1 to 7).flatMap { g => Seq(
+        sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n$g"),
+        sum(when(col("g") === g, col("y")).otherwise(0L)).as(s"o$g"),
+        sum(when(col("g") === g, col("p_nano").cast(d38))
+          .otherwise(lit(0).cast(d38))).as(s"e$g"))
+      }
+      val piv = rows.agg(aggs.head, aggs.tail: _*)
+      val hl = (1 to 7).map { g =>
+        val n = col(s"n$g").cast("double")
+        val o = col(s"o$g").cast("double")
+        val e = col(s"e$g").cast("double") / 1e9
+        when(col(s"n$g") > 0,
+          (o - e) * (o - e) / (e * (lit(1.0) - e / n))).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      piv.select(
+        (1 to 7).map(g => col(s"n$g")).reduce(_ + _).as("n_rows"),
+        round(hl, 6).as("hl"),
+        (round(hl, 6) > 11.0705).cast("int").as("significant"))
+    },
+    Some {
+      val aggs = (1 to 7).map { g =>
+        s"""CAST(sum(CASE WHEN g = $g THEN 1 ELSE 0 END) AS BIGINT) AS n$g,
+            CAST(sum(CASE WHEN g = $g THEN y ELSE 0 END) AS BIGINT) AS o$g,
+            CAST(sum(CASE WHEN g = $g THEN p_nano ELSE 0 END)
+              AS DECIMAL(38,0)) AS e$g"""
+      }.mkString(",")
+      val hl = (1 to 7).map { g =>
+        s"""CASE WHEN n$g > 0 THEN
+              (CAST(o$g AS DOUBLE) - CAST(e$g AS DOUBLE) / 1e9)
+              * (CAST(o$g AS DOUBLE) - CAST(e$g AS DOUBLE) / 1e9)
+              / ((CAST(e$g AS DOUBLE) / 1e9)
+                 * (1.0 - (CAST(e$g AS DOUBLE) / 1e9) / CAST(n$g AS DOUBLE)))
+            ELSE 0.0 END"""
+      }.mkString(" + ")
+      val nSum = (1 to 7).map(g => s"n$g").mkString(" + ")
+      s"""
+      WITH rows_ AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               CAST(round(1e9 / (1.0 + exp(-(-1.2 + 8.0 * l_discount
+                 - 0.02 * l_quantity)))) AS BIGINT) AS p_nano
+        FROM lineitem
+      ),
+      binned AS (SELECT y, p_nano,
+                        CAST(p_nano * 20 // 1000000000 AS INTEGER) AS g
+                 FROM rows_),
+      piv AS (SELECT $aggs FROM binned)
+      SELECT CAST($nSum AS BIGINT) AS n_rows,
+             round($hl, 6) AS hl,
+             CAST(round($hl, 6) > 11.0705 AS INTEGER) AS significant
+      FROM piv
+      """
+    })
+
   val all: Seq[QuerySpec] = Seq(
     anova, welchT, levene, mantelHaenszel, pacf,
-    ccf, periodogram, jsDivergence, tCloseness)
+    ccf, periodogram, jsDivergence, tCloseness,
+    durbinWatson, breuschPagan, vif, hosmerLemeshow)
 }

@@ -79,6 +79,41 @@ class Round7gSpec extends SparkSpec {
     assert(js >= 0.0 && js <= 1.0)
   }
 
+  test("durbin-watson within [0, 4]; rho_hat consistent with dw") {
+    val r = StatsQueries.durbinWatson.run(spark, Sf001).head()
+    val dw = r.getAs[Double]("dw")
+    assert(dw >= 0.0 && dw <= 4.0)
+    assert(math.abs(r.getAs[Double]("rho_hat") - (1.0 - dw / 2.0)) < 2e-6)
+  }
+
+  test("breusch-pagan: bp = n * r2 with r2 in [0, 1]") {
+    val r = StatsQueries.breuschPagan.run(spark, Sf001).head()
+    val r2 = r.getAs[Double]("r2_aux")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    assert(math.abs(r.getAs[Double]("bp") -
+      r.getAs[Long]("n_days") * r2) < 0.01)
+  }
+
+  test("vif: each factor at least 1 (orthogonal floor)") {
+    val r = StatsQueries.vif.run(spark, Sf001).head()
+    Seq("vif_qty", "vif_price", "vif_disc").foreach { c =>
+      assert(r.getAs[Double](c) >= 1.0 - 1e-6, c)
+    }
+  }
+
+  test("hosmer-lemeshow: non-negative, covers every lineitem row") {
+    val r = StatsQueries.hosmerLemeshow.run(spark, Sf001).head()
+    assert(r.getAs[Double]("hl") >= 0.0)
+    assert(r.getAs[Long]("n_rows") ===
+      graft.Tables.lineitem(spark, Sf001).count())
+  }
+
+  test("hill tail: alpha above 1, tail bounded by the node count") {
+    val r = GraphQueries.hillTail.run(spark, Sf001).head()
+    assert(r.getAs[Double]("alpha") > 1.0)
+    assert(r.getAs[Long]("k_tail") >= 1L)
+  }
+
   test("t-closeness: emd in [0,1]; every quasi-group audited") {
     val rows = StatsQueries.tCloseness.run(spark, Sf001).collect()
     rows.foreach { r =>
