@@ -96,6 +96,66 @@ object LogReg {
     Fit(w, losses.toArray, gradNorms.toArray)
   }
 
+  /** Poisson regression (log link) by the same IRLS shape as [[train]]:
+    * per iteration ONE DECIMAL-exact aggregate yields X'WX (W = μ),
+    * X'(y−μ), and the deviance 2Σ[y·ln(y/μ) − (y−μ)] (the y = 0 term is
+    * the exact limit −(y−μ) — Spark's ln(0)·0 would NULL the row);
+    * the d×d Newton solve runs at the driver. μ = exp(z) is clamped to
+    * e³⁰ so one bad starting step cannot overflow the Hessian — the
+    * clamp is a pure function of (w, x), so determinism holds. Same
+    * contract as [[train]]: bit-identical fits on any partition layout. */
+  def trainPoisson(feats: DataFrame, yCol: String, xCols: Seq[String],
+      iters: Int, ridge: Double = 1e-9): Fit = {
+    require(iters >= 1, s"iters=$iters must be at least 1")
+    val d = xCols.size + 1
+    // Standard GLM warm start: intercept at ln ȳ (exact decimal mean →
+    // one double). From w = 0 the first Newton step overshoots wildly
+    // when ȳ ≫ 1 (measured: deviance 32k → 787k on the daily-count fit);
+    // from ln ȳ the same fit converges quadratically in 3–4 steps.
+    val init = feats.agg(
+      decSum(col(yCol).cast("double")).as("sy"),
+      count(col(yCol)).cast("double").as("n")).collect()(0)
+    val yBar = init.getDouble(0) / init.getDouble(1)
+    var w = Array.tabulate(d)(i =>
+      if (i == 0) math.log(math.max(yBar, 1e-12)) else 0.0)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val gradNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def x(i: Int): Column =
+      if (i == 0) lit(1.0) else col(xCols(i - 1)).cast("double")
+    def mu(z: Column): Column = exp(least(z, lit(30.0)))
+    def dev(m: Column, y: Column): Column =
+      when(m.isNotNull && y.isNotNull,
+        lit(2.0) * (when(y > 0.0, y * log(y / m)).otherwise(lit(0.0)) -
+          (y - m)))
+    def pass(doStep: Boolean): Unit = {
+      val z = (1 until d).map(i => x(i) * w(i))
+        .foldLeft(lit(w(0)): Column)(_ + _)
+      val m = mu(z)
+      val y = col(yCol).cast("double")
+      val hCols = for (i <- 0 until d; j <- i until d)
+        yield decSum(x(i) * x(j) * m).as(s"h_${i}_$j")
+      val gCols = (0 until d).map(i => decSum(x(i) * (y - m)).as(s"g_$i"))
+      val aggs = hCols ++ gCols :+ decSum(dev(m, y)).as("loss")
+      val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val h = Array.ofDim[Double](d, d)
+      var c = 0
+      for (i <- 0 until d; j <- i until d) {
+        h(i)(j) = row.getDouble(c); h(j)(i) = h(i)(j); c += 1
+      }
+      val g = Array.tabulate(d)(i => row.getDouble(c + i))
+      losses += row.getDouble(c + d)
+      gradNorms += math.sqrt(g.map(v => v * v).sum)
+      if (doStep) {
+        for (i <- 0 until d) h(i)(i) += ridge
+        val delta = solve(h, g)
+        w = Array.tabulate(d)(i => w(i) + delta(i))
+      }
+    }
+    for (_ <- 0 until iters) pass(doStep = true)
+    pass(doStep = false) // final deviance + gradient under converged w
+    Fit(w, losses.toArray, gradNorms.toArray)
+  }
+
   /** Gaussian elimination with partial pivoting — deterministic, d ≤ 10. */
   private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
     val d = b0.length

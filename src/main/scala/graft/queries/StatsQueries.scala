@@ -1124,8 +1124,274 @@ object StatsQueries {
       """
     })
 
+  /** Poisson regression of the daily order count on workday/month-phase
+    * features via [[graft.ops.LogReg.trainPoisson]] — the count-data GLM
+    * the logistic head can't model. Engine-specific weights ride the
+    * in-plan-verdict pattern (q_quality_logreg): deviance monotone after
+    * the first Newton step, final gradient ≈ 0, finite weights; the
+    * exact day/order counts anchor the oracle. */
+  val poissonIrls = QuerySpec(
+    "q_poisson_irls",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(count(lit(1)).cast("double").as("y"))
+        .select(col("t"), col("y"),
+          (pmod(col("t"), lit(7)) < 5).cast("double").as("x_work"),
+          (pmod(col("t"), lit(30)).cast("double") / 30.0).as("x_phase"))
+      val fit = graft.ops.LogReg.trainPoisson(daily, "y",
+        Seq("x_work", "x_phase"), iters = 4)
+      val monotone = fit.losses.drop(1).sliding(2)
+        .forall(p => p.length < 2 || p(1) <= p(0) + 1e-9)
+      val gradOk = fit.gradNorms.last < 1e-6
+      val finite = fit.weights.forall(v => !v.isNaN && !v.isInfinite) &&
+        fit.losses.forall(v => !v.isNaN && !v.isInfinite)
+      daily.agg(count(lit(1)).as("n_days"),
+          sum(col("y").cast("long")).as("n_orders"))
+        .select(col("n_days"), col("n_orders"), lit(4).as("n_iters"),
+          lit(if (monotone) 1 else 0).as("deviance_decreasing"),
+          lit(if (gradOk) 1 else 0).as("grad_ok"),
+          lit(if (finite) 1 else 0).as("weights_finite"))
+    },
+    Some("""
+      SELECT CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS n_days,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             4 AS n_iters, 1 AS deviance_decreasing, 1 AS grad_ok,
+             1 AS weights_finite
+      FROM orders
+    """))
+
+  /** Friedman test: do the three known order years (1995–1997) rank
+    * consistently WITHIN nations? Blocks = the customer's nation,
+    * treatments = year, value = the block's exact revenue cents. Ranks
+    * within a 3-row block come from the bounded 3×3 self-join (doubled
+    * average ranks, so ties stay integer); only complete blocks count.
+    * χ²_F = ΣR₂ⱼ²/(4b) − 12b for k = 3 is one double tree over the
+    * fixed-order year pivot. Verdict χ²₍₂,.05₎ = 5.9915. */
+  val friedman = QuerySpec(
+    "q_friedman",
+    (s, d) => {
+      val yrs = Seq(1995, 1996, 1997)
+      val cells = customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(year(col("o_orderdate")).isin(yrs.map(Integer.valueOf): _*))
+        .groupBy(col("c_nationkey").as("blk"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("v"))
+      val full = cells.groupBy("blk").agg(count(lit(1)).as("__k"))
+        .filter(col("__k") === 3).select("blk")
+      val kept = cells.join(full, "blk")
+      val ranked = kept.as("x").join(kept.as("y"), "blk")
+        .groupBy(col("x.blk").as("blk"), col("x.yr").as("yr"))
+        .agg((sum((col("y.v") < col("x.v")).cast("long")) * 2 +
+          sum((col("y.v") === col("x.v")).cast("long")) + 1).as("r2"))
+      val aggs = countDistinct(col("blk")).as("b") +:
+        yrs.zipWithIndex.map { case (y, i) =>
+          sum(when(col("yr") === y, col("r2")).otherwise(0L)).as(s"rr$i") }
+      val piv = ranked.agg(aggs.head, aggs.tail: _*)
+      val bD = col("b").cast("double")
+      val sumSqR = yrs.indices.map(i =>
+        col(s"rr$i").cast("double") * col(s"rr$i").cast("double"))
+        .reduce(_ + _)
+      val chi2 = sumSqR / (lit(4.0) * bD) - lit(12.0) * bD
+      piv.select(col("b").as("n_blocks"), lit(3).as("k"),
+        round(chi2, 6).as("chi2_f"),
+        (round(chi2, 6) > 5.9915).cast("int").as("significant"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT c_nationkey AS blk, year(CAST(o_orderdate AS DATE)) AS yr,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS v
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+        GROUP BY 1, 2
+      ),
+      full_ AS (SELECT blk FROM cells GROUP BY blk HAVING count(*) = 3),
+      kept AS (SELECT cells.* FROM cells JOIN full_ USING (blk)),
+      ranked AS (
+        SELECT x.blk, x.yr,
+               CAST(2 * sum(CASE WHEN y.v < x.v THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN y.v = x.v THEN 1 ELSE 0 END) + 1
+                 AS BIGINT) AS r2
+        FROM kept x JOIN kept y USING (blk)
+        GROUP BY 1, 2
+      ),
+      piv AS (
+        SELECT CAST(count(DISTINCT blk) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN yr = 1995 THEN r2 ELSE 0 END) AS BIGINT) AS rr0,
+               CAST(sum(CASE WHEN yr = 1996 THEN r2 ELSE 0 END) AS BIGINT) AS rr1,
+               CAST(sum(CASE WHEN yr = 1997 THEN r2 ELSE 0 END) AS BIGINT) AS rr2
+        FROM ranked
+      ),
+      ff AS (
+        SELECT b,
+               (CAST(rr0 AS DOUBLE) * CAST(rr0 AS DOUBLE)
+                + CAST(rr1 AS DOUBLE) * CAST(rr1 AS DOUBLE)
+                + CAST(rr2 AS DOUBLE) * CAST(rr2 AS DOUBLE))
+               / (4.0 * CAST(b AS DOUBLE)) - 12.0 * CAST(b AS DOUBLE) AS chi2
+        FROM piv
+      )
+      SELECT b AS n_blocks, 3 AS k, round(chi2, 6) AS chi2_f,
+             CAST(round(chi2, 6) > 5.9915 AS INTEGER) AS significant
+      FROM ff
+    """))
+
+  /** Grubbs statistic for the most extreme daily-revenue day:
+    * G = max|vₜ−v̄|/s. The ARGMAX runs entirely in exact integers —
+    * |n·vₜ − Σv| is an exact DECIMAL cross-multiplication, ties to the
+    * earliest day — and only the reported G touches doubles (one fixed
+    * tree). No verdict column: Grubbs' critical value needs an inverse-t
+    * at α/(2n) (n-dependent — not expressible in portable SQL); the
+    * judge is the analyst, the engine pins the statistic. */
+  val grubbs = QuerySpec(
+    "q_grubbs",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("v"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        sum(col("v").cast(d38)).as("sv"),
+        sum(col("v").cast(d38) * col("v")).as("svv"))
+      val dev = daily.crossJoin(broadcast(tot))
+        .withColumn("adev",
+          abs(col("n").cast(d38) * col("v") - col("sv")))
+      dev.orderBy(col("adev").desc, col("t")).limit(1)
+        .select(col("n").as("n_days"), col("t").cast("int").as("outlier_day"),
+          round((col("adev").cast("double") / col("n").cast("double")) /
+            sqrt((col("svv").cast("double") -
+              col("sv").cast("double") * col("sv").cast("double") /
+                col("n").cast("double")) /
+              (col("n").cast("double") - 1.0)), 6).as("g"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+      ),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv,
+               CAST(sum(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS svv
+        FROM daily
+      ),
+      dev AS (
+        SELECT t, n, sv, svv,
+               abs(CAST(n AS DECIMAL(38,0)) * v - sv) AS adev
+        FROM daily CROSS JOIN tot
+      )
+      SELECT n AS n_days, CAST(t AS INTEGER) AS outlier_day,
+             round((CAST(adev AS DOUBLE) / CAST(n AS DOUBLE))
+                   / sqrt((CAST(svv AS DOUBLE)
+                           - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0)), 6) AS g
+      FROM dev
+      ORDER BY adev DESC, t
+      LIMIT 1
+    """))
+
+  /** Sequential probability ratio test on the lineitem return rate:
+    * H₀ p = 0.30 vs H₁ p = 0.34, α = β = 0.05 (boundaries ±ln 19). The
+    * log-likelihood ratio accumulates over SHIP DAYS (per-day counts ×
+    * nano-quantized per-row LLR constants — the two ln terms enter both
+    * plans as identical integer literals), so the running sum is an
+    * exact integer over the calendar-bounded daily frame, and the
+    * stopping day / decision are exact. A raw per-row scan would be the
+    * global-window anti-pattern; daily blocking is how a 100 TB
+    * sequential monitor actually runs. */
+  val sprt = QuerySpec(
+    "q_sprt", {
+      val incR = math.round(math.log(0.34 / 0.30) * 1e9) // per 'R' row
+      val incN = math.round(math.log(0.66 / 0.70) * 1e9) // per non-R row
+      val bound = math.round(math.log(19.0) * 1e9)
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val daily = lineitem(s, d)
+          .groupBy(datediff(to_date(col("l_shipdate")),
+            lit("1970-01-01").cast("date")).cast("long").as("t"))
+          .agg(sum((col("l_returnflag") === "R").cast("long")).as("y"),
+            count(lit(1)).as("m"))
+          .withColumn("llr",
+            sum(col("y") * incR + (col("m") - col("y")) * incN)
+              .over(W.orderBy("t").rowsBetween(W.unboundedPreceding,
+                W.currentRow)))
+        val firsts = daily.agg(
+          count(lit(1)).as("n_days"),
+          min(when(col("llr") >= bound, col("t"))).as("t_h1"),
+          min(when(col("llr") <= -bound, col("t"))).as("t_h0"))
+        val stop = firsts.select(col("n_days"),
+          when(col("t_h1").isNotNull &&
+            (col("t_h0").isNull || col("t_h1") <= col("t_h0")), col("t_h1"))
+            .otherwise(col("t_h0")).as("t_stop"),
+          when(col("t_h1").isNotNull &&
+            (col("t_h0").isNull || col("t_h1") <= col("t_h0")), lit("H1"))
+            .when(col("t_h0").isNotNull, lit("H0"))
+            .otherwise(lit("continue")).as("decision"))
+        daily.select(col("t"), col("llr"))
+          .join(broadcast(stop), col("t") === col("t_stop"), "right")
+          .select(col("n_days"), col("decision"),
+            coalesce(col("t_stop"), lit(-1L)).cast("int").as("stop_day"),
+            round(coalesce(col("llr"), lit(0L)).cast("double") / 1e9, 6)
+              .as("llr_at_stop"))
+      }
+    },
+    Some {
+      val incR = math.round(math.log(0.34 / 0.30) * 1e9)
+      val incN = math.round(math.log(0.66 / 0.70) * 1e9)
+      val bound = math.round(math.log(19.0) * 1e9)
+      s"""
+      WITH daily AS (
+        SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS y,
+               CAST(count(*) AS BIGINT) AS m
+        FROM lineitem GROUP BY 1
+      ),
+      cum AS (
+        SELECT t, sum(y * $incR + (m - y) * $incN)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS llr
+        FROM daily
+      ),
+      firsts AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               min(CASE WHEN llr >= $bound THEN t END) AS t_h1,
+               min(CASE WHEN llr <= -$bound THEN t END) AS t_h0
+        FROM cum
+      ),
+      stop AS (
+        SELECT n_days,
+               CASE WHEN t_h1 IS NOT NULL
+                      AND (t_h0 IS NULL OR t_h1 <= t_h0) THEN t_h1
+                    ELSE t_h0 END AS t_stop,
+               CASE WHEN t_h1 IS NOT NULL
+                      AND (t_h0 IS NULL OR t_h1 <= t_h0) THEN 'H1'
+                    WHEN t_h0 IS NOT NULL THEN 'H0'
+                    ELSE 'continue' END AS decision
+        FROM firsts
+      )
+      SELECT s.n_days, s.decision,
+             CAST(coalesce(s.t_stop, -1) AS INTEGER) AS stop_day,
+             round(CAST(coalesce(c.llr, 0) AS DOUBLE) / 1e9, 6)
+               AS llr_at_stop
+      FROM stop s LEFT JOIN cum c ON c.t = s.t_stop
+      """
+    })
+
   val all: Seq[QuerySpec] = Seq(
     anova, welchT, levene, mantelHaenszel, pacf,
     ccf, periodogram, jsDivergence, tCloseness,
-    durbinWatson, breuschPagan, vif, hosmerLemeshow)
+    durbinWatson, breuschPagan, vif, hosmerLemeshow,
+    poissonIrls, friedman, grubbs, sprt)
 }

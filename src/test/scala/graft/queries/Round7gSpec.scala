@@ -114,6 +114,57 @@ class Round7gSpec extends SparkSpec {
     assert(r.getAs[Long]("k_tail") >= 1L)
   }
 
+  test("poisson irls: converged fit with every verdict green") {
+    val r = StatsQueries.poissonIrls.run(spark, Sf001).head()
+    assert(r.getAs[Int]("deviance_decreasing") === 1)
+    assert(r.getAs[Int]("grad_ok") === 1)
+    assert(r.getAs[Int]("weights_finite") === 1)
+  }
+
+  test("poisson trainer recovers a known rate structure") {
+    import spark.implicits._
+    // two regimes: mu = 4 when x = 0, mu = 12 when x = 1 → slope ln 3
+    val rows = (0 until 200).map { i =>
+      val x = i % 2
+      val mu = if (x == 1) 12.0 else 4.0
+      // deterministic "counts": alternate around mu so the mean is exact
+      val y = mu + (if (i % 4 < 2) 1.0 else -1.0)
+      (y, x.toDouble)
+    }
+    val fit = graft.ops.LogReg.trainPoisson(rows.toDF("y", "x"), "y",
+      Seq("x"), iters = 6)
+    assert(math.abs(fit.weights(0) - math.log(4.0)) < 0.02)
+    assert(math.abs(fit.weights(1) - math.log(3.0)) < 0.03)
+  }
+
+  test("friedman: chi2 bounded by the no-tie maximum 2b") {
+    val r = StatsQueries.friedman.run(spark, Sf001).head()
+    val b = r.getAs[Long]("n_blocks")
+    val chi2 = r.getAs[Double]("chi2_f")
+    // k = 3: max chi2 (perfectly consistent ranking) = b·(k−1) = 2b
+    assert(chi2 >= -1e-6 && chi2 <= 2.0 * b + 1e-6)
+    assert(b >= 1)
+  }
+
+  test("grubbs: g within the hard bound (n-1)/sqrt(n)") {
+    val r = StatsQueries.grubbs.run(spark, Sf001).head()
+    val n = r.getAs[Long]("n_days").toDouble
+    val g = r.getAs[Double]("g")
+    assert(g > 0.0 && g <= (n - 1.0) / math.sqrt(n) + 1e-9)
+  }
+
+  test("sprt: decision consistent with the boundary at the stop day") {
+    val r = StatsQueries.sprt.run(spark, Sf001).head()
+    val dec = r.getAs[String]("decision")
+    val llr = r.getAs[Double]("llr_at_stop")
+    val b = math.log(19.0)
+    dec match {
+      case "H1" => assert(llr >= b - 1e-6)
+      case "H0" => assert(llr <= -b + 1e-6)
+      case _    => assert(r.getAs[Int]("stop_day") === -1)
+    }
+  }
+
   test("t-closeness: emd in [0,1]; every quasi-group audited") {
     val rows = StatsQueries.tCloseness.run(spark, Sf001).collect()
     rows.foreach { r =>
