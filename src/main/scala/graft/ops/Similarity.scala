@@ -462,6 +462,21 @@ object Similarity {
     * a bit-63 hash (valid: hashes are signed-long bitmaps) bands
     * correctly. Output: (key_a, key_b, hash_a, hash_b, hamming),
     * key_a < key_b, each qualifying pair once. */
+  /** Band projection shared by [[hammingPairs]] and the streaming twin
+    * ([[graft.streaming.Streams.hammingMatches]]) — ONE definition of
+    * "the bands", so the two halves cannot drift. Output:
+    * (k, h, band_idx, band_val). */
+  def hashBands(hashes: DataFrame, keyCol: String, hashCol: String,
+      bands: Int, bandBits: Int): DataFrame = {
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    hashes.select(col(keyCol).cast("long").as("k"),
+        col(hashCol).cast("long").as("h"))
+      .select(col("k"), col("h"),
+        posexplode(array((0 until bands).map { b =>
+          expr(s"shiftrightunsigned(h, ${b * bandBits}) & $mask")
+        }: _*)).as(Seq("band_idx", "band_val")))
+  }
+
   def hammingPairs(hashes: DataFrame, keyCol: String, hashCol: String,
       bands: Int, bandBits: Int, maxHam: Int,
       maxBucket: Int = 1024): DataFrame = {
@@ -469,13 +484,7 @@ object Similarity {
       s"need 2+ bands and bands*bandBits <= 64, got $bands x $bandBits")
     require(maxHam >= 0 && maxBucket >= 2,
       s"need maxHam >= 0 and maxBucket >= 2, got $maxHam / $maxBucket")
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val base = hashes.select(col(keyCol).cast("long").as("k"),
-      col(hashCol).cast("long").as("h"))
-    val banded = base.select(col("k"), col("h"),
-      posexplode(array((0 until bands).map { b =>
-        expr(s"shiftrightunsigned(h, ${b * bandBits}) & $mask")
-      }: _*)).as(Seq("band_idx", "band_val")))
+    val banded = hashBands(hashes, keyCol, hashCol, bands, bandBits)
     val keepBuckets = banded.groupBy("band_idx", "band_val")
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)

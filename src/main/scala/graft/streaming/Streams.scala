@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, explode, expr, size}
+import org.apache.spark.sql.functions.{col, count, explode, expr, lit, size}
 import graft.ops.Windows
 
 /** Structured-Streaming twins of the batch event queries (SURVEY §2b E7).
@@ -104,6 +104,40 @@ object Streams {
     graft.ops.Dedup.postings(docs, "doc_id", "sh", blockCols, "new")
       .join(graft.ops.Dedup.postings(corpus, "doc_id", "sh", blockCols, "old"),
         blockCols :+ "__sh")
+
+  /** Streaming perceptual-hash matcher: incoming image hashes (a stream
+    * of (key, hash) rows, e.g. [[graft.multimodal.Multimodal
+    * .averageHash]] output) probe a STATIC corpus of known hashes via
+    * the band-equality blocking of [[graft.ops.Similarity.hammingPairs]]
+    * — the same [[graft.ops.Similarity.hashBands]] projection builds
+    * both sides, so the stream and batch halves cannot drift. The
+    * corpus side pre-drops buckets above `maxBucket` (a STATIC
+    * computation — the stream side needs no global counts and carries
+    * NO state: stream-static joins are stateless in Structured
+    * Streaming). One row per (new, old, matching band) with the exact
+    * Hamming distance — the [[corpusPostingMatches]] contract; the
+    * consumer dedups or aggregates downstream. */
+  def hammingMatches(stream: DataFrame, corpus: DataFrame,
+      bands: Int, bandBits: Int, maxHam: Int,
+      maxBucket: Int = 1024): DataFrame = {
+    import graft.ops.Similarity.hashBands
+    val corpusBands = hashBands(corpus, "key", "hash", bands, bandBits)
+    val keep = corpusBands.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
+      .select("band_idx", "band_val")
+    val old = corpusBands.join(keep, Seq("band_idx", "band_val"))
+      .select(col("band_idx"), col("band_val"),
+        col("k").as("key_old"), col("h").as("hash_old"))
+    hashBands(stream, "key", "hash", bands, bandBits)
+      .select(col("band_idx"), col("band_val"),
+        col("k").as("key_new"), col("h").as("hash_new"))
+      .join(old, Seq("band_idx", "band_val"))
+      .filter(col("key_new") =!= col("key_old"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(hash_new ^ hash_old) AS INT)"))
+      .filter(col("hamming") <= maxHam)
+      .select("key_new", "key_old", "band_idx", "hamming")
+  }
 
   /** Streaming data-quality monitor: the stream sibling of
     * graft.ops.Quality.checkBlock — per-window violation counts for a

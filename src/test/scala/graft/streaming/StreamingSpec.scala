@@ -252,4 +252,35 @@ class StreamingSpec extends SparkSpec {
     // cell (0,0) saw keys 1 and 4 across different micro-batches
     assert(streamed.head === Seq(0L, 0L, 2L, 1L, 4L, 5L))
   }
+
+  test("stream-static hamming probe equals the batch pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: three 60-bit hashes; two within distance 2 of the probes
+    val h0 = 0x0F0F0F0F0F0F0FL
+    val corpus = Seq((100L, h0), (101L, h0 ^ 3L), (102L, ~h0 & ((1L << 60) - 1)))
+      .toDF("key", "hash")
+    val b1 = Seq((1L, h0 ^ 1L))            // dist 1 to 100, 1 to 101 (1^3=2)
+    val b2 = Seq((2L, h0 ^ 0x30L), (3L, 0x123456789ABCDL)) // 2 to 100, 4 to 101 (cut); far
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("key", "hash")
+    val q = Streams.hammingMatches(stream, corpus,
+        bands = 4, bandBits = 15, maxHam = 3)
+      .writeStream.format("memory").queryName("t_ham").outputMode("append")
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally { q.stop() }
+    val streamed = spark.table("t_ham")
+      .select("key_new", "key_old", "hamming").distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    // batch twin over the SAME rows (same builder, static plan)
+    val batchTwin = Streams
+      .hammingMatches((b1 ++ b2).toDF("key", "hash"), corpus,
+        bands = 4, bandBits = 15, maxHam = 3)
+      .select("key_new", "key_old", "hamming").distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed === batchTwin)
+    assert(streamed === Set((1L, 100L, 1), (1L, 101L, 1), (2L, 100L, 2)))
+  }
 }
