@@ -1194,6 +1194,64 @@ object ExtendedQueries {
       ORDER BY arm, a, b
     """))
 
+  /** Phonetic blocking for record linkage — the cheap key that turns an
+    * O(n²) fuzzy match into per-block candidate sets (the classical
+    * Soundex idea reduced to a consonant skeleton both engines spell
+    * identically: first letter + first three consonants of the part
+    * name's head word). Output: one row per block (key, members,
+    * candidate pairs) plus the global reduction ratio — candidate pairs
+    * over the full n(n−1)/2 — the number a linkage pipeline actually
+    * tunes. Blocks are data-bounded (vocabulary-sized), the pair counts
+    * are exact integer arithmetic, and the ratio's denominator comes
+    * from one count. */
+  val phoneticBlock = QuerySpec(
+    "q_phonetic_block",
+    (s, d) => {
+      val keyed = part(s, d).select(col("p_partkey"),
+        expr("""concat(substr(element_at(split(p_name, ' '), 1), 1, 1),
+                substr(regexp_replace(
+                  substr(element_at(split(p_name, ' '), 1), 2, 100),
+                  '[aeiou]', ''), 1, 3))""").as("pkey"))
+      val blocks = keyed.groupBy("pkey")
+        .agg(count(lit(1)).as("n_members"))
+        .withColumn("n_pairs",
+          expr("n_members * (n_members - 1) DIV 2"))
+      val tot = blocks.agg(sum("n_members").as("n_total"),
+        sum("n_pairs").as("cand_pairs"))
+      blocks.crossJoin(broadcast(tot))
+        .select(col("pkey"), col("n_members"),
+          col("n_pairs"),
+          round(col("cand_pairs").cast("double") * 2.0 /
+            (col("n_total").cast("double") *
+              (col("n_total").cast("double") - 1.0)), 6)
+            .as("reduction_ratio"))
+        .orderBy(col("n_members").desc, col("pkey"))
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT p_partkey,
+               concat(substr(split_part(p_name, ' ', 1), 1, 1),
+                      substr(regexp_replace(
+                        substr(split_part(p_name, ' ', 1), 2, 100),
+                        '[aeiou]', '', 'g'), 1, 3)) AS pkey
+        FROM part
+      ),
+      blocks AS (
+        SELECT pkey, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+        FROM keyed GROUP BY pkey
+      ),
+      tot AS (SELECT CAST(sum(n_members) AS BIGINT) AS n_total,
+                     CAST(sum(n_pairs) AS BIGINT) AS cand_pairs FROM blocks)
+      SELECT pkey, n_members, n_pairs,
+             round(CAST(cand_pairs AS DOUBLE) * 2.0
+                   / (CAST(n_total AS DOUBLE)
+                      * (CAST(n_total AS DOUBLE) - 1.0)), 6)
+               AS reduction_ratio
+      FROM blocks CROSS JOIN tot
+      ORDER BY n_members DESC, pkey
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     outerJoin, minmaxBy, distinctCount, approxDistinct, groupingSets,
     movingSum, quantiles, fuzzyMatch, tfOverDf, windowSliding, collectSorted,
@@ -1201,5 +1259,5 @@ object ExtendedQueries {
     crossJoin, nullSemantics, tsTrunc, scalarSubquery, arrayOps, hofReduce,
     dateSpine, typedAgg, rangeFrame, intervalJoin, schemaProfile,
     correlatedAgg, winsorize, samplePerKey, sketchRollup, jaroWinklerMatch,
-    recordLinkage, damerauPairs)
+    recordLinkage, damerauPairs, phoneticBlock)
 }

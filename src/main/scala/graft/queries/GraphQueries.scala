@@ -1081,8 +1081,143 @@ object GraphQueries {
       FROM bydeg
     """))
 
+  /** Adamic–Adar link prediction over the same hub-capped wedge frame as
+    * [[linkPredict]] — the log-damped index that separates "shares one
+    * rare neighbor" from "shares one hub": AA = Σ_z 1/ln(deg z). Every
+    * wedge center has deg ≥ 2 (it touches both endpoints), so ln never
+    * vanishes; 1/ln(deg) quantizes ONCE per center to nano-units and the
+    * per-pair sum is exact. Top-30 by (aa, cn, ids) — fully ordered. */
+  val adamicAdar = QuerySpec(
+    "q_adamic_adar",
+    (s, d) => {
+      val e = freqEdges(s, d).cache() // shares the hops/triangles entry
+      val deg = e.select(col("a").as("z"))
+        .union(e.select(col("b").as("z")))
+        .groupBy("z").agg(count(lit(1)).as("deg"))
+      val adj = e.select(col("a").as("z"), col("b").as("n"))
+        .union(e.select(col("b").as("z"), col("a").as("n")))
+        .join(deg.filter(col("deg") <= 64), "z")
+        .withColumn("aa_nano",
+          expr("CAST(round(1e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"))
+      val wedge = adj.select(col("z"), col("n").as("u"), col("aa_nano"))
+        .join(adj.select(col("z"), col("n").as("w")), "z")
+        .filter(col("u") < col("w"))
+      val scored = wedge.groupBy("u", "w").agg(
+        count(lit(1)).as("cn"), sum("aa_nano").as("aa_nano"))
+      scored
+        .join(e.select(col("a").as("u"), col("b").as("w")),
+          Seq("u", "w"), "left_anti")
+        .select(col("u").as("part_a"), col("w").as("part_b"),
+          col("cn"), col("aa_nano"),
+          (col("aa_nano").cast("double") / 1e9).as("aa"))
+        .orderBy(col("aa_nano").desc, col("cn").desc,
+          col("part_a"), col("part_b"))
+        .limit(30)
+    },
+    Some(s"""
+      WITH $FreqEdgeSql,
+      deg AS (
+        SELECT z, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS z FROM fedge UNION ALL SELECT b FROM fedge)
+        GROUP BY z
+      ),
+      adj AS (
+        SELECT s.z, s.n,
+               CAST(round(1e9 / ln(CAST(d.deg AS DOUBLE))) AS BIGINT)
+                 AS aa_nano
+        FROM (SELECT a AS z, b AS n FROM fedge
+              UNION ALL SELECT b, a FROM fedge) s
+        JOIN deg d ON d.z = s.z AND d.deg <= 64
+      ),
+      scored AS (
+        SELECT x.n AS u, y.n AS w,
+               CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(x.aa_nano) AS BIGINT) AS aa_nano
+        FROM adj x JOIN adj y ON y.z = x.z AND x.n < y.n
+        GROUP BY 1, 2
+      )
+      SELECT s.u AS part_a, s.w AS part_b, s.cn, s.aa_nano,
+             CAST(s.aa_nano AS DOUBLE) / 1e9 AS aa
+      FROM scored s
+      LEFT JOIN fedge f ON f.a = s.u AND f.b = s.w
+      WHERE f.a IS NULL
+      ORDER BY s.aa_nano DESC, s.cn DESC, part_a, part_b
+      LIMIT 30
+    """))
+
+  /** Rich-club coefficients at the fixed degree ladder k ∈ {4, 8, 16}:
+    * φ(k) = 2·E_{>k} / (N_{>k}(N_{>k}−1)) — do the hubs of the
+    * co-purchase graph preferentially connect to each other? One degree
+    * table + one edge-endpoint join feed all three rungs as conditional
+    * sums (exact integers); φ is one division per rung. The fixed
+    * ladder keeps the output one row at any scale. */
+  val richClub = QuerySpec(
+    "q_rich_club",
+    (s, d) => {
+      val e = freqEdges(s, d).cache()
+      val deg = e.select(col("a").as("z"))
+        .union(e.select(col("b").as("z")))
+        .groupBy("z").agg(count(lit(1)).as("deg"))
+      val ks = Seq(4, 8, 16)
+      val nodeAggs = ks.map(k =>
+        sum((col("deg") > k).cast("long")).as(s"n$k"))
+      val nodes = deg.agg(nodeAggs.head, nodeAggs.tail: _*)
+      val withDegs = e
+        .join(deg.select(col("z").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("z").as("b"), col("deg").as("db")), "b")
+      val edgeAggs = ks.map(k =>
+        sum((col("da") > k && col("db") > k).cast("long")).as(s"e$k"))
+      val edges = withDegs.agg(edgeAggs.head, edgeAggs.tail: _*)
+      val out = nodes.crossJoin(edges)
+      val cols = ks.flatMap { k =>
+        Seq(col(s"n$k"), col(s"e$k"),
+          when(col(s"n$k") >= 2, round(
+            col(s"e$k").cast("double") * 2.0 /
+              (col(s"n$k").cast("double") *
+                (col(s"n$k").cast("double") - 1.0)), 6))
+            .otherwise(lit(0.0)).as(s"phi$k"))
+      }
+      out.select(cols: _*)
+    },
+    Some(s"""
+      WITH $FreqEdgeSql,
+      deg AS (
+        SELECT z, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS z FROM fedge UNION ALL SELECT b FROM fedge)
+        GROUP BY z
+      ),
+      nodes AS (
+        SELECT CAST(sum(CASE WHEN deg > 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+               CAST(sum(CASE WHEN deg > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n8,
+               CAST(sum(CASE WHEN deg > 16 THEN 1 ELSE 0 END) AS BIGINT) AS n16
+        FROM deg
+      ),
+      edges AS (
+        SELECT CAST(sum(CASE WHEN da.deg > 4 AND db.deg > 4 THEN 1 ELSE 0 END) AS BIGINT) AS e4,
+               CAST(sum(CASE WHEN da.deg > 8 AND db.deg > 8 THEN 1 ELSE 0 END) AS BIGINT) AS e8,
+               CAST(sum(CASE WHEN da.deg > 16 AND db.deg > 16 THEN 1 ELSE 0 END) AS BIGINT) AS e16
+        FROM fedge
+        JOIN deg da ON da.z = fedge.a
+        JOIN deg db ON db.z = fedge.b
+      )
+      SELECT n4, e4,
+             CASE WHEN n4 >= 2 THEN round(CAST(e4 AS DOUBLE) * 2.0
+               / (CAST(n4 AS DOUBLE) * (CAST(n4 AS DOUBLE) - 1.0)), 6)
+               ELSE 0.0 END AS phi4,
+             n8, e8,
+             CASE WHEN n8 >= 2 THEN round(CAST(e8 AS DOUBLE) * 2.0
+               / (CAST(n8 AS DOUBLE) * (CAST(n8 AS DOUBLE) - 1.0)), 6)
+               ELSE 0.0 END AS phi8,
+             n16, e16,
+             CASE WHEN n16 >= 2 THEN round(CAST(e16 AS DOUBLE) * 2.0
+               / (CAST(n16 AS DOUBLE) * (CAST(n16 AS DOUBLE) - 1.0)), 6)
+               ELSE 0.0 END AS phi16
+      FROM nodes CROSS JOIN edges
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(graphHops, triangles, pagerank, kcore, sssp, labelProp, hits,
       modularity, assortativity, randomWalk, textrank, graphDiameter,
-      localClustering, linkPredict, closeness, ktruss, hillTail)
+      localClustering, linkPredict, closeness, ktruss, hillTail,
+      adamicAdar, richClub)
 }

@@ -1389,9 +1389,298 @@ object StatsQueries {
       """
     })
 
+  /** Cochran's Q: do the three known years differ in the share of
+    * customers with a high-ticket (> $200k) order — among customers
+    * ACTIVE in all three (complete blocks, the [[friedman]] discipline
+    * on a binary response)? Q = (k−1)(kΣCⱼ² − N²)/(kN − ΣRᵦ²) is
+    * integer arithmetic end-to-end (column totals Cⱼ pivot in fixed
+    * year order, ΣRᵦ² is one map-side-combinable sum) with one final
+    * division. Verdict χ²₍₂,.05₎ = 5.9915. */
+  val cochranQ = QuerySpec(
+    "q_cochran_q",
+    (s, d) => {
+      val yrs = Seq(1995, 1996, 1997)
+      val cells = orders(s, d)
+        .filter(year(col("o_orderdate")).isin(yrs.map(Integer.valueOf): _*))
+        .groupBy(col("o_custkey").as("blk"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(max((col("o_totalprice") > 200000).cast("long")).as("y"))
+      val full = cells.groupBy("blk").agg(count(lit(1)).as("__k"))
+        .filter(col("__k") === 3).select("blk")
+      val kept = cells.join(full, "blk")
+      val rows = kept.groupBy("blk").agg(
+        sum("y").as("r"),
+        yrs.zipWithIndex.map { case (y, i) =>
+          sum(when(col("yr") === y, col("y")).otherwise(0L)).as(s"c$i")
+        }: _*)
+      val aggs = Seq(count(lit(1)).as("b"), sum(col("r")).as("nn"),
+        sum(col("r") * col("r")).as("srr")) ++
+        yrs.indices.map(i => sum(col(s"c$i")).as(s"cc$i"))
+      val piv = rows.agg(aggs.head, aggs.tail: _*)
+      val sumC2 = yrs.indices.map(i =>
+        col(s"cc$i").cast("double") * col(s"cc$i").cast("double"))
+        .reduce(_ + _)
+      val nD = col("nn").cast("double")
+      val q = lit(2.0) * (lit(3.0) * sumC2 - nD * nD) /
+        (lit(3.0) * nD - col("srr").cast("double"))
+      piv.select(col("b").as("n_blocks"), lit(3).as("k"),
+        round(q, 6).as("q_cochran"),
+        (round(q, 6) > 5.9915).cast("int").as("significant"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT o_custkey AS blk, year(CAST(o_orderdate AS DATE)) AS yr,
+               CAST(max(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS y
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+        GROUP BY 1, 2
+      ),
+      full_ AS (SELECT blk FROM cells GROUP BY blk HAVING count(*) = 3),
+      rows_ AS (
+        SELECT blk, CAST(sum(y) AS BIGINT) AS r,
+               CAST(sum(CASE WHEN yr = 1995 THEN y ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN yr = 1996 THEN y ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN yr = 1997 THEN y ELSE 0 END) AS BIGINT) AS c2
+        FROM cells JOIN full_ USING (blk)
+        GROUP BY blk
+      ),
+      piv AS (
+        SELECT CAST(count(*) AS BIGINT) AS b,
+               CAST(sum(r) AS BIGINT) AS nn,
+               CAST(sum(r * r) AS BIGINT) AS srr,
+               CAST(sum(c0) AS BIGINT) AS cc0,
+               CAST(sum(c1) AS BIGINT) AS cc1,
+               CAST(sum(c2) AS BIGINT) AS cc2
+        FROM rows_
+      ),
+      qq AS (
+        SELECT b,
+               2.0 * (3.0 * (CAST(cc0 AS DOUBLE) * CAST(cc0 AS DOUBLE)
+                             + CAST(cc1 AS DOUBLE) * CAST(cc1 AS DOUBLE)
+                             + CAST(cc2 AS DOUBLE) * CAST(cc2 AS DOUBLE))
+                      - CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+               / (3.0 * CAST(nn AS DOUBLE) - CAST(srr AS DOUBLE)) AS q
+        FROM piv
+      )
+      SELECT b AS n_blocks, 3 AS k, round(q, 6) AS q_cochran,
+             CAST(round(q, 6) > 5.9915 AS INTEGER) AS significant
+      FROM qq
+    """))
+
+  /** Hellinger distance between the 1995/1996 order-value distributions
+    * over [[jsDivergence]]'s bins — the drift metric with a true metric
+    * structure (triangle inequality) that PSI and JS lack:
+    * H = √(1 − Σ√(pᵢqᵢ)). Per-bin √(c₁c₂/(n₁n₂)) quantizes ONCE to
+    * nano (the products multiply as doubles — identical in both
+    * engines), the Bhattacharyya sum is exact, one √ at the end. */
+  val hellinger = QuerySpec(
+    "q_hellinger",
+    (s, d) => {
+      val binned = orders(s, d)
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .select(year(col("o_orderdate")).as("yr"),
+          least(floor(col("o_totalprice") / 30000.0), lit(19.0))
+            .cast("long").as("bin"))
+      val perBin = binned.groupBy("bin").agg(
+        sum((col("yr") === 1995).cast("long")).as("c1"),
+        sum((col("yr") === 1996).cast("long")).as("c2"))
+      val tot = perBin.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      perBin.crossJoin(broadcast(tot))
+        .select(expr("""CAST(round(sqrt((CAST(c1 AS DOUBLE)
+                  * CAST(c2 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e9)
+                AS BIGINT)""").as("bc_nano"))
+        .agg(count(lit(1)).as("n_bins"), sum("bc_nano").as("bc"))
+        .select(col("n_bins"),
+          round(col("bc").cast("double") / 1e9, 6).as("bhattacharyya"),
+          round(sqrt(greatest(lit(0.0),
+            lit(1.0) - col("bc").cast("double") / 1e9)), 6).as("hellinger"))
+    },
+    Some("""
+      WITH binned AS (
+        SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+               CAST(least(floor(o_totalprice / 30000.0), 19.0) AS BIGINT)
+                 AS bin
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+      ),
+      per_bin AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM binned GROUP BY 1
+      ),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(c2) AS BIGINT) AS n2 FROM per_bin),
+      terms AS (
+        SELECT CAST(round(sqrt((CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e9)
+               AS BIGINT) AS bc_nano
+        FROM per_bin CROSS JOIN tot
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_bins,
+             round(CAST(sum(bc_nano) AS DOUBLE) / 1e9, 6) AS bhattacharyya,
+             round(sqrt(greatest(0.0,
+               1.0 - CAST(sum(bc_nano) AS DOUBLE) / 1e9)), 6) AS hellinger
+      FROM terms
+    """))
+
+  /** Theil's uncertainty coefficient U(returnflag | ship year) — the
+    * NORMALIZED mutual information ([0, 1]) that answers "how much of
+    * the return outcome does the era explain?" in units a dashboard can
+    * threshold. Every cell/marginal count is exact; each cell's
+    * ln(c·N/(c_x·c_y)) decomposes into four single-integer logs
+    * (ln c + ln N − ln c_x − ln c_y — never a > 2⁵³ product) and
+    * nano-quantizes once, so Σ c·nano is exact under any partition
+    * order. U = I/H(Y), both reported in nats. */
+  val theilU = QuerySpec(
+    "q_theil_u",
+    (s, d) => {
+      val cells = lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).as("x"),
+          col("l_returnflag").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val mx = cells.groupBy("x").agg(sum("c").as("cx"))
+      val my = cells.groupBy("y").agg(sum("c").as("cy"))
+      val tot = cells.agg(sum("c").as("nn"))
+      val terms = cells.join(mx, "x").join(my, "y")
+        .crossJoin(broadcast(tot))
+        .select(col("c"),
+          expr("""CAST(round((ln(CAST(c AS DOUBLE)) + ln(CAST(nn AS DOUBLE))
+                  - ln(CAST(cx AS DOUBLE)) - ln(CAST(cy AS DOUBLE))) * 1e9)
+                AS BIGINT)""").as("nano"))
+      val iSum = terms.agg(sum(col("c") * col("nano")).as("si"),
+        sum("c").as("n"))
+      val hy = my.crossJoin(broadcast(tot))
+        .select(col("cy"),
+          expr("""CAST(round((ln(CAST(cy AS DOUBLE)) - ln(CAST(nn AS DOUBLE)))
+                  * 1e9) AS BIGINT)""").as("nano"))
+        .agg(sum(col("cy") * col("nano")).as("sh"), sum("cy").as("nh"))
+      iSum.crossJoin(broadcast(hy)).select(
+        col("n").as("n_rows"),
+        round(col("si").cast("double") / (col("n").cast("double") * 1e9), 6)
+          .as("i_nats"),
+        round(-col("sh").cast("double") / (col("nh").cast("double") * 1e9), 6)
+          .as("h_y"),
+        round((col("si").cast("double") / (col("n").cast("double") * 1e9)) /
+          (-col("sh").cast("double") / (col("nh").cast("double") * 1e9)), 6)
+          .as("theil_u"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT year(l_shipdate) AS x, l_returnflag AS y,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+      ),
+      mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY x),
+      my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY y),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
+      terms AS (
+        SELECT c, CAST(round((ln(CAST(c AS DOUBLE)) + ln(CAST(nn AS DOUBLE))
+                 - ln(CAST(cx AS DOUBLE)) - ln(CAST(cy AS DOUBLE))) * 1e9)
+               AS BIGINT) AS nano
+        FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+      ),
+      isum AS (SELECT CAST(sum(c * nano) AS BIGINT) AS si,
+                      CAST(sum(c) AS BIGINT) AS n FROM terms),
+      hy AS (
+        SELECT CAST(sum(cy * nano) AS BIGINT) AS sh,
+               CAST(sum(cy) AS BIGINT) AS nh
+        FROM (SELECT cy, CAST(round((ln(CAST(cy AS DOUBLE))
+                     - ln(CAST(nn AS DOUBLE))) * 1e9) AS BIGINT) AS nano
+              FROM my CROSS JOIN tot)
+      )
+      SELECT n AS n_rows,
+             round(CAST(si AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6)
+               AS i_nats,
+             round(-CAST(sh AS DOUBLE) / (CAST(nh AS DOUBLE) * 1e9), 6)
+               AS h_y,
+             round((CAST(si AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))
+                   / (-CAST(sh AS DOUBLE) / (CAST(nh AS DOUBLE) * 1e9)), 6)
+               AS theil_u
+      FROM isum CROSS JOIN hy
+    """))
+
+  /** Cramér–von Mises-type discrepancy between the 1995/1996 order-value
+    * distributions: D = Σᵥ (c₁+c₂)/(n₁+n₂) · (F₁(v)−F₂(v))² — the
+    * squared-CDF-gap integral under the pooled law, the L² companion to
+    * q_ks_test's sup-norm. CDFs accumulate over the bounded $100-bin
+    * value frame (the q_spearman discipline); each bin's term is a fixed
+    * double tree on exact integers, nano-quantized once so the cross-bin
+    * sum is exact. */
+  val cvm = QuerySpec(
+    "q_cvm",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val binned = orders(s, d)
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .select(year(col("o_orderdate")).as("yr"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "DIV 10000").as("v"))
+      val perV = binned.groupBy("v").agg(
+        sum((col("yr") === 1995).cast("long")).as("c1"),
+        sum((col("yr") === 1996).cast("long")).as("c2"))
+      val w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+      val cum = perV
+        .withColumn("k1", sum("c1").over(w))
+        .withColumn("k2", sum("c2").over(w))
+      val tot = perV.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val terms = cum.crossJoin(broadcast(tot))
+        .select(expr("""CAST(round((CAST(c1 + c2 AS DOUBLE)
+                  / CAST(n1 + n2 AS DOUBLE))
+                  * (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                  * (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 1e9)
+                AS BIGINT)""").as("t_nano"),
+          col("n1"), col("n2"))
+      terms.agg(max("n1").as("n1"), max("n2").as("n2"),
+          sum("t_nano").as("st"))
+        .select(col("n1"), col("n2"),
+          round(col("st").cast("double") / 1e9, 6).as("cvm_d"))
+    },
+    Some("""
+      WITH binned AS (
+        SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 // 10000 AS v
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+      ),
+      per_v AS (
+        SELECT v,
+               CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM binned GROUP BY v
+      ),
+      cum AS (
+        SELECT v, c1, c2,
+               sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k1,
+               sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k2
+        FROM per_v
+      ),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(c2) AS BIGINT) AS n2 FROM per_v),
+      terms AS (
+        SELECT CAST(round((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 * (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 1e9)
+               AS BIGINT) AS t_nano,
+               n1, n2
+        FROM cum CROSS JOIN tot
+      )
+      SELECT max(n1) AS n1, max(n2) AS n2,
+             round(CAST(sum(t_nano) AS DOUBLE) / 1e9, 6) AS cvm_d
+      FROM terms
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     anova, welchT, levene, mantelHaenszel, pacf,
     ccf, periodogram, jsDivergence, tCloseness,
     durbinWatson, breuschPagan, vif, hosmerLemeshow,
-    poissonIrls, friedman, grubbs, sprt)
+    poissonIrls, friedman, grubbs, sprt,
+    cochranQ, hellinger, theilU, cvm)
 }

@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Invariants for the session-9 closing batch (association, drift
+  * metrics, blocking, graph indices). */
+class Round7hSpec extends SparkSpec {
+
+  test("cochran q: non-negative; blocks complete") {
+    val r = StatsQueries.cochranQ.run(spark, Sf001).head()
+    assert(r.getAs[Double]("q_cochran") >= -1e-9)
+    assert(r.getAs[Long]("n_blocks") >= 1)
+  }
+
+  test("hellinger and bhattacharyya are complementary and bounded") {
+    val r = StatsQueries.hellinger.run(spark, Sf001).head()
+    val bc = r.getAs[Double]("bhattacharyya")
+    val h = r.getAs[Double]("hellinger")
+    assert(bc >= 0.0 && bc <= 1.0 + 1e-9)
+    assert(h >= 0.0 && h <= 1.0)
+    assert(math.abs(h - math.sqrt(math.max(0.0, 1.0 - bc))) < 1e-5)
+  }
+
+  test("theil u in [0,1]; mutual information bounded by H(Y)") {
+    val r = StatsQueries.theilU.run(spark, Sf001).head()
+    val u = r.getAs[Double]("theil_u")
+    val i = r.getAs[Double]("i_nats")
+    val hy = r.getAs[Double]("h_y")
+    assert(u >= -1e-6 && u <= 1.0 + 1e-6)
+    assert(i >= -1e-6 && i <= hy + 1e-6)
+    assert(hy > 0.0 && hy <= math.log(3.0) + 1e-9) // 3 return flags
+  }
+
+  test("cvm discrepancy non-negative and bounded by 1") {
+    val r = StatsQueries.cvm.run(spark, Sf001).head()
+    val d = r.getAs[Double]("cvm_d")
+    assert(d >= 0.0 && d <= 1.0)
+  }
+
+  test("phonetic blocking: members partition parts; ratio in (0,1]") {
+    val rows = ExtendedQueries.phoneticBlock.run(spark, Sf001).collect()
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    assert(total === graft.Tables.part(spark, Sf001).count())
+    val ratio = rows.head.getAs[Double]("reduction_ratio")
+    assert(ratio > 0.0 && ratio <= 1.0)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      assert(r.getAs[Long]("n_pairs") === n * (n - 1) / 2)
+    }
+  }
+
+  test("adamic-adar pairs are non-adjacent; aa positive") {
+    val rows = GraphQueries.adamicAdar.run(spark, Sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      assert(r.getAs[Long]("aa_nano") > 0L)
+      // AA of cn common neighbors with deg >= 2 is at most cn / ln 2
+      assert(r.getAs[Double]("aa") <=
+        r.getAs[Long]("cn") / math.log(2.0) + 1e-6)
+    }
+  }
+
+  test("rich club: monotone counts along the ladder; phi in [0,1]") {
+    val r = GraphQueries.richClub.run(spark, Sf001).head()
+    val (n4, n8, n16) = (r.getAs[Long]("n4"), r.getAs[Long]("n8"),
+      r.getAs[Long]("n16"))
+    assert(n4 >= n8 && n8 >= n16)
+    assert(r.getAs[Long]("e4") >= r.getAs[Long]("e8"))
+    Seq("phi4", "phi8", "phi16").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, c)
+    }
+  }
+}
