@@ -1062,7 +1062,136 @@ object EvalQueries {
       ORDER BY decile
     """))
 
+  /** Precision–recall curve at the 20 FIXED revenue thresholds of the
+    * calibration bin ladder, plus the trapezoidal PR-AUC over those
+    * operating points. Cumulative counts walk the ≤ 20-row bin frame in
+    * DESCENDING score order (a bounded window — never the data-sized
+    * per-score frame: monitoring dashboards track pinned thresholds, not
+    * every distinct score); each trapezoid term is a fixed double tree
+    * on exact integers, nano-quantized so the cross-bin sum is exact. */
+  val prCurve = QuerySpec(
+    "q_pr_curve",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val bins = scored(s, d)
+        .withColumn("bin",
+          least(floor(col("score") / 80000.0), lit(19.0)).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"), sum(col("label").cast("long")).as("pos"))
+      val w = W.orderBy(col("bin").desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val tot = bins.agg(sum("pos").as("np"))
+      val cum = bins
+        .withColumn("cum_cnt", sum("cnt").over(w))
+        .withColumn("cum_pos", sum("pos").over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("precision",
+          round(col("cum_pos").cast("double") / col("cum_cnt").cast("double"), 6))
+        .withColumn("recall",
+          round(col("cum_pos").cast("double") / col("np").cast("double"), 6))
+      // trapezoid between consecutive operating points (recall steps up
+      // as bin descends); term quantized once, summed exactly
+      val lagged = cum
+        .withColumn("p_prev", lag("precision", 1, 1.0)
+          .over(W.orderBy(col("bin").desc)))
+        .withColumn("r_prev", lag("recall", 1, 0.0)
+          .over(W.orderBy(col("bin").desc)))
+        .withColumn("t_nano", expr(
+          "CAST(round((recall - r_prev) * (precision + p_prev) / 2.0 * 1e9) AS BIGINT)"))
+      val auc = lagged.agg(sum("t_nano").as("s"))
+        .select(round(col("s").cast("double") / 1e9, 6).as("pr_auc"))
+      cum.crossJoin(broadcast(auc))
+        .select(col("bin"), col("cnt"), col("pos"), col("cum_cnt"),
+          col("cum_pos"), col("precision"), col("recall"), col("pr_auc"))
+        .orderBy(col("bin").desc)
+    },
+    Some(s"""
+      WITH $ScoredCte,
+      bins AS (
+        SELECT CAST(least(floor(score / 80000.0), 19.0) AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(label) AS BIGINT) AS pos
+        FROM scored GROUP BY 1
+      ),
+      tot AS (SELECT CAST(sum(pos) AS BIGINT) AS np FROM bins),
+      cum AS (
+        SELECT bin, cnt, pos,
+               CAST(sum(cnt) OVER (ORDER BY bin DESC ROWS UNBOUNDED
+                 PRECEDING) AS BIGINT) AS cum_cnt,
+               CAST(sum(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED
+                 PRECEDING) AS BIGINT) AS cum_pos,
+               np
+        FROM bins CROSS JOIN tot
+      ),
+      pts AS (
+        SELECT bin, cnt, pos, cum_cnt, cum_pos,
+               round(CAST(cum_pos AS DOUBLE) / CAST(cum_cnt AS DOUBLE), 6)
+                 AS precision,
+               round(CAST(cum_pos AS DOUBLE) / CAST(np AS DOUBLE), 6)
+                 AS recall
+        FROM cum
+      ),
+      lagged AS (
+        SELECT *,
+               lag(precision, 1, 1.0) OVER (ORDER BY bin DESC) AS p_prev,
+               lag(recall, 1, 0.0) OVER (ORDER BY bin DESC) AS r_prev
+        FROM pts
+      ),
+      auc AS (
+        SELECT round(CAST(sum(CAST(round((recall - r_prev)
+                 * (precision + p_prev) / 2.0 * 1e9) AS BIGINT)) AS DOUBLE)
+                 / 1e9, 6) AS pr_auc
+        FROM lagged
+      )
+      SELECT bin, cnt, pos, cum_cnt, cum_pos, precision, recall, pr_auc
+      FROM pts CROSS JOIN auc
+      ORDER BY bin DESC
+    """))
+
+  /** Brier score of the scored frame's revenue read as a probability
+    * (p̂ = min(score/800k, 1) — the same fixed normalization family as
+    * the calibration bins): mean (p̂ − y)². Per-row squared errors
+    * nano-quantize once (identical doubles both engines), so the mean
+    * is one division of exact integers. Ships alongside the all-positive
+    * and all-negative baselines so the skill score reads directly. */
+  val brier = QuerySpec(
+    "q_brier",
+    (s, d) =>
+      scored(s, d)
+        .select(col("label").cast("long").as("y"),
+          expr("""CAST(round((least(score / 800000.0, 1.0)
+                   - CAST(label AS DOUBLE))
+                  * (least(score / 800000.0, 1.0)
+                   - CAST(label AS DOUBLE)) * 1e9) AS BIGINT)""").as("sq"))
+        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"), sum("sq").as("ss"))
+        .select(col("n"), col("n_pos"),
+          round(col("ss").cast("double") /
+            (col("n").cast("double") * 1e9), 6).as("brier"),
+          round(col("n_pos").cast("double") / col("n").cast("double") *
+            (lit(1.0) - col("n_pos").cast("double") / col("n").cast("double")), 6)
+            .as("brier_base_rate")),
+    Some(s"""
+      WITH $ScoredCte,
+      rows_ AS (
+        SELECT label AS y,
+               CAST(round((least(score / 800000.0, 1.0)
+                    - CAST(label AS DOUBLE))
+                   * (least(score / 800000.0, 1.0)
+                    - CAST(label AS DOUBLE)) * 1e9) AS BIGINT) AS sq
+        FROM scored
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             round(CAST(sum(sq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9), 6)
+               AS brier,
+             round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   * (1.0 - CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+               AS brier_base_rate
+      FROM rows_
+    """))
+
   val all: Seq[QuerySpec] =
     Seq(auc, confusion, calibration, aucGrouped, mrr, ndcg, rbp, isotonic,
-      permImportance, recallAtK, cohenKappa, mcc, gainsDeciles)
+      permImportance, recallAtK, cohenKappa, mcc, gainsDeciles,
+      prCurve, brier)
 }

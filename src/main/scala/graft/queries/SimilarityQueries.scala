@@ -367,7 +367,80 @@ object SimilarityQueries {
       ORDER BY anchor_id
     """))
 
+  /** Embedding-space drift between two corpus halves (labels 0–4 vs
+    * 5–9): centroid cosine and centroid L2 — the semantic companion to
+    * the scalar drift family (q_psi / q_js_divergence / q_hellinger).
+    * Per-dimension sums accumulate in DECIMAL(38,18) (float→double
+    * widening is exact, decimal sums are order-free); the 64 per-dim
+    * centroid products quantize ONCE to nano-units so the cross-dim
+    * reductions are exact integers; cosine and L2 are one double tree
+    * each. Scale shape: one explode + one 2·d-cell aggregate — the
+    * centroid never leaves the plan. */
+  val embeddingDrift = QuerySpec(
+    "q_embedding_drift",
+    (s, d) => {
+      val parts = embeddings(s, d)
+        .select((col("label") >= 5).cast("int").as("g"),
+          posexplode(Similarity.asDouble(col("embedding")))
+            .as(Seq("dim", "v")))
+      val perDim = parts.groupBy("dim").agg(
+        sum(when(col("g") === 0, col("v").cast("decimal(38,18)")))
+          .cast("double").as("s0"),
+        sum(when(col("g") === 1, col("v").cast("decimal(38,18)")))
+          .cast("double").as("s1"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"))
+      val terms = perDim.select(col("n0"), col("n1"),
+        expr("CAST(round((s0 / n0) * (s1 / n1) * 1e9) AS BIGINT)").as("dt"),
+        expr("CAST(round((s0 / n0) * (s0 / n0) * 1e9) AS BIGINT)").as("at"),
+        expr("CAST(round((s1 / n1) * (s1 / n1) * 1e9) AS BIGINT)").as("bt"),
+        expr("""CAST(round((s0 / n0 - s1 / n1) * (s0 / n0 - s1 / n1) * 1e9)
+              AS BIGINT)""").as("lt"))
+      terms.agg(max("n0").as("n0"), max("n1").as("n1"),
+          sum("dt").as("dot"), sum("at").as("aa"), sum("bt").as("bb"),
+          sum("lt").as("ll"))
+        .select(col("n0"), col("n1"),
+          round(col("dot").cast("double") /
+            (sqrt(col("aa").cast("double")) * sqrt(col("bb").cast("double"))), 6)
+            .as("centroid_cosine"),
+          round(sqrt(col("ll").cast("double") / 1e9), 6).as("centroid_l2"))
+    },
+    Some("""
+      WITH parts AS (
+        SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS g,
+               unnest(range(len(embedding))) AS dim,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+      ),
+      per_dim AS (
+        SELECT dim,
+               CAST(sum(CASE WHEN g = 0 THEN CAST(v AS DECIMAL(38,18)) END)
+                 AS DOUBLE) AS s0,
+               CAST(sum(CASE WHEN g = 1 THEN CAST(v AS DECIMAL(38,18)) END)
+                 AS DOUBLE) AS s1,
+               CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM parts GROUP BY dim
+      ),
+      terms AS (
+        SELECT n0, n1,
+               CAST(round((s0 / n0) * (s1 / n1) * 1e9) AS BIGINT) AS dt,
+               CAST(round((s0 / n0) * (s0 / n0) * 1e9) AS BIGINT) AS at,
+               CAST(round((s1 / n1) * (s1 / n1) * 1e9) AS BIGINT) AS bt,
+               CAST(round((s0 / n0 - s1 / n1) * (s0 / n0 - s1 / n1) * 1e9)
+                 AS BIGINT) AS lt
+        FROM per_dim
+      )
+      SELECT max(n0) AS n0, max(n1) AS n1,
+             round(CAST(sum(dt) AS DOUBLE)
+                   / (sqrt(CAST(sum(at) AS DOUBLE))
+                      * sqrt(CAST(sum(bt) AS DOUBLE))), 6)
+               AS centroid_cosine,
+             round(sqrt(CAST(sum(lt) AS DOUBLE) / 1e9), 6) AS centroid_l2
+      FROM terms
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     similarityTopk, similarityAnn, similarityLsh, dedupEmbed, batchAnn,
-    similarityPq, semDedup, ivfPq, hardNegatives)
+    similarityPq, semDedup, ivfPq, hardNegatives, embeddingDrift)
 }

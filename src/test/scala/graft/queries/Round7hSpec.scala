@@ -61,6 +61,34 @@ class Round7hSpec extends SparkSpec {
     }
   }
 
+  test("pr curve: recall monotone, ends at 1; pr_auc in [0,1]") {
+    val rows = EvalQueries.prCurve.run(spark, Sf001).collect()
+    val recalls = rows.map(_.getAs[Double]("recall")) // bin DESC order
+    assert(recalls.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(math.abs(recalls.last - 1.0) < 1e-9)
+    val auc = rows.head.getAs[Double]("pr_auc")
+    assert(auc >= 0.0 && auc <= 1.0 + 1e-9)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("precision")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("brier within [0,1]; beats neither bound trivially") {
+    val r = EvalQueries.brier.run(spark, Sf001).head()
+    val b = r.getAs[Double]("brier")
+    assert(b >= 0.0 && b <= 1.0)
+    assert(r.getAs[Double]("brier_base_rate") >= 0.0)
+  }
+
+  test("embedding drift: cosine in [-1,1]; l2 consistent with cosine") {
+    val r = SimilarityQueries.embeddingDrift.run(spark, Sf001).head()
+    val c = r.getAs[Double]("centroid_cosine")
+    assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    assert(r.getAs[Double]("centroid_l2") >= 0.0)
+    assert(r.getAs[Long]("n0") > 0 && r.getAs[Long]("n1") > 0)
+  }
+
   test("rich club: monotone counts along the ladder; phi in [0,1]") {
     val r = GraphQueries.richClub.run(spark, Sf001).head()
     val (n4, n8, n16) = (r.getAs[Long]("n4"), r.getAs[Long]("n8"),
