@@ -1677,10 +1677,199 @@ object StatsQueries {
       FROM terms
     """))
 
+  /** Weibull AFT fit of the inter-order gap distribution by the classic
+    * probability plot: OLS of ln(−ln S(t)) on ln t over the
+    * Kaplan–Meier event points (0 < S < 1, t ≥ 1) — slope = shape k,
+    * scale λ = exp(−intercept/k); k < 1 reads "reorder hazard falls with
+    * time since last order". The KM fold is the portable q_kaplan_meier
+    * machinery (ordered windowed product — identical double sequence in
+    * both engines); both transcendental transforms quantize ONCE to
+    * nano-units so the OLS sufficient statistics are exact DECIMAL
+    * integers (the q_zipf_slope discipline). */
+  val weibullFit = QuerySpec(
+    "q_weibull_fit",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val horizon = orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("hz"))
+      val dur = orders(s, d)
+        .withColumn("nxt", lead(to_date(col("o_orderdate")), 1).over(w))
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("nxt").isNotNull,
+            datediff(col("nxt"), to_date(col("o_orderdate"))))
+            .otherwise(datediff(col("hz"), to_date(col("o_orderdate"))))
+            .as("dur"),
+          col("nxt").isNotNull.cast("int").as("event"))
+      val pts = graft.ops.Series.kaplanMeier(dur, "dur", "event")
+        .filter(col("t") >= 1 && col("surv") > 0.0 && col("surv") < 1.0)
+        .select(
+          expr("CAST(round(ln(CAST(t AS DOUBLE)) * 1e9) AS BIGINT)").as("x"),
+          expr("CAST(round(ln(-ln(surv)) * 1e9) AS BIGINT)").as("y"))
+      val st = pts.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).cast("double").as("sx"),
+        sum(col("y").cast(d38)).cast("double").as("sy"),
+        sum(col("x").cast(d38) * col("x")).cast("double").as("sxx"),
+        sum(col("x").cast(d38) * col("y")).cast("double").as("sxy"))
+      val k = (col("n").cast("double") * col("sxy") -
+        col("sx") * col("sy")) /
+        (col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+      val intercept = (col("sy") - k * col("sx")) /
+        (col("n").cast("double") * 1e9)
+      st.select(col("n").as("n_points"),
+        round(k, 6).as("shape"),
+        round(exp(-intercept / k), 6).as("scale_days"))
+    },
+    Some("""
+      WITH hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+      seq AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt,
+               lead(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS nxt
+        FROM orders
+      ),
+      dur AS (
+        SELECT CAST(CASE WHEN nxt IS NOT NULL THEN nxt - dt
+                         ELSE h - dt END AS BIGINT) AS t,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM seq, hz
+      ),
+      byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM dur GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+      risk AS (
+        SELECT t, d, c,
+               CAST(n - sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) + c
+                    AS BIGINT) AS n_risk
+        FROM byt, tot
+      ),
+      ev AS (
+        SELECT t, CAST(1.0 AS DOUBLE)
+                 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+        FROM risk WHERE d > 0
+      ),
+      km AS (
+        SELECT t, list_reduce(list(f) OVER (ORDER BY t ROWS UNBOUNDED
+                 PRECEDING), (a, b) -> a * b) AS surv
+        FROM ev
+      ),
+      pts AS (
+        SELECT CAST(round(ln(CAST(t AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+               CAST(round(ln(-ln(surv)) * 1e9) AS BIGINT) AS y
+        FROM km WHERE t >= 1 AND surv > 0.0 AND surv < 1.0
+      ),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+        FROM pts
+      )
+      SELECT n AS n_points,
+             round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS shape,
+             round(exp(-((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                    / (CAST(n AS DOUBLE) * 1e9))
+                   / ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx))), 6)
+               AS scale_days
+      FROM st
+    """))
+
+  /** Stratified treatment-effect estimate (the poor-economist's
+    * propensity adjustment): does a deep discount (> 0.05) associate
+    * with higher line revenue AFTER blocking by order quantity (the
+    * obvious confounder — big orders get big discounts AND big
+    * revenue)? ATT = Σ_s (n_{t,s}/n_t)(ȳ_{t,s} − ȳ_{c,s}) over five
+    * fixed quantity decile-of-50 strata, pivoted in order; the naive
+    * unadjusted difference ships alongside so the confounding
+    * correction is visible. Cents sums exact DECIMAL; one double tree. */
+  val propensityStrata = QuerySpec(
+    "q_propensity_strata",
+    (s, d) => {
+      val rows = lineitem(s, d).select(
+        (col("l_discount") > 0.05).cast("int").as("tr"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("y"),
+        least(floor((col("l_quantity") - 1) / 10.0), lit(4.0)).cast("int")
+          .as("st"))
+      val aggs = (0 to 4).flatMap { g => Seq(
+        sum(when(col("st") === g && col("tr") === 1, 1L).otherwise(0L))
+          .as(s"nt$g"),
+        sum(when(col("st") === g && col("tr") === 1, col("y").cast(d38))
+          .otherwise(lit(0).cast(d38))).as(s"st$g"),
+        sum(when(col("st") === g && col("tr") === 0, 1L).otherwise(0L))
+          .as(s"nc$g"),
+        sum(when(col("st") === g && col("tr") === 0, col("y").cast(d38))
+          .otherwise(lit(0).cast(d38))).as(s"sc$g"))
+      }
+      val piv = rows.agg(aggs.head, aggs.tail: _*)
+      val nT = (0 to 4).map(g => col(s"nt$g")).reduce(_ + _).cast("double")
+      val att = (0 to 4).map { g =>
+        when(col(s"nt$g") > 0 && col(s"nc$g") > 0,
+          (col(s"nt$g").cast("double") / nT) *
+            (col(s"st$g").cast("double") / col(s"nt$g").cast("double") -
+              col(s"sc$g").cast("double") / col(s"nc$g").cast("double")))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      val sT = (0 to 4).map(g => col(s"st$g")).reduce(_ + _).cast("double")
+      val nC = (0 to 4).map(g => col(s"nc$g")).reduce(_ + _).cast("double")
+      val sC = (0 to 4).map(g => col(s"sc$g")).reduce(_ + _).cast("double")
+      val naive = sT / nT - sC / nC
+      piv.select(nT.cast("long").as("n_treated"),
+        nC.cast("long").as("n_control"),
+        round(att / 100.0, 6).as("att_usd"),
+        round(naive / 100.0, 6).as("naive_diff_usd"))
+    },
+    Some {
+      val aggs = (0 to 4).map { g =>
+        s"""CAST(sum(CASE WHEN st = $g AND tr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt$g,
+            CAST(sum(CASE WHEN st = $g AND tr = 1 THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS st$g,
+            CAST(sum(CASE WHEN st = $g AND tr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc$g,
+            CAST(sum(CASE WHEN st = $g AND tr = 0 THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS sc$g"""
+      }.mkString(",")
+      val nT = (0 to 4).map(g => s"nt$g").mkString(" + ")
+      val att = (0 to 4).map { g =>
+        s"""CASE WHEN nt$g > 0 AND nc$g > 0 THEN
+              (CAST(nt$g AS DOUBLE) / CAST($nT AS DOUBLE))
+              * (CAST(st$g AS DOUBLE) / CAST(nt$g AS DOUBLE)
+                 - CAST(sc$g AS DOUBLE) / CAST(nc$g AS DOUBLE))
+            ELSE 0.0 END"""
+      }.mkString(" + ")
+      val sT = (0 to 4).map(g => s"st$g").mkString(" + ")
+      val nC = (0 to 4).map(g => s"nc$g").mkString(" + ")
+      val sC = (0 to 4).map(g => s"sc$g").mkString(" + ")
+      s"""
+      WITH rows_ AS (
+        SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS tr,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS y,
+               CAST(least(floor((l_quantity - 1) / 10.0), 4.0) AS INTEGER)
+                 AS st
+        FROM lineitem
+      ),
+      piv AS (SELECT $aggs FROM rows_)
+      SELECT CAST($nT AS BIGINT) AS n_treated,
+             CAST($nC AS BIGINT) AS n_control,
+             round(($att) / 100.0, 6) AS att_usd,
+             round((CAST($sT AS DOUBLE) / CAST($nT AS DOUBLE)
+                    - CAST($sC AS DOUBLE) / CAST($nC AS DOUBLE)) / 100.0, 6)
+               AS naive_diff_usd
+      FROM piv
+      """
+    })
+
   val all: Seq[QuerySpec] = Seq(
     anova, welchT, levene, mantelHaenszel, pacf,
     ccf, periodogram, jsDivergence, tCloseness,
     durbinWatson, breuschPagan, vif, hosmerLemeshow,
     poissonIrls, friedman, grubbs, sprt,
-    cochranQ, hellinger, theilU, cvm)
+    cochranQ, hellinger, theilU, cvm,
+    weibullFit, propensityStrata)
 }

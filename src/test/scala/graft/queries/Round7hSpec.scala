@@ -89,6 +89,46 @@ class Round7hSpec extends SparkSpec {
     assert(r.getAs[Long]("n0") > 0 && r.getAs[Long]("n1") > 0)
   }
 
+  test("weibull fit: positive shape and scale; enough plot points") {
+    val r = StatsQueries.weibullFit.run(spark, Sf001).head()
+    assert(r.getAs[Long]("n_points") >= 10)
+    assert(r.getAs[Double]("shape") > 0.0)
+    assert(r.getAs[Double]("scale_days") > 0.0)
+  }
+
+  test("weibull probability plot recovers known parameters") {
+    import spark.implicits._
+    // exact Weibull quantiles: S(t_i) = i/101 at t_i = λ(−ln S)^(1/k)
+    val (k0, lam) = (1.7, 40.0)
+    val durs = (1 to 100).map { i =>
+      val sTgt = i / 101.0
+      (math.round(lam * math.pow(-math.log(sTgt), 1.0 / k0)) max 1L, 1)
+    }
+    val fit = graft.ops.Series.kaplanMeier(
+      durs.toDF("dur", "event"), "dur", "event")
+      .filter(org.apache.spark.sql.functions.col("surv") > 0.0 &&
+        org.apache.spark.sql.functions.col("surv") < 1.0 &&
+        org.apache.spark.sql.functions.col("t") >= 1)
+      .selectExpr("ln(CAST(t AS DOUBLE)) AS x", "ln(-ln(surv)) AS y")
+      .collect()
+    val n = fit.length.toDouble
+    val sx = fit.map(_.getDouble(0)).sum; val sy = fit.map(_.getDouble(1)).sum
+    val sxx = fit.map(r => r.getDouble(0) * r.getDouble(0)).sum
+    val sxy = fit.map(r => r.getDouble(0) * r.getDouble(1)).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    // duration rounding + plot bias allow a loose but real band
+    assert(math.abs(slope - k0) < 0.35, s"slope $slope vs $k0")
+  }
+
+  test("propensity strata: treated+control partition lineitem") {
+    val r = StatsQueries.propensityStrata.run(spark, Sf001).head()
+    assert(r.getAs[Long]("n_treated") + r.getAs[Long]("n_control") ===
+      graft.Tables.lineitem(spark, Sf001).count())
+    // both estimates finite
+    assert(!r.getAs[Double]("att_usd").isNaN)
+    assert(!r.getAs[Double]("naive_diff_usd").isNaN)
+  }
+
   test("rich club: monotone counts along the ladder; phi in [0,1]") {
     val r = GraphQueries.richClub.run(spark, Sf001).head()
     val (n4, n8, n16) = (r.getAs[Long]("n4"), r.getAs[Long]("n8"),
