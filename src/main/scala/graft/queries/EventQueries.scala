@@ -11,6 +11,8 @@ import graft.ops.Windows
   */
 object EventQueries {
 
+  private val d38 = "decimal(38,0)"
+
   /** E5: JSON extraction from the events.props string column. `from_json`
     * with an explicit schema — parsed once, pruned like any struct. */
   val jsonExtract = QuerySpec(
@@ -725,8 +727,161 @@ object EventQueries {
       ORDER BY support DESC, pattern
     """))
 
+  /** Growth accounting — the DAU ledger every product pipeline keeps:
+    * per calendar day, users split into new (first-ever activity),
+    * retained (also active the previous day), resurrected (seen before,
+    * but not yesterday), plus yesterday's actives who went quiet
+    * (churned). The per-user day sequence comes from ONE distinct
+    * (user, day) frame + one lag window partitioned BY USER (bounded
+    * state); day totals are exact counts. Identity by construction —
+    * dau = new + retained + resurrected — double-counted nowhere,
+    * spec-asserted. */
+  val growthAccounting = QuerySpec(
+    "q_growth_accounting",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val acts = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val seq0 = acts
+        .withColumn("prev_day",
+          lag("day", 1).over(W.partitionBy("user_id").orderBy("day")))
+        .withColumn("nxt_day",
+          lead("day", 1).over(W.partitionBy("user_id").orderBy("day")))
+      val daily = seq0.groupBy("day").agg(
+        count(lit(1)).as("dau"),
+        sum(col("prev_day").isNull.cast("long")).as("new_users"),
+        // prev_day NULL on a user's first day → the comparison is NULL,
+        // and an all-new day would sum to NULL instead of 0: coalesce.
+        sum(coalesce((col("prev_day") === date_sub(col("day"), 1))
+          .cast("long"), lit(0L))).as("retained"),
+        sum((col("prev_day").isNotNull &&
+          col("prev_day") < date_sub(col("day"), 1)).cast("long"))
+          .as("resurrected"),
+        // users active today whose NEXT activity is not tomorrow —
+        // i.e. tomorrow's churn contribution from today's actives
+        sum((col("nxt_day").isNull ||
+          col("nxt_day") > date_add(col("day"), 1)).cast("long"))
+          .as("churned_after"))
+      daily.orderBy("day")
+    },
+    Some("""
+      WITH acts AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      ),
+      seq AS (
+        SELECT user_id, day,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt_day
+        FROM acts
+      )
+      SELECT day,
+             CAST(count(*) AS BIGINT) AS dau,
+             CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS new_users,
+             CAST(sum(CASE WHEN prev_day = day - INTERVAL 1 DAY
+               THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+             CAST(sum(CASE WHEN prev_day IS NOT NULL
+               AND prev_day < day - INTERVAL 1 DAY THEN 1 ELSE 0 END)
+               AS BIGINT) AS resurrected,
+             CAST(sum(CASE WHEN nxt_day IS NULL
+               OR nxt_day > day + INTERVAL 1 DAY THEN 1 ELSE 0 END)
+               AS BIGINT) AS churned_after
+      FROM seq
+      GROUP BY day
+      ORDER BY day
+    """))
+
+  /** Page–Hinkley mean-shift monitor on daily revenue — the sequential
+    * changepoint test that watches for a SUSTAINED upward drift (the
+    * streaming cousin of q_cusum's single retrospective split). The
+    * batch form stays exact integers end-to-end by cross-multiplying
+    * the global mean out: mₜ = n·Pₜ − t·S − t·n·δ (P = prefix sum,
+    * S = total, δ = $500/day drift allowance in cents), PHₜ =
+    * mₜ − min_{i≤t} mᵢ, alarm at the first day PHₜ > λ·n (λ = $50k).
+    * Both windows run over the calendar-bounded daily frame. */
+  val pageHinkley = QuerySpec(
+    "q_page_hinkley",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val delta = 50000L // cents/day
+      val lambda = 5000000L // cents
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("v"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        sum(col("v").cast(d38)).as("sv"))
+      val wPre = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+      val m = daily.crossJoin(broadcast(tot))
+        .withColumn("idx", count(lit(1)).over(wPre))
+        .withColumn("p", sum(col("v").cast(d38)).over(wPre))
+        .withColumn("m", col("n").cast(d38) * col("p") -
+          col("idx").cast(d38) * col("sv") -
+          col("idx").cast(d38) * col("n") * delta)
+        .withColumn("mmin", min("m").over(wPre))
+        .withColumn("ph", col("m") - col("mmin"))
+      val alarm = m.agg(
+        max(col("n")).as("n_days"),
+        min(when(col("ph") > col("n").cast(d38) * lambda, col("t")))
+          .as("alarm_t"),
+        // per-day-normalized PH as a double (ph DIV n would hit DuckDB's
+        // decimal-//-through-DOUBLE rounding past 2⁵³ — the session's
+        // recorded lesson); identical doubles, deterministic max
+        max(col("ph").cast("double") / col("n").cast("double"))
+          .as("max_ph_cents"))
+      alarm.select(col("n_days"),
+        coalesce(col("alarm_t"), lit(-1L)).cast("int").as("alarm_day"),
+        (col("alarm_t").isNotNull).cast("int").as("drift_detected"),
+        round(col("max_ph_cents") / 100.0, 2).as("max_ph_usd"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+      ),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS sv
+              FROM daily),
+      pre AS (
+        SELECT t, n, sv,
+               CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS idx,
+               CAST(sum(CAST(v AS DECIMAL(38,0)))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                 AS DECIMAL(38,0)) AS p
+        FROM daily CROSS JOIN tot
+      ),
+      mm AS (
+        SELECT t, n,
+               CAST(n AS DECIMAL(38,0)) * p
+                 - CAST(idx AS DECIMAL(38,0)) * sv
+                 - CAST(idx AS DECIMAL(38,0)) * n * 50000 AS m
+        FROM pre
+      ),
+      ph AS (
+        SELECT t, n, m,
+               m - min(m) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ph
+        FROM mm
+      )
+      SELECT max(n) AS n_days,
+             CAST(coalesce(min(CASE WHEN ph > CAST(n AS DECIMAL(38,0))
+               * 5000000 THEN t END), -1) AS INTEGER) AS alarm_day,
+             CAST(min(CASE WHEN ph > CAST(n AS DECIMAL(38,0)) * 5000000
+               THEN t END) IS NOT NULL AS INTEGER) AS drift_detected,
+             round(max(CAST(ph AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 2)
+               AS max_ph_usd
+      FROM ph
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
     scd2, cohortRetention, attribution, outlierIqr, rfm, decayScore,
-    xmlExtract, csvExtract, journeyPatterns, seqSupport)
+    xmlExtract, csvExtract, journeyPatterns, seqSupport,
+    growthAccounting, pageHinkley)
 }

@@ -129,6 +129,27 @@ class Round7hSpec extends SparkSpec {
     assert(!r.getAs[Double]("naive_diff_usd").isNaN)
   }
 
+  test("growth accounting: dau = new + retained + resurrected daily") {
+    val rows = EventQueries.growthAccounting.run(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") === r.getAs[Long]("new_users") +
+        r.getAs[Long]("retained") + r.getAs[Long]("resurrected"))
+      assert(r.getAs[Long]("churned_after") <= r.getAs[Long]("dau"))
+    }
+    // day 1 is all-new
+    val first = rows.minBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(first.getAs[Long]("new_users") === first.getAs[Long]("dau"))
+  }
+
+  test("page-hinkley: alarm day consistent with the detection flag") {
+    val r = EventQueries.pageHinkley.run(spark, Sf001).head()
+    val det = r.getAs[Int]("drift_detected")
+    val day = r.getAs[Int]("alarm_day")
+    assert((det == 1) === (day >= 0))
+    assert(r.getAs[Double]("max_ph_usd") >= 0.0)
+  }
+
   test("rich club: monotone counts along the ladder; phi in [0,1]") {
     val r = GraphQueries.richClub.run(spark, Sf001).head()
     val (n4, n8, n16) = (r.getAs[Long]("n4"), r.getAs[Long]("n8"),
