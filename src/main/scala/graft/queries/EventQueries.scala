@@ -879,9 +879,56 @@ object EventQueries {
       FROM ph
     """))
 
+  /** Stickiness (DAU/WAU): per activity day, the share of the trailing
+    * 7-day active base that showed up today. EXACT form: each distinct
+    * (user, day) row fans out to the ≤ 7 future days it supports
+    * (one bounded explode — 7×, never a sliding distinct-state window),
+    * then one distinct + count per day. At 100 TB the same ledger runs
+    * on the HLL rollup (q_sketch_rollup) — this is the exact twin that
+    * validates it. Days outside the observed activity spine drop
+    * (WAU is only reported where DAU exists). */
+  val stickiness = QuerySpec(
+    "q_stickiness",
+    (s, d) => {
+      val acts = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = acts.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = acts
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("k"),
+          col("day"))
+        .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH acts AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      ),
+      dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+              FROM acts GROUP BY day),
+      sup AS (
+        SELECT DISTINCT user_id, day + to_days(CAST(k AS INTEGER)) AS day
+        FROM acts, (SELECT unnest(range(7)) AS k)
+      ),
+      wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+              FROM sup GROUP BY day)
+      SELECT dau.day, dau.dau, wau.wau,
+             round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+               AS stickiness
+      FROM dau JOIN wau USING (day)
+      ORDER BY day
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
     scd2, cohortRetention, attribution, outlierIqr, rfm, decayScore,
     xmlExtract, csvExtract, journeyPatterns, seqSupport,
-    growthAccounting, pageHinkley)
+    growthAccounting, pageHinkley, stickiness)
 }

@@ -1865,11 +1865,248 @@ object StatsQueries {
       """
     })
 
+  /** Sample L-moments of daily revenue — the order-statistics moment
+    * family that is robust where classical skew/kurtosis explode (every
+    * estimator is LINEAR in the data): L-CV, L-skewness t₃, L-kurtosis
+    * t₄ via the probability-weighted moments b₀…b₃. Ranks come from one
+    * window over the calendar-bounded daily frame (ties broken by day —
+    * total order); each bᵣ numerator Σ(i−1)(i−2)…x_i is an exact
+    * DECIMAL(38,0) integer; the λ combinations and ratios are one double
+    * tree. Reference bands: exponential t₃ = 1/3, normal t₃ = 0,
+    * normal t₄ ≈ 0.1226. */
+  val lMoments = QuerySpec(
+    "q_l_moments",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("v"))
+      val ranked = daily
+        .withColumn("i", row_number().over(W.orderBy("v", "t"))
+          .cast("long"))
+      val st = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast(d38)).as("b0n"),
+        sum((col("i") - 1).cast(d38) * col("v")).as("b1n"),
+        sum(((col("i") - 1) * (col("i") - 2)).cast(d38) * col("v"))
+          .as("b2n"),
+        sum(((col("i") - 1) * (col("i") - 2)).cast(d38) * (col("i") - 3) *
+          col("v")).as("b3n"))
+      val n = col("n").cast("double")
+      val b0 = col("b0n").cast("double") / n
+      val b1 = col("b1n").cast("double") / (n * (n - 1.0))
+      val b2 = col("b2n").cast("double") / (n * (n - 1.0) * (n - 2.0))
+      val b3 = col("b3n").cast("double") /
+        (n * (n - 1.0) * (n - 2.0) * (n - 3.0))
+      val l1 = b0
+      val l2 = lit(2.0) * b1 - b0
+      val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
+      val l4 = lit(20.0) * b3 - lit(30.0) * b2 + lit(12.0) * b1 - b0
+      st.select(col("n").as("n_days"),
+        round(l1 / 100.0, 2).as("l1_usd"),
+        round(l2 / 100.0, 2).as("l2_usd"),
+        round(l2 / l1, 6).as("l_cv"),
+        round(l3 / l2, 6).as("t3_lskew"),
+        round(l4 / l2, 6).as("t4_lkurt"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+      ),
+      ranked AS (
+        SELECT v, CAST(row_number() OVER (ORDER BY v, t) AS BIGINT) AS i
+        FROM daily
+      ),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS b0n,
+               CAST(sum(CAST(i - 1 AS DECIMAL(38,0)) * v) AS DECIMAL(38,0))
+                 AS b1n,
+               CAST(sum(CAST((i - 1) * (i - 2) AS DECIMAL(38,0)) * v)
+                 AS DECIMAL(38,0)) AS b2n,
+               CAST(sum(CAST((i - 1) * (i - 2) AS DECIMAL(38,0)) * (i - 3)
+                 * v) AS DECIMAL(38,0)) AS b3n
+        FROM ranked
+      ),
+      lm AS (
+        SELECT n,
+               CAST(b0n AS DOUBLE) / CAST(n AS DOUBLE) AS b0,
+               CAST(b1n AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS b1,
+               CAST(b2n AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                    * (CAST(n AS DOUBLE) - 2.0)) AS b2,
+               CAST(b3n AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                    * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0))
+                 AS b3
+        FROM st
+      )
+      SELECT n AS n_days,
+             round(b0 / 100.0, 2) AS l1_usd,
+             round((2.0 * b1 - b0) / 100.0, 2) AS l2_usd,
+             round((2.0 * b1 - b0) / b0, 6) AS l_cv,
+             round((6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0), 6)
+               AS t3_lskew,
+             round((20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0)
+                   / (2.0 * b1 - b0), 6) AS t4_lkurt
+      FROM lm
+    """))
+
+  /** Exact Shapley attribution of regression R² across the two-feature
+    * model extendedprice ~ (quantity, discount) — closed-form XAI: with
+    * two players the Shapley value needs only the single- and
+    * two-feature R²s, all of which reduce to the 1e-6-rounded pairwise
+    * correlations ([[vif]]'s composition discipline):
+    * φ_q = ½r_qy² + ½(R²_full − r_dy²), φ_d symmetric, φ_q + φ_d =
+    * R²_full by construction (spec-asserted). */
+  val shapleyR2 = QuerySpec(
+    "q_shapley_r2",
+    (s, d) => {
+      def dsum(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
+      val (q, dc, y) = (col("l_quantity"), col("l_discount"),
+        col("l_extendedprice"))
+      def corrOf(sx: String, sy: String, sxy: String, sxx: String,
+          syy: String) = round(
+        (col("n") * col(sxy) - col(sx) * col(sy)) /
+          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+            sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
+      val rs = lineitem(s, d)
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(q).as("sq"), dsum(dc).as("sd"), dsum(y).as("sy"),
+          dsum(q * q).as("sqq"), dsum(dc * dc).as("sdd"),
+          dsum(y * y).as("syy"),
+          dsum(q * dc).as("sqd"), dsum(q * y).as("sqy"),
+          dsum(dc * y).as("sdy"))
+        .select(
+          corrOf("sq", "sy", "sqy", "sqq", "syy").as("r_qy"),
+          corrOf("sd", "sy", "sdy", "sdd", "syy").as("r_dy"),
+          corrOf("sq", "sd", "sqd", "sqq", "sdd").as("r_qd"))
+      val r2Full = (col("r_qy") * col("r_qy") + col("r_dy") * col("r_dy") -
+        lit(2.0) * col("r_qy") * col("r_dy") * col("r_qd")) /
+        (lit(1.0) - col("r_qd") * col("r_qd"))
+      val phiQ = lit(0.5) * col("r_qy") * col("r_qy") +
+        lit(0.5) * (r2Full - col("r_dy") * col("r_dy"))
+      val phiD = lit(0.5) * col("r_dy") * col("r_dy") +
+        lit(0.5) * (r2Full - col("r_qy") * col("r_qy"))
+      rs.select(round(r2Full, 6).as("r2_full"),
+        round(phiQ, 6).as("phi_qty"), round(phiD, 6).as("phi_disc"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sq,
+               CAST(sum(CAST(l_discount AS DECIMAL(38,18))) AS DOUBLE) AS sd,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sqq,
+               CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,18))) AS DOUBLE) AS sdd,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,18))) AS DOUBLE) AS sqd,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sqy,
+               CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sdy
+        FROM lineitem
+      ),
+      rs AS (
+        SELECT round((n * sqy - sq * sy) / (sqrt(n * sqq - sq * sq)
+                 * sqrt(n * syy - sy * sy)), 6) AS r_qy,
+               round((n * sdy - sd * sy) / (sqrt(n * sdd - sd * sd)
+                 * sqrt(n * syy - sy * sy)), 6) AS r_dy,
+               round((n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq)
+                 * sqrt(n * sdd - sd * sd)), 6) AS r_qd
+        FROM st
+      ),
+      ff AS (
+        SELECT r_qy, r_dy, r_qd,
+               (r_qy * r_qy + r_dy * r_dy - 2.0 * r_qy * r_dy * r_qd)
+               / (1.0 - r_qd * r_qd) AS r2f
+        FROM rs
+      )
+      SELECT round(r2f, 6) AS r2_full,
+             round(0.5 * r_qy * r_qy + 0.5 * (r2f - r_dy * r_dy), 6)
+               AS phi_qty,
+             round(0.5 * r_dy * r_dy + 0.5 * (r2f - r_qy * r_qy), 6)
+               AS phi_disc
+      FROM ff
+    """))
+
+  /** Sample-ratio-mismatch guardrail over the engine's own md5
+    * train/valid/test split (q_hash_split): χ² goodness-of-fit of the
+    * observed bucket counts against the DESIGNED 204/26/26-of-256 hex
+    * thresholds, computed cross-multiplied so every operand is an exact
+    * integer: χ² = Σ (256·Oᵢ − kᵢ·n)² / (256·kᵢ·n). At production n an
+    * SRM alarm on a derandomized split means data loss between stages;
+    * at small n it fires at its designed .05 rate (the sf0.001 sample
+    * happens to sit at χ² ≈ 6.5 — a genuine type-I illustration the
+    * spec pins as flag/statistic consistency). Verdict χ²₍₂,.05₎. */
+  val abSrm = QuerySpec(
+    "q_ab_srm",
+    (s, d) => {
+      val rows = documents(s, d)
+        .withColumn("split", graft.ops.Router.hashSplit(col("doc_id")))
+      val piv = rows.agg(
+        count(lit(1)).as("n"),
+        sum((col("split") === "train").cast("long")).as("o_train"),
+        sum((col("split") === "valid").cast("long")).as("o_valid"),
+        sum((col("split") === "test").cast("long")).as("o_test"))
+      def term(o: String, k: Int): Column = {
+        val dev = col(o).cast("double") * 256.0 -
+          lit(k.toDouble) * col("n").cast("double")
+        dev * dev / (lit(256.0) * lit(k.toDouble) * col("n").cast("double"))
+      }
+      val chi2 = term("o_train", 204) + term("o_valid", 26) +
+        term("o_test", 26)
+      piv.select(col("n").as("n_docs"), col("o_train"), col("o_valid"),
+        col("o_test"), round(chi2, 6).as("chi2_srm"),
+        (round(chi2, 6) > 5.9915).cast("int").as("srm_alarm"))
+    },
+    Some("""
+      WITH rows_ AS (
+        SELECT CASE WHEN substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                      THEN 'train'
+                    WHEN substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                      THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+      ),
+      piv AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS o_train,
+               CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS o_valid,
+               CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS o_test
+        FROM rows_
+      ),
+      ff AS (
+        SELECT n, o_train, o_valid, o_test,
+               (CAST(o_train AS DOUBLE) * 256.0 - 204.0 * CAST(n AS DOUBLE))
+               * (CAST(o_train AS DOUBLE) * 256.0 - 204.0 * CAST(n AS DOUBLE))
+               / (256.0 * 204.0 * CAST(n AS DOUBLE))
+               + (CAST(o_valid AS DOUBLE) * 256.0 - 26.0 * CAST(n AS DOUBLE))
+               * (CAST(o_valid AS DOUBLE) * 256.0 - 26.0 * CAST(n AS DOUBLE))
+               / (256.0 * 26.0 * CAST(n AS DOUBLE))
+               + (CAST(o_test AS DOUBLE) * 256.0 - 26.0 * CAST(n AS DOUBLE))
+               * (CAST(o_test AS DOUBLE) * 256.0 - 26.0 * CAST(n AS DOUBLE))
+               / (256.0 * 26.0 * CAST(n AS DOUBLE)) AS chi2
+        FROM piv
+      )
+      SELECT n AS n_docs, o_train, o_valid, o_test,
+             round(chi2, 6) AS chi2_srm,
+             CAST(round(chi2, 6) > 5.9915 AS INTEGER) AS srm_alarm
+      FROM ff
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     anova, welchT, levene, mantelHaenszel, pacf,
     ccf, periodogram, jsDivergence, tCloseness,
     durbinWatson, breuschPagan, vif, hosmerLemeshow,
     poissonIrls, friedman, grubbs, sprt,
     cochranQ, hellinger, theilU, cvm,
-    weibullFit, propensityStrata)
+    weibullFit, propensityStrata,
+    lMoments, shapleyR2, abSrm)
 }

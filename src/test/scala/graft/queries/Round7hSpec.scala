@@ -150,6 +150,42 @@ class Round7hSpec extends SparkSpec {
     assert(r.getAs[Double]("max_ph_usd") >= 0.0)
   }
 
+  test("l-moments: ratios bounded (|t3|,|t4| <= 1), positive scale") {
+    val r = StatsQueries.lMoments.run(spark, Sf001).head()
+    assert(r.getAs[Double]("l2_usd") > 0.0)
+    assert(math.abs(r.getAs[Double]("t3_lskew")) <= 1.0)
+    assert(math.abs(r.getAs[Double]("t4_lkurt")) <= 1.0)
+    assert(r.getAs[Double]("l_cv") > 0.0 && r.getAs[Double]("l_cv") < 1.0)
+  }
+
+  test("shapley r2: attributions sum to the full-model r2") {
+    val r = StatsQueries.shapleyR2.run(spark, Sf001).head()
+    val full = r.getAs[Double]("r2_full")
+    assert(full >= 0.0 && full <= 1.0)
+    assert(math.abs(r.getAs[Double]("phi_qty") +
+      r.getAs[Double]("phi_disc") - full) < 3e-6)
+  }
+
+  test("ab srm: bucket counts partition docs; alarm consistent with chi2") {
+    val r = StatsQueries.abSrm.run(spark, Sf001).head()
+    assert(r.getAs[Long]("o_train") + r.getAs[Long]("o_valid") +
+      r.getAs[Long]("o_test") === r.getAs[Long]("n_docs"))
+    // a .05-level test may legitimately alarm on a 500-doc sample (it
+    // does here: chi2 ≈ 6.54); the invariant is flag/statistic agreement
+    assert((r.getAs[Int]("srm_alarm") === 1) ===
+      (r.getAs[Double]("chi2_srm") > 5.9915))
+  }
+
+  test("stickiness: dau <= wau, ratio in (0,1]") {
+    val rows = EventQueries.stickiness.run(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
   test("rich club: monotone counts along the ladder; phi in [0,1]") {
     val r = GraphQueries.richClub.run(spark, Sf001).head()
     val (n4, n8, n16) = (r.getAs[Long]("n4"), r.getAs[Long]("n8"),
