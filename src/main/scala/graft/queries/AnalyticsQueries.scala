@@ -857,8 +857,69 @@ object AnalyticsQueries {
       FROM st
     """))
 
+  /** ABC (Pareto) classification of brands by revenue — the inventory-
+    * analytics staple: A-brands carry the first 80% of cumulative
+    * revenue, B to 95%, C the tail. The ranking runs over the BOUNDED
+    * brand level (the corpus aggregates first — never a corpus-sized
+    * window); class boundaries compare cross-multiplied exact cents
+    * (cum·100 ≤ total·80), so no float share ever decides a class.
+    * Ties on revenue break by brand name for a total order. */
+  val abcAnalysis = QuerySpec(
+    "q_abc_analysis",
+    (s, d) => {
+      val W = Window.orderBy(col("v").desc, col("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rev = lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("v"))
+      val tot = rev.agg(sum(col("v").cast(d38)).as("total"))
+      rev.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("v").cast(d38)).over(W))
+        .select(col("p_brand"),
+          round(col("v").cast("double") / 100.0, 2).as("revenue_usd"),
+          round(col("cum").cast("double") / col("total").cast("double"), 6)
+            .as("cum_share"),
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C").as("abc_class"))
+        .orderBy(col("cum_share"), col("p_brand"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT p_brand,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+      ),
+      tot AS (SELECT CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS total FROM rev),
+      cums AS (
+        SELECT p_brand, v, total,
+               CAST(sum(CAST(v AS DECIMAL(38,0)))
+                 OVER (ORDER BY v DESC, p_brand
+                       ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cum
+        FROM rev CROSS JOIN tot
+      )
+      SELECT p_brand,
+             round(CAST(v AS DOUBLE) / 100.0, 2) AS revenue_usd,
+             round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS cum_share,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM cums
+      ORDER BY cum_share, p_brand
+    """))
+
+  private val d38 = "decimal(38,0)"
+
   val all: Seq[QuerySpec] = Seq(
     rankWindow, rollup, pivot, antiJoin, setOps, medianApprox, saltedAgg,
     cube, explodeTokens, upsert, heavyHitters, bloomProbe, incrementalAgg,
-    bloomJoin, kmvOverlap, cmsProbe, itemsets, itemCf, lorenzGini)
+    bloomJoin, kmvOverlap, cmsProbe, itemsets, itemCf, lorenzGini,
+    abcAnalysis)
 }

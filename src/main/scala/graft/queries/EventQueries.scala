@@ -926,9 +926,67 @@ object EventQueries {
       ORDER BY day
     """))
 
+  /** Cohort LTV triangle: cumulative per-user value by acquisition
+    * cohort (first-activity day) and weekly age — the revenue view of
+    * [[cohortRetention]]. Value sums in DECIMAL(18,4) (order-free), the
+    * cumulative runs over the BOUNDED per-cohort age axis (≤ 5 weekly
+    * ages in a 30-day window; age count is span-bounded at any scale),
+    * and per-user LTV is one division by the cohort size. */
+  val ltvTriangle = QuerySpec(
+    "q_ltv_triangle",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val acts = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val firsts = acts.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val sizes = firsts.groupBy("cohort_day")
+        .agg(count(lit(1)).as("cohort_n"))
+      val cells = acts.join(firsts, "user_id")
+        .groupBy(col("cohort_day"),
+          expr("CAST(datediff(day, cohort_day) DIV 7 AS INT)")
+            .as("age_week"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("rev"))
+      cells.join(sizes, "cohort_day")
+        .withColumn("cum_rev", sum("rev").over(
+          W.partitionBy("cohort_day").orderBy("age_week")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select(col("cohort_day"), col("age_week"), col("cohort_n"),
+          col("rev").cast("double").as("rev"),
+          col("cum_rev").cast("double").as("cum_rev"),
+          round(col("cum_rev").cast("double") /
+            col("cohort_n").cast("double"), 6).as("ltv_per_user"))
+        .orderBy("cohort_day", "age_week")
+    },
+    Some("""
+      WITH acts AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+      ),
+      firsts AS (SELECT user_id, min(day) AS cohort_day
+                 FROM acts GROUP BY user_id),
+      sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_n
+                FROM firsts GROUP BY cohort_day),
+      cells AS (
+        SELECT cohort_day,
+               CAST((day - cohort_day) // 7 AS INTEGER) AS age_week,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                 AS rev
+        FROM acts JOIN firsts USING (user_id)
+        GROUP BY 1, 2
+      )
+      SELECT cohort_day, age_week, cohort_n,
+             CAST(rev AS DOUBLE) AS rev,
+             CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY age_week
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev,
+             round(CAST(sum(rev) OVER (PARTITION BY cohort_day
+                 ORDER BY age_week ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(cohort_n AS DOUBLE), 6) AS ltv_per_user
+      FROM cells JOIN sizes USING (cohort_day)
+      ORDER BY cohort_day, age_week
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
     scd2, cohortRetention, attribution, outlierIqr, rfm, decayScore,
     xmlExtract, csvExtract, journeyPatterns, seqSupport,
-    growthAccounting, pageHinkley, stickiness)
+    growthAccounting, pageHinkley, stickiness, ltvTriangle)
 }

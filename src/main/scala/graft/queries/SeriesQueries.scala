@@ -2331,11 +2331,114 @@ object SeriesQueries {
       FROM sa CROSS JOIN va
     """))
 
+  /** Rolling-origin backtest of three naive forecasters over daily
+    * revenue — yesterday (lag-1), last week (lag-7), and the prior-7
+    * moving average — the baseline ladder any real forecaster must
+    * beat. Evaluation rows need full history (7 prior observations);
+    * every error is an exact integer (the MA error scales to |7v − Σ₇|,
+    * clearing the division), per-row MAPE terms quantize once to nano,
+    * and each MAE/MAPE is one final division. Windows run over the
+    * calendar-bounded daily frame. */
+  val backtestNaive = QuerySpec(
+    "q_backtest_naive",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.orderBy("t")
+      val w7 = w.rowsBetween(-7, -1)
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("v"))
+      val d38 = "decimal(38,0)"
+      val feats = daily
+        .withColumn("l1", lag("v", 1).over(w))
+        .withColumn("l7", lag("v", 7).over(w))
+        .withColumn("s7", sum("v").over(w7))
+        .withColumn("c7", count("v").over(w7))
+        .filter(col("l7").isNotNull && col("c7") === 7)
+      val scored = feats.select(col("v"),
+        abs(col("v") - col("l1")).as("e1"),
+        abs(col("v") - col("l7")).as("e7"),
+        abs(col("v") * 7 - col("s7")).as("em"))
+        .withColumn("p1", expr(
+          "CAST(round(CAST(e1 AS DOUBLE) / CAST(v AS DOUBLE) * 1e9) AS BIGINT)"))
+        .withColumn("p7", expr(
+          "CAST(round(CAST(e7 AS DOUBLE) / CAST(v AS DOUBLE) * 1e9) AS BIGINT)"))
+        .withColumn("pm", expr(
+          "CAST(round(CAST(em AS DOUBLE) / (7.0 * CAST(v AS DOUBLE)) * 1e9) AS BIGINT)"))
+      scored.agg(count(lit(1)).as("n_eval"),
+          sum(col("e1").cast(d38)).as("s1"),
+          sum(col("e7").cast(d38)).as("s7e"),
+          sum(col("em").cast(d38)).as("sm"),
+          sum("p1").as("sp1"), sum("p7").as("sp7"), sum("pm").as("spm"))
+        .select(col("n_eval"),
+          round(col("s1").cast("double") /
+            (col("n_eval").cast("double") * 100.0), 2).as("mae_lag1_usd"),
+          round(col("sp1").cast("double") /
+            (col("n_eval").cast("double") * 1e9), 6).as("mape_lag1"),
+          round(col("s7e").cast("double") /
+            (col("n_eval").cast("double") * 100.0), 2).as("mae_lag7_usd"),
+          round(col("sp7").cast("double") /
+            (col("n_eval").cast("double") * 1e9), 6).as("mape_lag7"),
+          round(col("sm").cast("double") /
+            (col("n_eval").cast("double") * 700.0), 2).as("mae_ma7_usd"),
+          round(col("spm").cast("double") /
+            (col("n_eval").cast("double") * 1e9), 6).as("mape_ma7"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+      ),
+      feats AS (
+        SELECT t, v,
+               lag(v, 1) OVER (ORDER BY t) AS l1,
+               lag(v, 7) OVER (ORDER BY t) AS l7,
+               CAST(sum(v) OVER (ORDER BY t ROWS BETWEEN 7 PRECEDING
+                 AND 1 PRECEDING) AS BIGINT) AS s7,
+               count(v) OVER (ORDER BY t ROWS BETWEEN 7 PRECEDING
+                 AND 1 PRECEDING) AS c7
+        FROM daily
+      ),
+      kept AS (SELECT * FROM feats WHERE l7 IS NOT NULL AND c7 = 7),
+      scored AS (
+        SELECT v,
+               abs(v - l1) AS e1, abs(v - l7) AS e7,
+               abs(v * 7 - s7) AS em,
+               CAST(round(CAST(abs(v - l1) AS DOUBLE) / CAST(v AS DOUBLE)
+                 * 1e9) AS BIGINT) AS p1,
+               CAST(round(CAST(abs(v - l7) AS DOUBLE) / CAST(v AS DOUBLE)
+                 * 1e9) AS BIGINT) AS p7,
+               CAST(round(CAST(abs(v * 7 - s7) AS DOUBLE)
+                 / (7.0 * CAST(v AS DOUBLE)) * 1e9) AS BIGINT) AS pm
+        FROM kept
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             round(CAST(sum(CAST(e1 AS DECIMAL(38,0))) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 100.0), 2) AS mae_lag1_usd,
+             round(CAST(sum(p1) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1e9), 6) AS mape_lag1,
+             round(CAST(sum(CAST(e7 AS DECIMAL(38,0))) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 100.0), 2) AS mae_lag7_usd,
+             round(CAST(sum(p7) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1e9), 6) AS mape_lag7,
+             round(CAST(sum(CAST(em AS DECIMAL(38,0))) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 700.0), 2) AS mae_ma7_usd,
+             round(CAST(sum(pm) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1e9), 6) AS mape_ma7
+      FROM scored
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     streaks, transitions, gapFill, linreg, mad, sparseCosine, linregMulti,
     rollingMedian, acf, cusum, kaplanMeier, seasonalProfile, saxMotifs,
     bursts, ewma, holt, stlDecompose, theilSen, holtWinters,
     markovStationary, matrixProfile, nelsonAalen, logRank, permEntropy,
     binarySegment, hurst, entropyRate, kendallTau, ljungBox, conformal,
-    ridgePath, seasonalMk)
+    ridgePath, seasonalMk, backtestNaive)
 }

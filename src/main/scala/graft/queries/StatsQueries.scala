@@ -1686,44 +1686,57 @@ object StatsQueries {
     * both engines); both transcendental transforms quantize ONCE to
     * nano-units so the OLS sufficient statistics are exact DECIMAL
     * integers (the q_zipf_slope discipline). */
-  val weibullFit = QuerySpec(
-    "q_weibull_fit",
-    (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      val horizon = orders(s, d)
-        .agg(max(to_date(col("o_orderdate"))).as("hz"))
-      val dur = orders(s, d)
-        .withColumn("nxt", lead(to_date(col("o_orderdate")), 1).over(w))
-        .crossJoin(broadcast(horizon))
-        .select(
-          when(col("nxt").isNotNull,
-            datediff(col("nxt"), to_date(col("o_orderdate"))))
-            .otherwise(datediff(col("hz"), to_date(col("o_orderdate"))))
-            .as("dur"),
-          col("nxt").isNotNull.cast("int").as("event"))
-      val pts = graft.ops.Series.kaplanMeier(dur, "dur", "event")
-        .filter(col("t") >= 1 && col("surv") > 0.0 && col("surv") < 1.0)
-        .select(
-          expr("CAST(round(ln(CAST(t AS DOUBLE)) * 1e9) AS BIGINT)").as("x"),
-          expr("CAST(round(ln(-ln(surv)) * 1e9) AS BIGINT)").as("y"))
-      val st = pts.agg(
-        count(lit(1)).as("n"),
-        sum(col("x").cast(d38)).cast("double").as("sx"),
-        sum(col("y").cast(d38)).cast("double").as("sy"),
-        sum(col("x").cast(d38) * col("x")).cast("double").as("sxx"),
-        sum(col("x").cast(d38) * col("y")).cast("double").as("sxy"))
-      val k = (col("n").cast("double") * col("sxy") -
-        col("sx") * col("sy")) /
-        (col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
-      val intercept = (col("sy") - k * col("sx")) /
-        (col("n").cast("double") * 1e9)
-      st.select(col("n").as("n_points"),
-        round(k, 6).as("shape"),
-        round(exp(-intercept / k), 6).as("scale_days"))
-    },
-    Some("""
-      WITH hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+  /** The inter-order gap frame shared by [[weibullFit]] and [[ksGof]]:
+    * (dur days, event flag) per order, censored at the horizon. */
+  private def gapFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val horizon = orders(s, d)
+      .agg(max(to_date(col("o_orderdate"))).as("hz"))
+    orders(s, d)
+      .withColumn("nxt", lead(to_date(col("o_orderdate")), 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("nxt").isNotNull,
+          datediff(col("nxt"), to_date(col("o_orderdate"))))
+          .otherwise(datediff(col("hz"), to_date(col("o_orderdate"))))
+          .as("dur"),
+        col("nxt").isNotNull.cast("int").as("event"))
+  }
+
+  /** One-row (n_points, shape, scale_days) Weibull plot fit over
+    * [[gapFrame]] — shape/scale ROUNDED at 1e-6, so downstream
+    * composition ([[ksGof]]) sees bit-identical parameters in both
+    * engines. */
+  private def weibullParams(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pts = graft.ops.Series.kaplanMeier(gapFrame(s, d), "dur", "event")
+      .filter(col("t") >= 1 && col("surv") > 0.0 && col("surv") < 1.0)
+      .select(
+        expr("CAST(round(ln(CAST(t AS DOUBLE)) * 1e9) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(-ln(surv)) * 1e9) AS BIGINT)").as("y"))
+    val st = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).cast("double").as("sx"),
+      sum(col("y").cast(d38)).cast("double").as("sy"),
+      sum(col("x").cast(d38) * col("x")).cast("double").as("sxx"),
+      sum(col("x").cast(d38) * col("y")).cast("double").as("sxy"))
+    val k = (col("n").cast("double") * col("sxy") -
+      col("sx") * col("sy")) /
+      (col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+    val intercept = (col("sy") - k * col("sx")) /
+      (col("n").cast("double") * 1e9)
+    st.select(col("n").as("n_points"),
+      round(k, 6).as("shape"),
+      round(exp(-intercept / k), 6).as("scale_days"))
+  }
+
+  /** The matching DuckDB CTE chain, ending in `fit(n_points, shape,
+    * scale_days)` — kept textually in lockstep with [[weibullParams]]
+    * (one definition per engine pair, the dsir-CTE precedent). */
+  private val WeibullFitSql = """
+      hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
       seq AS (
         SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt,
                lead(CAST(o_orderdate AS DATE))
@@ -1747,7 +1760,7 @@ object StatsQueries {
                     AS BIGINT) AS n_risk
         FROM byt, tot
       ),
-      ev AS (
+      evf AS (
         SELECT t, CAST(1.0 AS DOUBLE)
                  - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
         FROM risk WHERE d > 0
@@ -1755,31 +1768,40 @@ object StatsQueries {
       km AS (
         SELECT t, list_reduce(list(f) OVER (ORDER BY t ROWS UNBOUNDED
                  PRECEDING), (a, b) -> a * b) AS surv
-        FROM ev
+        FROM evf
       ),
-      pts AS (
+      wpts AS (
         SELECT CAST(round(ln(CAST(t AS DOUBLE)) * 1e9) AS BIGINT) AS x,
                CAST(round(ln(-ln(surv)) * 1e9) AS BIGINT) AS y
         FROM km WHERE t >= 1 AND surv > 0.0 AND surv < 1.0
       ),
-      st AS (
+      wst AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
                CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
                CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
                CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
-        FROM pts
-      )
-      SELECT n AS n_points,
-             round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                   / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS shape,
-             round(exp(-((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
-                     / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
-                    / (CAST(n AS DOUBLE) * 1e9))
-                   / ((CAST(n AS DOUBLE) * sxy - sx * sy)
-                      / (CAST(n AS DOUBLE) * sxx - sx * sx))), 6)
-               AS scale_days
-      FROM st
+        FROM wpts
+      ),
+      fit AS (
+        SELECT n AS n_points,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS shape,
+               round(exp(-((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                      / (CAST(n AS DOUBLE) * 1e9))
+                     / ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx))), 6)
+                 AS scale_days
+        FROM wst
+      )"""
+
+  val weibullFit = QuerySpec(
+    "q_weibull_fit",
+    (s, d) => weibullParams(s, d),
+    Some(s"""
+      WITH $WeibullFitSql
+      SELECT n_points, shape, scale_days FROM fit
     """))
 
   /** Stratified treatment-effect estimate (the poor-economist's
@@ -2101,6 +2123,67 @@ object StatsQueries {
       FROM ff
     """))
 
+  /** Kolmogorov–Smirnov goodness-of-fit of the UNCENSORED inter-order
+    * gaps against the Weibull just fitted on them ([[weibullParams]],
+    * shape/scale pinned at 1e-6): D = max_t |F̂(t) − F_w(t)| with
+    * F_w(t) = 1 − exp(−exp(k·ln(t/λ))) spelled as the explicit exp∘ln
+    * composition so both engines evaluate the same libm chain. F̂ is an
+    * exact cumulative fraction over the bounded gap-value frame; each
+    * gap is a fixed double tree nano-quantized before the max, argmax
+    * ties to the earliest t. The model-on-its-own-training-data caveat
+    * is the point: this D is the FIT diagnostic, not a test with
+    * honest critical values. */
+  val ksGof = QuerySpec(
+    "q_ks_gof",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val gaps = gapFrame(s, d).filter(col("event") === 1 && col("dur") >= 1)
+        .groupBy(col("dur").cast("long").as("t"))
+        .agg(count(lit(1)).as("c"))
+      val tot = gaps.agg(sum("c").as("n"))
+      val cum = gaps
+        .withColumn("k", sum("c").over(
+          W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(weibullParams(s, d)
+          .select(col("shape"), col("scale_days"))))
+        .withColumn("gap_nano", expr(
+          """CAST(round(abs(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+               - (1.0 - exp(-exp(shape * (ln(CAST(t AS DOUBLE))
+                  - ln(scale_days)))))) * 1e9) AS BIGINT)"""))
+      cum.orderBy(col("gap_nano").desc, col("t")).limit(1)
+        .select(col("n").as("n_gaps"), col("t").cast("int").as("at_t_days"),
+          round(col("gap_nano").cast("double") / 1e9, 6).as("ks_d"))
+    },
+    Some(s"""
+      WITH $WeibullFitSql,
+      gaps AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c
+        FROM dur WHERE ev = 1 AND t >= 1
+        GROUP BY t
+      ),
+      gtot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gaps),
+      cum AS (
+        SELECT t,
+               CAST(sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS k,
+               n, shape, scale_days
+        FROM gaps CROSS JOIN gtot CROSS JOIN fit
+      ),
+      gapped AS (
+        SELECT t, n,
+               CAST(round(abs(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (1.0 - exp(-exp(shape * (ln(CAST(t AS DOUBLE))
+                    - ln(scale_days)))))) * 1e9) AS BIGINT) AS gap_nano
+        FROM cum
+      )
+      SELECT n AS n_gaps, CAST(t AS INTEGER) AS at_t_days,
+             round(CAST(gap_nano AS DOUBLE) / 1e9, 6) AS ks_d
+      FROM gapped
+      ORDER BY gap_nano DESC, t
+      LIMIT 1
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     anova, welchT, levene, mantelHaenszel, pacf,
     ccf, periodogram, jsDivergence, tCloseness,
@@ -2108,5 +2191,5 @@ object StatsQueries {
     poissonIrls, friedman, grubbs, sprt,
     cochranQ, hellinger, theilU, cvm,
     weibullFit, propensityStrata,
-    lMoments, shapleyR2, abSrm)
+    lMoments, shapleyR2, abSrm, ksGof)
 }

@@ -186,6 +186,50 @@ class Round7hSpec extends SparkSpec {
     }
   }
 
+  test("ks gof: d in [0,1] with a populated argmax") {
+    val r = StatsQueries.ksGof.run(spark, Sf001).head()
+    val d = r.getAs[Double]("ks_d")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r.getAs[Int]("at_t_days") >= 1)
+    assert(r.getAs[Long]("n_gaps") > 100)
+  }
+
+  test("abc analysis: classes ordered A<=B<=C along cum share; covers brands") {
+    val rows = AnalyticsQueries.abcAnalysis.run(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    val classes = rows.map(_.getAs[String]("abc_class"))
+    // cum_share ascending → class sequence must be non-decreasing
+    assert(classes.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(classes.contains("A") && classes.contains("C"))
+    val lastShare = rows.last.getAs[Double]("cum_share")
+    assert(math.abs(lastShare - 1.0) < 1e-6)
+  }
+
+  test("ltv triangle: cumulative monotone within each cohort") {
+    val rows = EventQueries.ltvTriangle.run(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_day")).foreach {
+      case (_, rs) =>
+        val byAge = rs.sortBy(_.getAs[Int]("age_week"))
+        val cums = byAge.map(_.getAs[Double]("cum_rev"))
+        assert(cums.sliding(2).forall(p => p.length < 2 ||
+          p(0) <= p(1) + 1e-9))
+    }
+  }
+
+  test("backtest: lag-1 beats or ties lag-7 on an i.i.d.-ish series") {
+    val r = SeriesQueries.backtestNaive.run(spark, Sf001).head()
+    assert(r.getAs[Long]("n_eval") > 100)
+    Seq("mape_lag1", "mape_lag7", "mape_ma7").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v > 0.0 && v < 10.0, c)
+    }
+    // the MA-7 smoother must not be worse than the single noisiest lag
+    assert(r.getAs[Double]("mape_ma7") <=
+      math.max(r.getAs[Double]("mape_lag1"),
+        r.getAs[Double]("mape_lag7")) + 1e-9)
+  }
+
   test("rich club: monotone counts along the ladder; phi in [0,1]") {
     val r = GraphQueries.richClub.run(spark, Sf001).head()
     val (n4, n8, n16) = (r.getAs[Long]("n4"), r.getAs[Long]("n8"),
