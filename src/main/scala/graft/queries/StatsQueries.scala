@@ -2184,6 +2184,280 @@ object StatsQueries {
       LIMIT 1
     """))
 
+  /** Partial-dependence profile of the pinned returns model
+    * ([[hosmerLemeshow]]'s score = −1.2 + 8·discount − 0.02·quantity)
+    * along the discount axis: for each of the 11 designed discount
+    * levels, the corpus-average p̂ with discount FORCED to that level
+    * (marginalizing over the empirical quantity distribution — the PDP
+    * definition). One scan: the 11 forced scores are fixed expressions
+    * of quantity alone, each nano-quantized per row, so the means are
+    * exact. The observed response rate per ACTUAL discount level rides
+    * along — the PDP-vs-raw-slice contrast IS the confounding story. */
+  val pdp = QuerySpec(
+    "q_pdp",
+    (s, d) => {
+      val grid = (0 to 10).map(_ / 100.0)
+      val rows = lineitem(s, d).select(col("l_quantity").as("q"),
+        expr("CAST(round(l_discount * 100) AS INT)").as("dc"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      val aggs =
+        count(lit(1)).as("n") +:
+          (grid.zipWithIndex.map { case (g, i) =>
+            sum(expr(
+              s"""CAST(round(1e9 / (1.0 + exp(-(-1.2 + 8.0 * $g
+                   - 0.02 * q)))) AS BIGINT)""")).as(s"pd$i")
+          } ++ (0 to 10).flatMap { i => Seq(
+            sum(when(col("dc") === i, 1L).otherwise(0L)).as(s"cn$i"),
+            sum(when(col("dc") === i, col("y")).otherwise(0L)).as(s"cy$i"))
+          })
+      val piv = rows.agg(aggs.head, aggs.tail: _*)
+      val out = (0 to 10).map { i =>
+        struct(lit(i).as("disc_pct"),
+          round(col(s"pd$i").cast("double") /
+            (col("n").cast("double") * 1e9), 6).as("pdp_phat"),
+          col(s"cn$i").as("n_at_level"),
+          when(col(s"cn$i") > 0, round(col(s"cy$i").cast("double") /
+            col(s"cn$i").cast("double"), 6)).otherwise(lit(0.0))
+            .as("raw_rate"))
+      }
+      piv.select(explode(array(out: _*)).as("r"))
+        .select(col("r.disc_pct"), col("r.pdp_phat"), col("r.n_at_level"),
+          col("r.raw_rate"))
+        .orderBy("disc_pct")
+    },
+    Some {
+      val rows = (0 to 10).map { i =>
+        val g = i / 100.0
+        s"""SELECT $i AS disc_pct,
+              round(CAST(sum(CAST(round(1e9 / (1.0 + exp(-(-1.2 + 8.0 * $g
+                    - 0.02 * l_quantity)))) AS BIGINT)) AS DOUBLE)
+                / (CAST(count(*) AS DOUBLE) * 1e9), 6) AS pdp_phat,
+              CAST(sum(CASE WHEN CAST(round(l_discount * 100) AS INTEGER) = $i
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_at_level,
+              CASE WHEN sum(CASE WHEN CAST(round(l_discount * 100) AS INTEGER) = $i
+                     THEN 1 ELSE 0 END) > 0
+                THEN round(CAST(sum(CASE WHEN CAST(round(l_discount * 100)
+                       AS INTEGER) = $i AND l_returnflag = 'R' THEN 1 ELSE 0
+                       END) AS DOUBLE)
+                     / CAST(sum(CASE WHEN CAST(round(l_discount * 100)
+                       AS INTEGER) = $i THEN 1 ELSE 0 END) AS DOUBLE), 6)
+                ELSE 0.0 END AS raw_rate
+            FROM lineitem"""
+      }.mkString("\nUNION ALL\n")
+      s"""
+      SELECT * FROM ($rows)
+      ORDER BY disc_pct
+      """
+    })
+
+  /** Simpson's-paradox detector on the discount→returns relationship:
+    * does the POOLED 2×2 odds ratio disagree in direction with the
+    * year-stratified Mantel–Haenszel OR ([[mantelHaenszel]]'s exact
+    * machinery, one extra fixed tree for the pooled table)? The flag is
+    * an integer comparison of both ORs against 1 on their 1e-6-rounded
+    * values — the audit a metrics platform runs before anyone ships a
+    * "discounts cause returns" headline. */
+  val simpsonsCheck = QuerySpec(
+    "q_simpsons_check",
+    (s, d) => {
+      val rows = lineitem(s, d).select(
+        year(col("l_shipdate")).as("y"),
+        (col("l_discount") > 0.05).cast("int").as("e"),
+        (col("l_returnflag") === "R").cast("int").as("r"))
+      val aggs = (shipYears.zipWithIndex.flatMap { case (yv, i) => Seq(
+        sum(when(col("y") === yv && col("e") === 1 && col("r") === 1, 1L)
+          .otherwise(0L)).as(s"a$i"),
+        sum(when(col("y") === yv && col("e") === 1 && col("r") === 0, 1L)
+          .otherwise(0L)).as(s"b$i"),
+        sum(when(col("y") === yv && col("e") === 0 && col("r") === 1, 1L)
+          .otherwise(0L)).as(s"c$i"),
+        sum(when(col("y") === yv && col("e") === 0 && col("r") === 0, 1L)
+          .otherwise(0L)).as(s"d$i"))
+      }) ++ Seq(
+        sum(when(col("e") === 1 && col("r") === 1, 1L).otherwise(0L))
+          .as("pa"),
+        sum(when(col("e") === 1 && col("r") === 0, 1L).otherwise(0L))
+          .as("pb"),
+        sum(when(col("e") === 0 && col("r") === 1, 1L).otherwise(0L))
+          .as("pc"),
+        sum(when(col("e") === 0 && col("r") === 0, 1L).otherwise(0L))
+          .as("pd"))
+      val piv = rows.agg(aggs.head, aggs.tail: _*)
+      def dbl(e: String): Column = expr(e).cast("double")
+      val parts = shipYears.indices.map { i =>
+        val n = dbl(s"a$i + b$i + c$i + d$i")
+        (dbl(s"a$i") * dbl(s"d$i") / n, dbl(s"b$i") * dbl(s"c$i") / n)
+      }
+      val orMh = round(parts.map(_._1).reduce(_ + _) /
+        parts.map(_._2).reduce(_ + _), 6)
+      val orPooled = round(dbl("pa") * dbl("pd") / (dbl("pb") * dbl("pc")), 6)
+      piv.select(orPooled.as("or_pooled"), orMh.as("or_mh"),
+        ((orPooled > 1.0 && orMh < 1.0) ||
+          (orPooled < 1.0 && orMh > 1.0)).cast("int").as("paradox_flag"))
+    },
+    Some {
+      val strata = shipYears.indices.map { i =>
+        val y = shipYears(i)
+        s"""CAST(sum(CASE WHEN y = $y AND e = 1 AND r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a$i,
+            CAST(sum(CASE WHEN y = $y AND e = 1 AND r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b$i,
+            CAST(sum(CASE WHEN y = $y AND e = 0 AND r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c$i,
+            CAST(sum(CASE WHEN y = $y AND e = 0 AND r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d$i"""
+      }.mkString(",")
+      def nD(i: Int) = s"CAST(a$i + b$i + c$i + d$i AS DOUBLE)"
+      val rSum = shipYears.indices.map(i =>
+        s"CAST(a$i AS DOUBLE) * CAST(d$i AS DOUBLE) / ${nD(i)}")
+        .mkString(" + ")
+      val sSum = shipYears.indices.map(i =>
+        s"CAST(b$i AS DOUBLE) * CAST(c$i AS DOUBLE) / ${nD(i)}")
+        .mkString(" + ")
+      s"""
+      WITH rows_ AS (
+        SELECT year(l_shipdate) AS y,
+               CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS e,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem
+      ),
+      piv AS (
+        SELECT $strata,
+               CAST(sum(CASE WHEN e = 1 AND r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pa,
+               CAST(sum(CASE WHEN e = 1 AND r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pb,
+               CAST(sum(CASE WHEN e = 0 AND r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+               CAST(sum(CASE WHEN e = 0 AND r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pd
+        FROM rows_
+      ),
+      ors AS (
+        SELECT round(CAST(pa AS DOUBLE) * CAST(pd AS DOUBLE)
+                     / (CAST(pb AS DOUBLE) * CAST(pc AS DOUBLE)), 6)
+                 AS or_pooled,
+               round(($rSum) / ($sSum), 6) AS or_mh
+        FROM piv
+      )
+      SELECT or_pooled, or_mh,
+             CAST((or_pooled > 1.0 AND or_mh < 1.0)
+                  OR (or_pooled < 1.0 AND or_mh > 1.0) AS INTEGER)
+               AS paradox_flag
+      FROM ors
+      """
+    })
+
+  /** Bland–Altman agreement between the line's billed amount and its
+    * list-price expectation (quantity × p_retailprice): bias and 95%
+    * limits of agreement on the per-line difference in cents — the
+    * method-comparison statistic that catches systematic pricing skew a
+    * correlation can't (two highly correlated measures can still
+    * disagree by a constant). Differences are exact integers; bias and
+    * LoA are one double tree over DECIMAL sufficient statistics. */
+  val blandAltman = QuerySpec(
+    "q_bland_altman",
+    (s, d) => {
+      val rows = lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(expr(
+          """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             - CAST(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          """).as("diff"))
+      val st = rows.agg(count(lit(1)).as("n"),
+        sum(col("diff").cast(d38)).as("sd"),
+        sum(col("diff").cast(d38) * col("diff")).as("sdd"))
+      val n = col("n").cast("double")
+      val mean = col("sd").cast("double") / n
+      val sd = sqrt((col("sdd").cast("double") -
+        col("sd").cast("double") * col("sd").cast("double") / n) /
+        (n - 1.0))
+      st.select(col("n").as("n_lines"),
+        round(mean / 100.0, 2).as("bias_usd"),
+        round((mean - lit(1.96) * sd) / 100.0, 2).as("loa_lower_usd"),
+        round((mean + lit(1.96) * sd) / 100.0, 2).as("loa_upper_usd"))
+    },
+    Some("""
+      WITH rows_ AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               - CAST(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS diff
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+      ),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(diff AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd,
+               CAST(sum(CAST(diff AS DECIMAL(38,0)) * diff) AS DECIMAL(38,0))
+                 AS sdd
+        FROM rows_
+      )
+      SELECT n AS n_lines,
+             round((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 2)
+               AS bias_usd,
+             round((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)
+                    - 1.96 * sqrt((CAST(sdd AS DOUBLE)
+                        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0))) / 100.0, 2)
+               AS loa_lower_usd,
+             round((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)
+                    + 1.96 * sqrt((CAST(sdd AS DOUBLE)
+                        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0))) / 100.0, 2)
+               AS loa_upper_usd
+      FROM st
+    """))
+
+  /** Rank-biserial effect size r = 2U/(n₁n₂) − 1 for the
+    * BUILDING-vs-MACHINERY balance comparison — the magnitude companion
+    * to q_mann_whitney's significance verdict (a huge corpus makes
+    * trivial differences "significant"; r says whether anyone should
+    * care). U comes from the doubled-rank machinery over the $100
+    * value-level frame, exact end-to-end; r is one double. */
+  val rankBiserial = QuerySpec(
+    "q_rank_biserial",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val rows = customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select((col("c_mktsegment") === "BUILDING").cast("int").as("g"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "DIV 10000").as("v"))
+      val w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+      val vals = rows.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col("v"), (col("cum") * 2 - col("cnt") + 1).as("r2"))
+      val piv = rows.join(vals, "v").agg(
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === 1, col("r2")).otherwise(0L)).as("sr1"))
+      // U₁ = ΣR₁ − n₁(n₁+1)/2 with doubled ranks: 2U₁ = sr1 − n₁(n₁+1)
+      val u2 = col("sr1") - col("n1") * (col("n1") + 1)
+      val r = u2.cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double")) - 1.0
+      piv.select(col("n1"), col("n2"), round(r, 6).as("rank_biserial"))
+    },
+    Some("""
+      WITH rows_ AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 // 10000 AS v
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      ),
+      vals AS (
+        SELECT v, 2 * sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                 - cnt + 1 AS r2
+        FROM (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM rows_
+              GROUP BY v)
+      ),
+      piv AS (
+        SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN g = 1 THEN r2 ELSE 0 END) AS BIGINT) AS sr1
+        FROM rows_ JOIN vals USING (v)
+      )
+      SELECT n1, n2,
+             round(CAST(sr1 - n1 * (n1 + 1) AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - 1.0, 6)
+               AS rank_biserial
+      FROM piv
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     anova, welchT, levene, mantelHaenszel, pacf,
     ccf, periodogram, jsDivergence, tCloseness,
@@ -2191,5 +2465,6 @@ object StatsQueries {
     poissonIrls, friedman, grubbs, sprt,
     cochranQ, hellinger, theilU, cvm,
     weibullFit, propensityStrata,
-    lMoments, shapleyR2, abSrm, ksGof)
+    lMoments, shapleyR2, abSrm, ksGof,
+    pdp, simpsonsCheck, blandAltman, rankBiserial)
 }

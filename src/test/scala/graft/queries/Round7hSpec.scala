@@ -230,6 +230,41 @@ class Round7hSpec extends SparkSpec {
         r.getAs[Double]("mape_lag7")) + 1e-9)
   }
 
+  test("pdp: monotone in discount under the positive pinned coefficient") {
+    val rows = StatsQueries.pdp.run(spark, Sf001).collect()
+      .sortBy(_.getAs[Int]("disc_pct"))
+    assert(rows.length === 11)
+    val phats = rows.map(_.getAs[Double]("pdp_phat"))
+    assert(phats.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    phats.foreach(p => assert(p > 0.0 && p < 1.0))
+    // every lineitem row appears at each actual discount level exactly once
+    val total = rows.map(_.getAs[Long]("n_at_level")).sum
+    assert(total === graft.Tables.lineitem(spark, Sf001).count())
+  }
+
+  test("simpsons check: flag consistent with the two odds ratios") {
+    val r = StatsQueries.simpsonsCheck.run(spark, Sf001).head()
+    val p = r.getAs[Double]("or_pooled"); val m = r.getAs[Double]("or_mh")
+    assert(p > 0.0 && m > 0.0)
+    assert((r.getAs[Int]("paradox_flag") === 1) ===
+      ((p > 1.0 && m < 1.0) || (p < 1.0 && m > 1.0)))
+  }
+
+  test("bland-altman: limits bracket the bias symmetrically") {
+    val r = StatsQueries.blandAltman.run(spark, Sf001).head()
+    val b = r.getAs[Double]("bias_usd")
+    val lo = r.getAs[Double]("loa_lower_usd")
+    val hi = r.getAs[Double]("loa_upper_usd")
+    assert(lo <= b && b <= hi)
+    assert(math.abs((hi - b) - (b - lo)) < 0.05) // symmetric to rounding
+  }
+
+  test("rank-biserial within [-1, 1]") {
+    val r = StatsQueries.rankBiserial.run(spark, Sf001).head()
+    val v = r.getAs[Double]("rank_biserial")
+    assert(v >= -1.0 && v <= 1.0)
+  }
+
   test("rich club: monotone counts along the ladder; phi in [0,1]") {
     val r = GraphQueries.richClub.run(spark, Sf001).head()
     val (n4, n8, n16) = (r.getAs[Long]("n4"), r.getAs[Long]("n8"),
