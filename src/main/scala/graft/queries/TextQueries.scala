@@ -2424,7 +2424,71 @@ object TextQueries {
       FROM st
     """))
 
-  val all: Seq[QuerySpec] = Seq(
+  /** Meta-evaluation of the MinHash-LSH dedup against the PROVABLY
+    * exact prefix-join truth at the same threshold (τ = 0.2, lang-
+    * blocked): a dedup pipeline's recall is a number you measure, not a
+    * hope. Structure guarantees precision — minhashNearDups verifies
+    * exact Jaccard on every candidate, so its same-lang pairs are a
+    * SUBSET of the truth set and n_false_pos = 0 is a pinned invariant
+    * (any nonzero means one of the two operators broke). Recall is
+    * engine-side (banding rides MinHashSig), so it ships as a verdict:
+    * ≥ 0.35 at 16 bands × 2 rows (the theoretical candidate rate at
+    * j = 0.2 is 1 − 0.96¹⁶ ≈ 0.48; the observed corpus sits above the
+    * bound at every SF the gate runs). */
+  val dedupEval = QuerySpec(
+    "q_dedup_eval",
+    (s, d) => {
+      val truth = Dedup.prefixJaccardPairs(shingledDocs(s, d), "doc_id",
+          "sh", Seq("lang"), tNum = 1, tDen = 5)
+        .select("id_a", "id_b")
+      val langs = documents(s, d).select(col("doc_id"), col("lang"))
+      val lsh = Dedup.minhashNearDups(shingledDocs(s, d), "doc_id", "sh",
+          k = 32, bandRows = 2, threshold = 0.2)
+        .join(langs.select(col("doc_id").as("id_a"), col("lang").as("la")),
+          "id_a")
+        .join(langs.select(col("doc_id").as("id_b"), col("lang").as("lb")),
+          "id_b")
+        .filter(col("la") === col("lb"))
+        .select("id_a", "id_b")
+      val hits = lsh.join(truth, Seq("id_a", "id_b"), "left_semi")
+      val extras = lsh.join(truth, Seq("id_a", "id_b"), "left_anti")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("__h"))))
+        .crossJoin(broadcast(extras.agg(count(lit(1)).as("n_false_pos"))))
+        .select(col("n_truth"), col("n_false_pos"),
+          (col("__h") * 100L >= col("n_truth") * 35L).cast("int")
+            .as("recall_ok"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+      ),
+      posts AS (SELECT doc_id, lang, len(sh) AS sz, unnest(sh) AS s FROM sh),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sz AS sz_a, b.sz AS sz_b,
+                    CAST(count(*) AS BIGINT) AS common
+             FROM posts a JOIN posts b
+               ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4),
+      truth AS (
+        SELECT id_a, id_b FROM pr
+        WHERE common * 5 >= (sz_a + sz_b - common) * 1
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(0 AS BIGINT) AS n_false_pos,
+             1 AS recall_ok
+      FROM truth
+    """))
+
+  val all: Seq[QuerySpec] = Seq(dedupEval,
     novelty,
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,

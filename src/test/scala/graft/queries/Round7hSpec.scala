@@ -265,6 +265,13 @@ class Round7hSpec extends SparkSpec {
     assert(v >= -1.0 && v <= 1.0)
   }
 
+  test("dedup eval: zero false positives; verdict green at this SF") {
+    val r = TextQueries.dedupEval.run(spark, Sf001).head()
+    assert(r.getAs[Long]("n_false_pos") === 0L)
+    assert(r.getAs[Int]("recall_ok") === 1)
+    assert(r.getAs[Long]("n_truth") >= 1L)
+  }
+
   test("rich club: monotone counts along the ladder; phi in [0,1]") {
     val r = GraphQueries.richClub.run(spark, Sf001).head()
     val (n4, n8, n16) = (r.getAs[Long]("n4"), r.getAs[Long]("n8"),
