@@ -31,6 +31,7 @@ object TextQueries {
       .select("doc_id", "lang", "sh")
       .cache()
 
+
   /** Lang-blocked exact Jaccard pairs over [[shingledDocs]], CACHED: four
     * queries consume this posting join (near top-k, minhash + simhash
     * verdict ground truth, cluster edges) — identical plans share one
@@ -2425,38 +2426,50 @@ object TextQueries {
     """))
 
   /** Meta-evaluation of the MinHash-LSH dedup against the PROVABLY
-    * exact prefix-join truth at the same threshold (τ = 0.2, lang-
-    * blocked): a dedup pipeline's recall is a number you measure, not a
-    * hope. Structure guarantees precision — minhashNearDups verifies
-    * exact Jaccard on every candidate, so its same-lang pairs are a
-    * SUBSET of the truth set and n_false_pos = 0 is a pinned invariant
-    * (any nonzero means one of the two operators broke). Recall is
+    * exact prefix-join truth at the same threshold (τ = 1/2, lang-
+    * blocked — the q_prefix_join operating point, where prefix
+    * filtering actually prunes; at τ = 0.2 it indexes ~80% of every
+    * doc and the "truth" side degenerates to the full posting join):
+    * a dedup pipeline's recall is a number you measure, not a hope.
+    * Structure guarantees precision — minhashNearDups verifies exact
+    * Jaccard on every candidate, so its same-lang pairs are a SUBSET
+    * of the truth set and n_false_pos = 0 is a pinned invariant (any
+    * nonzero means one of the two operators broke). Recall is
     * engine-side (banding rides MinHashSig), so it ships as a verdict:
-    * ≥ 0.35 at 16 bands × 2 rows (the theoretical candidate rate at
-    * j = 0.2 is 1 − 0.96¹⁶ ≈ 0.48; the observed corpus sits above the
-    * bound at every SF the gate runs). */
+    * ≥ 0.9 at 16 bands × 2 rows (candidate probability at j = 1/2 is
+    * 1 − 0.75¹⁶ ≈ 0.99). Cost honesty: this query RUNS both audited
+    * pipelines end-to-end (≈ the sum of q_prefix_join + q_dedup_minhash
+    * in the bench) — a meta-evaluation that sampled either side would
+    * certify nothing. */
   val dedupEval = QuerySpec(
     "q_dedup_eval",
     (s, d) => {
       val truth = Dedup.prefixJaccardPairs(shingledDocs(s, d), "doc_id",
-          "sh", Seq("lang"), tNum = 1, tDen = 5)
+          "sh", Seq("lang"), tNum = 1, tDen = 2)
         .select("id_a", "id_b")
       val langs = documents(s, d).select(col("doc_id"), col("lang"))
       val lsh = Dedup.minhashNearDups(shingledDocs(s, d), "doc_id", "sh",
-          k = 32, bandRows = 2, threshold = 0.2)
+          k = 32, bandRows = 2, threshold = 0.5)
         .join(langs.select(col("doc_id").as("id_a"), col("lang").as("la")),
           "id_a")
         .join(langs.select(col("doc_id").as("id_b"), col("lang").as("lb")),
           "id_b")
         .filter(col("la") === col("lb"))
         .select("id_a", "id_b")
-      val hits = lsh.join(truth, Seq("id_a", "id_b"), "left_semi")
-      val extras = lsh.join(truth, Seq("id_a", "id_b"), "left_anti")
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("__h"))))
-        .crossJoin(broadcast(extras.agg(count(lit(1)).as("n_false_pos"))))
+      // one full-outer join yields all three counts in a single
+      // aggregate, so each dedup pipeline executes exactly once (the
+      // first cut re-ran both per count branch — measured 3× cost)
+      val t = truth.withColumn("in_t", lit(1L))
+      val l = lsh.withColumn("in_l", lit(1L))
+      t.join(l, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
+          sum(when(col("in_l") === 1 && col("in_t").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"),
+          sum(when(col("in_l") === 1 && col("in_t") === 1, 1L)
+            .otherwise(0L)).as("__h"))
         .select(col("n_truth"), col("n_false_pos"),
-          (col("__h") * 100L >= col("n_truth") * 35L).cast("int")
+          (col("__h") * 100L >= col("n_truth") * 90L).cast("int")
             .as("recall_ok"))
     },
     Some("""
@@ -2480,7 +2493,7 @@ object TextQueries {
              GROUP BY 1, 2, 3, 4),
       truth AS (
         SELECT id_a, id_b FROM pr
-        WHERE common * 5 >= (sz_a + sz_b - common) * 1
+        WHERE common * 2 >= (sz_a + sz_b - common) * 1
       )
       SELECT CAST(count(*) AS BIGINT) AS n_truth,
              CAST(0 AS BIGINT) AS n_false_pos,
