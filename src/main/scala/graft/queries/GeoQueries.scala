@@ -19,6 +19,8 @@ import graft.ops.Geo
   */
 object GeoQueries {
 
+  private val d38 = "decimal(38,0)"
+
   /** 0..999999 × 0..999999 integer plane, scattered by a QUADRATIC mix
     * (square a linear hash mod a prime, then reduce): a plain linear map
     * puts consecutive custkeys on a fixed-stride lattice with ZERO near
@@ -350,6 +352,98 @@ object GeoQueries {
       LIMIT 15
     """))
 
+  /** Spatial autocorrelation of the customer-plane density surface:
+    * Moran's I and Geary's C over the grid cells' point counts with
+    * rook adjacency (share an edge) — the "is density clumped or
+    * dispersed?" diagnostic behind every heat map. Both statistics stay
+    * EXACT integers end-to-end by multiplying the cell mean out:
+    * zᵢ = n·cᵢ − S (n = cells, S = total points), so
+    * I = (n/W)·Σᵢⱼ zᵢzⱼ / Σzᵢ² and
+    * C = (n−1)·n²·Σᵢⱼ(cᵢ−cⱼ)² / (2W·Σzᵢ²) need one double division
+    * each. Neighbor pairs come from a 4-offset explode + equi-join on
+    * the BOUNDED cell frame (the 3×3-cover discipline, one axis). */
+  val moranGeary = QuerySpec(
+    "q_moran_i",
+    (s, d) => {
+      val cells = Geo.gridAggregate(points(s, d), Cell)
+        .select(col("cell_x"), col("cell_y"), col("n_points").as("c"))
+      val tot = cells.agg(count(lit(1)).as("n"),
+        sum(col("c").cast(d38)).as("ss"))
+      val offsets = array(
+        struct(lit(1L).as("dx"), lit(0L).as("dy")),
+        struct(lit(-1L).as("dx"), lit(0L).as("dy")),
+        struct(lit(0L).as("dx"), lit(1L).as("dy")),
+        struct(lit(0L).as("dx"), lit(-1L).as("dy")))
+      val probe = cells.select(
+        col("cell_x"), col("cell_y"), col("c").as("cj"),
+        explode(offsets).as("off"))
+        .select((col("cell_x") + col("off.dx")).as("cell_x"),
+          (col("cell_y") + col("off.dy")).as("cell_y"), col("cj"))
+      val pairs = cells.join(probe, Seq("cell_x", "cell_y"))
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("w"),
+          sum((col("n").cast(d38) * col("c") - col("ss")) *
+            (col("n").cast(d38) * col("cj") - col("ss"))).as("cross"),
+          sum((col("c") - col("cj")).cast(d38) *
+            (col("c") - col("cj"))).as("sqdiff"))
+      val denom = cells.crossJoin(broadcast(tot))
+        .agg(max("n").as("n"),
+          sum((col("n").cast(d38) * col("c") - col("ss")) *
+            (col("n").cast(d38) * col("c") - col("ss"))).as("szz"))
+      denom.crossJoin(broadcast(pairs))
+        .select(col("n").as("n_cells"), col("w").as("w_pairs"),
+          round(col("n").cast("double") * col("cross").cast("double") /
+            (col("w").cast("double") * col("szz").cast("double")), 6)
+            .as("moran_i"),
+          round((col("n").cast("double") - 1.0) * col("n").cast("double") *
+            col("n").cast("double") * col("sqdiff").cast("double") /
+            (lit(2.0) * col("w").cast("double") *
+              col("szz").cast("double")), 6)
+            .as("geary_c"))
+    },
+    Some(s"""
+      $PtsCte,
+      cells AS (
+        SELECT x // $Cell AS cell_x, y // $Cell AS cell_y,
+               CAST(count(*) AS BIGINT) AS c
+        FROM pts GROUP BY 1, 2
+      ),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS ss
+              FROM cells),
+      probe AS (
+        SELECT cell_x + o.dx AS cell_x, cell_y + o.dy AS cell_y, c AS cj
+        FROM cells, (SELECT unnest([1, -1, 0, 0]) AS dx,
+                            unnest([0, 0, 1, -1]) AS dy) o
+      ),
+      pairs AS (
+        SELECT CAST(count(*) AS BIGINT) AS w,
+               CAST(sum((CAST(n AS DECIMAL(38,0)) * a.c - ss)
+                 * (CAST(n AS DECIMAL(38,0)) * p.cj - ss)) AS DECIMAL(38,0))
+                 AS crossz,
+               CAST(sum(CAST(a.c - p.cj AS DECIMAL(38,0)) * (a.c - p.cj))
+                 AS DECIMAL(38,0)) AS sqdiff
+        FROM cells a JOIN probe p USING (cell_x, cell_y) CROSS JOIN tot
+      ),
+      denom AS (
+        SELECT max(n) AS n,
+               CAST(sum((CAST(n AS DECIMAL(38,0)) * c - ss)
+                 * (CAST(n AS DECIMAL(38,0)) * c - ss)) AS DECIMAL(38,0))
+                 AS szz
+        FROM cells CROSS JOIN tot
+      )
+      SELECT n AS n_cells, w AS w_pairs,
+             round(CAST(n AS DOUBLE) * CAST(crossz AS DOUBLE)
+                   / (CAST(w AS DOUBLE) * CAST(szz AS DOUBLE)), 6)
+               AS moran_i,
+             round((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE) * CAST(sqdiff AS DOUBLE)
+                   / (2.0 * CAST(w AS DOUBLE) * CAST(szz AS DOUBLE)), 6)
+               AS geary_c
+      FROM denom CROSS JOIN pairs
+    """))
+
   def all: Seq[QuerySpec] =
-    Seq(neighborJoin, knn, gridAgg, nearest, dbscanQ, lofQ)
+    Seq(neighborJoin, knn, gridAgg, nearest, dbscanQ, lofQ, moranGeary)
 }

@@ -2458,6 +2458,70 @@ object StatsQueries {
       FROM piv
     """))
 
+  /** Epidemiological effect-size panel for the deep-discount → return
+    * association (the pooled 2×2 behind [[simpsonsCheck]]): risk ratio,
+    * odds ratio, risk difference, number-needed-to-treat, and Cohen's h
+    * (the arcsine-stabilized difference both engines evaluate through
+    * the same asin∘sqrt chain on exact fractions). Significance already
+    * lives in q_ab_test / q_mantel_haenszel; this row is the MAGNITUDE
+    * ledger a decision actually reads. One aggregate, one double tree. */
+  val effectSizes = QuerySpec(
+    "q_effect_sizes",
+    (s, d) => {
+      val piv = lineitem(s, d).agg(
+        sum(when(col("l_discount") > 0.05 && col("l_returnflag") === "R",
+          1L).otherwise(0L)).as("a"),
+        sum(when(col("l_discount") > 0.05 && col("l_returnflag") =!= "R",
+          1L).otherwise(0L)).as("b"),
+        sum(when(col("l_discount") <= 0.05 && col("l_returnflag") === "R",
+          1L).otherwise(0L)).as("c"),
+        sum(when(col("l_discount") <= 0.05 && col("l_returnflag") =!= "R",
+          1L).otherwise(0L)).as("dd"))
+      val p1 = col("a").cast("double") /
+        (col("a") + col("b")).cast("double")
+      val p0 = col("c").cast("double") /
+        (col("c") + col("dd")).cast("double")
+      val h = lit(2.0) * asin(sqrt(p1)) - lit(2.0) * asin(sqrt(p0))
+      piv.select(
+        round(p1 / p0, 6).as("risk_ratio"),
+        round(col("a").cast("double") * col("dd").cast("double") /
+          (col("b").cast("double") * col("c").cast("double")), 6)
+          .as("odds_ratio"),
+        round(p1 - p0, 6).as("risk_diff"),
+        when(round(p1 - p0, 6) =!= 0.0,
+          round(lit(1.0) / (p1 - p0), 2)).otherwise(lit(0.0)).as("nnt"),
+        round(h, 6).as("cohens_h"))
+    },
+    Some("""
+      WITH piv AS (
+        SELECT CAST(sum(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN l_discount > 0.05 AND l_returnflag <> 'R'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN l_discount <= 0.05 AND l_returnflag = 'R'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN l_discount <= 0.05 AND l_returnflag <> 'R'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        FROM lineitem
+      ),
+      pp AS (
+        SELECT a, b, c, dd,
+               CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE) AS p1,
+               CAST(c AS DOUBLE) / CAST(c + dd AS DOUBLE) AS p0
+        FROM piv
+      )
+      SELECT round(p1 / p0, 6) AS risk_ratio,
+             round(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+                   / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6)
+               AS odds_ratio,
+             round(p1 - p0, 6) AS risk_diff,
+             CASE WHEN round(p1 - p0, 6) <> 0.0
+                  THEN round(1.0 / (p1 - p0), 2) ELSE 0.0 END AS nnt,
+             round(2.0 * asin(sqrt(p1)) - 2.0 * asin(sqrt(p0)), 6)
+               AS cohens_h
+      FROM pp
+    """))
+
   val all: Seq[QuerySpec] = Seq(
     anova, welchT, levene, mantelHaenszel, pacf,
     ccf, periodogram, jsDivergence, tCloseness,
@@ -2466,5 +2530,5 @@ object StatsQueries {
     cochranQ, hellinger, theilU, cvm,
     weibullFit, propensityStrata,
     lMoments, shapleyR2, abSrm, ksGof,
-    pdp, simpsonsCheck, blandAltman, rankBiserial)
+    pdp, simpsonsCheck, blandAltman, rankBiserial, effectSizes)
 }

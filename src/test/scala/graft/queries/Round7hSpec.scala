@@ -272,6 +272,30 @@ class Round7hSpec extends SparkSpec {
     assert(r.getAs[Long]("n_truth") >= 1L)
   }
 
+  test("moran/geary: opposite signals agree (I high <=> C low around 1)") {
+    val r = GeoQueries.moranGeary.run(spark, Sf001).head()
+    val i = r.getAs[Double]("moran_i")
+    val c = r.getAs[Double]("geary_c")
+    assert(i >= -1.1 && i <= 1.1)
+    assert(c >= 0.0 && c <= 3.0)
+    // the scattered plane is near-random: I near 0, C near 1
+    assert(math.abs(i) < 0.5 && math.abs(c - 1.0) < 0.5)
+    assert(r.getAs[Long]("w_pairs") > 0)
+  }
+
+  test("effect sizes: internally consistent panel") {
+    val r = StatsQueries.effectSizes.run(spark, Sf001).head()
+    val rr = r.getAs[Double]("risk_ratio")
+    val or = r.getAs[Double]("odds_ratio")
+    val rd = r.getAs[Double]("risk_diff")
+    val h = r.getAs[Double]("cohens_h")
+    assert(rr > 0.0 && or > 0.0)
+    // OR is farther from 1 than RR on the same table (both same side)
+    assert((rr >= 1.0) === (or >= 1.0))
+    assert((rd >= 0.0) === (rr >= 1.0))
+    assert((h >= 0.0) === (rd >= 0.0))
+  }
+
   test("rich club: monotone counts along the ladder; phi in [0,1]") {
     val r = GraphQueries.richClub.run(spark, Sf001).head()
     val (n4, n8, n16) = (r.getAs[Long]("n4"), r.getAs[Long]("n8"),
