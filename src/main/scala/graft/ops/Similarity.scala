@@ -32,14 +32,18 @@ object Similarity {
       .select(asDouble(col("embedding")).as("p"))
       .head().getSeq[Double](0)
 
-  /** Brute-force cosine top-k against a literal probe vector. */
+  /** Brute-force cosine top-k against a literal probe vector.
+    * `carryCols` names the payload columns carried through to the result
+    * (default the test tables' `label`); pass `Nil` for a frame that has
+    * only (idCol, embedding) — the ops make no other column assumption. */
   def bruteForceTopK(emb: DataFrame, idCol: String, probe: Seq[Double],
-      k: Int, excludeId: Option[Long] = None): DataFrame = {
+      k: Int, excludeId: Option[Long] = None,
+      carryCols: Seq[String] = Seq("label")): DataFrame = {
     val p = array(probe.map(lit): _*)
     val base = excludeId.fold(emb)(x => emb.filter(col(idCol) =!= x))
     base
       .withColumn("cos", round(cosine_sim(asDouble(col("embedding")), p), 6))
-      .select(col(idCol), col("label"), col("cos"))
+      .select(col(idCol) +: carryCols.map(col) :+ col("cos"): _*)
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -137,7 +141,8 @@ object Similarity {
     * Dedup.lshBands). Seeded; returns (idCol, label, dist) top-k by
     * euclidean distance. */
   def lshTopK(spark: SparkSession, emb: DataFrame, idCol: String,
-      probe: Seq[Double], k: Int, excludeId: Option[Long] = None): DataFrame = {
+      probe: Seq[Double], k: Int, excludeId: Option[Long] = None,
+      carryCols: Seq[String] = Seq("label")): DataFrame = {
     val withVec = graft.Tables.fanOut(spark, emb)
       .withColumn("__vec", array_to_vector(asDouble(col("embedding"))))
     val base = excludeId.fold(withVec)(x => withVec.filter(col(idCol) =!= x))
@@ -149,7 +154,8 @@ object Similarity {
       .setOutputCol("__hashes")
     val model = lsh.fit(base)
     model.approxNearestNeighbors(base, Vectors.dense(probe.toArray), k, "dist")
-      .select(col(idCol), col("label"), round(col("dist"), 6).as("dist"))
+      .select(col(idCol) +: carryCols.map(col)
+        :+ round(col("dist"), 6).as("dist"): _*)
       .orderBy(col("dist").asc, col(idCol).asc)
   }
 
@@ -179,14 +185,16 @@ object Similarity {
 
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
       idCol: String, probe: Seq[Double], k: Int, nProbe: Int,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      carryCols: Seq[String] = Seq("label")): DataFrame = {
     val cells = probeCells(centroids, probe, nProbe)
     val p = array(probe.map(lit): _*)
     val base = excludeId.fold(assigned)(x => assigned.filter(col(idCol) =!= x))
     base
       .filter(col("cluster").isInCollection(cells))
       .withColumn("cos", round(cosine_sim(asDouble(col("embedding")), p), 6))
-      .select(col(idCol), col("label"), col("cluster"), col("cos"))
+      .select(col(idCol) +: carryCols.map(col)
+        :+ col("cluster") :+ col("cos"): _*)
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -256,7 +264,8 @@ object Similarity {
     * fixed IEEE lut sums, id tiebreaks. */
   def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
       idCol: String, probe: Seq[Double], k: Int, shortlist: Int,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      carryCols: Seq[String] = Seq("label")): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
     val m = codebooks.length
     val sub = codebooks(0)(0).length
@@ -283,7 +292,7 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x), 6))
       .orderBy(col("d2").asc, col(idCol).asc)
       .limit(k)
-      .select(col(idCol), col("label"), col("d2"))
+      .select(col(idCol) +: carryCols.map(col) :+ col("d2"): _*)
   }
 
   /** IVF-PQ: the full Faiss-style two-level index — coarse IVF cells
@@ -300,10 +309,11 @@ object Similarity {
   def ivfPqTopK(assigned: DataFrame, centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], idCol: String,
       probe: Seq[Double], k: Int, nProbe: Int, shortlist: Int,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      carryCols: Seq[String] = Seq("label")): DataFrame = {
     val cells = probeCells(centroids, probe, nProbe)
     pqTopK(assigned.filter(col("cluster").isInCollection(cells)),
-      codebooks, idCol, probe, k, shortlist, excludeId)
+      codebooks, idCol, probe, k, shortlist, excludeId, carryCols)
   }
 
   /** Sparse cosine similarity join over TOKEN-COUNT vectors via an

@@ -2461,13 +2461,19 @@ object TextQueries {
       // first cut re-ran both per count branch — measured 3× cost)
       val t = truth.withColumn("in_t", lit(1L))
       val l = lsh.withColumn("in_l", lit(1L))
+      // coalesce at the AGGREGATE level: sum over zero rows is NULL in
+      // Spark, but the oracle's count(*) over an empty truth set is 0 —
+      // a degenerate (empty-corpus) divergence the count-based form
+      // never had. 0 ≥ 0 makes the empty case recall_ok = 1 on both
+      // sides.
       t.join(l, Seq("id_a", "id_b"), "full_outer")
         .agg(
-          sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
-          sum(when(col("in_l") === 1 && col("in_t").isNull, 1L)
-            .otherwise(0L)).as("n_false_pos"),
-          sum(when(col("in_l") === 1 && col("in_t") === 1, 1L)
-            .otherwise(0L)).as("__h"))
+          coalesce(sum(coalesce(col("in_t"), lit(0L))), lit(0L))
+            .as("n_truth"),
+          coalesce(sum(when(col("in_l") === 1 && col("in_t").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_false_pos"),
+          coalesce(sum(when(col("in_l") === 1 && col("in_t") === 1, 1L)
+            .otherwise(0L)), lit(0L)).as("__h"))
         .select(col("n_truth"), col("n_false_pos"),
           (col("__h") * 100L >= col("n_truth") * 90L).cast("int")
             .as("recall_ok"))

@@ -15,6 +15,29 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.specs.map(_.name).distinct.size === SparkEntry.specs.size)
   }
 
+  test("similarity top-k ops accept a frame with ONLY (id, embedding)") {
+    // regression for the hard-coded `label` projection: the ops must be
+    // generic over the caller's payload columns (carryCols), so a bare
+    // (vec_id, embedding) frame works with carryCols = Nil
+    val bare = Tables.embeddings(spark, Sf001).select("vec_id", "embedding")
+    val probe = Similarity.probeVector(bare, "vec_id", 0L)
+    val bf = Similarity.bruteForceTopK(bare, "vec_id", probe, 5, Some(0L),
+      carryCols = Nil)
+    assert(bf.columns.toSeq === Seq("vec_id", "cos") && bf.count() === 5)
+    val (assigned, centroids) = Similarity.ivfAssign(spark, bare, 16)
+    val ivf = Similarity.ivfTopK(assigned, centroids, "vec_id", probe, 5, 8,
+      Some(0L), carryCols = Nil)
+    assert(ivf.columns.toSeq === Seq("vec_id", "cluster", "cos") &&
+      ivf.count() === 5)
+    val books = Similarity.pqTrain(spark, bare, m = 8, k = 16)
+    val pq = Similarity.pqTopK(Similarity.pqEncode(spark, bare, books), books,
+      "vec_id", probe, 5, 64, Some(0L), carryCols = Nil)
+    assert(pq.columns.toSeq === Seq("vec_id", "d2") && pq.count() === 5)
+    val lsh = Similarity.lshTopK(spark, bare, "vec_id", probe, 5, Some(0L),
+      carryCols = Nil)
+    assert(lsh.columns.toSeq === Seq("vec_id", "dist"))
+  }
+
   test("ANN (IVF) recall >= 0.6 vs exact brute-force top-20") {
     val emb = Tables.embeddings(spark, Sf001)
     val probe = Similarity.probeVector(emb, "vec_id", 0L)
