@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import java.sql.Timestamp
+
+/** Replays the events table through the REAL Structured-Streaming path —
+  * MemoryStream-fed micro-batches driving the watermarked operators in
+  * [[Streams]] — so the streaming code is hash-gated by the driver's
+  * DuckDB oracle every round, not just spec-checked (SURVEY §2b E7; the
+  * q_window_tumbling / q_session_window batch twins are the oracles).
+  *
+  * Replay shape, and why it is honest:
+  *   - rows feed in EVENT-TIME ORDER, sliced into `nSlices` micro-batches
+  *     with a `processAllAvailable` barrier between slices, so the
+  *     watermark advances batch-over-batch exactly as a live source would
+  *     move it. Time-ordered slicing also guarantees no row is ever
+  *     older than the watermark (watermark after slice i = max(ts ≤ i) −
+  *     delay < min(ts in slice i+1)), so append mode drops nothing and
+  *     the streaming answer must equal the batch aggregate — any state
+  *     store / eviction / window-merge defect surfaces as a hash
+  *     mismatch.
+  *   - two far-future SENTINEL batches close the stream: the first
+  *     advances the watermark past every real window's end, the second
+  *     is the data batch that finalizes emission even if the engine's
+  *     no-data-batch flush does not fire. Sentinel rows carry
+  *     user_id = −1 / event_type "__wm" and are filtered from the
+  *     RESULT (post-aggregation), never from the stream — filtering
+  *     before the watermark node would stop them advancing it.
+  *   - the driver-side collect is the MemoryStream feed itself, bounded
+  *     by the replay corpus (the gate's sf tables). That is the test
+  *     harness's shape, not the production plan: at 100 TB the same
+  *     [[Streams]] operators run unchanged over `readStream` on a file /
+  *     Kafka source (they take the source frame as an argument), and the
+  *     memory sink becomes a real sink. What this gate certifies is the
+  *     streaming OPERATOR semantics — watermark advancement, state
+  *     bounds, window close — which are source-independent.
+  */
+object Replay {
+
+  /** Feed `rows` (already event-time-sorted) through `build`'s streaming
+    * plan in `nSlices` micro-batches + 2 sentinel batches; return the
+    * append-mode result table. */
+  private def run(spark: SparkSession, rows: Array[Event], nSlices: Int,
+      sinkName: String, build: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val maxTs = rows.last.ts.getTime
+    val mem = MemoryStream[Event]
+    // a stale memory-sink table from an earlier run in this session
+    // would otherwise shadow the new sink's registration
+    spark.catalog.dropTempView(sinkName)
+    val q = build(mem.toDF())
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      val per = math.max(1, math.ceil(rows.length.toDouble / nSlices).toInt)
+      rows.grouped(per).foreach { slice =>
+        mem.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+      // sentinels: +2h clears every 1h window end and every 30min session
+      // gap plus the 10min watermark delay; the second batch (+3h) forces
+      // a data batch AFTER the watermark passed all real state
+      Seq(2L, 3L).foreach { h =>
+        mem.addData(Event(-h, new Timestamp(maxTs + h * 3600L * 1000L),
+          -1L, "__wm", 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sinkName)
+  }
+
+  private def eventRows(spark: SparkSession, dir: String): Array[Event] = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("ts", "event_id")
+      .as[Event].collect()
+  }
+
+  /** [[Streams.tumblingByType]] over the replayed events table — the
+    * streaming twin of q_window_tumbling, minus the sentinel's window. */
+  def tumbling(spark: SparkSession, dir: String, nSlices: Int = 8): DataFrame =
+    run(spark, eventRows(spark, dir), nSlices, "graft_replay_tumbling",
+      Streams.tumblingByType)
+      .filter(col("event_type") =!= "__wm")
+
+  /** [[Streams.sessionsByUser]] over the replayed events table — the
+    * streaming twin of q_session_window, minus the sentinel's session. */
+  def sessions(spark: SparkSession, dir: String, nSlices: Int = 8): DataFrame =
+    run(spark, eventRows(spark, dir), nSlices, "graft_replay_sessions",
+      Streams.sessionsByUser)
+      .filter(col("user_id") >= 0)
+}
