@@ -164,4 +164,59 @@ object TarArchive {
       new java.io.ByteArrayInputStream(bytes))
     try in.readAllBytes() finally in.close()
   }
+
+  /** Gzip a byte payload — the write-side twin of [[gunzip]].
+    * Deterministic: java's GZIPOutputStream pins MTIME=0 and default
+    * deflate settings, so identical input bytes always produce identical
+    * archive bytes (fixture replay depends on the PARSED content anyway,
+    * never the compressed image). */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    try g.write(bytes) finally g.close()
+    bos.toByteArray
+  }
+
+  /** Minimal POSIX-ustar writer — the sink-side twin of [[members]]
+    * (regular files only, names ≤ 100 bytes, deterministic headers:
+    * mode 0644, uid/gid/mtime 0). Used to build archive fixtures that
+    * the gate replays through the full read path, and as the archive
+    * sink an export pipeline needs. */
+  def write(out: java.io.OutputStream,
+      members: Seq[(String, Array[Byte])]): Unit = {
+    def writeOctal(h: Array[Byte], off: Int, len: Int, v: Long): Unit = {
+      val s = s"%0${len - 1}o".format(v).getBytes("US-ASCII")
+      require(s.length < len, s"octal field overflow: $v in $len bytes")
+      System.arraycopy(s, 0, h, off, s.length) // trailing NUL already 0
+    }
+    for ((name, payload) <- members) {
+      val nb = name.getBytes("US-ASCII")
+      require(nb.length <= 100, s"member name '$name' exceeds 100 bytes")
+      val h = new Array[Byte](BlockSize)
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      writeOctal(h, 100, 8, 0x1a4) // mode 0644
+      writeOctal(h, 108, 8, 0) // uid
+      writeOctal(h, 116, 8, 0) // gid
+      writeOctal(h, 124, 12, payload.length.toLong)
+      writeOctal(h, 136, 12, 0) // mtime
+      h(156) = '0'
+      // POSIX magic "ustar\0" + version "00" (enables the prefix field
+      // convention [[members]] honors)
+      val magic = Array[Byte]('u', 's', 't', 'a', 'r', 0, '0', '0')
+      System.arraycopy(magic, 0, h, 257, magic.length)
+      // checksum: computed with the checksum field itself as spaces,
+      // stored as 6 octal digits + NUL + space (the historical format)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val sum = h.foldLeft(0L)((a, b) => a + (b & 0xFF))
+      val oct = "%06o".format(sum).getBytes("US-ASCII")
+      System.arraycopy(oct, 0, h, 148, 6)
+      h(154) = 0
+      h(155) = ' '
+      out.write(h)
+      out.write(payload)
+      val pad = (BlockSize - payload.length % BlockSize) % BlockSize
+      if (pad > 0) out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](2 * BlockSize)) // end-of-archive marker
+  }
 }

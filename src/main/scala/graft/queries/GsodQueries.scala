@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ingest.GsodParser
+import graft.ingest.{GsodParser, TarArchive}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's FLAGSHIP workload end-to-end under the hash gate
@@ -10,14 +11,17 @@ import org.apache.spark.sql.functions._
   * parse) → semi-join to the cleaned station dimension → per-station-
   * month median rollup → metadata join-back. Until this query the
   * pipeline ran only in unit tests; here the driver replays the whole
-  * ETL against DuckDB arithmetic every round.
+  * ETL against DuckDB arithmetic every round. q_gsod_tar replays the
+  * SAME corpus through the archive path (ustar members, half gzipped),
+  * so [[GsodParser.parseTar]]'s member iteration + executor gunzip is
+  * hash-gated too, not just spec'd (TarArchiveProps).
   *
   * Fixture discipline (the q_png_decode precedent): the corpus is built
-  * EXECUTOR-SIDE from doc_id arithmetic — every observation line is a
-  * real 22-token GSOD record whose values, sentinels, '*' quality
-  * flags, A–I precipitation flags, and occasional malformed dates are
-  * pure functions of doc_id, so the oracle recomputes the CLEANED
-  * values directly and any parse/clean/rollup defect hash-mismatches.
+  * from doc_id arithmetic — every observation line is a real 22-token
+  * GSOD record whose values, sentinels, '*' quality flags, A–I
+  * precipitation flags, and occasional malformed dates are pure
+  * functions of doc_id, so the oracle recomputes the CLEANED values
+  * directly and any parse/clean/rollup defect hash-mismatches.
   * Interleaved "STN---" header lines and blank lines exercise the
   * header filter in-gate. The 8-row station dimension exercises every
   * cleaning arm: one station with sentinel LAT (dropped), one with
@@ -32,72 +36,77 @@ import org.apache.spark.sql.functions._
   */
 object GsodQueries {
 
-  val gsodE2e = QuerySpec(
-    "q_gsod_e2e",
-    (s, d) => {
-      import s.implicits._
-      val lines = documents(s, d).select(col("doc_id")).as[Long]
-        .mapPartitions { ids =>
-          ids.flatMap { id =>
-            def fmt1(v: Long) = s"${v / 10}.${v % 10}"
-            def fmt2(v: Long) = f"${v / 100}.${v % 100}%02d"
-            val st = id % 10
-            val usaf = s"A07${100 + st}"
-            val wban = 10000 + st
-            val yearmoda =
-              if (id % 83 == 0) "20089901" // unparseable month → NULL date
-              else f"2008${id % 12 + 1}%02d${id * 3 % 28 + 1}%02d"
-            val temp =
-              if (id % 17 == 0) "9999.9" else fmt1((id * 7) % 900 + 100)
-            val dewp =
-              if (id % 19 == 0) "9999.9" else fmt1((id * 11) % 700 + 50)
-            val wdsp =
-              if (id % 23 == 0) "999.9" else fmt1((id * 13) % 300)
-            val mx =
-              if (id % 29 == 0) "9999.9"
-              else fmt1((id * 7) % 900 + 150) + (if (id % 5 == 0) "*" else "")
-            val mn =
-              if (id % 31 == 0) "9999.9"
-              else fmt1((id * 7) % 900 + 60) + (if (id % 4 == 1) "*" else "")
-            val prcp =
-              if (id % 13 == 0) "99.99"
-              else fmt2((id * 3) % 100) +
-                (if (id % 7 == 3) ('A' + (id % 9).toInt).toChar.toString else "")
-            // 22 whitespace-run-separated tokens; the parser reads DATA
-            // indices 0,1,2,3,5,13,17,18,19 (FIXTURES.md A1 layout)
-            val data = s"$usaf $wban  $yearmoda  $temp 24 $dewp 24 " +
-              s"9999.9 0 9999.9 0 9999.9 0 $wdsp 24 11.1 999.9 " +
-              s"$mx $mn $prcp 999.9 000000"
-            val header = "STN--- WBAN   YEARMODA    TEMP     DEWP     SLP" +
-              "      STP      VISIB    WDSP    MXSPD  GUST   MAX    MIN" +
-              "  PRCP  SNDP  FRSHTT"
-            Iterator(data) ++
-              (if (id % 97 == 0) Iterator(header) else Iterator.empty) ++
-              (if (id % 101 == 0) Iterator("   ") else Iterator.empty)
-          }
-        }
-        .toDF("value")
-      val obs = GsodParser.parseLines(s, lines)
-      val rawDim = (0 until 8).map { st =>
-        (s"A07${100 + st}", 10000 + st, s"STATION $st", "US", "CA",
-          s"KST$st",
-          if (st == 6) 0.0 else 10.0 + st * 3.5,
-          -40.0 + st * 7.25,
-          if (st == 5) -999.0 else 100.0 + st * 10,
-          if (st == 3) 20070101 else 20050101,
-          if (st == 7) 20071231 else 20081231)
-      }.toDF("usaf", "wban", "station_name", "ctry", "state", "icao",
-        "lat", "lon", "elev_m", "begin", "end")
-      val dim = GsodParser.cleanStations(rawDim, minYear = 2006, maxYear = 2008)
-      GsodParser.etl(obs, dim)
-        .select(col("usaf"), col("wban"), col("year"), col("month"),
-          round(col("temp"), 4).as("temp"), round(col("dewp"), 4).as("dewp"),
-          round(col("wdsp"), 4).as("wdsp"), round(col("max"), 4).as("max"),
-          round(col("min"), 4).as("min"), round(col("prcp"), 4).as("prcp"),
-          col("ctry"), col("lat"), col("lon"), col("elev_m"), col("lbl"))
-        .orderBy("usaf", "year", "month")
-    },
-    Some("""
+  /** One doc_id's fixture lines — the SINGLE definition both the in-plan
+    * text corpus (q_gsod_e2e, executor-side mapPartitions) and the tar
+    * fixture builder (q_gsod_tar) consume, so the two gates replay the
+    * same records by construction. */
+  private[queries] def fixtureLines(id: Long): Iterator[String] = {
+    def fmt1(v: Long) = s"${v / 10}.${v % 10}"
+    def fmt2(v: Long) = f"${v / 100}.${v % 100}%02d"
+    val st = id % 10
+    val usaf = s"A07${100 + st}"
+    val wban = 10000 + st
+    val yearmoda =
+      if (id % 83 == 0) "20089901" // unparseable month → NULL date
+      else f"2008${id % 12 + 1}%02d${id * 3 % 28 + 1}%02d"
+    val temp =
+      if (id % 17 == 0) "9999.9" else fmt1((id * 7) % 900 + 100)
+    val dewp =
+      if (id % 19 == 0) "9999.9" else fmt1((id * 11) % 700 + 50)
+    val wdsp =
+      if (id % 23 == 0) "999.9" else fmt1((id * 13) % 300)
+    val mx =
+      if (id % 29 == 0) "9999.9"
+      else fmt1((id * 7) % 900 + 150) + (if (id % 5 == 0) "*" else "")
+    val mn =
+      if (id % 31 == 0) "9999.9"
+      else fmt1((id * 7) % 900 + 60) + (if (id % 4 == 1) "*" else "")
+    val prcp =
+      if (id % 13 == 0) "99.99"
+      else fmt2((id * 3) % 100) +
+        (if (id % 7 == 3) ('A' + (id % 9).toInt).toChar.toString else "")
+    // 22 whitespace-run-separated tokens; the parser reads DATA
+    // indices 0,1,2,3,5,13,17,18,19 (FIXTURES.md A1 layout)
+    val data = s"$usaf $wban  $yearmoda  $temp 24 $dewp 24 " +
+      s"9999.9 0 9999.9 0 9999.9 0 $wdsp 24 11.1 999.9 " +
+      s"$mx $mn $prcp 999.9 000000"
+    val header = "STN--- WBAN   YEARMODA    TEMP     DEWP     SLP" +
+      "      STP      VISIB    WDSP    MXSPD  GUST   MAX    MIN" +
+      "  PRCP  SNDP  FRSHTT"
+    Iterator(data) ++
+      (if (id % 97 == 0) Iterator(header) else Iterator.empty) ++
+      (if (id % 101 == 0) Iterator("   ") else Iterator.empty)
+  }
+
+  /** The 8-station fixture dimension, already cleaned. */
+  private def fixtureDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rawDim = (0 until 8).map { st =>
+      (s"A07${100 + st}", 10000 + st, s"STATION $st", "US", "CA",
+        s"KST$st",
+        if (st == 6) 0.0 else 10.0 + st * 3.5,
+        -40.0 + st * 7.25,
+        if (st == 5) -999.0 else 100.0 + st * 10,
+        if (st == 3) 20070101 else 20050101,
+        if (st == 7) 20071231 else 20081231)
+    }.toDF("usaf", "wban", "station_name", "ctry", "state", "icao",
+      "lat", "lon", "elev_m", "begin", "end")
+    GsodParser.cleanStations(rawDim, minYear = 2006, maxYear = 2008)
+  }
+
+  /** Shared gate projection over [[GsodParser.etl]]'s output. */
+  private def etlProject(etlOut: DataFrame): DataFrame =
+    etlOut
+      .select(col("usaf"), col("wban"), col("year"), col("month"),
+        round(col("temp"), 4).as("temp"), round(col("dewp"), 4).as("dewp"),
+        round(col("wdsp"), 4).as("wdsp"), round(col("max"), 4).as("max"),
+        round(col("min"), 4).as("min"), round(col("prcp"), 4).as("prcp"),
+        col("ctry"), col("lat"), col("lon"), col("elev_m"), col("lbl"))
+      .orderBy("usaf", "year", "month")
+
+  /** The ETL oracle — shared verbatim by q_gsod_e2e and q_gsod_tar (the
+    * tar replay parses the SAME records, so the answers must agree). */
+  private val EtlOracle = """
       WITH obs AS (
         SELECT
           'A07' || CAST(100 + doc_id % 10 AS VARCHAR) AS usaf,
@@ -164,7 +173,61 @@ object GsodQueries {
       GROUP BY o.usaf, o.wban, o.year, o.month,
                c.ctry, c.lat, c.lon, c.elev_m, c.lbl
       ORDER BY o.usaf, o.year, o.month
-    """))
+    """
 
-  val all: Seq[QuerySpec] = Seq(gsodE2e)
+  val gsodE2e = QuerySpec(
+    "q_gsod_e2e",
+    (s, d) => {
+      import s.implicits._
+      val lines = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap(fixtureLines))
+        .toDF("value")
+      etlProject(GsodParser.etl(GsodParser.parseLines(s, lines),
+        fixtureDim(s)))
+    },
+    Some(EtlOracle))
+
+  /** S3 under the hash gate: the SAME fixture corpus packed as real
+    * POSIX-ustar archives — per-station members, every even station
+    * gzipped (`.op.gz`), odd stations raw (`.op`), plus a README member
+    * the suffix filter must skip — then read back through
+    * [[GsodParser.parseTar]] (binaryFiles → member iteration → executor
+    * gunzip → parseLines) and the same ETL. Three archives so the
+    * per-archive parallelism grain actually fans out.
+    *
+    * The driver-side collect here is the fixture BUILDER (bounded by the
+    * gate's sf corpus), not the operator: parseTar itself runs
+    * distributed over the archives exactly as it would over a year of
+    * GSOD tarballs. Archive bytes land in a fresh temp dir per run —
+    * the gate compares parsed CONTENT, which is doc_id arithmetic the
+    * oracle recomputes, so the on-disk image is free to vary. */
+  val gsodTar = QuerySpec(
+    "q_gsod_tar",
+    (s, d) => {
+      import s.implicits._
+      val ids = documents(s, d).select(col("doc_id")).as[Long]
+        .collect().sorted
+      val tmp = java.nio.file.Files.createTempDirectory("graft-gsod-tar-")
+      tmp.toFile.deleteOnExit()
+      // 3 archives over the 10 station keys; member text in doc_id order
+      val stationsPerArchive = Seq(0L until 4L, 4L until 7L, 7L until 10L)
+      stationsPerArchive.zipWithIndex.foreach { case (sts, ai) =>
+        val members = sts.map { st =>
+          val text = ids.iterator.filter(_ % 10 == st)
+            .flatMap(fixtureLines).mkString("\n")
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (st % 2 == 0) (s"A07${100 + st}.op.gz", TarArchive.gzip(bytes))
+          else (s"A07${100 + st}.op", bytes)
+        } ++ (if (ai == 0) Seq(("README.txt",
+          "not an observation file".getBytes("US-ASCII"))) else Nil)
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(tmp.resolve(s"gsod_$ai.tar").toFile))
+        try TarArchive.write(out, members) finally out.close()
+      }
+      etlProject(GsodParser.etl(
+        GsodParser.parseTar(s, tmp.toString + "/*.tar"), fixtureDim(s)))
+    },
+    Some(EtlOracle))
+
+  val all: Seq[QuerySpec] = Seq(gsodE2e, gsodTar)
 }

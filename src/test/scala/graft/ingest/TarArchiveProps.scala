@@ -31,6 +31,19 @@ object TarArchiveProps extends Properties("graft.ingest.TarArchive") {
     bytes <- Gen.containerOfN[Array, Byte](size, Gen.choose(Byte.MinValue, Byte.MaxValue))
   } yield (name + ".op", bytes)
 
+  property("write → members round-trips name- and byte-exact (incl. gzip twin)") =
+    forAll(Gen.listOfN(4, member)) { ms =>
+      val bos = new java.io.ByteArrayOutputStream()
+      TarArchive.write(bos, ms)
+      val got = TarArchive.members(
+        new java.io.ByteArrayInputStream(bos.toByteArray)).toList
+      got.map(_._1) == ms.map(_._1) &&
+        got.zip(ms).forall { case ((_, g), (_, w)) =>
+          java.util.Arrays.equals(g, w) } &&
+        ms.forall { case (_, b) =>
+          java.util.Arrays.equals(TarArchive.gunzip(TarArchive.gzip(b)), b) }
+    }
+
   property("members round-trip name- and byte-exact through a built archive") =
     forAll(Gen.listOfN(4, member)) { ms =>
       val archive = ms.flatMap { case (n, b) => tarEntry(n, b) }.toArray ++
