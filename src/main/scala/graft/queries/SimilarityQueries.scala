@@ -43,7 +43,7 @@ object SimilarityQueries {
     * (synthetic embeddings are near-uniform, so the quantizer needs a
     * generous nProbe; clustered real corpora prune much harder).
     * Cell MEMBERSHIP is engine-specific → verdict oracle below;
-    * EntrySpec asserts recall ≥ 0.6 against the exact top-k. */
+    * EntrySpec asserts recall ≥ 0.85 at sf0.001 against the exact top-k. */
   val similarityAnn = QuerySpec(
     "q_similarity_ann",
     (s, d) => {
@@ -56,13 +56,19 @@ object SimilarityQueries {
       // the quantizer carved), so the compared output is the corpus size
       // plus the recall verdict vs the exact brute-force top-20, computed
       // in-plan and pinned constant-true by the oracle (q_median_approx
-      // pattern; EntrySpec asserts the same ≥ 0.6 bound on the ops). The
+      // pattern; EntrySpec asserts a measured ≥ 0.85 bound on the ops). The
       // full quantize→assign→probe pipeline still runs.
       val exact = Similarity.bruteForceTopK(emb, "vec_id", probe,
         k = 20, excludeId = Some(ProbeId))
       val hits = approx.select("vec_id")
         .join(exact.select("vec_id"), "vec_id")
         .agg(count(lit(1)).as("__hits"))
+      // Bar = measured minus 2-hit headroom: graft.tools.RecallProbe
+      // measures this exact config (nCells 16, nProbe 8, probe vec 0) at
+      // 19/14/20 of 20 across sf0.001/0.01/0.1 — deterministic (seeded
+      // quantizer, fixed corpus), so the bar is 14−2 = 12. The binding
+      // point is sf0.01: near-uniform synthetic embeddings are IVF's
+      // worst case (cell boundaries carve the true neighborhood).
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
         .select(
           col("n_vectors"), lit(20).as("k"),
@@ -119,7 +125,7 @@ object SimilarityQueries {
       // Same verdict shape as q_similarity_ann: the bucket membership is
       // hash-family-specific, the recall vs the exact EUCLIDEAN top-20
       // (the family's own metric) is the contract. EntrySpec asserts the
-      // same ≥ 0.5 bound on the ops.
+      // measured ≥ 0.85 bound on the ops.
       val p = array(probe.map(lit): _*)
       val exact = emb.filter(col("vec_id") =!= ProbeId)
         .withColumn("d2",
@@ -131,10 +137,13 @@ object SimilarityQueries {
       val hits = approx.select("vec_id")
         .join(exact.select("vec_id"), "vec_id")
         .agg(count(lit(1)).as("__hits"))
+      // RecallProbe measures this config (4 hash tables, bucket len 2.0,
+      // probe vec 0) at 19/18/20 of 20 across sf0.001/0.01/0.1;
+      // deterministic seed → bar = binding 18 minus 2-hit headroom = 16.
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
         .select(
           col("n_vectors"), lit(20).as("k"),
-          (col("__hits") >= 10).cast("int").as("recall_ok"))
+          (col("__hits") >= 16).cast("int").as("recall_ok"))
     },
     Some("""
       SELECT count(*) AS n_vectors, 20 AS k, 1 AS recall_ok
@@ -194,9 +203,10 @@ object SimilarityQueries {
     * of 4·dim) followed by exact re-rank of the 512-row shortlist. The
     * code assignment is engine-specific → verdict oracle (q_similarity_ann
     * pattern): recall of the re-ranked top-20 vs the exact euclidean
-    * top-20, measured 20/20/18 at sf0.001/0.01/0.1, pinned ≥ 12 (the
-    * near-uniform synthetic embeddings are PQ's worst case; clustered
-    * real corpora quantize far tighter). */
+    * top-20, measured 20/20/18 at sf0.001/0.01/0.1 (graft.tools
+    * .RecallProbe, deterministic seeded codebooks), pinned at the binding
+    * 18 minus 2-hit headroom = 16 (the near-uniform synthetic embeddings
+    * are PQ's worst case; clustered real corpora quantize far tighter). */
   val similarityPq = QuerySpec(
     "q_similarity_pq",
     (s, d) => {
@@ -220,7 +230,7 @@ object SimilarityQueries {
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
         .select(
           col("n_vectors"), lit(20).as("k"),
-          (col("__hits") >= 12).cast("int").as("recall_ok"))
+          (col("__hits") >= 16).cast("int").as("recall_ok"))
     },
     Some("""
       SELECT count(*) AS n_vectors, 20 AS k, 1 AS recall_ok
@@ -254,10 +264,15 @@ object SimilarityQueries {
       val hits = approx.select("vec_id")
         .join(exact.select("vec_id"), "vec_id")
         .agg(count(lit(1)).as("__hits"))
+      // RecallProbe at this exact operating point (nProbe 8/16 cells,
+      // shortlist 256, probe vec 0): 19/14/16 of 20 across
+      // sf0.001/0.01/0.1 — the two prune levels compound, so the bar is
+      // the binding 14 minus 2-hit headroom = 12 (above, the single-level
+      // paths hold 16). Deterministic: seeded quantizer AND codebooks.
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
         .select(
           col("n_vectors"), lit(20).as("k"),
-          (col("__hits") >= 10).cast("int").as("recall_ok"))
+          (col("__hits") >= 12).cast("int").as("recall_ok"))
     },
     Some("""
       SELECT count(*) AS n_vectors, 20 AS k, 1 AS recall_ok

@@ -38,7 +38,7 @@ class EntrySpec extends SparkSpec {
     assert(lsh.columns.toSeq === Seq("vec_id", "dist"))
   }
 
-  test("ANN (IVF) recall >= 0.6 vs exact brute-force top-20") {
+  test("ANN (IVF) recall >= 0.85 vs exact brute-force top-20 (measured 0.95)") {
     val emb = Tables.embeddings(spark, Sf001)
     val probe = Similarity.probeVector(emb, "vec_id", 0L)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", probe, 20, Some(0L))
@@ -47,10 +47,10 @@ class EntrySpec extends SparkSpec {
     val approx = Similarity.ivfTopK(assigned, centroids, "vec_id", probe, 20, 8, Some(0L))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"IVF recall $recall too low")
+    assert(recall >= 0.85, s"IVF recall $recall too low")
   }
 
-  test("LSH ANN recall >= 0.5 vs exact euclidean top-20") {
+  test("LSH ANN recall >= 0.85 vs exact euclidean top-20 (measured 0.95)") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, Sf001)
     val probe = Similarity.probeVector(emb, "vec_id", 0L)
@@ -64,10 +64,10 @@ class EntrySpec extends SparkSpec {
     val approx = Similarity.lshTopK(spark, emb, "vec_id", probe, 20, Some(0L))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"LSH recall $recall too low")
+    assert(recall >= 0.85, s"LSH recall $recall too low")
   }
 
-  test("PQ: codes are well-formed and ADC+re-rank recall >= 0.6 vs exact top-20") {
+  test("PQ: codes are well-formed and ADC+re-rank recall >= 0.9 vs exact top-20 (measured 1.0)") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, Sf001)
     val probe = Similarity.probeVector(emb, "vec_id", 0L)
@@ -96,10 +96,10 @@ class EntrySpec extends SparkSpec {
     val approx = Similarity.pqTopK(encoded, books, "vec_id", probe, 20, 512, Some(0L))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"PQ recall $recall too low")
+    assert(recall >= 0.9, s"PQ recall $recall too low")
   }
 
-  test("IVF-PQ: two-level prune recall >= 0.5 vs exact euclidean top-20") {
+  test("IVF-PQ: two-level prune recall >= 0.85 vs exact euclidean top-20 (measured 0.95)") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, Sf001)
     val probe = Similarity.probeVector(emb, "vec_id", 0L)
@@ -117,7 +117,7 @@ class EntrySpec extends SparkSpec {
         probe, 20, 8, 256, Some(0L))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF-PQ recall $recall too low")
+    assert(recall >= 0.85, s"IVF-PQ recall $recall too low")
   }
 
   test("multimodal decode: features align with payload bytes") {
