@@ -20,7 +20,7 @@ object AnalyticsQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("value").desc, col("event_id").asc)
       events(s, d)
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long")) // BIGINT like the oracle
         .withColumn("prev_val", lag(col("value"), 1).over(w))
         .filter(col("rnk") <= 3)
         .select("user_id", "event_id", "value", "rnk", "prev_val")

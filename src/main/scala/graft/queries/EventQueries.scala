@@ -271,6 +271,11 @@ object EventQueries {
         .withColumn("week_idx", expr("CAST(datediff(day, cohort_day) DIV 7 AS INT)"))
         .groupBy("cohort_day", "week_idx")
         .agg(countDistinct("user_id").as("n_users"))
+        // timestamp: the oracle's DATE fetches as datetime64 and the
+        // strict hash is type-sensitive (date-class queries all align on
+        // timestamp output)
+        .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+          col("week_idx"), col("n_users"))
         .orderBy("cohort_day", "week_idx")
     },
     Some("""
@@ -279,7 +284,7 @@ object EventQueries {
       ), firsts AS (
         SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY user_id
       )
-      SELECT cohort_day,
+      SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
              CAST(date_diff('day', f.cohort_day, a.day) // 7 AS INTEGER) AS week_idx,
              count(DISTINCT a.user_id) AS n_users
       FROM acts a JOIN firsts f ON a.user_id = f.user_id
@@ -763,7 +768,9 @@ object EventQueries {
         sum((col("nxt_day").isNull ||
           col("nxt_day") > date_add(col("day"), 1)).cast("long"))
           .as("churned_after"))
-      daily.orderBy("day")
+      // timestamp day: strict-hash type alignment with the oracle's
+      // fetched datetime64 (see q_cohort_retention)
+      daily.withColumn("day", col("day").cast("timestamp")).orderBy("day")
     },
     Some("""
       WITH acts AS (
@@ -775,7 +782,7 @@ object EventQueries {
                lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt_day
         FROM acts
       )
-      SELECT day,
+      SELECT CAST(day AS TIMESTAMP) AS day,
              CAST(count(*) AS BIGINT) AS dau,
              CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
                AS BIGINT) AS new_users,
@@ -902,7 +909,8 @@ object EventQueries {
         .distinct()
         .groupBy("day").agg(count(lit(1)).as("wau"))
       dau.join(wau, "day")
-        .select(col("day"), col("dau"), col("wau"),
+        .select(col("day").cast("timestamp").as("day"), // strict-hash type
+          col("dau"), col("wau"),
           round(col("dau").cast("double") / col("wau").cast("double"), 6)
             .as("stickiness"))
         .orderBy("day")
@@ -919,7 +927,7 @@ object EventQueries {
       ),
       wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
               FROM sup GROUP BY day)
-      SELECT dau.day, dau.dau, wau.wau,
+      SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
              round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
                AS stickiness
       FROM dau JOIN wau USING (day)
@@ -950,7 +958,8 @@ object EventQueries {
         .withColumn("cum_rev", sum("rev").over(
           W.partitionBy("cohort_day").orderBy("age_week")
             .rowsBetween(W.unboundedPreceding, W.currentRow)))
-        .select(col("cohort_day"), col("age_week"), col("cohort_n"),
+        .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+          col("age_week"), col("cohort_n"),
           col("rev").cast("double").as("rev"),
           col("cum_rev").cast("double").as("cum_rev"),
           round(col("cum_rev").cast("double") /
@@ -973,7 +982,7 @@ object EventQueries {
         FROM acts JOIN firsts USING (user_id)
         GROUP BY 1, 2
       )
-      SELECT cohort_day, age_week, cohort_n,
+      SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, age_week, cohort_n,
              CAST(rev AS DOUBLE) AS rev,
              CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY age_week
                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev,

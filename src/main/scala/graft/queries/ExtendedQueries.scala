@@ -603,11 +603,13 @@ object ExtendedQueries {
           reverse(col("p_type")).as("type_rev"),
           substring(col("p_name"), 1, 4).as("prefix"),
           repeat(col("p_brand"), 2).as("brand2"),
-          greatest(col("p_size"), lit(10)).as("g_size"),
-          least(col("p_size"), lit(10)).as("l_size"),
+          // long on both sides: DuckDB greatest/least/mod promote to
+          // BIGINT and the strict hash is width-sensitive
+          greatest(col("p_size"), lit(10)).cast("long").as("g_size"),
+          least(col("p_size"), lit(10)).cast("long").as("l_size"),
           signum(col("p_retailprice") - 1000.0).cast("int").as("price_sgn"),
           sqrt(col("p_retailprice")).as("price_sqrt"),
-          (col("p_size") % 7).as("size_mod"))
+          (col("p_size") % 7).cast("long").as("size_mod"))
         .orderBy("p_partkey"),
     Some("""
       SELECT p_partkey,
@@ -616,11 +618,11 @@ object ExtendedQueries {
              reverse(p_type) AS type_rev,
              substr(p_name, 1, 4) AS prefix,
              repeat(p_brand, 2) AS brand2,
-             greatest(p_size, 10) AS g_size,
-             least(p_size, 10) AS l_size,
+             CAST(greatest(p_size, 10) AS BIGINT) AS g_size,
+             CAST(least(p_size, 10) AS BIGINT) AS l_size,
              CAST(sign(p_retailprice - 1000.0) AS INTEGER) AS price_sgn,
              sqrt(p_retailprice) AS price_sqrt,
-             mod(p_size, 7) AS size_mod
+             CAST(mod(p_size, 7) AS BIGINT) AS size_mod
       FROM part
       ORDER BY p_partkey
     """))
@@ -815,7 +817,7 @@ object ExtendedQueries {
           .as("month_start"))
       spine.join(counts, spine("month_start") === counts("m"), "left")
         .select(
-          col("month_start"),
+          col("month_start").cast("timestamp").as("month_start"), // strict-hash type
           coalesce(col("n"), lit(0L)).as("n_high_orders"),
           coalesce(col("total"), lit(0.0)).as("total_value"))
         .orderBy("month_start")
@@ -835,7 +837,7 @@ object ExtendedQueries {
                  CAST((SELECT max(m) FROM counts) AS TIMESTAMP),
                  INTERVAL 1 MONTH)) AS DATE) AS month_start
       )
-      SELECT month_start,
+      SELECT CAST(month_start AS TIMESTAMP) AS month_start,
              coalesce(n, 0) AS n_high_orders,
              coalesce(total, 0.0) AS total_value
       FROM spine LEFT JOIN counts ON month_start = m

@@ -72,7 +72,7 @@ object MlQueries {
     Some("""
       SELECT count(*) AS n_total,
              CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-             0 AS n_overlap,
+             CAST(0 AS BIGINT) AS n_overlap,
              1 AS train_frac_ok
       FROM orders
     """))

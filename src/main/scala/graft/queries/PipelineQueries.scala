@@ -73,7 +73,8 @@ object PipelineQueries {
             lit(448))).as(Seq("chunk_idx", "start")))
         .select(
           col("doc_id"), col("chunk_idx"),
-          length(chunk).as("chunk_chars"),
+          // long, matching DuckDB len() BIGINT (strict-hash width)
+          length(chunk).cast("long").as("chunk_chars"),
           md5(chunk).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
     },
@@ -613,7 +614,8 @@ object PipelineQueries {
         1, 12), 16, 10).cast("bigint")
       val raw = pmod(h, n)
       documents(s, d)
-        .select(col("doc_id"), explode(sequence(lit(1), lit(4))).as("j"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1L), lit(4L))).as("j")) // long: oracle generate_series is BIGINT
         .withColumn("neg_id",
           when(raw === col("doc_id"), pmod(raw + 1, n)).otherwise(raw))
         .select("doc_id", "j", "neg_id")

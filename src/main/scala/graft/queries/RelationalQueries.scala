@@ -519,7 +519,7 @@ object RelationalQueries {
         .select(
           col("o_orderkey"),
           col("ymd_str"),
-          col("d"),
+          col("d").cast("timestamp").as("d"), // strict-hash type
           year(col("d")).as("y"),
           month(col("d")).as("m"),
           dayofmonth(col("d")).as("dd"))
@@ -528,7 +528,7 @@ object RelationalQueries {
     Some("""
       SELECT o_orderkey,
              strftime(o_orderdate, '%Y%m%d') AS ymd_str,
-             CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS d,
+             CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS TIMESTAMP) AS d,
              CAST(year(CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE)) AS INTEGER) AS y,
              CAST(month(CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE)) AS INTEGER) AS m,
              CAST(day(CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE)) AS INTEGER) AS dd
@@ -579,20 +579,22 @@ object RelationalQueries {
       orders(s, d)
         .select(
           col("o_orderkey"),
-          add_months(od, 3).as("plus_3m"),
-          date_add(od, 30).as("plus_30d"),
+          // timestamps, not dates: the oracle's DATE columns fetch as
+          // datetime64 and the driver's strict hash is type-sensitive
+          add_months(od, 3).cast("timestamp").as("plus_3m"),
+          date_add(od, 30).cast("timestamp").as("plus_30d"),
           datediff(od, lit("1995-01-01").cast("date")).as("days_since"),
-          last_day(od).as("month_end"),
+          last_day(od).cast("timestamp").as("month_end"),
           quarter(od).as("q"),
           weekday(od).as("wd"))
         .orderBy("o_orderkey")
     },
     Some("""
       SELECT o_orderkey,
-             CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
-             CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+             CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus_30d,
              CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
-             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
              CAST(quarter(o_orderdate) AS INTEGER) AS q,
              CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd
       FROM orders

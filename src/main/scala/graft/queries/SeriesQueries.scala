@@ -82,6 +82,7 @@ object SeriesQueries {
     (s, d) =>
       Series.gapFillDaily(events(s, d), "user_id", "ts", "value",
           tiebreak = "event_id")
+        .withColumn("day", col("day").cast("timestamp")) // strict-hash type
         .orderBy("user_id", "day"),
     Some("""
       WITH perday AS (
@@ -100,7 +101,7 @@ object SeriesQueries {
         SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
         FROM spans
       )
-      SELECT s.user_id, s.day,
+      SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
              last_value(observed IGNORE NULLS)
                OVER (PARTITION BY s.user_id ORDER BY s.day
                      ROWS UNBOUNDED PRECEDING) AS value,
@@ -1647,7 +1648,7 @@ object SeriesQueries {
           "DIV (CAST(i AS DECIMAL(38,0)) * (n - i) * s)"))
       scored.orderBy(col("score_q").desc, col("day"))
         .limit(1)
-        .select(col("day").as("split_day"),
+        .select(col("day").cast("timestamp").as("split_day"), // strict-hash type
           col("i").cast("long").as("n_left"),
           (col("n") - col("i")).cast("long").as("n_right"),
           round(col("p").cast("double") /
@@ -1680,7 +1681,7 @@ object SeriesQueries {
                  // (CAST(i AS HUGEINT) * (n - i) * s) AS score_q
         FROM cum WHERE i < n
       )
-      SELECT day AS split_day, i AS n_left, n - i AS n_right,
+      SELECT CAST(day AS TIMESTAMP) AS split_day, i AS n_left, n - i AS n_right,
              round(CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6)
                AS mean_left_usd,
              round(CAST(s - p AS DOUBLE)

@@ -172,7 +172,9 @@ object SimilarityQueries {
         .withColumn("cos", round(
           graft.functions.CosineSim.cosine_sim(
             Similarity.asDouble(col("embedding")), col("p")), 6))
-        .withColumn("rank", row_number().over(w))
+        // cast to long: DuckDB row_number() is BIGINT, and the driver's
+        // strict hash is width-sensitive even where values agree
+        .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("probe_id", "rank", "vec_id", "cos")
         .orderBy("probe_id", "rank")

@@ -859,7 +859,7 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("t").asc)
       val total = counts.agg(sum("cnt").as("total_cnt"))
       counts
-        .withColumn("tok_id", row_number().over(w))
+        .withColumn("tok_id", row_number().over(w).cast("long")) // BIGINT like the oracle
         .withColumn("cum_cnt", sum("cnt").over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .filter(col("tok_id") <= 200)
