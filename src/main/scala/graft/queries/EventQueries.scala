@@ -993,61 +993,9 @@ object EventQueries {
       ORDER BY cohort_day, age_week
     """))
 
-  /** E7 STREAMING path under the hash gate: replay the events table
-    * through MemoryStream micro-batches into the watermarked
-    * [[graft.streaming.Streams.tumblingByType]] plan (append mode,
-    * sentinel-closed — graft.streaming.Replay's scaladoc carries the
-    * honesty argument). The oracle is q_window_tumbling's batch SQL
-    * verbatim: streaming-vs-batch equivalence is the whole check, so any
-    * watermark, state-store, or late-drop defect hash-mismatches. */
-  val streamTumbling = QuerySpec(
-    "q_stream_tumbling",
-    (s, d) => graft.streaming.Replay.tumbling(s, d)
-      .orderBy("hour_start", "event_type"),
-    Some("""
-      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
-             event_type,
-             count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      FROM events
-      GROUP BY 1, 2
-      ORDER BY 1, 2
-    """))
-
-  /** E7 streaming session windows under the hash gate: the replayed
-    * [[graft.streaming.Streams.sessionsByUser]] plan (native
-    * session_window state merge, watermark-closed), oracled by
-    * q_session_window's gaps-and-islands SQL. */
-  val streamSessions = QuerySpec(
-    "q_stream_sessions",
-    (s, d) => graft.streaming.Replay.sessions(s, d)
-      .orderBy("user_id", "session_start"),
-    Some("""
-      WITH flagged AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN lag(ts) OVER w IS NULL
-                      OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
-                    THEN 1 ELSE 0 END AS new_s
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      ), numbered AS (
-        SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS seq
-        FROM flagged
-      )
-      SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
-             CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
-             user_id, count(*) AS n_events
-      FROM numbered
-      GROUP BY user_id, seq
-      ORDER BY user_id, session_start
-    """))
-
   val all: Seq[QuerySpec] = Seq(
     jsonExtract, windowTumbling, sessionize, sessionWindow, asofJoin, funnel,
     scd2, cohortRetention, attribution, outlierIqr, rfm, decayScore,
     xmlExtract, csvExtract, journeyPatterns, seqSupport,
-    growthAccounting, pageHinkley, stickiness, ltvTriangle,
-    streamTumbling, streamSessions)
+    growthAccounting, pageHinkley, stickiness, ltvTriangle)
 }

@@ -9,5 +9,6 @@ object Registry {
       ExtendedQueries.all ++ PipelineQueries.all ++ GraphQueries.all ++
       StorageQueries.all ++ SeriesQueries.all ++ CurationQueries.all ++
       QualityQueries.all ++ GsodQueries.all ++ GeoQueries.all ++
-      EvalQueries.all ++ FeatureQueries.all ++ StatsQueries.all
+      EvalQueries.all ++ FeatureQueries.all ++ StatsQueries.all ++
+      StreamingQueries.all
 }

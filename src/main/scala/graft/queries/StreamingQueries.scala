@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Replay
+
+/** The Structured-Streaming surface under the hash gate (SURVEY §2b E7):
+  * each query replays the events table through the REAL streaming
+  * operators — MemoryStream micro-batches, watermarks, state stores,
+  * append/update sinks (graft.streaming.Replay's scaladoc carries the
+  * replay-honesty argument) — and the oracle is the batch SQL, so
+  * streaming-vs-batch equivalence IS the check: any watermark,
+  * state-store, late-drop, or cross-batch-state defect hash-mismatches
+  * every round instead of only failing specs.
+  */
+object StreamingQueries {
+
+  /** Watermarked tumbling aggregation (q_window_tumbling's plan through
+    * the streaming state store). */
+  val streamTumbling = QuerySpec(
+    "q_stream_tumbling",
+    (s, d) => Replay.tumbling(s, d)
+      .orderBy("hour_start", "event_type"),
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))
+
+  /** Native session_window state merge (q_session_window's
+    * gaps-and-islands oracle). */
+  val streamSessions = QuerySpec(
+    "q_stream_sessions",
+    (s, d) => Replay.sessions(s, d)
+      .orderBy("user_id", "session_start"),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged
+      )
+      SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+             CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+             user_id, count(*) AS n_events
+      FROM numbered
+      GROUP BY user_id, seq
+      ORDER BY user_id, session_start
+    """))
+
+  /** Sliding windows (1 h / 15 min) through the streaming path —
+    * q_window_sliding's epoch-grid oracle. */
+  val streamSliding = QuerySpec(
+    "q_stream_sliding",
+    (s, d) => Replay.sliding(s, d)
+      .orderBy("win_start", "event_type"),
+    Some("""
+      SELECT make_timestamp((epoch_us(ts)//900000000 - k.k)*900000000) AS win_start,
+             event_type, count(*) AS n_events
+      FROM events, (SELECT unnest([0,1,2,3]) AS k) k
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))
+
+  /** dropDuplicatesWithinWatermark under ADVERSARIAL duplicates: every
+    * third event is re-fed 2 minutes later (inside the watermark) as a
+    * full copy — the state store must drop each one. Survivors = the
+    * original events table exactly; a leaked duplicate adds a row with
+    * a shifted ts and fails the count/hash gate. */
+  val streamDedup = QuerySpec(
+    "q_stream_dedup",
+    (s, d) => Replay.dedup(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("event_id"),
+    Some("""
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value
+      FROM events
+      ORDER BY event_id
+    """))
+
+  /** flatMapGroupsWithState (append): per-user adjacent event-type
+    * transition counts, where the one-event carried state must chain
+    * pairs ACROSS micro-batch boundaries — the streaming twin of
+    * q_event_transitions, same exact-integer matrix and conditional
+    * probabilities. */
+  val streamTransitions = QuerySpec(
+    "q_stream_transitions",
+    (s, d) => {
+      val pairs = Replay.transitions(s, d)
+      // window, not a join-back: a self-join of the memory-sink-derived
+      // aggregate trips conflicting-reference resolution; the row-count
+      // matrix is |types|² anyway, so the partition window is free
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("from_type")
+      pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("from_total", sum("cnt").over(w))
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          col("from_total"),
+          (col("cnt").cast("double") / col("from_total").cast("double"))
+            .as("p_cond"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+      ),
+      cnts AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+      ),
+      tot AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS from_total
+              FROM cnts GROUP BY 1)
+      SELECT from_type, to_type, cnt, from_total,
+             CAST(cnt AS DOUBLE) / CAST(from_total AS DOUBLE) AS p_cond
+      FROM cnts JOIN tot USING (from_type)
+      ORDER BY from_type, to_type
+    """))
+
+  /** flatMapGroupsWithState (UPDATE mode): per-user running totals whose
+    * LAST emission must equal the batch aggregate. n_events is exact and
+    * compared directly; the streamed double total (a per-user
+    * (ts,event_id)-sorted sequential fold) is gated by an in-plan
+    * verdict against the exact decimal sum (|Δ| ≤ 1e-6·n — sequential
+    * float error over thousands of 2-decimal values is orders below
+    * that), and the COMPARED total is the decimal one both engines
+    * compute exactly (the q_similarity_ann verdict discipline). */
+  val streamTotals = QuerySpec(
+    "q_stream_totals",
+    (s, d) => {
+      val last = Replay.totals(s, d)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.total_value").as("__streamed"))
+      val exact = graft.Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,2)")).as("__exact"))
+      last.join(exact, "user_id")
+        .select(col("user_id"), col("n_events"),
+          col("__exact").cast("double").as("total_value"),
+          (abs(col("__streamed") - col("__exact").cast("double")) <=
+            col("n_events").cast("double") * 1e-6).cast("int")
+            .as("totals_ok"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             1 AS totals_ok
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """))
+
+  val all: Seq[QuerySpec] = Seq(streamTumbling, streamSessions,
+    streamSliding, streamDedup, streamTransitions, streamTotals)
+}

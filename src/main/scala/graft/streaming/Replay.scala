@@ -41,9 +41,12 @@ object Replay {
 
   /** Feed `rows` (already event-time-sorted) through `build`'s streaming
     * plan in `nSlices` micro-batches + 2 sentinel batches; return the
-    * append-mode result table. */
+    * result table (`mode` matches the plan: "append" for watermarked
+    * aggregations/dedup/flatMapGroupsWithState-append, "update" for
+    * running-state emitters). */
   private def run(spark: SparkSession, rows: Array[Event], nSlices: Int,
-      sinkName: String, build: DataFrame => DataFrame): DataFrame = {
+      sinkName: String, mode: String,
+      build: DataFrame => DataFrame): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = org.apache.spark.sql.Encoders.product[Event]
     val maxTs = rows.last.ts.getTime
@@ -53,7 +56,7 @@ object Replay {
     spark.catalog.dropTempView(sinkName)
     val q = build(mem.toDF())
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode(mode).start()
     try {
       val per = math.max(1, math.ceil(rows.length.toDouble / nSlices).toInt)
       rows.grouped(per).foreach { slice =>
@@ -85,13 +88,62 @@ object Replay {
     * streaming twin of q_window_tumbling, minus the sentinel's window. */
   def tumbling(spark: SparkSession, dir: String, nSlices: Int = 8): DataFrame =
     run(spark, eventRows(spark, dir), nSlices, "graft_replay_tumbling",
-      Streams.tumblingByType)
+      "append", Streams.tumblingByType)
       .filter(col("event_type") =!= "__wm")
 
   /** [[Streams.sessionsByUser]] over the replayed events table — the
     * streaming twin of q_session_window, minus the sentinel's session. */
   def sessions(spark: SparkSession, dir: String, nSlices: Int = 8): DataFrame =
     run(spark, eventRows(spark, dir), nSlices, "graft_replay_sessions",
-      Streams.sessionsByUser)
+      "append", Streams.sessionsByUser)
       .filter(col("user_id") >= 0)
+
+  /** [[Streams.slidingByType]] over the replayed events table — the
+    * streaming twin of q_window_sliding. */
+  def sliding(spark: SparkSession, dir: String, nSlices: Int = 8): DataFrame =
+    run(spark, eventRows(spark, dir), nSlices, "graft_replay_sliding",
+      "append", Streams.slidingByType)
+      .filter(col("event_type") =!= "__wm")
+
+  /** [[Streams.dedupById]] under adversarial input: every third event is
+    * re-fed 2 minutes later as a full duplicate row (same event_id,
+    * shifted ts — inside the 10-minute watermark, so the state store
+    * MUST still hold the id and drop it). The duplicates are ordinary
+    * rows, never filtered from the result: a dedup defect surfaces as
+    * extra rows with shifted timestamps, which the row-count/hash gate
+    * catches — nothing is hidden. Surviving rows = the original events
+    * table exactly. */
+  def dedup(spark: SparkSession, dir: String, nSlices: Int = 8): DataFrame = {
+    val rows = eventRows(spark, dir)
+    val dups = rows.filter(_.event_id % 3 == 0)
+      .map(e => e.copy(ts = new Timestamp(e.ts.getTime + 120000L)))
+    val replay = (rows ++ dups).sortBy(e => (e.ts.getTime, e.event_id))
+    run(spark, replay, nSlices, "graft_replay_dedup", "append",
+      Streams.dedupById)
+      .filter(col("event_type") =!= "__wm")
+  }
+
+  /** [[Stateful.eventTransitions]] (flatMapGroupsWithState, append) over
+    * the replayed events — per-user adjacent event-type pairs whose
+    * chain must survive micro-batch boundaries via the carried
+    * one-event state. Pair multiset equals the batch lag-window form
+    * for any time-ordered slicing. */
+  def transitions(spark: SparkSession, dir: String,
+      nSlices: Int = 8): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    run(spark, eventRows(spark, dir), nSlices, "graft_replay_transitions",
+      "append", df => Stateful.eventTransitions(df.as[Event]).toDF())
+      .filter(col("user_id") >= 0)
+  }
+
+  /** [[Stateful.runningUserTotals]] (flatMapGroupsWithState, UPDATE
+    * mode) over the replayed events — per-user running totals whose
+    * final emission must equal the batch aggregate. Returns every
+    * update; the caller keeps each user's last (max n_events) row. */
+  def totals(spark: SparkSession, dir: String, nSlices: Int = 8): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    run(spark, eventRows(spark, dir), nSlices, "graft_replay_totals",
+      "update", df => Stateful.runningUserTotals(df.as[Event]).toDF())
+      .filter(col("user_id") >= 0)
+  }
 }

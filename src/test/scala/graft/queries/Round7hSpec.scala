@@ -138,7 +138,7 @@ class Round7hSpec extends SparkSpec {
       assert(r.getAs[Long]("churned_after") <= r.getAs[Long]("dau"))
     }
     // day 1 is all-new
-    val first = rows.minBy(_.getAs[java.sql.Date]("day").getTime)
+    val first = rows.minBy(_.getAs[java.sql.Timestamp]("day").getTime)
     assert(first.getAs[Long]("new_users") === first.getAs[Long]("dau"))
   }
 
@@ -208,7 +208,7 @@ class Round7hSpec extends SparkSpec {
   test("ltv triangle: cumulative monotone within each cohort") {
     val rows = EventQueries.ltvTriangle.run(spark, Sf001).collect()
     assert(rows.nonEmpty)
-    rows.groupBy(_.getAs[java.sql.Date]("cohort_day")).foreach {
+    rows.groupBy(_.getAs[java.sql.Timestamp]("cohort_day")).foreach {
       case (_, rs) =>
         val byAge = rs.sortBy(_.getAs[Int]("age_week"))
         val cums = byAge.map(_.getAs[Double]("cum_rev"))
