@@ -318,6 +318,66 @@ object StorageQueries {
       ORDER BY tile
     """))
 
+  /** S6/S7 under the hash gate: the orders table round-trips through
+    * THREE non-parquet formats — header CSV, ORC, and JSON-lines (each
+    * via the [[graft.sources.Sinks]] writer + schema-first reader, the
+    * partitioned-write path SinksSpec covers structurally) — and each
+    * read-back aggregates to the same row the oracle computes from the
+    * original parquet. A lossy text encode (CSV/JSON number formatting,
+    * date serialization), a schema drift, or a dropped row in ANY format
+    * hash-mismatches its row.
+    *
+    * Type discipline: the projected frame carries only text-exact types
+    * (long, string, decimal(18,2), date) — a raw double would round-trip
+    * CSV through decimal-string formatting and is exactly the lossy path
+    * this gate must expose, so the price casts to decimal BEFORE the
+    * write on the Spark side and inside the oracle's aggregate. Writes
+    * land in a fresh temp dir per run (fixture discipline — the gate
+    * compares CONTENT, which is the original table's). */
+  val formatRoundtrip = QuerySpec(
+    "q_format_roundtrip",
+    (s, d) => {
+      import graft.sources.Sinks
+      val base = orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderdate").cast("date").as("odate"))
+      val schema = base.schema
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-roundtrip-").toString
+      Sinks.writeCsv(base, s"$tmp/csv")
+      Sinks.writeOrc(base, s"$tmp/orc")
+      Sinks.writeJson(base, s"$tmp/json")
+      val back = Seq(
+        "csv" -> Sinks.readCsv(s, s"$tmp/csv", schema),
+        "orc" -> Sinks.readOrc(s, s"$tmp/orc"),
+        "json" -> Sinks.readJson(s, s"$tmp/json", schema))
+      back.map { case (fmt, df) =>
+        df.agg(
+          lit(fmt).as("format"),
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("price")).cast("double").as("price_sum"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          min(col("odate")).cast("timestamp").as("first_date"),
+          max(col("odate")).cast("timestamp").as("last_date"))
+      }.reduce(_.unionByName(_)).orderBy("format")
+    },
+    Some("""
+      SELECT fmt AS format,
+             count(*) AS n_rows,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_sum,
+             count(DISTINCT o_orderstatus) AS n_status,
+             CAST(min(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS first_date,
+             CAST(max(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS last_date
+      FROM orders, (SELECT unnest(['csv','json','orc']) AS fmt)
+      GROUP BY fmt
+      ORDER BY fmt
+    """))
+
   val all: Seq[QuerySpec] =
-    Seq(zorder, bucketJoin, skewJoin, compaction, hilbertOrder)
+    Seq(zorder, bucketJoin, skewJoin, compaction, hilbertOrder,
+      formatRoundtrip)
 }
