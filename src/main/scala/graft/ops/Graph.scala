@@ -39,7 +39,7 @@ object Graph {
     * Returns (id, hops) for every node within `maxHops` of a seed —
     * seeds included at hop 0. */
   def bfsHops(edges: DataFrame, aCol: String, bCol: String,
-      seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+      seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = withGraphWidth(edges.sparkSession) {
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
     // partitioned + sorted on the per-round join key BEFORE caching: every
     // round's frontier join then exchanges only the (tiny) frontier side —
@@ -91,7 +91,7 @@ object Graph {
     * Returns (anchor, id, hops) for every node within `maxHops` of each
     * anchor — the anchor itself at hop 0. */
   def labeledBfs(edges: DataFrame, aCol: String, bCol: String,
-      anchors: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+      anchors: DataFrame, idCol: String, maxHops: Int): DataFrame = withGraphWidth(edges.sparkSession) {
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
     val und = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -177,7 +177,7 @@ object Graph {
     * Returns (id, dist) for every node within `maxHops` edges of a seed;
     * seeds at dist 0. */
   def ssspBounded(edges: DataFrame, aCol: String, bCol: String,
-      wCol: String, seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+      wCol: String, seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = withGraphWidth(edges.sparkSession) {
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"),
       col(wCol).cast("long").as("w"))
     val und = fwd
@@ -219,9 +219,31 @@ object Graph {
     best
   }
 
+  /** Loop-scoped shuffle width (the streaming Replay precedent): an
+    * iterative graph loop's exchanges should be sized to the GRAPH, not
+    * the session's corpus-sized spark.sql.shuffle.partitions — on a
+    * co-occurrence graph of ~10⁴ nodes, 32 partitions make every one of
+    * the loop's stages pay 32 tasks of scheduling for sub-MB data
+    * (measured: the bench's entire q_pagerank residual was task-launch
+    * cadence, r6–r8; scoping the width cut it 2.81→2.61 s and removed
+    * the run-to-run jitter). Every Graph op's values are
+    * partitioning-invariant (sorted folds / exact-integer aggregates;
+    * GraphSpec proves it), so the width only moves time. The conf is
+    * restored before the RETURNED plan is built, so the caller's final
+    * join/sort still runs at session width; at 100 TB a web-scale graph
+    * keeps the session width — the floor only ever LOWERS it. */
+  private def withGraphWidth[T](spark: org.apache.spark.sql.SparkSession)
+      (body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(prev.toInt, 8).toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
       iters: Int, damping: Double = 0.85, segSize: Int = 1 << 16,
-      checkpointInterval: Int = 4): DataFrame = {
+      checkpointInterval: Int = 4): DataFrame = withGraphWidth(edges.sparkSession) {
     require(segSize >= 2, s"segSize=$segSize must be at least 2")
     require(checkpointInterval >= 1,
       s"checkpointInterval=$checkpointInterval must be at least 1")
@@ -320,7 +342,7 @@ object Graph {
     * mirrored duplicates normalize away; an empty core is a legal
     * result. */
   def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame = withGraphWidth(pairs.sparkSession) {
     require(k >= 1, s"k=$k must be at least 1")
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
@@ -369,7 +391,7 @@ object Graph {
     * fixpoint equals the round-`maxRounds` state) and returns the
     * surviving edges plus a `converged` flag. */
   def kTruss(pairs: DataFrame, aCol: String, bCol: String, k: Int,
-      maxRounds: Int): (DataFrame, Boolean) = {
+      maxRounds: Int): (DataFrame, Boolean) = withGraphWidth(pairs.sparkSession) {
     require(k >= 3, s"k=$k must be at least 3")
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
@@ -432,7 +454,7 @@ object Graph {
     *
     * Returns (hubs, authorities): (src, hs) / (dst, as_) exact longs. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): (DataFrame, DataFrame) = {
+      iters: Int): (DataFrame, DataFrame) = withGraphWidth(edges.sparkSession) {
     require(iters >= 1, s"iters=$iters must be at least 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().cache()
@@ -508,7 +530,7 @@ object Graph {
   }
 
   private def labelPropagationCore(edges: DataFrame, aCol: String,
-      bCol: String, rounds: Int): DataFrame = {
+      bCol: String, rounds: Int): DataFrame = withGraphWidth(edges.sparkSession) {
     val fwd = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     val und = fwd
@@ -585,7 +607,7 @@ object Graph {
     * rounds = alternations actually run. Self-pairs and duplicate /
     * mirrored pairs are normalized away; NULL endpoints are dropped. */
   def twoStarComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 30): (DataFrame, Int) = {
+      maxRounds: Int = 30): (DataFrame, Int) = withGraphWidth(pairs.sparkSession) {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     var (e, prevN) = checkpointWithCount(pairs

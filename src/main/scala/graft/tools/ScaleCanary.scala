@@ -39,7 +39,10 @@ object ScaleCanary {
   private val CanaryQueries = Seq(
     "q_prefix_join", "q_snm_dedup", "q_weighted_jaccard", "q_dedup_eval",
     "q_dedup_near", "q_dedup_minhash", "q_pagerank", "q_kcore",
-    "q_graph_diameter", "q_dbscan")
+    "q_graph_diameter", "q_dbscan",
+    // ANN family: scan (linear), IVF×PQ (cell-pruned), cluster-prune,
+    // broadcast probe batch — all designed ≲linear; measured here
+    "q_similarity_topk", "q_ivf_pq", "q_semdedup", "q_batch_ann")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args(0)
