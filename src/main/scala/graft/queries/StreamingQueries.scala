@@ -90,6 +90,24 @@ object StreamingQueries {
       ORDER BY event_id
     """))
 
+  /** The FILE-STREAMING source end-to-end (readStream.parquet over a
+    * landing directory, one file per trigger) driving the same
+    * watermarked tumbling aggregation — the production source path,
+    * gated separately from the MemoryStream replays. */
+  val streamFile = QuerySpec(
+    "q_stream_file",
+    (s, d) => Replay.fileTumbling(s, d)
+      .orderBy("hour_start", "event_type"),
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))
+
   /** flatMapGroupsWithState (append): per-user adjacent event-type
     * transition counts, where the one-event carried state must chain
     * pairs ACROSS micro-batch boundaries — the streaming twin of
@@ -171,5 +189,6 @@ object StreamingQueries {
     """))
 
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamSessions,
-    streamSliding, streamDedup, streamTransitions, streamTotals)
+    streamSliding, streamDedup, streamTransitions, streamTotals,
+    streamFile)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Replays the events table through the REAL Structured-Streaming path —
   * MemoryStream-fed micro-batches driving the watermarked operators in
@@ -153,6 +154,55 @@ object Replay {
     run(spark, eventRows(spark, dir), nSlices, "graft_replay_transitions",
       "append", df => Stateful.eventTransitions(df.as[Event]).toDF())
       .filter(col("user_id") >= 0)
+  }
+
+  /** [[Streams.tumblingByType]] fed by the FILE-STREAMING source — the
+    * production path MemoryStream stands in for everywhere else: the
+    * events table is sliced by event time into parquet files (ascending
+    * modification times, one file per micro-batch via
+    * maxFilesPerTrigger=1) plus two far-future sentinel files, and
+    * `readStream.parquet` discovers them exactly as a live landing
+    * directory would. Gates FileStreamSource's listing/offset tracking +
+    * the same watermarked aggregation the MemoryStream twin gates —
+    * one gate per source family. */
+  def fileTumbling(spark: SparkSession, dir: String,
+      nSlices: Int = 4): DataFrame = {
+    import spark.implicits._
+    val rows = eventRows(spark, dir)
+    val maxTs = rows.last.ts.getTime
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-filestream-")
+    streamDir.toFile.deleteOnExit()
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val schema = spark.createDataset(rows.take(1).toSeq).schema
+    val per = math.max(1, math.ceil(rows.length.toDouble / nSlices).toInt)
+    val slices = rows.grouped(per).toSeq ++ Seq(2L, 3L).map(h =>
+      Array(Event(-h, new Timestamp(maxTs + h * 3600L * 1000L),
+        -1L, "__wm", 0.0)))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-filestream-w-")
+      spark.createDataset(slice.toSeq).coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("no parquet part written"))
+      val dest = streamDir.resolve(f"slice_$i%03d.parquet")
+      java.nio.file.Files.move(part, dest)
+      // ascending mtimes pin the source's processing order (the file
+      // source lists by modification time) even on coarse-grained
+      // filesystem clocks
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val sinkName = "graft_replay_file_tumbling"
+    spark.catalog.dropTempView(sinkName)
+    val q = Streams.tumblingByType(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName).filter(col("event_type") =!= "__wm")
   }
 
   /** [[Stateful.runningUserTotals]] (flatMapGroupsWithState, UPDATE
