@@ -167,40 +167,65 @@ object Replay {
     * one gate per source family. */
   def fileTumbling(spark: SparkSession, dir: String,
       nSlices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val Array(row) = ev.agg(min(unix_millis(col("ts"))),
+      max(unix_millis(col("ts")))).collect()
+    val (minMs, maxMs) = (row.getLong(0), row.getLong(1))
+    val span = math.max(1L, maxMs - minMs + 1)
+    // equal TIME-RANGE slices (not equal-row): slice order is event-time
+    // order by construction, so the watermark-safety argument of the
+    // MemoryStream replays carries over verbatim
+    val sliced = ev.withColumn("__slice",
+      least(lit(nSlices - 1),
+        floor((unix_millis(col("ts")) - minMs) * nSlices / span))
+        .cast("int"))
+    val sentinels = Seq(2, 3).map { h =>
+      (-h.toLong, new Timestamp(maxMs + h * 3600L * 1000L), -1L, "__wm",
+        0.0, nSlices + h - 2)
+    }
     import spark.implicits._
-    val rows = eventRows(spark, dir)
-    val maxTs = rows.last.ts.getTime
+    val all = sliced.unionByName(sentinels
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "__slice"))
+    // ONE write job for every micro-batch file (a per-slice write loop
+    // was 6 scheduler jobs and dominated the query's cost); the slice
+    // directories then flatten into a landing dir with ascending mtimes
+    // so FileStreamSource (which lists by modification time) processes
+    // them in event-time order even on coarse filesystem clocks.
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-filestream-w-")
+    all.repartition(col("__slice")).write.mode("overwrite")
+      .partitionBy("__slice").parquet(scratch.toString)
     val streamDir = java.nio.file.Files
       .createTempDirectory("graft-filestream-")
     streamDir.toFile.deleteOnExit()
-    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
-    val schema = spark.createDataset(rows.take(1).toSeq).schema
-    val per = math.max(1, math.ceil(rows.length.toDouble / nSlices).toInt)
-    val slices = rows.grouped(per).toSeq ++ Seq(2L, 3L).map(h =>
-      Array(Event(-h, new Timestamp(maxTs + h * 3600L * 1000L),
-        -1L, "__wm", 0.0)))
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft-filestream-w-")
-      spark.createDataset(slice.toSeq).coalesce(1)
-        .write.mode("overwrite").parquet(scratch.toString)
-      val part = java.nio.file.Files.list(scratch).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error("no parquet part written"))
-      val dest = streamDir.resolve(f"slice_$i%03d.parquet")
-      java.nio.file.Files.move(part, dest)
-      // ascending mtimes pin the source's processing order (the file
-      // source lists by modification time) even on coarse-grained
-      // filesystem clocks
-      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    // a time range with no events writes no directory — legal (that
+    // trigger simply never happens)
+    for (i <- 0 until nSlices + 2;
+        sdir = scratch.resolve(s"__slice=$i")
+        if java.nio.file.Files.isDirectory(sdir)) {
+      val parts = java.nio.file.Files.list(sdir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      parts.zipWithIndex.foreach { case (part, j) =>
+        val dest = streamDir.resolve(f"slice_$i%03d_$j.parquet")
+        java.nio.file.Files.move(part, dest)
+        dest.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
     }
     val sinkName = "graft_replay_file_tumbling"
     spark.catalog.dropTempView(sinkName)
-    val q = Streams.tumblingByType(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+    // same replay-scoped state width as the MemoryStream runner
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try Streams.tumblingByType(
+        spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.toString))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.processAllAvailable() finally q.stop()
     spark.table(sinkName).filter(col("event_type") =!= "__wm")
   }
