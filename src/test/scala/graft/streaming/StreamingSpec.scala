@@ -283,4 +283,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batchTwin)
     assert(streamed === Set((1L, 100L, 1), (1L, 101L, 1), (2L, 100L, 2)))
   }
+  test("checkpoint restart: file-sink tumbling agg is exactly-once across stop/restart") {
+    // The fault-tolerance contract the memory-sink replays cannot prove:
+    // a watermarked aggregation writing to a FILE sink, stopped mid-
+    // stream and RESTARTED from its checkpoint, must emit every window
+    // exactly once — offsets, state, and sink commits all recover.
+    val root = java.nio.file.Files.createTempDirectory("graft-restart-")
+    val src = root.resolve("in"); val sink = root.resolve("out")
+    val chk = root.resolve("chk")
+    java.nio.file.Files.createDirectories(src)
+    val sentinels = Seq(
+      Ev(-2, ts("2024-01-02 10:00:00"), -1, "__wm", 0.0),
+      Ev(-3, ts("2024-01-02 11:00:00"), -1, "__wm", 0.0))
+    val slices = data.grouped(2).toSeq ++ sentinels.map(Seq(_))
+    def writeSlice(i: Int): Unit = {
+      val f = root.resolve(s"w$i")
+      spark.createDataset(slices(i)).coalesce(1)
+        .write.mode("overwrite").parquet(f.toString)
+      val part = java.nio.file.Files.list(f).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dest = src.resolve(f"s$i%02d.parquet")
+          java.nio.file.Files.move(p, dest)
+          dest.toFile.setLastModified(1700000000000L + i * 60000L)
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    val schema = spark.createDataset(data).schema
+    def startQuery() = Streams.tumblingByType(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString))
+      .writeStream.format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", chk.toString)
+      .outputMode("append").start()
+    // first life: two slices, then stop mid-stream
+    writeSlice(0); writeSlice(1)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // second life: remaining slices + sentinels, restart from checkpoint
+    (2 until slices.length).foreach(writeSlice)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(sink.toString)
+      .filter($"event_type" =!= "__wm")
+      .orderBy("hour_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = Streams.tumblingByType(data.toDF())
+      .orderBy("hour_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch) // no window lost, none doubled
+  }
+
 }
