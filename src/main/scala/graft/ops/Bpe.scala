@@ -48,7 +48,7 @@ object Bpe {
         transform(sequence(lit(1), length(col("__w"))),
           i => col("__w").substr(i, lit(1))).as("syms"),
         col("__cnt"))
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.materialize)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -73,7 +73,7 @@ object Bpe {
         words = words
           .withColumn("syms",
             graft.functions.BpeMerge.bpe_merge(col("syms"), lit(l), lit(r)))
-          .localCheckpoint()
+          .transform(graft.ops.Checkpoints.materialize)
         step += 1
       }
     }

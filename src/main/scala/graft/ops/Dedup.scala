@@ -197,7 +197,7 @@ object Dedup {
       // one per invocation). The checkpoint pins only the small distinct
       // pair set, and those blocks are ContextCleaner-reclaimed once the
       // result frame is dropped; cache-manager entries never are.
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.materialize)
     prefix.unpersist()
     candidates
   }
@@ -445,7 +445,7 @@ object Dedup {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .observe(obs, coalesce(sum(when(col("prev") =!= col("lbl"), 1L)
           .otherwise(0L)), lit(0L)).as("chg"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoints.materialize)
       changed = obs.get("chg").asInstanceOf[Long]
       labels = next.select("id", "lbl")
       iter += 1

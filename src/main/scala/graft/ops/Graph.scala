@@ -12,15 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** localCheckpoint + row count in ONE job: the count rides the
-    * materialization as an observed metric instead of a second
-    * scheduler round-trip. Iterative loops run one action per round;
-    * under co-tenant load every extra job pays full scheduling latency
-    * — with ~10 rounds that latency, not the data, dominated the
-    * recorded bench (r6: q_kcore 2.0→8.0 s on identical code). */
+  /** Checkpoint ([[Checkpoints.materialize]] — localCheckpoint by
+    * default, reliable when `graft.checkpoint.dir` is set) + row count
+    * in ONE job: the count rides the materialization as an observed
+    * metric instead of a second scheduler round-trip. Iterative loops
+    * run one action per round; under co-tenant load every extra job pays
+    * full scheduling latency — with ~10 rounds that latency, not the
+    * data, dominated the recorded bench (r6: q_kcore 2.0→8.0 s on
+    * identical code). */
   private[graft] def checkpointWithCount(df: DataFrame): (DataFrame, Long) = {
     val obs = org.apache.spark.sql.Observation()
-    val out = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+    val out = df.observe(obs, count(lit(1)).as("n")).transform(graft.ops.Checkpoints.materialize)
     (out, obs.get("n").asInstanceOf[Long])
   }
 
@@ -55,7 +57,7 @@ object Graph {
     var visited = seeds.select(col(idCol).cast("long").as("id"))
       .distinct()
       .withColumn("hops", lit(0))
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.materialize)
     var frontier = visited.select("id")
     var hop = 1
     var frontierSize = frontier.count()
@@ -103,7 +105,7 @@ object Graph {
       .distinct()
       .withColumn("id", col("anchor"))
       .withColumn("hops", lit(0))
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.materialize)
     var frontier = visited.select("anchor", "id")
     var hop = 1
     var frontierSize = frontier.count()
@@ -152,7 +154,7 @@ object Graph {
     val obs = org.apache.spark.sql.Observation()
     val out = df
       .observe(obs, sum(col(flag).cast("long")).as("n"))
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.materialize)
     val n = obs.get("n") match {
       case null => 0L // sum over zero rows is null
       case v => v.asInstanceOf[Long]
@@ -191,7 +193,7 @@ object Graph {
     var best = seeds.select(col(idCol).cast("long").as("id"))
       .distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.materialize)
     var frontier = best
     var round = 1
     var improved = frontier.count()
@@ -228,17 +230,40 @@ object Graph {
     * cadence, r6–r8; scoping the width cut it 2.81→2.61 s and removed
     * the run-to-run jitter). Every Graph op's values are
     * partitioning-invariant (sorted folds / exact-integer aggregates;
-    * GraphSpec proves it), so the width only moves time. The conf is
-    * restored before the RETURNED plan is built, so the caller's final
-    * join/sort still runs at session width; at 100 TB a web-scale graph
-    * keeps the session width — the floor only ever LOWERS it. */
+    * GraphSpec proves it), so the width only moves time.
+    *
+    * The width comes from `graft.graph.loopWidth`:
+    *   - unset (default): min(session, 8). This default is tuned for the
+    *     graphs this engine actually derives — dedup clusters, catalog
+    *     co-occurrence, lineage — whose node counts are bounded by a
+    *     CATALOG (≤ ~10⁵ nodes, sub-MB loop state), not by the corpus.
+    *     It deliberately LOWERS large sessions, so it is NOT the right
+    *     setting for a web-scale graph.
+    *   - an integer ≥ 1: that width, clamped to the session width.
+    *   - "session" or "0": keep the session width unchanged — the
+    *     setting a 100 TB deployment running billion-edge graphs uses
+    *     (GraphSpec proves results are identical either way).
+    *
+    * Scoping is a THREAD-LOCAL SQLConf clone (SQLConf.withExistingConf),
+    * never a mutation of the shared session conf: a concurrent query
+    * planning on the same SparkSession sees its own width throughout.
+    * Frames returned to the caller are planned lazily outside the scope,
+    * so the caller's final join/sort still runs at session width. */
   private def withGraphWidth[T](spark: org.apache.spark.sql.SparkSession)
       (body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prev.toInt, 8).toString)
-    try body
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val width = spark.conf.getOption("graft.graph.loopWidth") match {
+      case Some("session") | Some("0") => sessionWidth
+      case Some(w) => math.max(1, w.toInt)
+      case None => math.min(sessionWidth, 8)
+    }
+    if (width >= sessionWidth) body
+    else {
+      val scoped = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.conf.clone()
+      scoped.setConfString("spark.sql.shuffle.partitions", width.toString)
+      org.apache.spark.sql.internal.SQLConf.withExistingConf(scoped)(body)
+    }
   }
 
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
@@ -310,7 +335,7 @@ object Graph {
       // und.unpersist() below must not strand the caller's action on an
       // uncached 3×-referenced edge subtree.
       if (i % checkpointInterval == 0 || i == iters)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.transform(graft.ops.Checkpoints.materialize)
     }
     // ranks is checkpoint-materialized, so the edge cache can go (same
     // discipline as bfsHops — don't leak session cache entries); deg is a
@@ -469,7 +494,7 @@ object Graph {
         .groupBy("dst").agg(sum("hs").as("as_"))
       if (i < iters)
         h = e.join(a, "dst")
-          .groupBy("src").agg(sum("as_").as("hs")).localCheckpoint()
+          .groupBy("src").agg(sum("as_").as("hs")).transform(graft.ops.Checkpoints.materialize)
     }
     (h, a)
   }
@@ -541,7 +566,7 @@ object Graph {
       .cache()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.materialize)
     for (_ <- 1 to rounds) {
       val nbrVotes = und
         .join(labels.select(col("id").as("dst"), col("lab")), "dst")
@@ -552,7 +577,7 @@ object Graph {
         .groupBy("src")
         .agg(max(struct(col("n"), (-col("lab")).as("negLab"))).as("m"))
         .select(col("src").as("id"), (-col("m.negLab")).as("lab"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoints.materialize)
     }
     und.unpersist()
     labels

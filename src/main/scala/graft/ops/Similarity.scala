@@ -316,6 +316,69 @@ object Similarity {
       codebooks, idCol, probe, k, shortlist, excludeId, carryCols)
   }
 
+  // ---------------------------------------------------------------------
+  // Index persistence (VERDICT r8 item 2): at 100 TB an ANN index is
+  // trained ONCE and persisted — the per-call count()+sample+Lloyd's the
+  // gates pay is a test-harness shape, not the deployment shape. The
+  // artifacts are plain parquet: centroids (nCells rows), codebooks
+  // (m·k rows), and the encoded corpus (the cluster/code columns riding
+  // the vector table — at scale written clustered by cell so the probe's
+  // cell filter partition-prunes). q_ann_persist gates the round-trip:
+  // loaded-index answers must equal freshly-trained answers exactly.
+  // ---------------------------------------------------------------------
+
+  /** Write IVF centroids to `dir` — one row per cell (cell, centroid). */
+  def saveCentroids(spark: SparkSession, dir: String,
+      centroids: Array[Array[Double]]): Unit = {
+    val s = spark; import s.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1) // nCells rows — one footer beats 32
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+  }
+
+  /** Read IVF centroids back; the collect is bounded by nCells (the
+    * quantizer is a few KB by design — see [[ivfAssign]]). */
+  def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$dir/centroids.parquet")
+      .orderBy("cell").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i, s"centroid cells not contiguous at $i") }
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Write PQ codebooks to `dir` — one row per (subspace, codeword). */
+  def saveCodebooks(spark: SparkSession, dir: String,
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    val s = spark; import s.implicits._
+    (for ((book, sub) <- codebooks.zipWithIndex;
+          (cw, c) <- book.zipWithIndex)
+      yield (sub, c, cw.toSeq)).toSeq
+      .toDF("subspace", "codeword", "vec")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+  }
+
+  /** Read PQ codebooks back; bounded by m·k rows (a few KB). */
+  def loadCodebooks(spark: SparkSession,
+      dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks.parquet")
+      .orderBy("subspace", "codeword").collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, cws) =>
+      cws.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    }.toArray
+  }
+
+  /** Persist the encoded corpus (the vector table carrying `cluster`
+    * and/or `code`) — a plain distributed parquet write; nothing passes
+    * through the driver. */
+  def saveCodes(encoded: DataFrame, dir: String): Unit =
+    encoded.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+
+  def loadCodes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes.parquet")
+
   /** Sparse cosine similarity join over TOKEN-COUNT vectors via an
     * inverted index — the bag-of-words sibling of the dense-embedding
     * paths above, and the shape a 100 TB sparse similarity join actually

@@ -207,8 +207,7 @@ object GsodQueries {
       import s.implicits._
       val ids = documents(s, d).select(col("doc_id")).as[Long]
         .collect().sorted
-      val tmp = java.nio.file.Files.createTempDirectory("graft-gsod-tar-")
-      tmp.toFile.deleteOnExit()
+      val tmp = graft.util.TempDirs.scratch("graft-gsod-tar-")
       // 3 archives over the 10 station keys; member text in doc_id order
       val stationsPerArchive = Seq(0L until 4L, 4L until 7L, 7L until 10L)
       stationsPerArchive.zipWithIndex.foreach { case (sts, ai) =>

@@ -4,10 +4,14 @@ import graft.Tables._
 import graft.multimodal.Multimodal
 
 /** Multimodal-column plumbing as a driver-verifiable query (SURVEY §2b E6).
-  * The decode stage is a deterministic stub (no codecs in this container —
-  * see Multimodal's STUB NOTE), which is precisely what makes it
-  * oracle-able: DuckDB recomputes byte length / rolling fingerprint /
-  * header byte from the same payload bytes (ASCII corpus → octet == ascii).
+  * Most formats here decode with REAL in-repo codecs (PPM/BMP/WAV/AVI/PNG/
+  * GIF fully, JPEG via JDK ImageIO, MP4/MP3 at container level); only the
+  * q_multimodal packing gate below uses a deterministic text-payload stub
+  * — and only because that is what makes the PLUMBING oracle-able: DuckDB
+  * recomputes byte length / rolling fingerprint / header byte from the
+  * same payload bytes (ASCII corpus → octet == ascii). The one genuinely
+  * stubbed DECODE path is MP4/MP3 entropy-coded payloads (no codec in the
+  * JDK; Multimodal.scala's STUB NOTE states it precisely).
   */
 object MultimodalQueries {
 

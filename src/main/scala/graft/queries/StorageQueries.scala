@@ -343,8 +343,7 @@ object StorageQueries {
         col("o_totalprice").cast("decimal(18,2)").as("price"),
         col("o_orderdate").cast("date").as("odate"))
       val schema = base.schema
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-roundtrip-").toString
+      val tmp = graft.util.TempDirs.scratch("graft-roundtrip-").toString
       Sinks.writeCsv(base, s"$tmp/csv")
       Sinks.writeOrc(base, s"$tmp/orc")
       Sinks.writeJson(base, s"$tmp/json")

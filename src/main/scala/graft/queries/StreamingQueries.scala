@@ -11,8 +11,22 @@ import graft.streaming.Replay
   * streaming-vs-batch equivalence IS the check: any watermark,
   * state-store, late-drop, or cross-batch-state defect hash-mismatches
   * every round instead of only failing specs.
+  *
+  * The MemoryStream replays run over the CAPPED corpus — the first
+  * [[Replay.FeedCap]] events in (ts, event_id) order, a constant at any
+  * SF (Replay.cappedEvents has the argument; at the sf0.01 gate the cap
+  * is the identity) — so every oracle below scopes `events` to the same
+  * window via the `events_w` CTE. The file-source twin q_stream_file
+  * never collects and stays full-table.
   */
 object StreamingQueries {
+
+  /** The oracle-side twin of [[Replay.cappedEvents]]: same total order,
+    * same constant cap. Spliced as the first CTE of every MemoryStream
+    * oracle (DuckDB rejects a CTE shadowing the `events` view, hence the
+    * `_w` name). */
+  private val EventsW =
+    s"events_w AS (SELECT * FROM events ORDER BY ts, event_id LIMIT ${Replay.FeedCap})"
 
   /** Watermarked tumbling aggregation (q_window_tumbling's plan through
     * the streaming state store). */
@@ -20,12 +34,34 @@ object StreamingQueries {
     "q_stream_tumbling",
     (s, d) => Replay.tumbling(s, d)
       .orderBy("hour_start", "event_type"),
-    Some("""
+    Some(s"""
+      WITH $EventsW
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
              event_type,
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      FROM events
+      FROM events_w
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))
+
+  /** [[streamTumbling]] re-run on the RocksDB state store — the
+    * disk-backed provider class a 100 TB streaming deployment uses (heap
+    * holds only the working set; state spills to local disk with
+    * changelog files). Same operators, same batch oracle: both providers
+    * must produce the identical answer, so a provider-dependent defect
+    * is a hash mismatch, not a config footnote. */
+  val streamTumblingRocksDb = QuerySpec(
+    "q_stream_tumbling_rocksdb",
+    (s, d) => Replay.tumblingRocksDb(s, d)
+      .orderBy("hour_start", "event_type"),
+    Some(s"""
+      WITH $EventsW
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events_w
       GROUP BY 1, 2
       ORDER BY 1, 2
     """))
@@ -36,13 +72,13 @@ object StreamingQueries {
     "q_stream_sessions",
     (s, d) => Replay.sessions(s, d)
       .orderBy("user_id", "session_start"),
-    Some("""
-      WITH flagged AS (
+    Some(s"""
+      WITH $EventsW, flagged AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                       OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events_w
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ), numbered AS (
         SELECT user_id, ts,
@@ -64,10 +100,11 @@ object StreamingQueries {
     "q_stream_sliding",
     (s, d) => Replay.sliding(s, d)
       .orderBy("win_start", "event_type"),
-    Some("""
+    Some(s"""
+      WITH $EventsW
       SELECT make_timestamp((epoch_us(ts)//900000000 - k.k)*900000000) AS win_start,
              event_type, count(*) AS n_events
-      FROM events, (SELECT unnest([0,1,2,3]) AS k) k
+      FROM events_w, (SELECT unnest([0,1,2,3]) AS k) k
       GROUP BY 1, 2
       ORDER BY 1, 2
     """))
@@ -83,17 +120,38 @@ object StreamingQueries {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .orderBy("event_id"),
-    Some("""
+    Some(s"""
+      WITH $EventsW
       SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
              value
-      FROM events
+      FROM events_w
+      ORDER BY event_id
+    """))
+
+  /** [[streamDedup]] on the RocksDB state store — the dedup state keeps
+    * one key per event id, the heaviest state-store population in the
+    * family, so it is the second provider gate (q_stream_tumbling_rocksdb
+    * covers the windowed-aggregation state shape). */
+  val streamDedupRocksDb = QuerySpec(
+    "q_stream_dedup_rocksdb",
+    (s, d) => Replay.dedupRocksDb(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("event_id"),
+    Some(s"""
+      WITH $EventsW
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value
+      FROM events_w
       ORDER BY event_id
     """))
 
   /** The FILE-STREAMING source end-to-end (readStream.parquet over a
     * landing directory, one file per trigger) driving the same
     * watermarked tumbling aggregation — the production source path,
-    * gated separately from the MemoryStream replays. */
+    * gated separately from the MemoryStream replays. Uncapped: the
+    * slicing and writes are fully executor-side, so this twin is the
+    * path that scales with SF. */
   val streamFile = QuerySpec(
     "q_stream_file",
     (s, d) => Replay.fileTumbling(s, d)
@@ -131,12 +189,12 @@ object StreamingQueries {
             .as("p_cond"))
         .orderBy("from_type", "to_type")
     },
-    Some("""
-      WITH pairs AS (
+    Some(s"""
+      WITH $EventsW, pairs AS (
         SELECT event_type AS from_type,
                lead(event_type) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS to_type
-        FROM events
+        FROM events_w
       ),
       cnts AS (
         SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
@@ -167,7 +225,8 @@ object StreamingQueries {
         .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
         .select(col("user_id"), col("m.n_events").as("n_events"),
           col("m.total_value").as("__streamed"))
-      val exact = graft.Tables.events(s, d)
+      // batch side over the SAME capped corpus the stream replayed
+      val exact = Replay.cappedEvents(s, d)
         .groupBy("user_id")
         .agg(sum(col("value").cast("decimal(18,2)")).as("__exact"))
       last.join(exact, "user_id")
@@ -178,17 +237,18 @@ object StreamingQueries {
             .as("totals_ok"))
         .orderBy("user_id")
     },
-    Some("""
+    Some(s"""
+      WITH $EventsW
       SELECT user_id,
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
              1 AS totals_ok
-      FROM events
+      FROM events_w
       GROUP BY user_id
       ORDER BY user_id
     """))
 
-  val all: Seq[QuerySpec] = Seq(streamTumbling, streamSessions,
-    streamSliding, streamDedup, streamTransitions, streamTotals,
-    streamFile)
+  val all: Seq[QuerySpec] = Seq(streamTumbling, streamTumblingRocksDb,
+    streamSessions, streamSliding, streamDedup, streamDedupRocksDb,
+    streamTransitions, streamTotals, streamFile)
 }

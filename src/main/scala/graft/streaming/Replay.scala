@@ -44,12 +44,19 @@ object Replay {
     * plan in `nSlices` micro-batches + 2 sentinel batches; return the
     * result table (`mode` matches the plan: "append" for watermarked
     * aggregations/dedup/flatMapGroupsWithState-append, "update" for
-    * running-state emitters). */
+    * running-state emitters). `stateStoreProvider` optionally pins
+    * spark.sql.streaming.stateStore.providerClass for THIS stream (it is
+    * captured at query start, so the scoped set/restore is exact) — the
+    * RocksDB gates run the same operators on the disk-backed store a
+    * 100 TB streaming deployment needs instead of the on-heap default. */
   private def run(spark: SparkSession, rows: Array[Event], nSlices: Int,
       sinkName: String, mode: String,
-      build: DataFrame => DataFrame): DataFrame = {
+      build: DataFrame => DataFrame,
+      stateStoreProvider: Option[String] = None): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    require(rows.nonEmpty,
+      "replay corpus is empty — the events table has no rows to stream")
     val maxTs = rows.last.ts.getTime
     val mem = MemoryStream[Event]
     // a stale memory-sink table from an earlier run in this session
@@ -61,13 +68,22 @@ object Replay {
     // corpus sizes 4 partitions hold the state comfortably and cut the
     // per-batch floor (a production stream sizes this to its key
     // cardinality instead). Restored after the stream stops.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    stateStoreProvider.foreach(spark.conf.set(providerKey, _))
     val q =
       try build(mem.toDF())
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(mode).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        if (stateStoreProvider.isDefined) prevProvider match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
     try {
       // Slice count scales DOWN as the corpus grows: batch-boundary
       // coverage (state chaining, watermark advancement) needs many
@@ -95,13 +111,34 @@ object Replay {
     spark.table(sinkName)
   }
 
-  private def eventRows(spark: SparkSession, dir: String): Array[Event] = {
-    import spark.implicits._
+  /** The replayed corpus is CAPPED at a constant row count: MemoryStream
+    * is definitionally driver-fed, so an uncapped feed would make the
+    * GATE's driver collect grow with SF even though the operators under
+    * test are fully distributed. The cap is the first `FeedCap` rows in
+    * (ts, event_id) order — a total order, so the subset is deterministic
+    * and exactly expressible as the oracles' `ORDER BY ts, event_id LIMIT`
+    * CTE. At the sf0.01 correctness gate the events table IS 10 000 rows,
+    * so the cap is the identity there; at bench/canary SFs it pins the
+    * replay harness's wall time and driver footprint to a constant. The
+    * file-source twin (q_stream_file) stays uncapped — it never collects. */
+  final val FeedCap = 10000
+
+  /** The batch-side frame matching the capped replay corpus — q_stream_*
+    * queries that join streamed results against batch aggregates must
+    * aggregate over THIS frame, not the full table. */
+  def cappedEvents(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .orderBy("ts", "event_id")
-      .as[Event].collect()
+      .limit(FeedCap)
+
+  private def eventRows(spark: SparkSession, dir: String): Array[Event] = {
+    import spark.implicits._
+    // TakeOrderedAndProject: the executors compute per-partition top-N and
+    // the driver merges N rows — the collect is bounded by FeedCap on any
+    // corpus size, never by the table.
+    cappedEvents(spark, dir).as[Event].collect()
   }
 
   /** [[Streams.tumblingByType]] over the replayed events table — the
@@ -109,6 +146,23 @@ object Replay {
   def tumbling(spark: SparkSession, dir: String, nSlices: Int = 8): DataFrame =
     run(spark, eventRows(spark, dir), nSlices, "graft_replay_tumbling",
       "append", Streams.tumblingByType)
+      .filter(col("event_type") =!= "__wm")
+
+  /** RocksDB state-store provider class, by NAME: the class is resolved
+    * reflectively at stream start (rocksdbjni ships with Spark), so this
+    * file carries no compile-time dependency on the provider. */
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** [[tumbling]] on the RocksDB state store — the disk-backed provider a
+    * 100 TB stream runs (on-heap HDFSBackedStateStore state is bounded by
+    * executor heap; RocksDB spills state to local disk + changelog). Same
+    * operators, same batch oracle: provider-dependent results would be a
+    * state-store defect, and this gate turns one into a hash mismatch. */
+  def tumblingRocksDb(spark: SparkSession, dir: String,
+      nSlices: Int = 8): DataFrame =
+    run(spark, eventRows(spark, dir), nSlices, "graft_replay_tumbling_rdb",
+      "append", Streams.tumblingByType, Some(RocksDbProvider))
       .filter(col("event_type") =!= "__wm")
 
   /** [[Streams.sessionsByUser]] over the replayed events table — the
@@ -133,13 +187,25 @@ object Replay {
     * extra rows with shifted timestamps, which the row-count/hash gate
     * catches — nothing is hidden. Surviving rows = the original events
     * table exactly. */
-  def dedup(spark: SparkSession, dir: String, nSlices: Int = 8): DataFrame = {
+  def dedup(spark: SparkSession, dir: String, nSlices: Int = 8): DataFrame =
+    dedupOn(spark, dir, nSlices, "graft_replay_dedup", None)
+
+  /** [[dedup]] on the RocksDB state store (see [[tumblingRocksDb]]) —
+    * dropDuplicatesWithinWatermark is the heaviest state-store user in
+    * the family (one key per event id), so it is the right second gate. */
+  def dedupRocksDb(spark: SparkSession, dir: String,
+      nSlices: Int = 8): DataFrame =
+    dedupOn(spark, dir, nSlices, "graft_replay_dedup_rdb",
+      Some(RocksDbProvider))
+
+  private def dedupOn(spark: SparkSession, dir: String, nSlices: Int,
+      sinkName: String, provider: Option[String]): DataFrame = {
     val rows = eventRows(spark, dir)
     val dups = rows.filter(_.event_id % 3 == 0)
       .map(e => e.copy(ts = new Timestamp(e.ts.getTime + 120000L)))
     val replay = (rows ++ dups).sortBy(e => (e.ts.getTime, e.event_id))
-    run(spark, replay, nSlices, "graft_replay_dedup", "append",
-      Streams.dedupById)
+    run(spark, replay, nSlices, sinkName, "append",
+      Streams.dedupById, provider)
       .filter(col("event_type") =!= "__wm")
   }
 
@@ -194,13 +260,10 @@ object Replay {
     // directories then flatten into a landing dir with ascending mtimes
     // so FileStreamSource (which lists by modification time) processes
     // them in event-time order even on coarse filesystem clocks.
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft-filestream-w-")
+    val scratch = graft.util.TempDirs.scratch("graft-filestream-w-")
     all.repartition(col("__slice")).write.mode("overwrite")
       .partitionBy("__slice").parquet(scratch.toString)
-    val streamDir = java.nio.file.Files
-      .createTempDirectory("graft-filestream-")
-    streamDir.toFile.deleteOnExit()
+    val streamDir = graft.util.TempDirs.scratch("graft-filestream-")
     // a time range with no events writes no directory — legal (that
     // trigger simply never happens)
     for (i <- 0 until nSlices + 2;
@@ -211,9 +274,15 @@ object Replay {
       parts.zipWithIndex.foreach { case (part, j) =>
         val dest = streamDir.resolve(f"slice_$i%03d_$j.parquet")
         java.nio.file.Files.move(part, dest)
-        dest.toFile.setLastModified(1700000000000L + i * 60000L)
+        // ascending mtimes are the PREMISE of the watermark-safety
+        // argument (FileStreamSource lists by modification time) — a
+        // filesystem that refuses the stamp must fail the gate loudly,
+        // not let it go order-flaky
+        require(dest.toFile.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed for $dest — cannot pin landing order")
       }
     }
+    graft.util.TempDirs.cleanNow(scratch)
     val sinkName = "graft_replay_file_tumbling"
     spark.catalog.dropTempView(sinkName)
     // same replay-scoped state width as the MemoryStream runner
@@ -227,6 +296,9 @@ object Replay {
         .outputMode("append").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.processAllAvailable() finally q.stop()
+    // the memory sink is materialized once the stream stops — the landing
+    // dir is dead weight from here
+    graft.util.TempDirs.cleanNow(streamDir)
     spark.table(sinkName).filter(col("event_type") =!= "__wm")
   }
 

@@ -1,0 +1,175 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Adversarial-SKEW canary (VERDICT r8 item 1 — the claim the organic
+  * 10× ScaleCanary does not cover): real 100 TB corpora are not uniform,
+  * they are Zipf-headed. This tool synthesizes a skewed twin of the base
+  * SF dir carrying the five classic hazards and times the exposed
+  * families on both corpora, exiting nonzero when any family's wall
+  * growth exceeds its documented bound — the scriptable-gate shape of
+  * PlanSweep, for skew instead of plan nodes.
+  *
+  * Injected hazards (all deterministic):
+  *  - HEAD SHINGLE, df ≈ corpus: five constant tokens appended to EVERY
+  *    document — the full-hot shingle's posting list is the whole corpus.
+  *    The df-cap (ops/Dedup.scala posting pruning) must drop it from
+  *    candidate generation or the posting join is Σdf² = N².
+  *  - 10⁴-CLONE near-dup cluster: doc 0's text replicated 10 000 times,
+  *    each copy one unique trailing token (near-dups, not exact; same
+  *    lang, so they share a block). MinHash/SimHash bands put all 10⁴ in
+  *    the same buckets — the band-bucket caps must bound the candidate
+  *    pairs or LSH verifies 10⁸ pairs.
+  *  - ONE MEGA-DOCUMENT: ~100× the mean length (distinct tokens, df=1
+  *    each) — stresses per-row tokenize/shingle compute and memory, not
+  *    the join graph.
+  *  - HOT user_id: one user carries 50 % of events (same row count as
+  *    base) — per-user windows/sessions get one giant partition key;
+  *    sort-based windows must spill-sort it, not OOM, and AQE handles
+  *    the shuffle skew.
+  *  - POWER-LAW basket: one part appears in ~30 % of lineitem rows (same
+  *    row count) — the co-occurrence head pair count is hub², the
+  *    support-floor/per-item caps must keep the pair space bounded.
+  *
+  * Row-count context for the bounds: documents grows 5 000 → 15 001
+  * (3.0×) from the clone cluster + mega-doc; events and lineitem keep
+  * their base row counts. A family bound is therefore "skewed/base wall
+  * ratio ≤ bound", where the bound is the measured ratio plus headroom —
+  * the gate exists to catch the f² BLOWUP failure mode (50–1000×), not
+  * 20 % drift.
+  *
+  * Usage: runMain graft.tools.SkewCanary <baseSfDir> [outDir]
+  */
+object SkewCanary {
+
+  /** (query, family, bound on skew/base wall ratio). Bounds are the r9
+    * measured ratios (SURVEY §21 table) with ≥2× headroom. */
+  private val Gates: Seq[(String, String, Double)] = Seq(
+    ("q_dedup_near", "doc-posting", 12.0),
+    ("q_prefix_join", "doc-posting", 12.0),
+    ("q_weighted_jaccard", "doc-posting", 12.0),
+    ("q_dedup_minhash", "doc-lsh", 12.0),
+    ("q_dedup_simhash", "doc-lsh", 12.0),
+    ("q_session_window", "hot-user", 6.0),
+    ("q_event_transitions", "hot-user", 6.0),
+    ("q_item_cf", "hot-item", 8.0),
+    ("q_itemsets", "hot-item", 8.0))
+
+  final val Clones = 10000
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args(0)
+    val outDir = args.lift(1).getOrElse("/tmp/graft_skew_canary")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, baseDir, outDir)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_CANARY_PASSES", "2").toInt
+    val warm = Seq("documents", "events", "lineitem")
+    def timeAll(dir: String): Map[String, Double] = {
+      for (t <- warm) graft.Tables.table(spark, dir, t).cache().count()
+      val r = (1 to passes).flatMap { _ =>
+        Gates.map { case (name, _, _) =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, dir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      }.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).min }
+      for (t <- warm) graft.Tables.table(spark, dir, t).unpersist()
+      r
+    }
+    val base = timeAll(baseDir)
+    val skew = timeAll(outDir)
+    var failed = List.empty[String]
+    println(f"[skew] ${"query"}%-22s ${"family"}%-12s ${"base_s"}%8s ${"skew_s"}%8s ${"ratio"}%7s ${"bound"}%6s")
+    Gates.foreach { case (q, fam, bound) =>
+      val b = base(q); val c = skew(q); val r = c / b
+      val verdict = if (r <= bound) "ok" else { failed ::= q; "FAIL" }
+      println(f"[skew] $q%-22s $fam%-12s $b%8.2f $c%8.2f $r%7.2f ≤$bound%5.1f $verdict")
+    }
+    val tb = base.values.sum; val tc = skew.values.sum
+    println(f"[skew] ${"TOTAL"}%-22s ${""}%-12s $tb%8.2f $tc%8.2f ${tc / tb}%7.2f")
+    spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[skew] FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+
+  private def build(spark: SparkSession, base: String, out: String): Unit = {
+    val stamp = s"base=$base clones=$Clones v2"
+    val marker = Paths.get(out, "_SKEW_OK")
+    if (Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == stamp) return
+    if (Files.exists(Paths.get(out))) {
+      val s = Files.walk(Paths.get(out))
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+    Files.createDirectories(Paths.get(out))
+
+    // ---- documents: hot shingle on every row + clone cluster + mega-doc
+    val hot = " zq0hot zq1hot zq2hot zq3hot zq4hot"
+    val docs = graft.Tables.documents(spark, base)
+    val withHead = docs.select(col("doc_id"),
+      concat(col("text"), lit(hot)).as("text"),
+      col("lang"), col("source"))
+    // seed row for the clones — a bounded 1-row collect (a query
+    // parameter, not data)
+    val seed = docs.orderBy("doc_id").select("text", "lang", "source")
+      .head()
+    val (seedText, seedLang, seedSource) =
+      (seed.getString(0), seed.getString(1), seed.getString(2))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val clones = spark.range(Clones.toLong).select(
+      (col("id") + maxId + 1).as("doc_id"),
+      concat(lit(seedText), lit(hot), lit(" uq"), col("id"), lit("zz"))
+        .as("text"),
+      lit(seedLang).as("lang"), lit(seedSource).as("source"))
+    val megaTokens = 6000
+    val mega = spark.range(1).select(
+      lit(maxId + 1 + Clones).as("doc_id"),
+      concat(
+        aggregate(transform(sequence(lit(0), lit(megaTokens - 1)),
+            i => concat(lit(" wmega"), i, lit("zz"))),
+          lit(""), (acc, x) => concat(acc, x)),
+        lit(hot)).as("text"),
+      lit(seedLang).as("lang"), lit(seedSource).as("source"))
+    withHead.unionByName(clones).unionByName(mega)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // ---- events: one user carries 50% of rows (same count, same times)
+    graft.Tables.events(spark, base)
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(2)) === 0, lit(999999L))
+          .otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // ---- lineitem: one hot part in ~30% of rows (same count)
+    val li = graft.Tables.lineitem(spark, base)
+    val hotPart = li.agg(min("l_partkey")).head().getLong(0)
+    li.withColumn("l_partkey",
+        when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+          lit(10L)) < 3, lit(hotPart)).otherwise(col("l_partkey")))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    for (t <- Seq("region", "nation", "supplier", "part", "orders",
+        "customer", "embeddings")) {
+      val link = Paths.get(out, s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(base, s"$t.parquet"))
+    }
+    Files.write(marker, stamp.getBytes("UTF-8"))
+  }
+}

@@ -339,4 +339,26 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch) // no window lost, none doubled
   }
 
+  test("RocksDB state store: replayed tumbling + dedup equal the default provider") {
+    // same operators, both providers, one corpus — the provider must be
+    // invisible in the answers (VERDICT r8 item 3); also proves the
+    // provider class resolves (rocksdbjni ships with Spark's jars)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val confBefore = spark.conf.getOption(providerKey)
+    val hdfsTumble = Replay.tumbling(spark, Sf001)
+      .orderBy("hour_start", "event_type").collect().map(_.toSeq).toSeq
+    val rocksTumble = Replay.tumblingRocksDb(spark, Sf001)
+      .orderBy("hour_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(rocksTumble === hdfsTumble)
+    val hdfsDedup = Replay.dedup(spark, Sf001)
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val rocksDedup = Replay.dedupRocksDb(spark, Sf001)
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(rocksDedup === hdfsDedup)
+    // the scoped provider conf round-trips (getOption surfaces the
+    // registered DEFAULT, so "empty" is unobservable — equality is the
+    // leak check)
+    assert(spark.conf.getOption(providerKey) === confBefore)
+  }
+
 }
