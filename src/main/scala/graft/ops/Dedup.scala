@@ -490,12 +490,30 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
 
   /** E2 LSH path end-to-end: candidates from banding, verified with exact
-    * Jaccard ≥ `threshold`. Output: (id_a, id_b, jac), id_a < id_b. */
+    * Jaccard ≥ `threshold`. Output: (id_a, id_b, jac), id_a < id_b.
+    *
+    * `maxBucket` bounds the band-bucket blowup a CLONE CLUSTER causes
+    * (the [[graft.ops.Similarity.hammingPairs]] discipline): m docs with
+    * identical signatures put m rows in the same (band, key) bucket, and
+    * the full pair join there is m²/2 — 10⁴ clones of one page (a real
+    * web-corpus shape) would be 5·10⁷ candidate pairs per band. Buckets
+    * over the cap switch from ALL-PAIRS to STAR pairs around the bucket's
+    * min id: |bucket|−1 candidates instead of |bucket|²/2, still verified
+    * by exact Jaccard. For DEDUP the star keeps exactly what matters —
+    * every member of a same-signature cluster stays connected to the
+    * cluster's representative, so a downstream connected-components pass
+    * ([[components]]) still collapses the whole cluster — while the pair
+    * LIST inside over-cap buckets is intentionally not exhaustive (the
+    * df-cap recall trade, measured by q_dedup_eval; sub-cap buckets are
+    * bit-identical to the uncapped form, which is why the gate corpora —
+    * whose largest bucket is ≪ 1024 — hash-match either way). */
   def minhashNearDups(docs: DataFrame, id: String, shingleCol: String,
-      k: Int, bandRows: Int, threshold: Double): DataFrame = {
+      k: Int, bandRows: Int, threshold: Double,
+      maxBucket: Int = 1024): DataFrame = {
     require(k > 0 && bandRows > 0 && k % bandRows == 0,
       s"signature width k=$k must be a positive multiple of bandRows=$bandRows " +
         "(trailing signature entries would silently drop out of banding)")
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be at least 2")
     // Empty shingle sets all produce the IDENTICAL signature
     // (MinHashSig's Long.MaxValue sentinels — there is nothing to hash),
     // so every empty doc would share every band key with every other
@@ -508,11 +526,25 @@ object Dedup {
       .filter(size(col(shingleCol)) > 0)
       .withColumn("__sig", minhashSignature(col(shingleCol), k))
     val bands = lshBands(withSig, id, "__sig", bandRows)
-    val cand = bands.as("x")
-      .join(bands.as("y"), Seq("band_idx", "band_key"))
+    // Bucket sizes + per-bucket min in ONE pass over the banded rows;
+    // the tiny over-cap key set (≤ rows/cap buckets by pigeonhole)
+    // broadcasts back, splitting candidate generation into the all-pairs
+    // (sub-cap) and star (over-cap) branches.
+    val stats = bands.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("__bn"), min(col(id)).as("__hub"))
+    val hotBuckets = stats.filter(col("__bn") > maxBucket)
+      .select("band_idx", "band_key", "__hub")
+    val small = bands.join(broadcast(hotBuckets.select("band_idx", "band_key")),
+      Seq("band_idx", "band_key"), "left_anti")
+    val allPairs = small.as("x")
+      .join(small.as("y"), Seq("band_idx", "band_key"))
       .filter(col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
-      .distinct()
+    val starPairs = bands.join(broadcast(hotBuckets),
+        Seq("band_idx", "band_key"))
+      .filter(col(id) =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col(id).as("id_b"))
+    val cand = allPairs.unionByName(starPairs).distinct()
     val sh = docs.select(col(id), col(shingleCol))
     cand
       .join(sh.withColumnRenamed(id, "id_a").withColumnRenamed(shingleCol, "sh_a"), "id_a")

@@ -292,4 +292,32 @@ class DedupSpec extends SparkSpec {
       (10L, 3L, 2L, "p q r"),
       (11L, 2L, 1L, "s")))
   }
+
+  test("minhashNearDups: over-cap band buckets star-chain around the min id") {
+    // 12 clones (identical shingle sets → identical signatures → every
+    // band bucket holds all 12) — the clone-cluster hazard in miniature
+    val clones = (1L to 12L)
+      .map(i => (i, Seq("a b c", "b c d", "c d e")))
+      .toDF("doc_id", "sh")
+    val capped = Dedup
+      .minhashNearDups(clones, "doc_id", "sh", 32, 2, 0.5, maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // star around hub 1: the cluster stays CONNECTED (components would
+    // still collapse it to one representative) with 11 pairs, not 66
+    assert(capped === (2L to 12L).map(i => (1L, i)).toSet)
+    val uncapped = Dedup
+      .minhashNearDups(clones, "doc_id", "sh", 32, 2, 0.5)
+    assert(uncapped.count() === 66L) // 12·11/2 — the blowup the cap stops
+    // sub-cap corpora are bit-identical with or without the cap
+    val mixed = Seq(
+      (1L, Seq("a b c", "b c d")), (2L, Seq("a b c", "b c d")),
+      (3L, Seq("x y z", "y z w")), (4L, Seq("q r s", "r s t")))
+      .toDF("doc_id", "sh")
+    val a = Dedup.minhashNearDups(mixed, "doc_id", "sh", 32, 2, 0.5)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = Dedup.minhashNearDups(mixed, "doc_id", "sh", 32, 2, 0.5,
+        maxBucket = 2)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(a === b)
+  }
 }
