@@ -372,9 +372,18 @@ object Similarity {
 
   /** Persist the encoded corpus (the vector table carrying `cluster`
     * and/or `code`) — a plain distributed parquet write; nothing passes
-    * through the driver. */
-  def saveCodes(encoded: DataFrame, dir: String): Unit =
-    encoded.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    * through the driver. `partitionCols` (typically Seq("cluster"))
+    * writes the table CLUSTERED BY CELL: the probe's
+    * `cluster IN (probed cells)` filter then prunes whole directories at
+    * the scan — at 100 TB the IVF prune becomes partition pruning, and
+    * the scan reads nProbe/nCells of the FILES, not just of the rows
+    * (SimilarityPersistSpec asserts the partition filter lands). */
+  def saveCodes(encoded: DataFrame, dir: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = encoded.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$dir/codes.parquet")
+  }
 
   def loadCodes(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/codes.parquet")

@@ -301,7 +301,8 @@ object SimilarityQueries {
       val dir = graft.util.TempDirs.scratch("graft-ann-index-").toString
       Similarity.saveCentroids(s, dir, centroids)
       Similarity.saveCodebooks(s, dir, books)
-      Similarity.saveCodes(encoded, dir)
+      // clustered by cell: the loaded probe's cell filter partition-prunes
+      Similarity.saveCodes(encoded, dir, partitionCols = Seq("cluster"))
       val loadedCentroids = Similarity.loadCentroids(s, dir)
       val loadedBooks = Similarity.loadCodebooks(s, dir)
       val loadedCodes = Similarity.loadCodes(s, dir)

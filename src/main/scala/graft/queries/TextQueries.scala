@@ -2507,7 +2507,69 @@ object TextQueries {
       FROM truth
     """))
 
-  val all: Seq[QuerySpec] = Seq(dedupEval,
+  /** The SCALABLE end-to-end dedup shape under the hash gate: band-capped
+    * MinHash LSH candidates ([[graft.ops.Dedup.minhashNearDups]] with
+    * maxBucket STAR-CHAINING) → exact-Jaccard verify → connected
+    * components → one representative per cluster. Three clone clusters
+    * are PLANTED (sizes 5, 17, 40 — the 17/40 exceed the deliberately
+    * small maxBucket=16, so the star path runs inside this gate, not
+    * just in specs; the 5-cluster takes the all-pairs path): the three
+    * lowest-id docs each replicated with one unique trailing token
+    * (near-dups, not exact; clone ids are NEGATIVE, collision-free with
+    * the corpus). The verdict per cluster: every member (clones + seed)
+    * appears in the component output AND they share exactly one
+    * representative — co-clustering is the property the star trade
+    * PRESERVES while cutting candidates from |bucket|²/2 to |bucket|−1.
+    * Exact cluster SIZE is deliberately not asserted (a seed may have
+    * organic near-dups that legitimately join its component).
+    * Deterministic end to end (seeded xxhash signatures, exact Jaccard,
+    * min-id components), so the constant-true oracle is a real gate. */
+  val minhashClusters = QuerySpec(
+    "q_minhash_clusters",
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select("doc_id", "text")
+      // a bounded 3-row collect: the planted-cluster SEEDS are a query
+      // parameter (the fixture), not data through the driver
+      val seeds = docs.orderBy("doc_id").limit(3)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val sizes = Seq(5, 17, 40)
+      val planted = seeds.zipWithIndex.flatMap { case ((_, text), idx) =>
+        val k = idx + 1
+        (1 to sizes(idx)).map(i =>
+          (-(k * 100000L + i), s"$text uqc${k}x$i"))
+      }.toSeq.toDF("doc_id", "text")
+      val corpus = docs.unionByName(planted)
+      val sh = fanOut(s, corpus).select(col("doc_id"),
+        array_distinct(graft.ops.Text.shingles(
+          graft.ops.Text.tokens(col("text")), 3)).as("sh"))
+      val pairs = graft.ops.Dedup.minhashNearDups(sh, "doc_id", "sh",
+        k = 32, bandRows = 2, threshold = 0.5, maxBucket = 16)
+      val cc = graft.ops.Dedup.components(pairs, "id_a", "id_b")
+      val wanted = planted.select(col("doc_id"))
+        // integer DIV, not `/` (which is double division in Spark)
+        .withColumn("cluster_k", expr("(-doc_id) DIV 100000"))
+        .unionByName(seeds.zipWithIndex
+          .map { case ((id, _), idx) => (id, (idx + 1).toLong) }.toSeq
+          .toDF("doc_id", "cluster_k"))
+      wanted.join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .groupBy("cluster_k")
+        .agg(count(lit(1)).as("n_expected"),
+          count(col("rep")).as("__present"),
+          countDistinct(col("rep")).as("__reps"))
+        .select(col("cluster_k"), col("n_expected"),
+          ((col("__present") === col("n_expected")) &&
+            (col("__reps") === 1)).cast("int").as("coclustered_ok"))
+        .orderBy("cluster_k")
+    },
+    Some("""
+      SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(6 AS BIGINT), 1),
+                            (CAST(2 AS BIGINT), CAST(18 AS BIGINT), 1),
+                            (CAST(3 AS BIGINT), CAST(41 AS BIGINT), 1))
+        AS t(cluster_k, n_expected, coclustered_ok)
+    """))
+
+  val all: Seq[QuerySpec] = Seq(dedupEval, minhashClusters,
     novelty,
     dedupExact, dedupNear, dedupMinhash, dedupSimhash, textStats,
     langId, qualityScore, tokenCount, fingerprint, prepPipeline,

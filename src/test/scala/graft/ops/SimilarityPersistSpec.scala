@@ -36,4 +36,33 @@ class SimilarityPersistSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
     assert(back.toSeq === orig.toSeq)
   }
+
+  test("cell-partitioned codes: the probe's cell filter partition-prunes") {
+    val emb = graft.Tables.embeddings(spark, Sf001)
+    val (assigned, _) = Similarity.ivfAssign(spark, emb, nCells = 8)
+    val dir = graft.util.TempDirs.scratch("graft-ann-part-").toString
+    Similarity.saveCodes(assigned.select("vec_id", "cluster", "embedding"),
+      dir, partitionCols = Seq("cluster"))
+    val loaded = Similarity.loadCodes(spark, dir)
+    // content identical to the unpartitioned frame (column order moves,
+    // values don't; the partition column reads back as int)
+    val a = loaded.select("vec_id", "cluster").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val b = assigned.select("vec_id", "cluster").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(a === b)
+    // the cell filter lands as a PARTITION filter — whole directories
+    // prune at the scan, which at 100 TB is the difference between
+    // reading nProbe/nCells of the files vs scanning everything
+    val probed = loaded.filter(org.apache.spark.sql.functions
+      .col("cluster").isInCollection(Seq(0, 3)))
+    val scan = probed.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    assert(scan.get.partitionFilters.nonEmpty,
+      "cluster filter did not reach the scan as a partition filter")
+    assert(probed.select("cluster").distinct().collect()
+      .map(_.getInt(0)).toSet.subsetOf(Set(0, 3)))
+  }
 }
