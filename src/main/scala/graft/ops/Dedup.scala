@@ -525,7 +525,18 @@ object Dedup {
     val withSig = docs
       .filter(size(col(shingleCol)) > 0)
       .withColumn("__sig", minhashSignature(col(shingleCol), k))
-    val bands = lshBands(withSig, id, "__sig", bandRows)
+    // Materialize the banded postings ONCE: the cap split consumes them
+    // four times (bucket stats, both sides of the all-pairs self-join,
+    // the star join), and when the caller's shingle frame is NOT cached
+    // the 4× shingle→signature recompute dominates (measured: the
+    // q_minhash_clusters gate, which shingles its own planted corpus,
+    // runs 8.6 s lazy vs 5.0 s materialized at sf0.1; cached-input
+    // consumers measure within noise either way). Bounded: `bands` is
+    // exactly k/bandRows rows per doc. At 100 TB this is the postings
+    // table a deployment persists to storage once (the saveCodes shape);
+    // localCheckpoint blocks are reclaimed on dereference.
+    val bands = Checkpoints.materialize(
+      lshBands(withSig, id, "__sig", bandRows))
     // Bucket sizes + per-bucket min in ONE pass over the banded rows;
     // the tiny over-cap key set (≤ rows/cap buckets by pigeonhole)
     // broadcasts back, splitting candidate generation into the all-pairs

@@ -85,15 +85,20 @@ object Replay {
         }
       }
     try {
-      // Slice count scales DOWN as the corpus grows: batch-boundary
-      // coverage (state chaining, watermark advancement) needs many
-      // batches, not many rows per batch — the sf0.01 gate replays 8
-      // batches; at bench scale 4 batches exercise the same transitions
-      // while halving the per-batch planning/state-IO floor the replay
-      // harness (not the operator) pays.
-      val slices = sys.env.get("SPARK_GRAFT_REPLAY_SLICES")
+      // Slice count is the gate's COVERAGE dial: batch-boundary coverage
+      // (state chaining, watermark advancement) needs many batches, not
+      // many rows per batch — the correctness gate replays the default 8.
+      // The bench halves it via the session conf (graft.replay.slices=4,
+      // set in Bench.scala): per-trigger planning + state-store IO is the
+      // replay harness's floor, ~0.6 s/trigger, and 6 triggers exercise
+      // the same transitions as 10 while the oracle is slice-count-
+      // invariant (time-ordered slicing drops nothing at any count). The
+      // old heuristic keyed this on corpus size; the feed cap made the
+      // corpus constant, so the dial is now explicit.
+      val slices = spark.conf.getOption("graft.replay.slices")
+        .orElse(sys.env.get("SPARK_GRAFT_REPLAY_SLICES"))
         .map(_.toInt)
-        .getOrElse(if (rows.length > 20000) nSlices / 2 max 2 else nSlices)
+        .getOrElse(nSlices)
       val per = math.max(1, math.ceil(rows.length.toDouble / slices).toInt)
       rows.grouped(per).foreach { slice =>
         mem.addData(slice.toSeq)
