@@ -545,17 +545,33 @@ object Dedup {
       .agg(count(lit(1)).as("__bn"), min(col(id)).as("__hub"))
     val hotBuckets = stats.filter(col("__bn") > maxBucket)
       .select("band_idx", "band_key", "__hub")
-    val small = bands.join(broadcast(hotBuckets.select("band_idx", "band_key")),
-      Seq("band_idx", "band_key"), "left_anti")
-    val allPairs = small.as("x")
-      .join(small.as("y"), Seq("band_idx", "band_key"))
-      .filter(col(s"x.$id") < col(s"y.$id"))
-      .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
-    val starPairs = bands.join(broadcast(hotBuckets),
-        Seq("band_idx", "band_key"))
-      .filter(col(id) =!= col("__hub"))
-      .select(col("__hub").as("id_a"), col(id).as("id_b"))
-    val cand = allPairs.unionByName(starPairs).distinct()
+    // Data-dependent plan choice via ONE bounded driver scalar (the
+    // ivfAssign discipline): the common corpus has NO over-cap bucket,
+    // and there the split's extra machinery (anti-join, star union,
+    // wider distinct) is pure overhead — the uncapped self-join IS the
+    // capped plan when the hot set is empty, so take it directly. The
+    // count scans the materialized bands once (cheap by construction).
+    val nHot = hotBuckets.count()
+    val cand = if (nHot == 0) {
+      bands.as("x")
+        .join(bands.as("y"), Seq("band_idx", "band_key"))
+        .filter(col(s"x.$id") < col(s"y.$id"))
+        .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
+        .distinct()
+    } else {
+      val small = bands.join(
+        broadcast(hotBuckets.select("band_idx", "band_key")),
+        Seq("band_idx", "band_key"), "left_anti")
+      val allPairs = small.as("x")
+        .join(small.as("y"), Seq("band_idx", "band_key"))
+        .filter(col(s"x.$id") < col(s"y.$id"))
+        .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
+      val starPairs = bands.join(broadcast(hotBuckets),
+          Seq("band_idx", "band_key"))
+        .filter(col(id) =!= col("__hub"))
+        .select(col("__hub").as("id_a"), col(id).as("id_b"))
+      allPairs.unionByName(starPairs).distinct()
+    }
     val sh = docs.select(col(id), col(shingleCol))
     cand
       .join(sh.withColumnRenamed(id, "id_a").withColumnRenamed(shingleCol, "sh_a"), "id_a")
