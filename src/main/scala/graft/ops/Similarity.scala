@@ -503,23 +503,69 @@ object Similarity {
     * the threshold compare so the verdict is engine-portable. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double): DataFrame = {
-    val assigned = kmeansAssign(emb, idCol, vecCol, k)
-      .select(col(idCol), col("cid"))
-    val vecs = emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .join(assigned, Seq(idCol))
-    def side(n: String) = vecs.select(col("cid"),
-      col(idCol).as(s"id_$n"), col("__v").as(s"v_$n"))
-    val dups = side("a").join(side("b"), Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
+    require(threshold <= 1.0,
+      s"threshold=$threshold > 1 makes every pair a non-duplicate; " +
+        "the duplicate-collapse in-group shortcut assumes cos(v,v) ≥ t")
+    // EXACT-DUPLICATE COLLAPSE first (what the SemDeDup paper's pipeline
+    // does before clustering): m identical vectors are cosine-1 pairs
+    // with everything in their group, so an uncollapsed pair stage pays
+    // m²/2 join rows for a clone cluster — the embedding twin of the
+    // minhash clone hazard, and the skew canary's dup-vectors gate. One
+    // hash shuffle on the vector itself groups duplicates; every later
+    // stage runs over DISTINCT vectors (Σ_cell |distinct|², not
+    // Σ_cell |rows|²), and members expand back per group with their
+    // sorted id list riding as one row-sized array. Results are
+    // BIT-IDENTICAL to the pairwise form (the q_semdedup oracle replays
+    // pairwise SQL and still hash-matches): identical vectors share
+    // their representative's cell (same argmin over the same doubles)
+    // and their cross-group cosines (same IEEE inputs), in-group
+    // smaller-id neighbors are exactly the member's rank in the sorted
+    // id list, and cross-group smaller-id neighbors count via an array
+    // filter over the neighbor group's id list.
+    val v = emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val groups = v.groupBy("__v")
+      .agg(min(col(idCol)).as("__gid"),
+        sort_array(collect_list(col(idCol))).as("__ids"))
+    // centroids from the FULL corpus (k lowest ids — the deterministic
+    // init any engine can recompute), assignment over representatives
+    val cents = v.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).as("__cid"), col("__v").as("__cvec"))
+    val repAssigned = groups
+      .crossJoin(broadcast(cents))
+      .withColumn("__d2", round(
+        aggregate(
+          zip_with(col("__v"), col("__cvec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6))
+      .groupBy(col("__gid"))
+      .agg(min(struct(col("__d2"), col("__cid"))).as("__m"),
+        first(col("__v")).as("__v"), first(col("__ids")).as("__ids"))
+      .select(col("__gid"), col("__m.__cid").as("cid"),
+        col("__v"), col("__ids"))
+    // qualified neighbor GROUPS per group (both directions), carrying
+    // the neighbor's sorted id list
+    def rside(n: String) = repAssigned.select(col("cid"),
+      col("__gid").as(s"gid_$n"), col("__v").as(s"v_$n"),
+      col("__ids").as(s"ids_$n"))
+    val nbr = rside("a").join(rside("b"), Seq("cid"))
+      .filter(col("gid_a") =!= col("gid_b"))
       .withColumn("__cos", round(
         graft.functions.CosineSim.cosine_sim(col("v_a"), col("v_b")), 6))
       .filter(col("__cos") >= threshold)
-      .groupBy(col("id_b").as(idCol))
-      .agg(count(lit(1)).as("n_dups"))
-    assigned.join(dups, Seq(idCol), "left")
+      .select(col("gid_a").as("__gid"), col("ids_b"))
+    // member expansion: in-group term = rank in the sorted id list
+    // (identical vectors round to cos 1.0 ≥ threshold), cross-group term
+    // = smaller ids in each qualified neighbor group
+    val members = repAssigned.select(col("cid"), col("__gid"),
+      posexplode(col("__ids")).as(Seq("__rank", "__id")))
+    members.join(nbr, Seq("__gid"), "left")
+      .withColumn("__c",
+        when(col("ids_b").isNull, lit(0))
+          .otherwise(size(filter(col("ids_b"), x => x < col("__id")))))
+      .groupBy(col("__id").as(idCol), col("cid"), col("__rank"))
+      .agg(sum(col("__c")).as("__cross"))
       .select(col(idCol), col("cid"),
-        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-        (coalesce(col("n_dups"), lit(0L)) === 0).cast("int").as("keep"))
+        (col("__rank").cast("long") + col("__cross")).as("n_dups"),
+        ((col("__rank") + col("__cross")) === 0).cast("int").as("keep"))
   }
 
   /** All pairs of 64-bit hashes within Hamming distance `maxHam`, via

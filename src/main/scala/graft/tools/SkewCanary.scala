@@ -32,6 +32,12 @@ import java.nio.file.{Files, Paths}
   *  - POWER-LAW basket: one part appears in ~30 % of lineitem rows (same
   *    row count) — the co-occurrence head pair count is hub², the
   *    support-floor/per-item caps must keep the pair space bounded.
+  *  - DUPLICATE-VECTOR cluster: vec 0's embedding replicated 10⁴ times
+  *    (exact copies, fresh vec_ids) — cosine-1 with everything in the
+  *    group, so an uncollapsed semantic-dedup pair stage pays m²/2;
+  *    Similarity.semDedup's exact-duplicate collapse must keep pair
+  *    work over DISTINCT vectors (the brute-force top-k rides as the
+  *    linear control).
   *
   * Row-count context for the bounds: documents grows 5 000 → 15 001
   * (3.0×) from the clone cluster + mega-doc; events and lineitem keep
@@ -71,11 +77,13 @@ object SkewCanary {
     graft.ops.Dedup.minhashNearDups(sh, "doc_id", "sh",
       k = 32, bandRows = 2, threshold = 0.2).count()
   }
-  // r9 measured ratios (sf0.1, min-of-2, warm inputs): dfcap 1.33,
-  // dfsplit 1.19, bandcap 2.78 (the corpus grew 3× and the star pairs
-  // ride the clone cluster linearly), hot-user 0.81/0.94, hot-item
-  // 0.79/0.97. Bounds = measured + ≥2× headroom; the failure mode being
-  // gated (an uncapped f² blowup) lands at 50–1000×, far past any bound.
+  // r9 measured ratios (sf0.1, min-of-2, warm inputs): dfcap 1.16–1.33,
+  // dfsplit 1.08–1.19, bandcap 2.21–2.78 (the doc corpus grows 3× and
+  // the star pairs ride the clone cluster linearly), hot-user 0.75–0.94,
+  // hot-item 0.79–1.03, dup-vectors 1.04–1.07 (semDedup's exact-duplicate
+  // collapse keeps pair work over DISTINCT vectors on a 6× corpus).
+  // Bounds = measured + ≥2× headroom; the failure mode being gated (an
+  // uncapped f² blowup) lands at 50–1000×, far past any bound.
   private val Gates: Seq[(String, String, Double, Runner)] = Seq(
     ("q_dedup_near", "doc-dfcap", 4.0, q("q_dedup_near")),
     ("q_weighted_jaccard", "doc-dfsplit", 4.0, q("q_weighted_jaccard")),
@@ -83,7 +91,9 @@ object SkewCanary {
     ("q_session_window", "hot-user", 3.0, q("q_session_window")),
     ("q_event_transitions", "hot-user", 3.0, q("q_event_transitions")),
     ("q_item_cf", "hot-item", 3.0, q("q_item_cf")),
-    ("q_itemsets", "hot-item", 3.0, q("q_itemsets")))
+    ("q_itemsets", "hot-item", 3.0, q("q_itemsets")),
+    ("q_semdedup", "dup-vectors", 4.0, q("q_semdedup")),
+    ("q_similarity_topk", "dup-vectors", 4.0, q("q_similarity_topk")))
 
   final val Clones = 10000
 
@@ -101,7 +111,7 @@ object SkewCanary {
     spark.sparkContext.setLogLevel("ERROR")
     build(spark, baseDir, outDir)
     val passes = sys.env.getOrElse("SPARK_GRAFT_CANARY_PASSES", "2").toInt
-    val warm = Seq("documents", "events", "lineitem")
+    val warm = Seq("documents", "events", "lineitem", "embeddings")
     def timeAll(dir: String): Map[String, Double] = {
       for (t <- warm) graft.Tables.table(spark, dir, t).cache().count()
       val r = (1 to passes).flatMap { _ =>
@@ -133,7 +143,7 @@ object SkewCanary {
   }
 
   private def build(spark: SparkSession, base: String, out: String): Unit = {
-    val stamp = s"base=$base clones=$Clones v2"
+    val stamp = s"base=$base clones=$Clones v3"
     val marker = Paths.get(out, "_SKEW_OK")
     if (Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == stamp) return
@@ -192,8 +202,16 @@ object SkewCanary {
           lit(10L)) < 3, lit(hotPart)).otherwise(col("l_partkey")))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // ---- embeddings: 10^4 exact copies of vec 0 (fresh ids, same label)
+    val emb = graft.Tables.embeddings(spark, base)
+    val vec0 = emb.orderBy("vec_id").limit(1)
+    emb.unionByName(vec0.crossJoin(
+        spark.range(Clones.toLong).select((col("id") + 100000L).as("__nid")))
+      .select(col("__nid").as("vec_id"), col("embedding"), col("label")))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
     for (t <- Seq("region", "nation", "supplier", "part", "orders",
-        "customer", "embeddings")) {
+        "customer")) {
       val link = Paths.get(out, s"$t.parquet")
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(base, s"$t.parquet"))

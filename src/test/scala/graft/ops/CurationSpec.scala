@@ -222,4 +222,29 @@ class CurationSpec extends SparkSpec {
     assert(r.filter(col("vec_id") === 0 || col("vec_id") === 1)
       .filter(col("keep") === 1).count() === 2L)
   }
+
+  test("semDedup: interleaved exact-duplicate groups count smaller-id neighbors exactly") {
+    // group A = ids {1, 3, 5} (identical vectors), group B = ids {2, 4}
+    // (identical to each other, cos ≈ 0.99 to A — a qualified neighbor
+    // group). Interleaved ids force the cross-group smaller-id count to
+    // be per-member, not per-group: n_dups(m) = rank-in-own-group +
+    // |smaller ids in each qualified neighbor group|. This is the
+    // duplicate-collapse path's exactness contract (the clone-cluster
+    // hazard in miniature — the pair stage never enumerates the m²/2
+    // in-group pairs).
+    val a = Seq(1f, 0f); val b = Seq(0.99f, 0.141f)
+    val emb = Seq(
+      (1L, a), (3L, a), (5L, a), (2L, b), (4L, b))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(emb, "vec_id", "embedding", k = 1,
+        threshold = 0.95)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(r === Seq(
+      (1L, 1L, 0L, 1),  // rank 0, no smaller neighbor ids
+      (2L, 1L, 1L, 0),  // B rank 0 + A ids < 2 = {1}
+      (3L, 1L, 2L, 0),  // A rank 1 + B ids < 3 = {2}
+      (4L, 1L, 3L, 0),  // B rank 1 + A ids < 4 = {1, 3}
+      (5L, 1L, 4L, 0))) // A rank 2 + B ids < 5 = {2, 4}
+  }
 }
