@@ -248,7 +248,52 @@ object StreamingQueries {
       ORDER BY user_id
     """))
 
+  /** STREAM-STREAM interval join (two MemoryStreams fed in event-time
+    * lockstep — Replay.joinClicksViews carries the two-source watermark
+    * argument): each click pairs with the same user's views from the
+    * preceding hour. The state store buffers BOTH sides and evicts by
+    * watermark + the join's time bound; the oracle is the identical batch
+    * join over the capped corpus, so a buffering/eviction/late-drop
+    * defect is a hash mismatch. */
+  val streamJoin = QuerySpec(
+    "q_stream_join",
+    (s, d) => Replay.joinClicksViews(s, d)
+      .orderBy("click_id", "view_id"),
+    Some(s"""
+      WITH $EventsW,
+      c AS (SELECT event_id AS click_id, user_id,
+                   CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events_w WHERE event_type = 'click'),
+      v AS (SELECT event_id AS view_id, user_id,
+                   CAST(ts AS TIMESTAMP) AS view_ts
+            FROM events_w WHERE event_type = 'view')
+      SELECT click_id, view_id, user_id, click_ts, view_ts
+      FROM c JOIN v USING (user_id)
+      WHERE view_ts <= click_ts
+        AND view_ts >= click_ts - INTERVAL 1 HOUR
+      ORDER BY click_id, view_id
+    """))
+
+  /** STREAM-STATIC left-outer enrichment join: streamed events pick up
+    * broadcast dimension columns (customer, filtered to one segment so
+    * ~3/4 of the rows exercise the null/outer path). Stateless per
+    * micro-batch — the production shape for enriching a 100 TB stream
+    * against a profile store. */
+  val streamEnrich = QuerySpec(
+    "q_stream_enrich",
+    (s, d) => Replay.enrich(s, d)
+      .orderBy("event_id"),
+    Some(s"""
+      WITH $EventsW,
+      dim AS (SELECT c_custkey, c_name, c_acctbal
+              FROM customer WHERE c_mktsegment = 'BUILDING')
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value, c_name, c_acctbal
+      FROM events_w LEFT JOIN dim ON user_id = c_custkey
+      ORDER BY event_id
+    """))
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamTumblingRocksDb,
     streamSessions, streamSliding, streamDedup, streamDedupRocksDb,
-    streamTransitions, streamTotals, streamFile)
+    streamTransitions, streamTotals, streamFile, streamJoin, streamEnrich)
 }

@@ -307,6 +307,93 @@ object Replay {
     spark.table(sinkName).filter(col("event_type") =!= "__wm")
   }
 
+  /** [[Streams.clicksAfterViews]] — the STREAM-STREAM interval join —
+    * replayed through two MemoryStreams fed in event-time lockstep: the
+    * capped corpus is sliced by the same global (ts, event_id) order as
+    * every other replay, and each micro-batch adds that slice's clicks to
+    * one stream and its views to the other before the
+    * `processAllAvailable` barrier. Both sources advance their watermarks
+    * together (the engine's global watermark is the min over sources), so
+    * the single-stream watermark-safety argument carries over: no input
+    * row is ever older than the global watermark, and a buffered view is
+    * evicted only after the watermark passes `view_ts + 1h` — by which
+    * point every click it could match (all have `click_ts ≤ view_ts + 1h`)
+    * arrived in an earlier slice and was joined. Inner-join results emit
+    * in the micro-batch the match is found, so the answer must equal the
+    * batch join over the same corpus — which is exactly the oracle.
+    * Sentinels close both streams with DISJOINT negative user ids (−1 vs
+    * −2) so they advance both watermarks but can never join each other. */
+  def joinClicksViews(spark: SparkSession, dir: String,
+      nSlices: Int = 8): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val rows = eventRows(spark, dir)
+    require(rows.nonEmpty,
+      "replay corpus is empty — the events table has no rows to stream")
+    val maxTs = rows.last.ts.getTime
+    val cMem = MemoryStream[Event]
+    val vMem = MemoryStream[Event]
+    val sinkName = "graft_replay_join"
+    spark.catalog.dropTempView(sinkName)
+    // same replay-scoped state width as the single-stream runner: the
+    // join buffers both sides in the state store, partitioned by user_id
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try Streams.clicksAfterViews(cMem.toDF(), vMem.toDF())
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      val slices = spark.conf.getOption("graft.replay.slices")
+        .orElse(sys.env.get("SPARK_GRAFT_REPLAY_SLICES"))
+        .map(_.toInt)
+        .getOrElse(nSlices)
+      val per = math.max(1, math.ceil(rows.length.toDouble / slices).toInt)
+      rows.grouped(per).foreach { slice =>
+        // non-click/view rows belong to neither stream; an empty add is a
+        // legal (rowless) MemoryStream block and the barrier still runs
+        cMem.addData(slice.filter(_.event_type == "click").toSeq)
+        vMem.addData(slice.filter(_.event_type == "view").toSeq)
+        q.processAllAvailable()
+      }
+      Seq(2L, 3L).foreach { h =>
+        cMem.addData(Event(-h, new Timestamp(maxTs + h * 3600L * 1000L),
+          -1L, "__wm", 0.0))
+        vMem.addData(Event(-h - 2, new Timestamp(maxTs + h * 3600L * 1000L),
+          -2L, "__wm", 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the sentinel guard is defensive: disjoint ids mean no sentinel pair
+    // can satisfy c_user === v_user, so this filter should drop nothing
+    spark.table(sinkName).filter(col("user_id") >= 0)
+  }
+
+  /** STREAM-STATIC enrichment join through the replay harness: each
+    * streamed event left-outer-joins the broadcast customer dimension
+    * (filtered to one segment so the outer path genuinely emits null
+    * enrich columns). Structured Streaming runs stream-static joins
+    * STATELESS — every micro-batch joins against the static table, no
+    * state store, no watermark — which is why this is the 100 TB shape
+    * for feature enrichment against a profile/dimension store: the dim
+    * broadcasts once per micro-batch and the stream never buffers.
+    * [[Streams.corpusPostingMatches]] and [[Streams.hammingMatches]] are
+    * the same operator class (stream-static equi-join, spec-proven); this
+    * gate hash-certifies the class end-to-end against the batch oracle. */
+  def enrich(spark: SparkSession, dir: String, nSlices: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val dim = graft.Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    run(spark, eventRows(spark, dir), nSlices, "graft_replay_enrich",
+      "append", st => st.join(broadcast(dim),
+          st("user_id") === dim("c_custkey"), "left_outer")
+        .select(st("event_id"), st("ts"), st("user_id"), st("event_type"),
+          st("value"), dim("c_name"), dim("c_acctbal")))
+      .filter(col("event_type") =!= "__wm")
+  }
+
   /** [[Stateful.runningUserTotals]] (flatMapGroupsWithState, UPDATE
     * mode) over the replayed events — per-user running totals whose
     * final emission must equal the batch aggregate. Returns every
