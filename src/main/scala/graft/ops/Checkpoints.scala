@@ -36,8 +36,12 @@ object Checkpoints {
         val sc = df.sparkSession.sparkContext
         // idempotent re-set is harmless (it just ensures the dir exists);
         // the contains check only skips the common same-dir case — the
-        // stored value may come back fully qualified (file:/…)
-        if (!sc.getCheckpointDir.exists(d => d == dir || d.endsWith(dir)))
+        // stored value may come back fully qualified (file:/…), so match
+        // on a whole path suffix COMPONENT (a bare endsWith would let a
+        // previous dir like /a/mydir shadow a new conf value "mydir")
+        val want = dir.stripSuffix("/")
+        if (!sc.getCheckpointDir.map(_.stripSuffix("/"))
+            .exists(d => d == want || d.endsWith("/" + want)))
           sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()

@@ -365,7 +365,15 @@ object Similarity {
       dir: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(s"$dir/codebooks.parquet")
       .orderBy("subspace", "codeword").collect()
-    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, cws) =>
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    books.zipWithIndex.foreach { case ((sub, cws), i) =>
+      // a missing (subspace, codeword) row would silently misalign every
+      // encoded code against the book — fail the load instead
+      require(sub == i, s"codebook subspaces not contiguous at $i")
+      cws.map(_.getInt(1)).sorted.zipWithIndex.foreach { case (c, j) =>
+        require(c == j, s"codewords not contiguous at subspace $i, $j") }
+    }
+    books.map { case (_, cws) =>
       cws.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
     }.toArray
   }
