@@ -77,6 +77,33 @@ object SkewCanary {
     graft.ops.Dedup.minhashNearDups(sh, "doc_id", "sh",
       k = 32, bandRows = 2, threshold = 0.2).count()
   }
+  /** The large-large SHUFFLE-join shape under the power-law key: lineitem
+    * equi-joins its own per-part aggregate on l_partkey with broadcast
+    * DISABLED, so the hot part (~30 % of rows) lands in one sort-merge
+    * join partition — the case the scaladoc's "AQE handles the shuffle
+    * skew" claim covers, measured instead of asserted. The AQE skew-split
+    * thresholds are scaled down to canary data sizes (the hot partition
+    * is tens of MB here; production keeps the 256 MB default, which the
+    * same 30 % share crosses at 100 TB), so the split machinery genuinely
+    * fires. The engine's own joins prefer broadcast for dims
+    * (q_abc_analysis &c.) — this runner certifies the fallback shape. */
+  private val skewedSmj: Runner = (s, dir) => {
+    val li = graft.Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity")
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("l_quantity").as("part_qty"))
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try li.join(perPart, "l_partkey").count()
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
   // r9 measured ratios (sf0.1, min-of-2, warm inputs): dfcap 1.16–1.33,
   // dfsplit 1.08–1.19, bandcap 2.21–2.78 (the doc corpus grows 3× and
   // the star pairs ride the clone cluster linearly), hot-user 0.75–0.94,
@@ -92,6 +119,7 @@ object SkewCanary {
     ("q_event_transitions", "hot-user", 3.0, q("q_event_transitions")),
     ("q_item_cf", "hot-item", 3.0, q("q_item_cf")),
     ("q_itemsets", "hot-item", 3.0, q("q_itemsets")),
+    ("op:skewed_smj", "hot-item", 3.0, skewedSmj),
     ("q_semdedup", "dup-vectors", 4.0, q("q_semdedup")),
     ("q_similarity_topk", "dup-vectors", 4.0, q("q_similarity_topk")))
 
