@@ -83,16 +83,24 @@ object Similarity {
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
     val centroids = localKMeans(sample, nCells, iters = 10, seed = 42L)
-    // Codegen'd assignment: the centroid table ships as a plan reference
-    // object and the argmin runs inside whole-stage codegen — no row-wise
-    // mapPartitions, no InternalRow→Row round-trip, pipeline stays fused
-    // from the parquet scan through the cluster-id projection.
-    val assigned = graft.Tables.fanOut(spark, emb)
+    (ivfAssignWith(spark, emb, centroids), centroids)
+  }
+
+  /** Assign `emb` to an EXISTING quantizer — the incremental-maintenance
+    * half of the persistence story: a deployment trains centroids once
+    * ([[ivfAssign]]), persists them ([[saveCentroids]]), and each new
+    * ingest batch is assigned against the LOADED quantizer — no
+    * retraining, no count(), no sample collect. Codegen'd assignment:
+    * the centroid table ships as a plan reference object and the argmin
+    * runs inside whole-stage codegen — no row-wise mapPartitions, no
+    * InternalRow→Row round-trip, the pipeline stays fused from the
+    * parquet scan through the cluster-id projection. */
+  def ivfAssignWith(spark: SparkSession, emb: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    graft.Tables.fanOut(spark, emb)
       .withColumn("cluster",
         graft.functions.NearestCentroid.nearest_centroid(
           asDouble(col("embedding")), centroids))
-    (assigned, centroids)
-  }
 
   /** Index of the squared-L2-nearest centroid — delegates to the ONE
     * metric kernel [[graft.functions.NearestCentroid.compute]] shared by
@@ -395,6 +403,22 @@ object Similarity {
 
   def loadCodes(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/codes.parquet")
+
+  /** APPEND a newly encoded batch to a persisted codes table — the
+    * nightly-ingest half of index maintenance: assign+encode the batch
+    * against the LOADED artifacts ([[ivfAssignWith]]/[[pqEncode]]) and
+    * append its files; the index grows without retraining or rewriting
+    * the corpus. Same cell clustering as [[saveCodes]] so the probe's
+    * partition pruning keeps holding over appended files. Assignment
+    * depends only on (embedding, centroids, codebooks), so an
+    * incrementally grown index is bit-identical to a one-shot encode of
+    * the union — q_ann_append gates exactly that equivalence. */
+  def appendCodes(encoded: DataFrame, dir: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = encoded.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$dir/codes.parquet")
+  }
 
   /** Sparse cosine similarity join over TOKEN-COUNT vectors via an
     * inverted index — the bag-of-words sibling of the dense-embedding

@@ -325,6 +325,62 @@ object SimilarityQueries {
       FROM embeddings
     """))
 
+  /** Incremental index maintenance (the nightly-ingest shape): train the
+    * IVF-PQ index on HALF the corpus, persist it, then assign+encode the
+    * other half against the LOADED artifacts and APPEND its files —
+    * growing the index without retraining or rewriting. The verdict
+    * requires (1) the grown index to be row-identical (vec_id, cluster,
+    * code) to a ONE-SHOT encode of the full corpus with the same
+    * artifacts — assignment depends only on (embedding, centroids,
+    * codebooks), and parquet round-trips both losslessly — and (2) the
+    * probe's top-20 answered from the grown index to equal the one-shot
+    * answer exactly. */
+  val annAppend = QuerySpec(
+    "q_ann_append",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val (baseAssigned, centroids) = Similarity.ivfAssign(s, base, nCells = 16)
+      val books = Similarity.pqTrain(s, base, m = 8, k = 16)
+      val dir = graft.util.TempDirs.scratch("graft-ann-append-").toString
+      Similarity.saveCentroids(s, dir, centroids)
+      Similarity.saveCodebooks(s, dir, books)
+      Similarity.saveCodes(Similarity.pqEncode(s, baseAssigned, books),
+        dir, partitionCols = Seq("cluster"))
+      // the nightly batch: everything from the LOADED artifacts
+      val lc = Similarity.loadCentroids(s, dir)
+      val lb = Similarity.loadCodebooks(s, dir)
+      Similarity.appendCodes(
+        Similarity.pqEncode(s, Similarity.ivfAssignWith(s, delta, lc), lb),
+        dir, partitionCols = Seq("cluster"))
+      val grown = Similarity.loadCodes(s, dir)
+        .select("vec_id", "cluster", "code")
+      val oneShot = Similarity.pqEncode(s,
+          Similarity.ivfAssignWith(s, emb, centroids), books)
+        .select("vec_id", "cluster", "code")
+      val same = grown.join(oneShot, Seq("vec_id", "cluster", "code"))
+        .agg(count(lit(1)).as("__same"))
+      val probe = Similarity.probeVector(emb, "vec_id", ProbeId)
+      def topk(codes: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfPqTopK(codes, centroids, books, "vec_id", probe,
+          k = 20, nProbe = 8, shortlist = 256, excludeId = Some(ProbeId))
+          .select("vec_id", "d2")
+      val tk = topk(Similarity.loadCodes(s, dir)).join(
+          topk(Similarity.pqEncode(s,
+            Similarity.ivfAssignWith(s, emb, centroids), books)),
+          Seq("vec_id", "d2"))
+        .agg(count(lit(1)).as("__tk"))
+      emb.agg(count(lit(1)).as("n_vectors")).crossJoin(same).crossJoin(tk)
+        .select(col("n_vectors"),
+          (col("__same") === col("n_vectors")).cast("int").as("append_ok"),
+          (col("__tk") === 20).cast("int").as("topk_ok"))
+    },
+    Some("""
+      SELECT count(*) AS n_vectors, 1 AS append_ok, 1 AS topk_ok
+      FROM embeddings
+    """))
+
   /** SemDeDup semantic dedup — cluster-then-prune over the embedding
     * space (Similarity.semDedup scaladoc has the 100 TB shape: pair work
     * is Σ|cluster|², k sized to the corpus). k = 8 deterministic
@@ -503,6 +559,6 @@ object SimilarityQueries {
 
   val all: Seq[QuerySpec] = Seq(
     similarityTopk, similarityAnn, similarityLsh, dedupEmbed, batchAnn,
-    similarityPq, semDedup, ivfPq, annPersist, hardNegatives,
+    similarityPq, semDedup, ivfPq, annPersist, annAppend, hardNegatives,
     embeddingDrift)
 }
