@@ -320,9 +320,9 @@ object Replay {
     * point every click it could match (all have `click_ts ≤ view_ts + 1h`)
     * arrived in an earlier slice and was joined. Inner-join results emit
     * in the micro-batch the match is found, so the answer must equal the
-    * batch join over the same corpus — which is exactly the oracle.
-    * Sentinels close both streams with DISJOINT negative user ids (−1 vs
-    * −2) so they advance both watermarks but can never join each other. */
+    * batch join over the same corpus — which is exactly the oracle, and
+    * also why this replay needs NO closing sentinels (see the inline
+    * note: the watermark gates eviction, never inner-match emission). */
   def joinClicksViews(spark: SparkSession, dir: String,
       nSlices: Int = 8): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
@@ -330,7 +330,6 @@ object Replay {
     val rows = eventRows(spark, dir)
     require(rows.nonEmpty,
       "replay corpus is empty — the events table has no rows to stream")
-    val maxTs = rows.last.ts.getTime
     val cMem = MemoryStream[Event]
     val vMem = MemoryStream[Event]
     val sinkName = "graft_replay_join"
@@ -357,17 +356,16 @@ object Replay {
         vMem.addData(slice.filter(_.event_type == "view").toSeq)
         q.processAllAvailable()
       }
-      Seq(2L, 3L).foreach { h =>
-        cMem.addData(Event(-h, new Timestamp(maxTs + h * 3600L * 1000L),
-          -1L, "__wm", 0.0))
-        vMem.addData(Event(-h - 2, new Timestamp(maxTs + h * 3600L * 1000L),
-          -2L, "__wm", 0.0))
-        q.processAllAvailable()
-      }
+      // No closing sentinels, BY THE JOIN'S SEMANTICS: an INNER
+      // stream-stream join emits a matched pair in the micro-batch the
+      // match arrives (the watermark gates state EVICTION and outer-side
+      // NULL emission, never inner-match emission), so after the last
+      // slice's barrier every pair is already in the sink. Eviction
+      // itself is exercised by the watermark advancing across the real
+      // slices. The aggregation/dedup replays DO need their sentinels —
+      // append mode holds a window's row until the watermark passes it.
     } finally q.stop()
-    // the sentinel guard is defensive: disjoint ids mean no sentinel pair
-    // can satisfy c_user === v_user, so this filter should drop nothing
-    spark.table(sinkName).filter(col("user_id") >= 0)
+    spark.table(sinkName)
   }
 
   /** STREAM-STATIC enrichment join through the replay harness: each
