@@ -109,6 +109,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream join buffers a view across micro-batches until its click arrives") {
+    // the property the q_stream_join gate corpus rarely exercises (its
+    // row-sliced batches span days, the join window is an hour, so
+    // matches are mostly within-batch): a view arriving in batch 1 must
+    // survive in the join STATE and pair with a click that only arrives
+    // in batch 2 — cross-batch buffering, pinned deterministically here
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[Ev]
+    val cMem = MemoryStream[Ev]
+    val q = Streams.clicksAfterViews(cMem.toDF(), vMem.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin_xbatch")
+      .outputMode("append").start()
+    try {
+      vMem.addData(Ev(10, ts("2024-01-01 10:00:00"), 1, "view", 0.0))
+      cMem.addData(Seq.empty[Ev])
+      q.processAllAvailable()
+      assert(spark.table("t_ssjoin_xbatch").count() === 0)
+      // 35 min later, next micro-batch: must join the BUFFERED view
+      cMem.addData(Ev(20, ts("2024-01-01 10:35:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // and a third batch advancing the watermark within the 1h bound:
+      // the view must NOT have been evicted early (lockstep argument)
+      cMem.addData(Ev(21, ts("2024-01-01 10:55:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("t_ssjoin_xbatch")
+        .orderBy("click_id")
+        .select("click_id", "view_id").as[(Long, Long)].collect().toSeq
+      assert(got === Seq((20L, 10L), (21L, 10L)))
+    } finally q.stop()
+  }
+
   test("stream-static posting probe equals the batch join; foreachBatch pairs equal the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
