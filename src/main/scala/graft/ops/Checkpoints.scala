@@ -34,14 +34,21 @@ object Checkpoints {
     df.sparkSession.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // idempotent re-set is harmless (it just ensures the dir exists);
-        // the contains check only skips the common same-dir case — the
-        // stored value may come back fully qualified (file:/…), so match
-        // on a whole path suffix COMPONENT (a bare endsWith would let a
-        // previous dir like /a/mydir shadow a new conf value "mydir")
+        // Skip the re-set when the current checkpoint root is already
+        // `dir`: setCheckpointDir stores `<dir>/<random-uuid>` (qualified,
+        // e.g. file:/…), so the comparison strips the uuid LEAF and then
+        // matches `dir` as a whole path-suffix component (a bare endsWith
+        // would let a previous dir like /a/mydir shadow a new conf value
+        // "mydir"; stripPrefix("/") avoids the double-slash miss for
+        // absolute values). Without the guard every loop-round
+        // materialization would mkdirs a fresh uuid directory — one
+        // driver→namenode round-trip per round, checkpoint files
+        // scattered across uuid dirs.
         val want = dir.stripSuffix("/")
-        if (!sc.getCheckpointDir.map(_.stripSuffix("/"))
-            .exists(d => d == want || d.endsWith("/" + want)))
+        val currentRoot = sc.getCheckpointDir.map(_.stripSuffix("/"))
+          .map(d => d.take(math.max(0, d.lastIndexOf('/'))))
+        if (!currentRoot.exists(p =>
+            p == want || p.endsWith("/" + want.stripPrefix("/"))))
           sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()

@@ -584,20 +584,31 @@ object Similarity {
         graft.functions.CosineSim.cosine_sim(col("v_a"), col("v_b")), 6))
       .filter(col("__cos") >= threshold)
       .select(col("gid_a").as("__gid"), col("ids_b"))
-    // member expansion: in-group term = rank in the sorted id list
-    // (identical vectors round to cos 1.0 ≥ threshold), cross-group term
-    // = smaller ids in each qualified neighbor group
+    // member expansion: in-group term = rank in the sorted id list,
+    // cross-group term = smaller ids in each qualified neighbor group.
+    // The in-group term fires only for a group whose vector has NONZERO
+    // norm: identical nonzero vectors round to cos 1.0 ≥ threshold, but
+    // cos(0⃗, 0⃗) is NULL in CosineSim (undefined), so the pairwise form
+    // this collapse must stay bit-identical to drops zero-norm pairs —
+    // counting their rank here would diverge on exactly that input.
+    // (NaN/Inf components give NaN sums, and NaN > 0 is TRUE under
+    // Spark's total-order NaN semantics — matching the pairwise form,
+    // where round(NaN, 6) ≥ t is also true.)
     val members = repAssigned.select(col("cid"), col("__gid"),
+      (aggregate(col("__v"), lit(0.0), (acc, x) => acc + x * x) > 0)
+        .as("__selfok"),
       posexplode(col("__ids")).as(Seq("__rank", "__id")))
     members.join(nbr, Seq("__gid"), "left")
       .withColumn("__c",
         when(col("ids_b").isNull, lit(0))
           .otherwise(size(filter(col("ids_b"), x => x < col("__id")))))
-      .groupBy(col("__id").as(idCol), col("cid"), col("__rank"))
+      .withColumn("__r",
+        when(col("__selfok"), col("__rank")).otherwise(lit(0)))
+      .groupBy(col("__id").as(idCol), col("cid"), col("__r"))
       .agg(sum(col("__c")).as("__cross"))
       .select(col(idCol), col("cid"),
-        (col("__rank").cast("long") + col("__cross")).as("n_dups"),
-        ((col("__rank") + col("__cross")) === 0).cast("int").as("keep"))
+        (col("__r").cast("long") + col("__cross")).as("n_dups"),
+        ((col("__r") + col("__cross")) === 0).cast("int").as("keep"))
   }
 
   /** All pairs of 64-bit hashes within Hamming distance `maxHam`, via

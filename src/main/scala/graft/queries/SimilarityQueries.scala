@@ -355,21 +355,23 @@ object SimilarityQueries {
         Similarity.pqEncode(s, Similarity.ivfAssignWith(s, delta, lc), lb),
         dir, partitionCols = Seq("cluster"))
       val grown = Similarity.loadCodes(s, dir)
-        .select("vec_id", "cluster", "code")
-      val oneShot = Similarity.pqEncode(s,
-          Similarity.ivfAssignWith(s, emb, centroids), books)
-        .select("vec_id", "cluster", "code")
-      val same = grown.join(oneShot, Seq("vec_id", "cluster", "code"))
+      // materialized ONCE: both the row-identity check and the top-k
+      // twin consume the one-shot encode, and they are separate plan
+      // subtrees — without this the full corpus would encode twice
+      val oneShot = graft.ops.Checkpoints.materialize(
+        Similarity.pqEncode(s,
+          Similarity.ivfAssignWith(s, emb, centroids), books))
+      def narrow(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "cluster", "code")
+      val same = narrow(grown).join(narrow(oneShot),
+          Seq("vec_id", "cluster", "code"))
         .agg(count(lit(1)).as("__same"))
       val probe = Similarity.probeVector(emb, "vec_id", ProbeId)
       def topk(codes: org.apache.spark.sql.DataFrame) =
         Similarity.ivfPqTopK(codes, centroids, books, "vec_id", probe,
           k = 20, nProbe = 8, shortlist = 256, excludeId = Some(ProbeId))
           .select("vec_id", "d2")
-      val tk = topk(Similarity.loadCodes(s, dir)).join(
-          topk(Similarity.pqEncode(s,
-            Similarity.ivfAssignWith(s, emb, centroids), books)),
-          Seq("vec_id", "d2"))
+      val tk = topk(grown).join(topk(oneShot), Seq("vec_id", "d2"))
         .agg(count(lit(1)).as("__tk"))
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(same).crossJoin(tk)
         .select(col("n_vectors"),

@@ -62,44 +62,13 @@ object Replay {
     // a stale memory-sink table from an earlier run in this session
     // would otherwise shadow the new sink's registration
     spark.catalog.dropTempView(sinkName)
-    // Replay-scoped state partitioning: the state-store partition count
-    // is pinned at stream START from spark.sql.shuffle.partitions, and
-    // every micro-batch pays per-partition delta-file IO — at replay
-    // corpus sizes 4 partitions hold the state comfortably and cut the
-    // per-batch floor (a production stream sizes this to its key
-    // cardinality instead). Restored after the stream stops.
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    stateStoreProvider.foreach(spark.conf.set(providerKey, _))
-    val q =
-      try build(mem.toDF())
+    val q = startScoped(spark, stateStoreProvider)(
+      build(mem.toDF())
         .writeStream.format("memory").queryName(sinkName)
-        .outputMode(mode).start()
-      finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        if (stateStoreProvider.isDefined) prevProvider match {
-          case Some(v) => spark.conf.set(providerKey, v)
-          case None => spark.conf.unset(providerKey)
-        }
-      }
+        .outputMode(mode).start())
     try {
-      // Slice count is the gate's COVERAGE dial: batch-boundary coverage
-      // (state chaining, watermark advancement) needs many batches, not
-      // many rows per batch — the correctness gate replays the default 8.
-      // The bench halves it via the session conf (graft.replay.slices=4,
-      // set in Bench.scala): per-trigger planning + state-store IO is the
-      // replay harness's floor, ~0.6 s/trigger, and 6 triggers exercise
-      // the same transitions as 10 while the oracle is slice-count-
-      // invariant (time-ordered slicing drops nothing at any count). The
-      // old heuristic keyed this on corpus size; the feed cap made the
-      // corpus constant, so the dial is now explicit.
-      val slices = spark.conf.getOption("graft.replay.slices")
-        .orElse(sys.env.get("SPARK_GRAFT_REPLAY_SLICES"))
-        .map(_.toInt)
-        .getOrElse(nSlices)
-      val per = math.max(1, math.ceil(rows.length.toDouble / slices).toInt)
+      val per = math.max(1,
+        math.ceil(rows.length.toDouble / sliceDial(spark, nSlices)).toInt)
       rows.grouped(per).foreach { slice =>
         mem.addData(slice.toSeq)
         q.processAllAvailable()
@@ -114,6 +83,49 @@ object Replay {
       }
     } finally q.stop()
     spark.table(sinkName)
+  }
+
+  /** The gate's COVERAGE dial, shared by every replay runner so the
+    * harness assumptions cannot drift between them: batch-boundary
+    * coverage (state chaining, watermark advancement) needs many batches,
+    * not many rows per batch — the correctness gate replays the default.
+    * The bench halves it via the session conf (graft.replay.slices=4,
+    * set in Bench.scala): per-trigger planning + state-store IO is the
+    * replay harness's floor, ~0.6 s/trigger, and 6 triggers exercise the
+    * same transitions as 10 while the oracles are slice-count-invariant
+    * (time-ordered slicing drops nothing at any count). */
+  private def sliceDial(spark: SparkSession, default: Int): Int =
+    spark.conf.getOption("graft.replay.slices")
+      .orElse(sys.env.get("SPARK_GRAFT_REPLAY_SLICES"))
+      .map(_.toInt)
+      .getOrElse(default)
+
+  /** Start a streaming query under REPLAY-SCOPED session confs, restoring
+    * them right after stream start (both are captured at query start, so
+    * the scoped set/restore is exact). Shared by every runner:
+    *  - state width 4: the state-store partition count is pinned at
+    *    stream start from spark.sql.shuffle.partitions, and every
+    *    micro-batch pays per-partition delta-file IO — at replay corpus
+    *    sizes 4 partitions hold the state comfortably and cut the
+    *    per-batch floor (a production stream sizes this to its key
+    *    cardinality instead);
+    *  - the optional state-store provider class (the RocksDB gates). */
+  private def startScoped(spark: SparkSession, provider: Option[String])
+      (start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    provider.foreach(spark.conf.set(providerKey, _))
+    try start
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (provider.isDefined) prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   /** The replayed corpus is CAPPED at a constant row count: MemoryStream
@@ -291,15 +303,12 @@ object Replay {
     val sinkName = "graft_replay_file_tumbling"
     spark.catalog.dropTempView(sinkName)
     // same replay-scoped state width as the MemoryStream runner
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try Streams.tumblingByType(
+    val q = startScoped(spark, None)(
+      Streams.tumblingByType(
         spark.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(streamDir.toString))
         .writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        .outputMode("append").start())
     try q.processAllAvailable() finally q.stop()
     // the memory sink is materialized once the stream stops — the landing
     // dir is dead weight from here
@@ -334,21 +343,15 @@ object Replay {
     val vMem = MemoryStream[Event]
     val sinkName = "graft_replay_join"
     spark.catalog.dropTempView(sinkName)
-    // same replay-scoped state width as the single-stream runner: the
-    // join buffers both sides in the state store, partitioned by user_id
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try Streams.clicksAfterViews(cMem.toDF(), vMem.toDF())
+    // the join buffers both sides in the state store, partitioned by
+    // user_id — same replay-scoped width as the single-stream runner
+    val q = startScoped(spark, None)(
+      Streams.clicksAfterViews(cMem.toDF(), vMem.toDF())
         .writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        .outputMode("append").start())
     try {
-      val slices = spark.conf.getOption("graft.replay.slices")
-        .orElse(sys.env.get("SPARK_GRAFT_REPLAY_SLICES"))
-        .map(_.toInt)
-        .getOrElse(nSlices)
-      val per = math.max(1, math.ceil(rows.length.toDouble / slices).toInt)
+      val per = math.max(1,
+        math.ceil(rows.length.toDouble / sliceDial(spark, nSlices)).toInt)
       rows.grouped(per).foreach { slice =>
         // non-click/view rows belong to neither stream; an empty add is a
         // legal (rowless) MemoryStream block and the barrier still runs

@@ -117,7 +117,11 @@ object PlanSweep {
     walk(root)
   }
 
-  private def audit(plan: SparkPlan): Seq[String] = plan.collect {
+  // collectWithSubqueries, not collect: TreeNode.collect walks children
+  // only, and a CartesianProduct hiding inside a scalar/IN subquery's
+  // physical plan (rendered via innerChildren, invisible to collect)
+  // must not pass the gate silently
+  private def audit(plan: SparkPlan): Seq[String] = plan.collectWithSubqueries {
     case _: CartesianProductExec => Seq("CartesianProduct")
     case j: BroadcastNestedLoopJoinExec =>
       val build = j.buildSide match {

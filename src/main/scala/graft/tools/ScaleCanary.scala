@@ -19,9 +19,9 @@ import scala.jdk.CollectionConverters._
   *    Σdf² scales linearly with the corpus, which is the claim under
   *    test). doc_id remaps to doc_id·f+k (collision-free).
   *  - embeddings ×f: copy k rotates the 64-dim vector left by k mod 64
-  *    — same norm and coordinate distribution; copies whose rotation
-  *    wraps to 0 (k a multiple of 64) negate instead, so no copy is an
-  *    exact duplicate (identical copies would degenerate ANN/semdedup
+  *    — same norm and coordinate distribution; the whole second
+  *    revolution (k ≥ 64) negates after rotating, so all copies stay
+  *    pairwise distinct (identical copies would degenerate ANN/semdedup
   *    into cos=1 ties). Factors above 128 would re-collide → required
   *    ≤ 128.
   *  - customer ×f: fresh custkeys (the q_dbscan plane derives points
@@ -133,12 +133,7 @@ object ScaleCanary {
     val marker = Paths.get(out, "_CANARY_OK")
     if (Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == stamp) return
-    if (Files.exists(Paths.get(out))) {
-      val s = Files.walk(Paths.get(out))
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally s.close()
-    }
+    graft.util.TempDirs.deleteRecursively(Paths.get(out))
     Files.createDirectories(Paths.get(out))
     def blowup(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until f).map(k => copy(df, k)).reduce(_.unionByName(_))
@@ -160,9 +155,13 @@ object ScaleCanary {
           if (r == 0) col("embedding")
           else concat(slice(col("embedding"), r + 1, 64 - r),
             slice(col("embedding"), 1, r))
-        // wrap-to-identity copies (k = 64, 128) negate so no copy is an
-        // exact duplicate of its source
-        val v = if (r == 0 && k != 0) transform(rot, x => -x) else rot
+        // the ENTIRE second revolution (k >= 64) negates — negating only
+        // the wrap copy would make copy k an exact duplicate of copy
+        // k-64 for every k in 65..127 (same rotation, same sign), the
+        // very cos=1 degeneration the rotation exists to avoid; negated
+        // rotations are distinct from un-negated ones and from each
+        // other, so all 128 copies stay pairwise distinct
+        val v = if (k >= 64) transform(rot, x => -x) else rot
         e.select((col("vec_id") * f + k).as("vec_id"), v.as("embedding"),
           col("label"))
       }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")

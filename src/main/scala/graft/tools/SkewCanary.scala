@@ -175,12 +175,7 @@ object SkewCanary {
     val marker = Paths.get(out, "_SKEW_OK")
     if (Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == stamp) return
-    if (Files.exists(Paths.get(out))) {
-      val s = Files.walk(Paths.get(out))
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally s.close()
-    }
+    graft.util.TempDirs.deleteRecursively(Paths.get(out))
     Files.createDirectories(Paths.get(out))
 
     // ---- documents: hot shingle on every row + clone cluster + mega-doc

@@ -33,7 +33,10 @@ object TempDirs {
     deleteRecursively(p)
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Depth-first recursive delete (idempotent; symlinks are unlinked,
+    * never followed). Public: the canary tools' stale-corpus rebuilds
+    * share this instead of re-rolling Files.walk copies. */
+  def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       if (Files.isDirectory(p) && !Files.isSymbolicLink(p)) {
         val s = Files.list(p)

@@ -247,4 +247,21 @@ class CurationSpec extends SparkSpec {
       (4L, 1L, 3L, 0),  // B rank 1 + A ids < 4 = {1, 3}
       (5L, 1L, 4L, 0))) // A rank 2 + B ids < 5 = {2, 4}
   }
+
+  test("semDedup: zero-norm duplicate vectors are NOT dups (cosine undefined)") {
+    // cos(0⃗, 0⃗) is NULL in CosineSim, so the pairwise form keeps every
+    // zero-norm row; the duplicate-collapse's in-group shortcut must not
+    // count their ranks (the __selfok gate). ids 2 and 4 are identical
+    // zero vectors — both keep; ids 1 and 3 are identical NONZERO
+    // vectors — id 3 is id 1's dup as usual.
+    val z = Seq(0f, 0f); val a = Seq(1f, 0f)
+    val emb = Seq((1L, a), (3L, a), (2L, z), (4L, z))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(emb, "vec_id", "embedding", k = 1,
+        threshold = 0.9)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(r.map(t => (t._1, t._3, t._4)) === Seq(
+      (1L, 0L, 1), (2L, 0L, 1), (3L, 1L, 0), (4L, 0L, 1)))
+  }
 }

@@ -60,8 +60,9 @@ def main():
         print(f"REMOVED  {q} (was {base[q]:.3f}s)")
     tb = sum(base[q] for q in common)
     tc = sum(cand[q] for q in common)
+    ratio = f"{tc / tb:.3f}x" if tb > 0 else "n/a"
     print(f"common {len(common)} queries: {tb:.1f}s -> {tc:.1f}s "
-          f"({tc / tb:.3f}x); {len(new)} new, {len(gone)} removed, "
+          f"({ratio}); {len(new)} new, {len(gone)} removed, "
           f"{len(bad)} regressed (> {args.threshold}x and > {args.floor}s)")
     sys.exit(1 if bad else 0)
 
