@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import scala.jdk.CollectionConverters._
 
 /** The checkpoint-routing contract (VERDICT r8 item 5): iterative-loop
   * results are identical whether the loop materializes with
@@ -47,6 +48,27 @@ class CheckpointSpec extends SparkSpec {
     try assert(wrote.iterator().hasNext,
       "reliable mode left the checkpoint dir empty — it never routed")
     finally wrote.close()
+  }
+
+  test("reliable mode reuses ONE uuid dir across materializations") {
+    // setCheckpointDir stores <dir>/<uuid>; the same-dir guard must
+    // recognize the configured root through that uuid leaf, or every
+    // loop-round materialization re-runs setCheckpointDir — a fresh
+    // mkdirs round-trip per round and checkpoints scattered across uuid
+    // dirs (the round-9 review finding this test pins).
+    val dir = graft.util.TempDirs.scratch("graft-ckpt-reuse-").toString
+    withConf(Checkpoints.DirKey, dir) {
+      Checkpoints.materialize(Seq(1L).toDF("x")).count()
+      val after1 = spark.sparkContext.getCheckpointDir
+      Checkpoints.materialize(Seq(2L).toDF("x")).count()
+      Checkpoints.materialize(Seq(3L).toDF("x")).count()
+      assert(spark.sparkContext.getCheckpointDir === after1,
+        "a later materialize re-ran setCheckpointDir (guard not matching)")
+      val roots = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try assert(roots.iterator().asScala.size === 1,
+        "expected exactly one uuid dir under the configured root")
+      finally roots.close()
+    }
   }
 
   test("loopWidth=session ≡ default width, and no conf leak either way") {
