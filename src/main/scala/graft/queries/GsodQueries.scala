@@ -104,9 +104,20 @@ object GsodQueries {
         col("ctry"), col("lat"), col("lon"), col("elev_m"), col("lbl"))
       .orderBy("usaf", "year", "month")
 
-  /** The ETL oracle — shared verbatim by q_gsod_e2e and q_gsod_tar (the
-    * tar replay parses the SAME records, so the answers must agree). */
-  private val EtlOracle = """
+  /** The q_gsod_tar fixture builder's driver-side collect is bounded by
+    * this cap — the lowest `TarFixtureCap` doc_ids in order
+    * (TakeOrderedAndProject, so the driver merge is bounded on ANY
+    * corpus; the Replay.FeedCap discipline). At the sf0.001/sf0.01 gates
+    * the cap exceeds the corpus, so it is the identity and the gate's
+    * semantics are unchanged; at larger SFs the gate's driver footprint
+    * and archive bytes are now SF-independent (VERDICT r9 item 6). */
+  final val TarFixtureCap = 10000
+
+  /** The ETL oracle — shared by q_gsod_e2e and q_gsod_tar (the tar
+    * replay parses the SAME records, so the answers must agree), with
+    * the obs id-source parameterized: the tar gate replays only the
+    * capped id set, so its oracle caps identically. */
+  private def etlOracle(idSource: String) = s"""
       WITH obs AS (
         SELECT
           'A07' || CAST(100 + doc_id % 10 AS VARCHAR) AS usaf,
@@ -127,7 +138,7 @@ object GsodQueries {
                ELSE CAST((doc_id * 7) % 900 + 60 AS DOUBLE) / 10 END AS min,
           CASE WHEN doc_id % 13 = 0 THEN NULL
                ELSE CAST((doc_id * 3) % 100 AS DOUBLE) / 100 END AS prcp
-        FROM documents
+        FROM $idSource
       ),
       dim AS (
         SELECT
@@ -175,6 +186,10 @@ object GsodQueries {
       ORDER BY o.usaf, o.year, o.month
     """
 
+  private val EtlOracle = etlOracle("documents")
+  private val EtlOracleCapped = etlOracle(
+    s"(SELECT doc_id FROM documents ORDER BY doc_id LIMIT $TarFixtureCap)")
+
   val gsodE2e = QuerySpec(
     "q_gsod_e2e",
     (s, d) => {
@@ -205,7 +220,11 @@ object GsodQueries {
     "q_gsod_tar",
     (s, d) => {
       import s.implicits._
-      val ids = documents(s, d).select(col("doc_id")).as[Long]
+      // bounded fixture collect: lowest TarFixtureCap ids in order —
+      // TakeOrderedAndProject bounds the driver merge at the cap on any
+      // corpus (identity at the gate SFs; the oracle caps identically)
+      val ids = documents(s, d).select(col("doc_id"))
+        .orderBy("doc_id").limit(TarFixtureCap).as[Long]
         .collect().sorted
       val tmp = graft.util.TempDirs.scratch("graft-gsod-tar-")
       // 3 archives over the 10 station keys; member text in doc_id order
@@ -226,7 +245,7 @@ object GsodQueries {
       etlProject(GsodParser.etl(
         GsodParser.parseTar(s, tmp.toString + "/*.tar"), fixtureDim(s)))
     },
-    Some(EtlOracle))
+    Some(EtlOracleCapped))
 
   val all: Seq[QuerySpec] = Seq(gsodE2e, gsodTar)
 }

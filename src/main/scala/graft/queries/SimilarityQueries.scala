@@ -383,6 +383,64 @@ object SimilarityQueries {
       FROM embeddings
     """))
 
+  /** Codes-table compaction (VERDICT r9 item 3): [[Similarity.appendCodes]]
+    * grows one file set per nightly batch — at 100 TB that is the classic
+    * small-files death (a probe pays a parquet-footer open per tiny file;
+    * the namenode pays the inode count). This gate builds the append-only
+    * shape deliberately — save the first quarter, append three more
+    * batches — then runs [[Similarity.compactCodes]] (bin-pack rewrite to
+    * one file per cell partition, atomic two-rename swap) and requires
+    * (1) the compacted table row-identical (vec_id, cluster, code) to the
+    * one-shot encode, (2) the probe's top-20 from the compacted index
+    * exactly equal to the pre-compaction answer, and (3) the data-file
+    * count strictly reduced. */
+  val annCompact = QuerySpec(
+    "q_ann_compact",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val (assigned, centroids) = Similarity.ivfAssign(s, emb, nCells = 16)
+      val books = Similarity.pqTrain(s, emb, m = 8, k = 16)
+      val dir = graft.util.TempDirs.scratch("graft-ann-compact-").toString
+      Similarity.saveCentroids(s, dir, centroids)
+      Similarity.saveCodebooks(s, dir, books)
+      // materialized ONCE: four batch writes, the row-identity check, and
+      // the top-k twin all consume the same encode
+      val encoded = graft.ops.Checkpoints.materialize(
+        Similarity.pqEncode(s, assigned, books))
+      (0 until 4).foreach { b =>
+        val batch = encoded.filter(pmod(col("vec_id"), lit(4)) === b)
+        if (b == 0) Similarity.saveCodes(batch, dir, Seq("cluster"))
+        else Similarity.appendCodes(batch, dir, Seq("cluster"))
+      }
+      val before = Similarity.codesFileCount(s, dir)
+      Similarity.compactCodes(s, dir, Seq("cluster"))
+      val after = Similarity.codesFileCount(s, dir)
+      val compacted = Similarity.loadCodes(s, dir)
+      val probe = Similarity.probeVector(emb, "vec_id", ProbeId)
+      def topk(codes: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfPqTopK(codes, centroids, books, "vec_id", probe,
+          k = 20, nProbe = 8, shortlist = 256, excludeId = Some(ProbeId))
+          .select("vec_id", "d2")
+      val tk = topk(compacted).join(topk(encoded), Seq("vec_id", "d2"))
+        .agg(count(lit(1)).as("__tk"))
+      def narrow(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "cluster", "code")
+      val same = narrow(compacted).join(narrow(encoded),
+          Seq("vec_id", "cluster", "code"))
+        .agg(count(lit(1)).as("__same"))
+      emb.agg(count(lit(1)).as("n_vectors")).crossJoin(same).crossJoin(tk)
+        .select(col("n_vectors"),
+          (col("__same") === col("n_vectors")).cast("int").as("rows_ok"),
+          (col("__tk") === 20).cast("int").as("topk_ok"),
+          // measured driver-side around the swap — strictly fewer files
+          lit(if (after < before) 1 else 0).as("compacted_ok"))
+    },
+    Some("""
+      SELECT count(*) AS n_vectors, 1 AS rows_ok, 1 AS topk_ok,
+             1 AS compacted_ok
+      FROM embeddings
+    """))
+
   /** SemDeDup semantic dedup — cluster-then-prune over the embedding
     * space (Similarity.semDedup scaladoc has the 100 TB shape: pair work
     * is Σ|cluster|², k sized to the corpus). k = 8 deterministic
@@ -561,6 +619,6 @@ object SimilarityQueries {
 
   val all: Seq[QuerySpec] = Seq(
     similarityTopk, similarityAnn, similarityLsh, dedupEmbed, batchAnn,
-    similarityPq, semDedup, ivfPq, annPersist, annAppend, hardNegatives,
-    embeddingDrift)
+    similarityPq, semDedup, ivfPq, annPersist, annAppend, annCompact,
+    hardNegatives, embeddingDrift)
 }

@@ -128,8 +128,13 @@ object ScaleCanary {
       f: Int, grow: Set[String]): Unit = {
     // The marker records WHAT was synthesized — a stale corpus from a
     // different base/factor/table-set silently reused would produce wrong
-    // growth ratios (ADVICE r8).
-    val stamp = s"base=$base factor=$f grow=${grow.toSeq.sorted.mkString(",")}"
+    // growth ratios (ADVICE r8). `gen` versions the synthesis SEMANTICS:
+    // bump it whenever the generator's output changes for the same
+    // (base, factor, grow) — e.g. gen=2 added the second-revolution
+    // negation for embedding factors >64 — so corpora built by an older
+    // generator are rebuilt instead of silently reused (ADVICE r9).
+    val stamp =
+      s"gen=2 base=$base factor=$f grow=${grow.toSeq.sorted.mkString(",")}"
     val marker = Paths.get(out, "_CANARY_OK")
     if (Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == stamp) return

@@ -71,6 +71,34 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("conf change to a path-suffix of the old root still re-routes") {
+    // ADVICE r9: the old guard matched the stored root by STRING suffix,
+    // so changing the conf from /a/x/y to a dir whose path is a suffix
+    // of the old root (e.g. /x/y) skipped setCheckpointDir and
+    // checkpoints silently kept landing in the stale root. The guard now
+    // compares qualified Hadoop Paths. Construct the hazard exactly:
+    // oldDir literally ends with newDir's slash-stripped path.
+    val newDir =
+      s"${graft.util.TempDirs.scratch("graft-ckpt-sfx-new-")}/ckroot"
+    val oldDir =
+      s"${graft.util.TempDirs.scratch("graft-ckpt-sfx-old-")}$newDir"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(oldDir))
+    withConf(Checkpoints.DirKey, oldDir) {
+      Checkpoints.materialize(Seq(1L).toDF("x")).count()
+    }
+    val stale = spark.sparkContext.getCheckpointDir.get
+    assert(stale.contains(oldDir))
+    withConf(Checkpoints.DirKey, newDir) {
+      Checkpoints.materialize(Seq(2L).toDF("x")).count()
+    }
+    val p = new org.apache.hadoop.fs.Path(newDir)
+    val wantQ = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p)
+    assert(new org.apache.hadoop.fs.Path(
+      spark.sparkContext.getCheckpointDir.get).getParent === wantQ,
+      "suffix-shadowed conf change did not re-route the checkpoint root")
+  }
+
   test("loopWidth=session ≡ default width, and no conf leak either way") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val defaultWidth = pr()
