@@ -67,12 +67,28 @@ object Bench {
     // "failed" list instead of the timings — a breakage can never read
     // as a speedup.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Per-query PEAK-HEAP attribution (VERDICT r9 item 7): heap-pool
+    // peaks are reset before each query and read after, so a future
+    // memory hog shows up in the record before it becomes a 100 TB OOM.
+    // In local mode the driver heap is also every executor's shuffle/agg
+    // memory, so this is the whole-engine working set per query. It is
+    // an UPPER-BOUND proxy (peaks include to-be-collected garbage and
+    // any background-thread residue), recorded as max across passes.
+    import scala.jdk.CollectionConverters._
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    val peaks = scala.collection.mutable.HashMap[String, Double]()
     val results = (1 to passes).flatMap { _ =>
       named.flatMap { case (name, fn) =>
+        heapPools.foreach(_.resetPeakUsage())
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          val pk = heapPools.map(_.getPeakUsage.getUsed).sum / 1e6
+          peaks(name) = math.max(peaks.getOrElse(name, 0.0), pk)
+          Some(name -> dt)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] FAIL $name: ${e.getMessage}")
@@ -118,11 +134,18 @@ object Bench {
     // for subset runs — a partial sweep must never overwrite the record
     // of a full one.
     if (only.isEmpty) {
+      // the file artifact additionally carries "peak_mb" (per-query peak
+      // heap, max across passes) — extra keys are backward-compatible
+      // for any JSON consumer; the stdout contract lines are unchanged
+      val withPeaks = line(fmt(results.toSeq.sortBy(_._1))).stripSuffix("}") +
+        s""","peak_mb":${fmt(peaks.toSeq.sortBy(_._1))}}"""
       val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(out,
-        (line(fmt(results.toSeq.sortBy(_._1))) + "\n")
+        (withPeaks + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
+      peaks.toSeq.sortBy(-_._2).take(5).foreach { case (q, p) =>
+        System.err.println(f"[bench] peak_mb top: $q%-28s ${p}%9.1f MB") }
     }
     spark.stop()
   }
