@@ -10,11 +10,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Replay-harness trigger count for the q_stream_* gates: the bench
-      // halves the correctness gate's 8 micro-batches — the oracle is
-      // slice-count-invariant and 6 triggers exercise the same state
-      // transitions while cutting the ~0.6 s/trigger harness floor
-      // (Replay.run has the full argument).
-      .config("graft.replay.slices", "4")
+      // runs the MINIMUM that still chains state across a batch boundary
+      // — 2 data slices + 2 sentinel closes = 4 triggers vs the
+      // correctness gate's 8 data slices. The oracles are slice-count-
+      // invariant, and ReplayFloor measured the harness floor at
+      // 0.41–0.45 s/trigger (0.74 s on RocksDB: state-commit IO is the
+      // difference) with a ~1–2 s start/stop intercept, so each fewer
+      // data slice saves ~0.5 s per replay gate across the eleven
+      // streaming queries (VERDICT r9 item 8; Replay.run has the full
+      // harness argument).
+      .config("graft.replay.slices", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -68,12 +73,16 @@ object Bench {
     // as a speedup.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     // Per-query PEAK-HEAP attribution (VERDICT r9 item 7): heap-pool
-    // peaks are reset before each query and read after, so a future
-    // memory hog shows up in the record before it becomes a 100 TB OOM.
-    // In local mode the driver heap is also every executor's shuffle/agg
-    // memory, so this is the whole-engine working set per query. It is
-    // an UPPER-BOUND proxy (peaks include to-be-collected garbage and
-    // any background-thread residue), recorded as max across passes.
+    // peaks are reset before each query, and the query's cost is
+    // recorded as peak MINUS heap-in-use at its start — garbage
+    // accumulated by EARLIER queries (GC runs rarely on a big heap)
+    // would otherwise dominate every reading. The delta is this query's
+    // own allocation high-water: a future memory hog shows up in the
+    // record before it becomes a 100 TB OOM. In local mode the driver
+    // heap is also every executor's shuffle/agg memory, so this is the
+    // whole-engine figure; it remains a proxy (a mid-query GC shrinks
+    // it, background-thread residue inflates it), recorded as max
+    // across passes.
     import scala.jdk.CollectionConverters._
     val heapPools = java.lang.management.ManagementFactory
       .getMemoryPoolMXBeans.asScala
@@ -82,11 +91,13 @@ object Bench {
     val results = (1 to passes).flatMap { _ =>
       named.flatMap { case (name, fn) =>
         heapPools.foreach(_.resetPeakUsage())
+        val used0 = heapPools.map(_.getUsage.getUsed).sum / 1e6
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
-          val pk = heapPools.map(_.getPeakUsage.getUsed).sum / 1e6
+          val pk = math.max(0.0,
+            heapPools.map(_.getPeakUsage.getUsed).sum / 1e6 - used0)
           peaks(name) = math.max(peaks.getOrElse(name, 0.0), pk)
           Some(name -> dt)
         } catch {

@@ -104,17 +104,24 @@ object SkewCanary {
       case (k, None) => s.conf.unset(k)
     }
   }
-  // r9 measured ratios (sf0.1, min-of-2, warm inputs): dfcap 1.16–1.33,
-  // dfsplit 1.08–1.19, bandcap 2.21–2.78 (the doc corpus grows 3× and
-  // the star pairs ride the clone cluster linearly), hot-user 0.75–0.94,
+  // Measured ratios (sf0.1, min-of-2, warm inputs) — r9: dfcap
+  // 1.16–1.33, dfsplit 1.08–1.19, bandcap 2.21–2.78, hot-user 0.75–0.94,
   // hot-item 0.79–1.03, dup-vectors 1.04–1.07 (semDedup's exact-duplicate
-  // collapse keeps pair work over DISTINCT vectors on a 6× corpus).
-  // Bounds = measured + ≥2× headroom; the failure mode being gated (an
-  // uncapped f² blowup) lands at 50–1000×, far past any bound.
+  // collapse keeps pair work over DISTINCT vectors on a 6× corpus);
+  // r10: bandcap 3.26 at the top of the band. The bandcap profile
+  // (VERDICT r9 item 5): the skew corpus carries 3× the DOC ROWS by
+  // construction (the 10⁴-clone cluster), and the capped path's wall is
+  // LINEAR in rows — signature compute + banded postings dominate, and
+  // base_s × 3 ≈ skew_s in every round (1.62 × 3 = 4.86 vs 5.28
+  // measured; per-row ratio ≈ 1.1). The star-chain emit and components
+  // join are minor terms. So the bound is row growth (3×) + ~25%
+  // machinery/noise headroom = 4.0, tightened from the original 6.0; the
+  // failure mode being gated (an uncapped f² blowup) lands at 50–1000×,
+  // far past any bound.
   private val Gates: Seq[(String, String, Double, Runner)] = Seq(
     ("q_dedup_near", "doc-dfcap", 4.0, q("q_dedup_near")),
     ("q_weighted_jaccard", "doc-dfsplit", 4.0, q("q_weighted_jaccard")),
-    ("op:minhash_capped", "doc-bandcap", 6.0, minhashCapped),
+    ("op:minhash_capped", "doc-bandcap", 4.0, minhashCapped),
     ("q_session_window", "hot-user", 3.0, q("q_session_window")),
     ("q_event_transitions", "hot-user", 3.0, q("q_event_transitions")),
     ("q_item_cf", "hot-item", 3.0, q("q_item_cf")),
