@@ -80,8 +80,12 @@ object ClusterGate {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // 2nd arg: comma-separated subset, or "all" for the ENTIRE registry
+    // (the exhaustive multi-process sweep; ~3× the default's wall time)
     val queries: Seq[String] =
-      if (args.length > 1)
+      if (args.length > 1 && args(1) == "all")
+        graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1)
         args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       else DefaultQueries
     val unknown = queries.filterNot(graft.SparkEntry.queries.contains)
@@ -116,8 +120,9 @@ object ClusterGate {
   }
 
   /** Run every query in a fresh session on `master`; return per-query
-    * canonical (hash, rowCount) or the error message. */
-  private def runPass(master: String, cluster: Boolean, sfDir: String,
+    * canonical (hash, rowCount) or the error message. Shared with
+    * [[FaultGate]] (its baseline pass). */
+  private[tools] def runPass(master: String, cluster: Boolean, sfDir: String,
       queries: Seq[String]): Map[String, Either[String, (String, Long)]] = {
     val b = SparkSession.builder()
       .master(master)
@@ -125,36 +130,13 @@ object ClusterGate {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    if (cluster) {
-      require(sys.env.contains("SPARK_HOME"),
-        "SPARK_HOME must be set for local-cluster executor launch " +
-          "(e.g. SPARK_HOME=/opt/spark)")
-      require(sys.env.contains("SPARK_SCALA_VERSION"),
-        "SPARK_SCALA_VERSION must be set (e.g. 2.13): the executor " +
-          "launcher otherwise resolves Scala from source-tree build " +
-          "dirs a distribution doesn't have")
-      // The forked run JVM's java.class.path IS the full application
-      // classpath (sbt `run / fork := true`): graft classes + the Spark
-      // jars. Executor JVMs get it verbatim — same machine, same paths.
-      b.config("spark.executor.extraClassPath",
-          sys.props("java.class.path"))
-        // same JDK17 module opens the driver JVM runs with
-        .config("spark.executor.extraJavaOptions",
-          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
-        .config("spark.executor.memory", "1536m")
-    }
+    if (cluster) clusterConfs(b)
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       if (cluster) {
-        // the gate is vacuous unless >1 executor PROCESS registered
-        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
-        def executors() = spark.sparkContext.getExecutorMemoryStatus.size - 1
-        while (executors() < 2 && System.nanoTime() < deadline)
-          Thread.sleep(250)
-        require(executors() >= 2,
-          s"local-cluster registered ${executors()} executors (<2)")
-        println(s"[cluster-gate] $master up: ${executors()} executor JVMs")
+        awaitExecutors(spark, 2)
+        println(s"[cluster-gate] $master up: 2+ executor JVMs")
       }
       queries.map { q =>
         q -> (try Right(canon(graft.SparkEntry.queries(q)(spark, sfDir)))
@@ -169,9 +151,40 @@ object ClusterGate {
     }
   }
 
+  /** Executor-launch configs for a local-cluster session (shared with
+    * [[FaultGate]]): the forked run JVM's java.class.path IS the full
+    * application classpath (sbt `run / fork := true`) — graft classes +
+    * the Spark jars — and executor JVMs get it verbatim (same machine,
+    * same paths), plus the same JDK17 module opens the driver runs with. */
+  private[tools] def clusterConfs(
+      b: SparkSession.Builder): SparkSession.Builder = {
+    require(sys.env.contains("SPARK_HOME"),
+      "SPARK_HOME must be set for local-cluster executor launch " +
+        "(e.g. SPARK_HOME=/opt/spark)")
+    require(sys.env.contains("SPARK_SCALA_VERSION"),
+      "SPARK_SCALA_VERSION must be set (e.g. 2.13): the executor " +
+        "launcher otherwise resolves Scala from source-tree build " +
+        "dirs a distribution doesn't have")
+    b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions",
+        org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+      .config("spark.executor.memory", "1536m")
+  }
+
+  /** Block until ≥`n` executor PROCESSES registered (the gates are
+    * vacuous single-process otherwise); fails after 90 s. */
+  private[tools] def awaitExecutors(spark: SparkSession, n: Int): Unit = {
+    val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    def executors() = spark.sparkContext.getExecutorMemoryStatus.size - 1
+    while (executors() < n && System.nanoTime() < deadline)
+      Thread.sleep(250)
+    require(executors() >= n,
+      s"local-cluster registered ${executors()} executors (<$n)")
+  }
+
   /** Bit-exact canonical form: columns sorted by name, every cell
     * rendered exactly (raw IEEE bits for floats), rows sorted, md5. */
-  private def canon(df: DataFrame): (String, Long) = {
+  private[tools] def canon(df: DataFrame): (String, Long) = {
     val cols = df.columns.sorted
     val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .collect()
