@@ -47,9 +47,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object ClusterGate {
 
-  /** Representative subset (~45 of the registry's queries), one or more
+  /** Representative subset (54 of the registry's queries), one or more
     * per execution-shape family. Kept explicit (not sampled) so a future
-    * reader knows exactly what is multi-process-proven. */
+    * reader knows exactly what the quick form multi-process-proves; the
+    * "all" arg sweeps the entire registry. */
   val DefaultQueries: Seq[String] = Seq(
     // custom codegen Expressions on the hot path
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_near", "q_fingerprint",
@@ -81,19 +82,25 @@ object ClusterGate {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     // 2nd arg: comma-separated subset, or "all" for the ENTIRE registry
-    // (the exhaustive multi-process sweep; ~3× the default's wall time)
+    // (the exhaustive multi-process sweep; ~3× the default's wall time).
+    // 3rd arg "speculation": the cluster pass additionally runs with
+    // AGGRESSIVE speculative execution (every stage's slower tasks get
+    // speculative duplicates) — at 100 TB speculation is on, and a
+    // duplicated task must never double a side effect (file commits ride
+    // the task-commit coordinator) or leak nondeterminism into results.
     val queries: Seq[String] =
       if (args.length > 1 && args(1) == "all")
         graft.SparkEntry.queries.keys.toSeq.sorted
-      else if (args.length > 1)
+      else if (args.length > 1 && args(1) != "default")
         args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       else DefaultQueries
     val unknown = queries.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    val speculation = args.length > 2 && args(2) == "speculation"
 
     val local = runPass("local[8]", cluster = false, sfDir, queries)
-    val clustered =
-      runPass("local-cluster[2,4,2048]", cluster = true, sfDir, queries)
+    val clustered = runPass("local-cluster[2,4,2048]", cluster = true,
+      sfDir, queries, speculation = speculation)
 
     var bad = 0
     println(f"[cluster-gate] ${"query"}%-28s ${"rows"}%7s  verdict")
@@ -123,7 +130,8 @@ object ClusterGate {
     * canonical (hash, rowCount) or the error message. Shared with
     * [[FaultGate]] (its baseline pass). */
   private[tools] def runPass(master: String, cluster: Boolean, sfDir: String,
-      queries: Seq[String]): Map[String, Either[String, (String, Long)]] = {
+      queries: Seq[String], speculation: Boolean = false)
+      : Map[String, Either[String, (String, Long)]] = {
     val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", 8)
@@ -131,6 +139,14 @@ object ClusterGate {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     if (cluster) clusterConfs(b)
+    if (speculation)
+      // fire speculative duplicates essentially immediately: any task
+      // slower than 1.05× the 10th-percentile task re-launches — far
+      // harsher than any production setting, by design
+      b.config("spark.speculation", "true")
+        .config("spark.speculation.interval", "100ms")
+        .config("spark.speculation.multiplier", "1.05")
+        .config("spark.speculation.quantile", "0.1")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
