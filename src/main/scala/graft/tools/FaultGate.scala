@@ -3,7 +3,6 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved}
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
-import scala.jdk.CollectionConverters._
 import scala.jdk.OptionConverters._
 
 /** Executor-loss fault-tolerance gate — the step after [[ClusterGate]]'s
