@@ -45,7 +45,11 @@ object FaultGate {
 
   val Queries: Seq[String] = Seq(
     "q_pagerank", "q_cc_labels", "q_monthly_rollup", "q_groupby_median",
-    "q_dedup_minhash")
+    "q_dedup_minhash",
+    // index save/load under loss: distributed parquet commits (the
+    // task-commit protocol must not publish a dead executor's partial
+    // files) + driver-collected artifacts round-tripping mid-chaos
+    "q_ann_persist")
 
   private val RunsPerQuery = 3
 
