@@ -1094,9 +1094,19 @@ object GraphQueries {
       val deg = e.select(col("a").as("z"))
         .union(e.select(col("b").as("z")))
         .groupBy("z").agg(count(lit(1)).as("deg"))
+      // deg >= 2 makes the weight expression TOTAL, not just the result
+      // correct: a degree-1 hub z forms no u<w wedge, so dropping it is
+      // a semantic no-op — but its adj row still EXISTS, and whether
+      // 1e9/ln(1) = ÷0 (an ANSI runtime error) ever evaluates depended
+      // on where Catalyst placed this projection relative to the wedge
+      // filter. One plan shape deferred it past u<w (query passes),
+      // another evaluated it on the join input (query throws) — the
+      // ClusterGate sf0.01 sweep caught the second shape. Partial
+      // expressions guarded only by DOWNSTREAM filters are landmines;
+      // the guard must sit in the SAME operator's predicate.
       val adj = e.select(col("a").as("z"), col("b").as("n"))
         .union(e.select(col("b").as("z"), col("a").as("n")))
-        .join(deg.filter(col("deg") <= 64), "z")
+        .join(deg.filter(col("deg") >= 2 && col("deg") <= 64), "z")
         .withColumn("aa_nano",
           expr("CAST(round(1e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"))
       val wedge = adj.select(col("z"), col("n").as("u"), col("aa_nano"))
@@ -1127,7 +1137,7 @@ object GraphQueries {
                  AS aa_nano
         FROM (SELECT a AS z, b AS n FROM fedge
               UNION ALL SELECT b, a FROM fedge) s
-        JOIN deg d ON d.z = s.z AND d.deg <= 64
+        JOIN deg d ON d.z = s.z AND d.deg BETWEEN 2 AND 64
       ),
       scored AS (
         SELECT x.n AS u, y.n AS w,
