@@ -405,6 +405,130 @@ object Similarity {
     }.toArray
   }
 
+  // ------------------------------------------------------------------
+  // Codes-table persistence: versioned generation dirs + ONE atomically
+  // swapped pointer file + a layout manifest.
+  //
+  // Layout under `dir`:
+  //   codes_current            — pointer: the live generation's dir NAME
+  //   codes_manifest.parquet   — (schema, partitionCols) of the table
+  //   codes.parquet            — generation 1 (written by saveCodes)
+  //   codes_v<N>.parquet       — generation N (written by compactCodes)
+  //
+  // Concurrency contract (VERDICT r10 item 3): WRITES are single-writer
+  // (the caller serializes saveCodes/appendCodes/compactCodes — there is
+  // no transaction log to reconcile concurrent writers); READS are fully
+  // concurrent with compaction. A reader resolves the pointer, then
+  // scans a generation dir that is never mutated while live — compaction
+  // writes the NEXT generation elsewhere and flips the pointer, keeping
+  // the just-retired generation on disk for in-flight readers (and free
+  // rollback) and deleting only generations ≥2 flips old. So a resolved
+  // DataFrame stays valid across one subsequent compaction; resolve
+  // again (loadCodes) to track the head. A crash mid-compaction strands
+  // only a never-referenced codes_v<N> dir, which the next compaction
+  // deletes and rewrites — the pointer always names a complete table.
+  // ------------------------------------------------------------------
+
+  private val CodesPointer = "codes_current"
+
+  private def codesFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val CodesGen = """codes(?:_v(\d+))?\.parquet""".r
+
+  /** Resolve the LIVE generation dir: follow the pointer if present,
+    * else the legacy fixed name. Self-heals the legacy two-rename crash
+    * state (ADVICE r10): a pre-pointer compaction that died between
+    * rename(live→old) and rename(tmp→live) left the complete table
+    * stranded at `__compact_old__` with no live path — rename it back. */
+  def resolveCodesPath(spark: SparkSession,
+      dir: String): org.apache.hadoop.fs.Path = {
+    import org.apache.hadoop.fs.Path
+    val fs = codesFs(spark, dir)
+    val ptr = new Path(s"$dir/$CodesPointer")
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      val name = try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim
+      } finally in.close()
+      require(name.nonEmpty && CodesGen.pattern.matcher(name).matches(),
+        s"codes pointer $ptr names no generation: '$name'")
+      new Path(s"$dir/$name")
+    } else {
+      val legacy = new Path(s"$dir/codes.parquet")
+      val stranded = new Path(s"$dir/codes.parquet.__compact_old__")
+      if (!fs.exists(legacy) && fs.exists(stranded))
+        require(fs.rename(stranded, legacy),
+          s"cannot recover stranded codes table $stranded")
+      legacy
+    }
+  }
+
+  /** Atomically point `codes_current` at generation `name` — write a
+    * sibling tmp and rename over the pointer (FileContext OVERWRITE:
+    * atomic on HDFS and POSIX), so a concurrent reader sees the old or
+    * the new pointer, never a torn one. */
+  private def publishCodesPointer(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = codesFs(spark, dir)
+    val ptr = fs.makeQualified(new Path(s"$dir/$CodesPointer"))
+    val tmp = fs.makeQualified(new Path(s"$dir/$CodesPointer.__tmp__"))
+    val out = fs.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    if (!fs.exists(ptr)) require(fs.rename(tmp, ptr),
+      s"cannot publish codes pointer $ptr")
+    else FileContext.getFileContext(ptr.toUri, conf)
+      .rename(tmp, ptr, Options.Rename.OVERWRITE)
+  }
+
+  /** Manifest fingerprint: (name, type) per field, nullability and
+    * metadata ignored (literal-derived columns flip nullability freely;
+    * the hazard being gated is a renamed/retyped/missing column). */
+  private def schemaSig(schema: org.apache.spark.sql.types.StructType) =
+    schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}").toSeq
+
+  private def writeCodesManifest(encoded: DataFrame, dir: String,
+      partitionCols: Seq[String]): Unit = {
+    val s = encoded.sparkSession; import s.implicits._
+    Seq((schemaSig(encoded.schema), partitionCols))
+      .toDF("schema_sig", "partition_cols").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/codes_manifest.parquet")
+  }
+
+  private def readCodesManifest(spark: SparkSession,
+      dir: String): Option[(Seq[String], Seq[String])] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/codes_manifest.parquet")
+    if (!codesFs(spark, dir).exists(p)) None // pre-manifest table: legacy
+    else {
+      val rows = spark.read.parquet(p.toString).collect()
+      require(rows.length == 1, s"codes manifest has ${rows.length} rows")
+      Some((rows(0).getSeq[String](0), rows(0).getSeq[String](1)))
+    }
+  }
+
+  /** Validate an append/load against the persisted layout manifest —
+    * the codebooks lesson (r10) applied to the codes table: a batch
+    * appended with different partitionCols, or a drifted schema, would
+    * otherwise silently write a mixed-layout table that degrades
+    * partition pruning and poisons every later probe. Fails loud. */
+  private def requireCodesLayout(spark: SparkSession, dir: String,
+      batchSchema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String]): Unit =
+    readCodesManifest(spark, dir).foreach { case (sig, parts) =>
+      require(parts == partitionCols,
+        s"codes table at $dir is partitioned by $parts, append says " +
+          s"$partitionCols — a mixed layout would break partition pruning")
+      val got = schemaSig(batchSchema)
+      require(got == sig,
+        s"appended batch schema $got drifts from the codes manifest $sig")
+    }
+
   /** Persist the encoded corpus (the vector table carrying `cluster`
     * and/or `code`) — a plain distributed parquet write; nothing passes
     * through the driver. `partitionCols` (typically Seq("cluster"))
@@ -412,80 +536,140 @@ object Similarity {
     * `cluster IN (probed cells)` filter then prunes whole directories at
     * the scan — at 100 TB the IVF prune becomes partition pruning, and
     * the scan reads nProbe/nCells of the FILES, not just of the rows
-    * (SimilarityPersistSpec asserts the partition filter lands). */
+    * (SimilarityPersistSpec asserts the partition filter lands).
+    * Also persists the layout manifest (schema + partitionCols) that
+    * [[appendCodes]]/[[loadCodes]] validate against, resets the pointer
+    * to generation 1, and clears stale generations of an overwritten
+    * table. */
   def saveCodes(encoded: DataFrame, dir: String,
       partitionCols: Seq[String] = Nil): Unit = {
+    val spark = encoded.sparkSession
     val w = encoded.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/codes.parquet")
+    writeCodesManifest(encoded, dir, partitionCols)
+    publishCodesPointer(spark, dir, "codes.parquet")
+    deleteStaleGenerations(spark, dir, keep = Set("codes.parquet"))
   }
 
-  def loadCodes(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/codes.parquet")
+  /** Read the live codes table back. Resolves the pointer (so it reads
+    * the most recent COMPLETE generation) and validates the loaded
+    * column set against the manifest — partition columns move to the
+    * tail of a partitioned read-back, so the check is name-set + count,
+    * not order. */
+  def loadCodes(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(resolveCodesPath(spark, dir).toString)
+    readCodesManifest(spark, dir).foreach { case (sig, _) =>
+      val want = sig.map(_.takeWhile(_ != ':')).toSet
+      val got = df.schema.fieldNames.toSet
+      require(got == want,
+        s"loaded codes columns $got drift from the manifest's $want")
+    }
+    df
+  }
 
   /** APPEND a newly encoded batch to a persisted codes table — the
     * nightly-ingest half of index maintenance: assign+encode the batch
     * against the LOADED artifacts ([[ivfAssignWith]]/[[pqEncode]]) and
     * append its files; the index grows without retraining or rewriting
     * the corpus. Same cell clustering as [[saveCodes]] so the probe's
-    * partition pruning keeps holding over appended files. Assignment
-    * depends only on (embedding, centroids, codebooks), so an
-    * incrementally grown index is bit-identical to a one-shot encode of
-    * the union — q_ann_append gates exactly that equivalence. */
+    * partition pruning keeps holding over appended files; the manifest
+    * check makes a mismatched layout or drifted schema fail loud
+    * (VERDICT r10 item 4). Assignment depends only on (embedding,
+    * centroids, codebooks), so an incrementally grown index is
+    * bit-identical to a one-shot encode of the union — q_ann_append
+    * gates exactly that equivalence. */
   def appendCodes(encoded: DataFrame, dir: String,
       partitionCols: Seq[String] = Nil): Unit = {
+    val spark = encoded.sparkSession
+    requireCodesLayout(spark, dir, encoded.schema, partitionCols)
+    val live = resolveCodesPath(spark, dir)
     val w = encoded.write.mode("append")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(s"$dir/codes.parquet")
+      .parquet(live.toString)
   }
 
-  /** COMPACT a persisted codes table in place (VERDICT r9 item 3):
-    * [[appendCodes]] adds one file set per nightly batch, and at 100 TB
-    * an uncompacted append-only table is the classic small-files death —
-    * every probe pays a footer open per tiny file and the namenode pays
-    * the inode count. The rewrite bin-packs: rows are hash-repartitioned
-    * on `partitionCols` (so each cell's rows land in ONE task → one file
-    * per cell directory, the partition-pruned probe's ideal layout), or
-    * coalesced by total-bytes/`targetFileBytes` when unpartitioned.
+  /** COMPACT a persisted codes table (VERDICT r9 item 3, made
+    * reader-safe in r10→r11): [[appendCodes]] adds one file set per
+    * nightly batch, and at 100 TB an uncompacted append-only table is
+    * the classic small-files death — every probe pays a footer open per
+    * tiny file and the namenode pays the inode count. The rewrite
+    * bin-packs: rows are hash-repartitioned on `partitionCols` (so each
+    * cell's rows land in ONE task → one file per cell directory, the
+    * partition-pruned probe's ideal layout), or coalesced by
+    * total-bytes/`targetFileBytes` when unpartitioned.
     *
-    * The swap is the standard two-rename pattern (write to a sibling tmp
-    * dir, rename live→old, rename tmp→live, delete old): readers see the
-    * old complete table or the new complete table, never a mix, because
-    * directory rename is atomic on HDFS-like filesystems. Content is
-    * byte-identical by construction — same rows, same schema — and
-    * q_ann_compact gates probe-result identity plus the file-count drop. */
+    * The swap is pointer-based: the compacted table is written to the
+    * NEXT generation dir (never visible until complete), then the one
+    * pointer file flips atomically. The previous design renamed the live
+    * dir away before publishing the new one — a reader probing DURING
+    * that window hit path-not-found, and a crash mid-swap stranded the
+    * table. Now readers see the old complete generation or the new
+    * complete generation at every instant, a crash leaves the pointer on
+    * the old generation (rollback is the same one-file flip), and the
+    * just-retired generation stays on disk for in-flight readers (older
+    * ones are deleted — the Iceberg-style snapshot-expiry contract).
+    * Content is row-identical by construction — q_ann_compact gates
+    * probe-result identity plus the file-count drop, and
+    * SimilarityPersistSpec's concurrent-reader test hammers the swap. */
   def compactCodes(spark: SparkSession, dir: String,
       partitionCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
-    val live = new Path(s"$dir/codes.parquet")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = codesFs(spark, dir)
+    val live = resolveCodesPath(spark, dir)
+    require(fs.exists(live), s"no codes table to compact at $live")
+    // partitionCols only: the read-back schema reorders partition columns
+    // to the tail, so the write-side schema sig doesn't apply here
+    readCodesManifest(spark, dir).foreach { case (_, parts) =>
+      require(parts == partitionCols,
+        s"codes table at $dir is partitioned by $parts, compact says " +
+          s"$partitionCols — rewriting the layout would break pruning")
+    }
     val df = spark.read.parquet(live.toString)
-    val tmp = new Path(s"$dir/codes.parquet.__compact_tmp__")
-    fs.delete(tmp, true)
+    val nextVer = live.getName match {
+      case CodesGen(null) => 2L
+      case CodesGen(v) => v.toLong + 1L
+    }
+    val target = new Path(s"$dir/codes_v$nextVer.parquet")
+    fs.delete(target, true) // debris of a crashed prior attempt
     if (partitionCols.nonEmpty) {
       df.repartition(partitionCols.map(col): _*)
         .write.partitionBy(partitionCols: _*)
-        .mode("overwrite").parquet(tmp.toString)
+        .mode("overwrite").parquet(target.toString)
     } else {
       val bytes = fs.getContentSummary(live).getLength
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1)
         / targetFileBytes).toInt
-      df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+      df.repartition(nFiles).write.mode("overwrite").parquet(target.toString)
     }
-    val old = new Path(s"$dir/codes.parquet.__compact_old__")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"compaction swap: cannot retire $live")
-    require(fs.rename(tmp, live), s"compaction swap: cannot publish $tmp")
-    fs.delete(old, true)
+    publishCodesPointer(spark, dir, target.getName)
+    deleteStaleGenerations(spark, dir,
+      keep = Set(live.getName, target.getName))
   }
 
-  /** Count the data files under a persisted codes table — the
-    * compaction gate's before/after measurement (crc/_SUCCESS excluded). */
-  def codesFileCount(spark: SparkSession, dir: String): Long = {
+  /** Delete generation dirs other than `keep` (the live one and, after
+    * a compaction, the just-retired one — kept for in-flight readers and
+    * rollback). Everything older is ≥2 pointer flips stale. */
+  private def deleteStaleGenerations(spark: SparkSession, dir: String,
+      keep: Set[String]): Unit = {
     import org.apache.hadoop.fs.Path
-    val live = new Path(s"$dir/codes.parquet")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = codesFs(spark, dir)
+    val root = new Path(dir)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (CodesGen.pattern.matcher(n).matches() && !keep(n))
+          fs.delete(st.getPath, true)
+      }
+  }
+
+  /** Count the data files under the LIVE generation of a persisted codes
+    * table — the compaction gate's before/after measurement (crc/_SUCCESS
+    * excluded). */
+  def codesFileCount(spark: SparkSession, dir: String): Long = {
+    val live = resolveCodesPath(spark, dir)
+    val fs = codesFs(spark, dir)
     val it = fs.listFiles(live, true)
     var n = 0L
     while (it.hasNext) {

@@ -334,13 +334,17 @@ object SimilarityQueries {
     * artifacts — assignment depends only on (embedding, centroids,
     * codebooks), and parquet round-trips both losslessly — and (2) the
     * probe's top-20 answered from the grown index to equal the one-shot
-    * answer exactly. */
+    * answer exactly. The gate runs on a hash-selected HALF of the corpus
+    * (vec_id % 2 = 0, which keeps the probe row): the equivalence being
+    * proven is per-row deterministic, so corpus size buys no extra
+    * assertion strength — it only buys bench seconds (VERDICT r10
+    * item 5). */
   val annAppend = QuerySpec(
     "q_ann_append",
     (s, d) => {
-      val emb = embeddings(s, d)
-      val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val delta = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val emb = embeddings(s, d).filter(pmod(col("vec_id"), lit(2)) === 0)
+      val base = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(4)) === 2)
       val (baseAssigned, centroids) = Similarity.ivfAssign(s, base, nCells = 16)
       val books = Similarity.pqTrain(s, base, m = 8, k = 16)
       val dir = graft.util.TempDirs.scratch("graft-ann-append-").toString
@@ -380,16 +384,19 @@ object SimilarityQueries {
     },
     Some("""
       SELECT count(*) AS n_vectors, 1 AS append_ok, 1 AS topk_ok
-      FROM embeddings
+      FROM embeddings WHERE vec_id % 2 = 0
     """))
 
   /** Codes-table compaction (VERDICT r9 item 3): [[Similarity.appendCodes]]
     * grows one file set per nightly batch — at 100 TB that is the classic
     * small-files death (a probe pays a parquet-footer open per tiny file;
     * the namenode pays the inode count). This gate builds the append-only
-    * shape deliberately — save the first quarter, append three more
-    * batches — then runs [[Similarity.compactCodes]] (bin-pack rewrite to
-    * one file per cell partition, atomic two-rename swap) and requires
+    * shape deliberately — save the first third, append two more batches
+    * (two appends build the same hazard as three at two-thirds the write
+    * cost, VERDICT r10 item 5) — then runs [[Similarity.compactCodes]]
+    * (bin-pack rewrite to one file per cell partition, atomic POINTER
+    * swap since r11 — reader-safe, see the operator's scaladoc) and
+    * requires
     * (1) the compacted table row-identical (vec_id, cluster, code) to the
     * one-shot encode, (2) the probe's top-20 from the compacted index
     * exactly equal to the pre-compaction answer, and (3) the data-file
@@ -403,12 +410,12 @@ object SimilarityQueries {
       val dir = graft.util.TempDirs.scratch("graft-ann-compact-").toString
       Similarity.saveCentroids(s, dir, centroids)
       Similarity.saveCodebooks(s, dir, books)
-      // materialized ONCE: four batch writes, the row-identity check, and
-      // the top-k twin all consume the same encode
+      // materialized ONCE: three batch writes, the row-identity check,
+      // and the top-k twin all consume the same encode
       val encoded = graft.ops.Checkpoints.materialize(
         Similarity.pqEncode(s, assigned, books))
-      (0 until 4).foreach { b =>
-        val batch = encoded.filter(pmod(col("vec_id"), lit(4)) === b)
+      (0 until 3).foreach { b =>
+        val batch = encoded.filter(pmod(col("vec_id"), lit(3)) === b)
         if (b == 0) Similarity.saveCodes(batch, dir, Seq("cluster"))
         else Similarity.appendCodes(batch, dir, Seq("cluster"))
       }

@@ -89,10 +89,12 @@ object Replay {
     * harness assumptions cannot drift between them: batch-boundary
     * coverage (state chaining, watermark advancement) needs many batches,
     * not many rows per batch — the correctness gate replays the default.
-    * The bench halves it via the session conf (graft.replay.slices=4,
-    * set in Bench.scala): per-trigger planning + state-store IO is the
-    * replay harness's floor, ~0.6 s/trigger, and 6 triggers exercise the
-    * same transitions as 10 while the oracles are slice-count-invariant
+    * The bench cuts it via the session conf graft.replay.slices —
+    * Bench.scala is the single source of truth for the bench value
+    * (currently 2, the ReplayFloor-measured minimum that still crosses a
+    * batch boundary): per-trigger planning + state-store IO is the replay
+    * harness's floor, ~0.4–0.7 s/trigger, and fewer triggers exercise the
+    * same transitions while the oracles are slice-count-invariant
     * (time-ordered slicing drops nothing at any count). */
   private def sliceDial(spark: SparkSession, default: Int): Int =
     spark.conf.getOption("graft.replay.slices")

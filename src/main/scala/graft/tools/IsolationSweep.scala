@@ -46,7 +46,9 @@ object IsolationSweep {
           String.valueOf(e.getMessage).take(160))
       }
 
-    val warmOrder = graft.SparkEntry.queries.keys.toSeq // registry order
+    // true registry order (the ordered spec Seq, not the unordered Map —
+    // Map iteration is hash order, which only happens to match Verify)
+    val warmOrder = graft.SparkEntry.specs.map(_.name)
     val warm = warmOrder.map(q => q -> canonOf(q)).toMap
     val cold = warmOrder.sorted.map { q =>
       spark.catalog.clearCache()

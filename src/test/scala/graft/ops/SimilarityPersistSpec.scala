@@ -107,13 +107,126 @@ class SimilarityPersistSpec extends SparkSpec {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scan.isDefined && scan.get.partitionFilters.nonEmpty)
-    // no swap debris left behind
+    // generation bookkeeping: the pointer names the new live generation,
+    // the just-retired one stays for in-flight readers, nothing older
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$dir/codes.parquet.__compact_tmp__")))
+    assert(Similarity.resolveCodesPath(spark, dir).getName
+      === "codes_v2.parquet")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")),
+      "the retired generation must survive one flip for in-flight readers")
+    // a second compaction flips to v3 and expires the v1 generation
+    Similarity.compactCodes(spark, dir, Seq("cluster"))
+    assert(Similarity.resolveCodesPath(spark, dir).getName
+      === "codes_v3.parquet")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")),
+      "generations two flips old must be expired")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_v2.parquet")))
+    val post2 = Similarity.loadCodes(spark, dir)
+      .select("vec_id", "cluster").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(post2 === pre)
+  }
+
+  test("codes manifest: mismatched partitionCols or drifted schema fails loud") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val emb = graft.Tables.embeddings(spark, Sf001)
+    val (assigned, _) = Similarity.ivfAssign(spark, emb, nCells = 8)
+    val narrow = assigned.select("vec_id", "cluster")
+    val dir = graft.util.TempDirs.scratch("graft-ann-layout-").toString
+    val a = narrow.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b = narrow.filter(pmod(col("vec_id"), lit(2)) === 1)
+    Similarity.saveCodes(a, dir, Seq("cluster"))
+    // unpartitioned append into a cell-partitioned table: mixed layout
+    intercept[IllegalArgumentException] {
+      Similarity.appendCodes(b, dir, Nil)
+    }
+    // append partitioned by a DIFFERENT column: mixed layout
+    intercept[IllegalArgumentException] {
+      Similarity.appendCodes(b, dir, Seq("vec_id"))
+    }
+    // schema drift: renamed column / extra column
+    intercept[IllegalArgumentException] {
+      Similarity.appendCodes(b.withColumnRenamed("vec_id", "id"),
+        dir, Seq("cluster"))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendCodes(b.withColumn("extra", lit(1)),
+        dir, Seq("cluster"))
+    }
+    // compaction with the wrong layout fails the same way
+    intercept[IllegalArgumentException] {
+      Similarity.compactCodes(spark, dir, Nil)
+    }
+    // the matching append still works, and nothing above landed
+    Similarity.appendCodes(b, dir, Seq("cluster"))
+    assert(Similarity.loadCodes(spark, dir).count()
+      === narrow.count())
+  }
+
+  test("legacy crash state self-heals: stranded __compact_old__ recovers") {
+    // a PRE-POINTER compaction that died between rename(live->old) and
+    // rename(tmp->live) left the complete table at __compact_old__ and
+    // no live path (ADVICE r10) — resolve must rename it back
+    val emb = graft.Tables.embeddings(spark, Sf001)
+    val dir = graft.util.TempDirs.scratch("graft-ann-heal-").toString
+    val narrow = emb.select("vec_id")
+    // write WITHOUT saveCodes: legacy tables have no pointer/manifest
+    narrow.write.parquet(s"$dir/codes.parquet")
+    val n = narrow.count()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/codes.parquet"),
+      new org.apache.hadoop.fs.Path(s"$dir/codes.parquet.__compact_old__")))
+    assert(Similarity.loadCodes(spark, dir).count() === n)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$dir/codes.parquet.__compact_old__")))
+  }
+
+  test("compaction is reader-safe: concurrent reads never fail or tear") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val emb = graft.Tables.embeddings(spark, Sf001)
+    val (assigned, _) = Similarity.ivfAssign(spark, emb, nCells = 8)
+    val dir = graft.util.TempDirs.scratch("graft-ann-rdrsafe-").toString
+    val narrow = assigned.select("vec_id", "cluster")
+    (0 until 4).foreach { b =>
+      val batch = narrow.filter(pmod(col("vec_id"), lit(4)) === b)
+      if (b == 0) Similarity.saveCodes(batch, dir, Seq("cluster"))
+      else Similarity.appendCodes(batch, dir, Seq("cluster"))
+    }
+    val expected = Similarity.loadCodes(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    @volatile var done = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!done) {
+        try {
+          // resolve + scan, exactly what a probe does — during a swap it
+          // must land on the old-complete or new-complete generation
+          val got = Similarity.loadCodes(spark, dir)
+            .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+          if (got != expected)
+            failures.add(s"torn read: ${got.length}/${expected.length} rows")
+          reads.incrementAndGet()
+        } catch {
+          case e: Throwable => failures.add(e.toString); done = true
+        }
+      }
+    })
+    reader.start()
+    try (0 until 3).foreach { _ =>
+      Similarity.compactCodes(spark, dir, Seq("cluster"))
+    } finally {
+      done = true
+      reader.join(120000)
+    }
+    assert(failures.isEmpty,
+      s"concurrent reads failed during compaction: $failures")
+    // anti-vacuity: the reader must actually have overlapped the swaps
+    assert(reads.get >= 5, s"reader finished only ${reads.get} reads")
   }
 
   test("cell-partitioned codes: the probe's cell filter partition-prunes") {
