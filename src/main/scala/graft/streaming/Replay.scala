@@ -114,21 +114,28 @@ object Replay {
     *  - the optional state-store provider class (the RocksDB gates). */
   private def startScoped(spark: SparkSession, provider: Option[String])
       (start: => org.apache.spark.sql.streaming.StreamingQuery)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    provider.foreach(spark.conf.set(providerKey, _))
-    try start
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      if (provider.isDefined) prevProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    // synchronized: the save→set→start→restore sequence mutates SESSION
+    // conf, which is shared across threads — two replays starting
+    // concurrently in one session (the ConcurrencyGate shape) would
+    // otherwise interleave (B saves A's scoped value as "previous" and
+    // "restores" it permanently — a leaked conf). The lock covers only
+    // query START (plan + conf capture), never execution.
+    Replay.synchronized {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      provider.foreach(spark.conf.set(providerKey, _))
+      try start
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        if (provider.isDefined) prevProvider match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
       }
     }
-  }
 
   /** The replayed corpus is CAPPED at a constant row count: MemoryStream
     * is definitionally driver-fed, so an uncapped feed would make the
