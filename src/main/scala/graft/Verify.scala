@@ -24,9 +24,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // a 0-partition result (scan of an empty table) writes a dir with
+        // NO part files — unreadable by the oracle compare; force one
+        // (empty, schema-carrying) file in that case
+        val one = if (out.rdd.getNumPartitions == 0) out.repartition(1)
+                  else out.coalesce(1)
+        one.write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -26,11 +26,19 @@ object Similarity {
     transform(c, x => x.cast("double"))
 
   /** Fetch one probe vector (as doubles) by id — a driver-side scalar fetch
-    * of a query *parameter*, not a data collect. */
-  def probeVector(emb: DataFrame, idCol: String, id: Long): Seq[Double] =
-    emb.filter(col(idCol) === id)
+    * of a query *parameter*, not a data collect. An ABSENT probe id is a
+    * domain error (top-k relative to no vector has no defined answer —
+    * the DegenGate `empty`-corpus expectation documents it); fail with
+    * the reason, not `head of empty array`. */
+  def probeVector(emb: DataFrame, idCol: String, id: Long): Seq[Double] = {
+    val rows = emb.filter(col(idCol) === id)
       .select(asDouble(col("embedding")).as("p"))
-      .head().getSeq[Double](0)
+      .take(1)
+    require(rows.nonEmpty,
+      s"probe $idCol=$id is absent from the corpus — top-k relative to " +
+        "no vector is undefined")
+    rows(0).getSeq[Double](0)
+  }
 
   /** Brute-force cosine top-k against a literal probe vector.
     * `carryCols` names the payload columns carried through to the result

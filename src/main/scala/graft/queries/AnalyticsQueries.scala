@@ -371,12 +371,17 @@ object AnalyticsQueries {
           bloom_might_contain(lit(bf), xxhash64(col("c_custkey"))).cast("int"))
         .agg(
           count(lit(1)).as("n_customers"),
-          sum(coalesce(col("__buyer"), lit(0))).as("n_buyers"),
-          sum(when(col("__buyer") === 1 && col("__hit") === 0, 1L)
-            .otherwise(0L)).as("__missed"),
-          sum(when(col("__buyer").isNull && col("__hit") === 1, 1L)
-            .otherwise(0L)).as("__fp"),
-          sum(when(col("__buyer").isNull, 1L).otherwise(0L)).as("__nonmembers"))
+          // coalesce each sum: over ZERO customers (the degen `empty`
+          // corpus) sum() is NULL, but the oracle's counts are 0 and the
+          // verdicts must still read "no false negatives seen"
+          coalesce(sum(coalesce(col("__buyer"), lit(0))), lit(0L))
+            .as("n_buyers"),
+          coalesce(sum(when(col("__buyer") === 1 && col("__hit") === 0, 1L)
+            .otherwise(0L)), lit(0L)).as("__missed"),
+          coalesce(sum(when(col("__buyer").isNull && col("__hit") === 1, 1L)
+            .otherwise(0L)), lit(0L)).as("__fp"),
+          coalesce(sum(when(col("__buyer").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("__nonmembers"))
         .select(
           col("n_customers"), col("n_buyers"),
           (col("__missed") === 0L).cast("int").as("no_false_neg"),

@@ -180,7 +180,9 @@ object GeoQueries {
     (s, d) => {
       val pts = points(s, d)
       val n = pts.count()
-      val r2 = 540000000000L / n
+      // guard the DRIVER division: on an empty corpus any ε works — the
+      // grid over zero points is empty either way (degen `empty` corpus)
+      val r2 = if (n == 0) 1L else 540000000000L / n
       val cell = math.ceil(math.sqrt(r2.toDouble)).toLong
       Geo.dbscan(pts, cell, r2, minPts = 4)
         .orderBy("key")

@@ -762,7 +762,10 @@ object GraphQueries {
         SELECT b, a FROM fedge
       ),
       nodes AS (SELECT DISTINCT s AS id FROM edges),
-      anchor AS (SELECT min(id) AS id FROM nodes),
+      -- LIMIT 1, not min(): an aggregate over an EMPTY node set would
+      -- fabricate a NULL anchor row where the engine's limit-1 anchor is
+      -- honestly empty (degen `empty` corpus); identical otherwise
+      anchor AS (SELECT id FROM nodes ORDER BY id LIMIT 1),
       w1(id, hop) AS (
         SELECT id, 0 FROM anchor
         UNION

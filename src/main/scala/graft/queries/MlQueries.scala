@@ -65,9 +65,13 @@ object MlQueries {
         .agg(count(lit(1)).as("n_overlap"))
       totals.crossJoin(overlap).select(
         col("n_total"), col("key_sum"), col("n_overlap"),
-        (abs(col("__n_train").cast("double") / col("n_total") - 0.7) <=
-          sqrt(lit(0.7 * 0.3) / col("n_total")) * 4.0)
-          .cast("int").as("train_frac_ok"))
+        // a ZERO-row split trivially satisfies the fraction band (the
+        // degen `empty` corpus: __n_train is a NULL sum and 0/0 is NaN —
+        // both would poison a bare boolean cast)
+        when(col("n_total") === 0, 1).otherwise(
+          (abs(col("__n_train").cast("double") / col("n_total") - 0.7) <=
+            sqrt(lit(0.7 * 0.3) / col("n_total")) * 4.0)
+            .cast("int")).cast("int").as("train_frac_ok"))
     },
     Some("""
       SELECT count(*) AS n_total,
@@ -240,6 +244,15 @@ object MlQueries {
       // d(d+1)/2 = 2080 cells — bounded by the embedding width, not the
       // corpus; the same driver-boundary as LogReg's Newton solve
       val cells = covDf.collect()
+      if (cells.isEmpty) {
+        // zero vectors → zero covariance cells → nothing to eigensolve;
+        // the oracle's cell frame is equally empty, so the verdict
+        // literals never reach a row (degen `empty` corpus)
+        covDf.select(col("i"), col("j"), round(col("cov"), 9).as("cov"),
+          lit(1).as("eig_residual_ok"), lit(1).as("orthonormal_ok"),
+          lit(1).as("lambda_sorted_ok"), lit(1).as("trace_ok"),
+          lit(1).as("var_matches_ok"))
+      } else {
       val dim = cells.map(_.getInt(0)).max
       val m = Array.ofDim[Double](dim, dim)
       cells.foreach { r =>
@@ -284,6 +297,7 @@ object MlQueries {
           lit(if (traceOk) 1 else 0).as("trace_ok"),
           lit(if (varOk) 1 else 0).as("var_matches_ok"))
         .orderBy("i", "j")
+      }
     },
     Some("""
       WITH p AS (

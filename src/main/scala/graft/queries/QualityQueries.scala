@@ -189,13 +189,20 @@ object QualityQueries {
         size(array_distinct(split(col("text"), " "))).cast("double")
           .as("x_uniq"),
         length(col("text")).cast("double").as("x_chars"))
-      val fit = graft.ops.LogReg.train(feats, "y", Seq("x_words", "x_uniq", "x_chars"),
-        iters = 3)
-      val lossesDec = fit.losses.map(v => !v.isNaN && !v.isInfinite)
-      val monotone = fit.losses.sliding(2).forall(p => p(1) <= p(0) + 1e-12)
-      val gradOk = fit.gradNorms.last < 1e-3
-      val finite = fit.weights.forall(v => !v.isNaN && !v.isInfinite) &&
-        lossesDec.forall(identity)
+      // training on ZERO rows is undefined (the Newton aggregate's
+      // sufficient statistics are NULL) — the verdicts are vacuously
+      // true then, exactly the oracle's constants (degen `empty` corpus)
+      val (monotone, gradOk, finite) =
+        if (feats.limit(1).count() == 0) (true, true, true)
+        else {
+          val fit = graft.ops.LogReg.train(feats, "y",
+            Seq("x_words", "x_uniq", "x_chars"), iters = 3)
+          val lossesDec = fit.losses.map(v => !v.isNaN && !v.isInfinite)
+          (fit.losses.sliding(2).forall(p => p(1) <= p(0) + 1e-12),
+            fit.gradNorms.last < 1e-3,
+            fit.weights.forall(v => !v.isNaN && !v.isInfinite) &&
+              lossesDec.forall(identity))
+        }
       documents(s, d).agg(
           count(lit(1)).as("n_docs"),
           sum((col("lang") === "en").cast("bigint")).as("n_en"))
@@ -483,7 +490,11 @@ object QualityQueries {
       one.select(explode(array(
           row("aa_split", "sp"), row("heavy_vs_light", "co"))).as("r"))
         .select("r.*")
-        .withColumn("significant", (lhs > rhs).cast("int"))
+        // when/otherwise, not a bare cast: over ZERO users the cells are
+        // NULL and the oracle's CASE reads "not significant" (0), so the
+        // NULL comparison must fall through to 0 here too
+        .withColumn("significant",
+          when(lhs > rhs, 1).otherwise(0).cast("int"))
         .orderBy("experiment")
     },
     Some("""
@@ -957,7 +968,9 @@ object QualityQueries {
         .select(
           col("experiment"), col("n_a"), col("n_b"),
           u2.cast("long").as("u2_a"), col("ties_t"),
-          (lhs > rhs).cast("int").as("significant"))
+          // when/otherwise: over ZERO users the cells are NULL; the
+          // oracle's CASE falls through to "not significant" (0)
+          when(lhs > rhs, 1).otherwise(0).cast("int").as("significant"))
         .orderBy("experiment")
     },
     Some("""

@@ -764,7 +764,9 @@ object SeriesQueries {
             // length = size(ps): a 2^31-ish literal overflows Slice's
             // start+length int arithmetic into an empty result
             expr("slice(transform(ps, p -> p.x), 2, size(ps))"),
-            expr("transform(ps, p -> p.x)[0]"),
+            // get(): NULL (not an ANSI error) on an EMPTY series, exactly
+            // DuckDB's out-of-range list index — the degen `empty` corpus
+            expr("get(transform(ps, p -> p.x), 0)"),
             (acc, x) => acc * lit(0.8) + x * lit(0.2)).as("ewma_level"))
     },
     Some("""
@@ -813,8 +815,11 @@ object SeriesQueries {
         .select(col("n_days"), col("last_day"),
           aggregate(
             expr("slice(transform(ps, p -> p.x), 3, size(ps))"),
-            expr("named_struct('l', transform(ps, p -> p.x)[1], " +
-              "'b', transform(ps, p -> p.x)[1] - transform(ps, p -> p.x)[0])"),
+            // get(): NULL seeds (not an ANSI error) when the series has
+            // <2 points, matching DuckDB's out-of-range list index
+            expr("named_struct('l', get(transform(ps, p -> p.x), 1), " +
+              "'b', get(transform(ps, p -> p.x), 1) " +
+              "- get(transform(ps, p -> p.x), 0))"),
             (acc, x) => struct(
               (x * lit(0.2) + (acc.getField("l") + acc.getField("b"))
                 * lit(0.8)).as("l"),
@@ -1157,7 +1162,11 @@ object SeriesQueries {
             .as("p")).localCheckpoint()
       val states = events(s, d).select(col("event_type").as("state"))
         .distinct().localCheckpoint()
-      val n = lit(1.0) / states.count().toDouble
+      // divide DRIVER-side: `lit(1.0) / count` is an in-plan Divide that
+      // constant-folds to an ANSI ÷0 on an EMPTY corpus (the adamic_adar
+      // landmine class); with zero states the value never reaches a row
+      val nStates = states.count()
+      val n = lit(if (nStates == 0) 0.0 else 1.0 / nStates)
       def step(pi: org.apache.spark.sql.DataFrame) = {
         val sums = p.join(pi.withColumnRenamed("state", "frm"), "frm")
           .select(col("dst"), (col("pi") * col("p")).as("c"), col("frm"))
@@ -1588,6 +1597,10 @@ object SeriesQueries {
       ),
       hh AS (
         SELECT n,
+               -- CASE: DuckDB's ln(0) is an ERROR where Spark's is NULL;
+               -- over zero windows (degen `empty` corpus) the entropy is
+               -- NULL on both engines
+               CASE WHEN n > 0 THEN
                ln(CAST(n AS DOUBLE))
                - (CASE WHEN c0 > 0 THEN CAST(c0 AS DOUBLE)
                     * ln(CAST(c0 AS DOUBLE)) ELSE 0.0 END
@@ -1605,7 +1618,8 @@ object SeriesQueries {
                     * ln(CAST(c6 AS DOUBLE)) ELSE 0.0 END
                   + CASE WHEN c7 > 0 THEN CAST(c7 AS DOUBLE)
                     * ln(CAST(c7 AS DOUBLE)) ELSE 0.0 END)
-                 / CAST(n AS DOUBLE) AS h
+                 / CAST(n AS DOUBLE)
+               ELSE NULL END AS h
         FROM piv
       )
       SELECT n AS n_windows, round(h, 6) AS h,

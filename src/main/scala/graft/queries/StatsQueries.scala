@@ -1140,15 +1140,23 @@ object StatsQueries {
         .select(col("t"), col("y"),
           (pmod(col("t"), lit(7)) < 5).cast("double").as("x_work"),
           (pmod(col("t"), lit(30)).cast("double") / 30.0).as("x_phase"))
-      val fit = graft.ops.LogReg.trainPoisson(daily, "y",
-        Seq("x_work", "x_phase"), iters = 4)
-      val monotone = fit.losses.drop(1).sliding(2)
-        .forall(p => p.length < 2 || p(1) <= p(0) + 1e-9)
-      val gradOk = fit.gradNorms.last < 1e-6
-      val finite = fit.weights.forall(v => !v.isNaN && !v.isInfinite) &&
-        fit.losses.forall(v => !v.isNaN && !v.isInfinite)
+      // zero days → nothing to fit; the verdicts are vacuously true,
+      // exactly the oracle's constants (degen `empty` corpus)
+      val (monotone, gradOk, finite) =
+        if (daily.limit(1).count() == 0) (true, true, true)
+        else {
+          val fit = graft.ops.LogReg.trainPoisson(daily, "y",
+            Seq("x_work", "x_phase"), iters = 4)
+          (fit.losses.drop(1).sliding(2)
+            .forall(p => p.length < 2 || p(1) <= p(0) + 1e-9),
+            fit.gradNorms.last < 1e-6,
+            fit.weights.forall(v => !v.isNaN && !v.isInfinite) &&
+              fit.losses.forall(v => !v.isNaN && !v.isInfinite))
+        }
       daily.agg(count(lit(1)).as("n_days"),
-          sum(col("y").cast("long")).as("n_orders"))
+          // coalesce: the oracle counts 0 orders over an empty table,
+          // a bare sum would read NULL
+          coalesce(sum(col("y").cast("long")), lit(0L)).as("n_orders"))
         .select(col("n_days"), col("n_orders"), lit(4).as("n_iters"),
           lit(if (monotone) 1 else 0).as("deviance_decreasing"),
           lit(if (gradOk) 1 else 0).as("grad_ok"),

@@ -364,14 +364,18 @@ object StorageQueries {
     },
     Some("""
       SELECT fmt AS format,
-             count(*) AS n_rows,
+             count(o_orderkey) AS n_rows,
              CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS price_sum,
              count(DISTINCT o_orderstatus) AS n_status,
              CAST(min(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS first_date,
              CAST(max(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS last_date
-      FROM orders, (SELECT unnest(['csv','json','orc']) AS fmt)
+      -- LEFT JOIN + count(key), not a cross join + count(*): the three
+      -- per-format rows must survive an EMPTY orders table with n_rows=0
+      -- (degen `empty` corpus); identical on any non-empty table
+      FROM (SELECT unnest(['csv','json','orc']) AS fmt) f
+      LEFT JOIN orders ON true
       GROUP BY fmt
       ORDER BY fmt
     """))

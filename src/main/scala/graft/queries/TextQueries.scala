@@ -2344,7 +2344,10 @@ object TextQueries {
         .localCheckpoint()
       val firstDoc = toks.groupBy("tok").agg(min("doc_id").as("fd"))
       val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      val n = documents(s, d).agg(max(col("doc_id")) + 1).head().getLong(0)
+      // max over an EMPTY corpus is NULL — 0 checkpoints then (the joins
+      // below drop k=0 exactly as the oracle's NULL ks drop)
+      val nRow = documents(s, d).agg(max(col("doc_id")) + 1).head()
+      val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
       val ks = (1 to 8).map(j => math.ceil(n * j / 8.0).toLong)
       val kdf = ks.toDF("k")
       val vk = kdf.join(firstDoc, col("fd") < col("k"))

@@ -55,9 +55,6 @@ object Replay {
       stateStoreProvider: Option[String] = None): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = org.apache.spark.sql.Encoders.product[Event]
-    require(rows.nonEmpty,
-      "replay corpus is empty — the events table has no rows to stream")
-    val maxTs = rows.last.ts.getTime
     val mem = MemoryStream[Event]
     // a stale memory-sink table from an earlier run in this session
     // would otherwise shadow the new sink's registration
@@ -67,18 +64,26 @@ object Replay {
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(mode).start())
     try {
-      val per = math.max(1,
-        math.ceil(rows.length.toDouble / sliceDial(spark, nSlices)).toInt)
-      rows.grouped(per).foreach { slice =>
-        mem.addData(slice.toSeq)
-        q.processAllAvailable()
-      }
-      // sentinels: +2h clears every 1h window end and every 30min session
-      // gap plus the 10min watermark delay; the second batch (+3h) forces
-      // a data batch AFTER the watermark passed all real state
-      Seq(2L, 3L).foreach { h =>
-        mem.addData(Event(-h, new Timestamp(maxTs + h * 3600L * 1000L),
-          -1L, "__wm", 0.0))
+      if (rows.nonEmpty) {
+        val maxTs = rows.last.ts.getTime
+        val per = math.max(1,
+          math.ceil(rows.length.toDouble / sliceDial(spark, nSlices)).toInt)
+        rows.grouped(per).foreach { slice =>
+          mem.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+        // sentinels: +2h clears every 1h window end and every 30min session
+        // gap plus the 10min watermark delay; the second batch (+3h) forces
+        // a data batch AFTER the watermark passed all real state
+        Seq(2L, 3L).foreach { h =>
+          mem.addData(Event(-h, new Timestamp(maxTs + h * 3600L * 1000L),
+            -1L, "__wm", 0.0))
+          q.processAllAvailable()
+        }
+      } else {
+        // ZERO events (degen `empty` corpus): the stream still starts and
+        // the memory sink registers — an empty landing feed is a legal
+        // stream whose answer is the batch twin's (empty), not an error
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -265,6 +270,23 @@ object Replay {
         col("event_type"), col("value"))
     val Array(row) = ev.agg(min(unix_millis(col("ts"))),
       max(unix_millis(col("ts")))).collect()
+    if (row.isNullAt(0)) {
+      // ZERO events: an empty landing directory is a legal stream — the
+      // file source lists nothing, zero batches run, and the sink is the
+      // batch twin's empty result (degen `empty` corpus), not an error
+      val streamDir = graft.util.TempDirs.scratch("graft-filestream-")
+      val sinkName = "graft_replay_file_tumbling"
+      spark.catalog.dropTempView(sinkName)
+      val q = startScoped(spark, None)(
+        Streams.tumblingByType(
+          spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(streamDir.toString))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start())
+      try q.processAllAvailable() finally q.stop()
+      graft.util.TempDirs.cleanNow(streamDir)
+      return spark.table(sinkName).filter(col("event_type") =!= "__wm")
+    }
     val (minMs, maxMs) = (row.getLong(0), row.getLong(1))
     val span = math.max(1L, maxMs - minMs + 1)
     // equal TIME-RANGE slices (not equal-row): slice order is event-time
@@ -345,9 +367,7 @@ object Replay {
       nSlices: Int = 8): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = org.apache.spark.sql.Encoders.product[Event]
-    val rows = eventRows(spark, dir)
-    require(rows.nonEmpty,
-      "replay corpus is empty — the events table has no rows to stream")
+    val rows = eventRows(spark, dir) // may be EMPTY: zero slices, empty sink
     val cMem = MemoryStream[Event]
     val vMem = MemoryStream[Event]
     val sinkName = "graft_replay_join"

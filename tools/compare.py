@@ -54,10 +54,15 @@ def main():
             print(f"FAIL {name}: no spark output written")
             n_fail += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        got_cols = [d[0] for d in got.description]
-        got_rows = got.fetchall()
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
         try:
             exp = con.execute(oracles[name])
             exp_cols = [d[0] for d in exp.description]
