@@ -61,8 +61,11 @@ object Pca {
       .join(broadcast(firsts.select(col("i").as("j"),
         col("sx").as("sx_j"))), "j")
       .select(col("i"), col("j"),
-        ((col("sxx") - col("sx_i") * col("sx_j") / col("n")) /
-          (col("n") - 1)).as("cov"))
+        // try_divide: one vector (degen single corpus) has no sample
+        // covariance — NULL cells (DuckDB's x/0), not an ANSI error
+        org.apache.spark.sql.functions.try_divide(
+          col("sxx") - col("sx_i") * col("sx_j") / col("n"),
+          col("n") - 1).as("cov"))
   }
 
   final case class Eig(values: Array[Double], vectors: Array[Array[Double]])

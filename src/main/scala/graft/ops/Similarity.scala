@@ -162,6 +162,11 @@ object Similarity {
     val withVec = graft.Tables.fanOut(spark, emb)
       .withColumn("__vec", array_to_vector(asDouble(col("embedding"))))
     val base = excludeId.fold(withVec)(x => withVec.filter(col(idCol) =!= x))
+    // an EMPTY corpus (degen corpora): MLlib cannot fit a hash family on
+    // zero rows ("head of empty array") — the total answer is no neighbors
+    if (base.limit(1).count() == 0)
+      return base.select(col(idCol) +: carryCols.map(col)
+        :+ lit(null).cast("double").as("dist"): _*)
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(2.0)
       .setNumHashTables(4)

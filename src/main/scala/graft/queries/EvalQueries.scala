@@ -89,7 +89,10 @@ object EvalQueries {
           sum(col("pos")).as("n_pos"),
           sum(col("cnt") - col("pos")).as("n_neg"))
         .select(
-          ((col("sum2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          // try_divide: a one-class corpus (degen corpora) has n_pos or
+          // n_neg = 0 and AUC is NULL (DuckDB's x/0), not an ANSI error
+          try_divide(
+            (col("sum2") - col("n_pos") * (col("n_pos") + 1)).cast("double"),
             (col("n_pos") * col("n_neg") * 2L).cast("double")).as("auc"),
           col("n_pos"), col("n_neg"))
     },
@@ -132,13 +135,15 @@ object EvalQueries {
           sum((lit(1L) - col("label")) * (lit(1L) - col("pred"))).as("tn"))
         .select(
           col("tp"), col("fp"), col("fn"), col("tn"),
-          (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
-            .as("precision"),
-          (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
-            .as("recall"),
-          ((col("tp") * 2L).cast("double") /
+          // try_divide: empty prediction/label margins on degenerate
+          // corpora are NULL rates (DuckDB's x/0), not ANSI errors
+          try_divide(col("tp").cast("double"),
+            (col("tp") + col("fp")).cast("double")).as("precision"),
+          try_divide(col("tp").cast("double"),
+            (col("tp") + col("fn")).cast("double")).as("recall"),
+          try_divide((col("tp") * 2L).cast("double"),
             (col("tp") * 2L + col("fp") + col("fn")).cast("double")).as("f1"),
-          ((col("tp") + col("tn")).cast("double") /
+          try_divide((col("tp") + col("tn")).cast("double"),
             (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
             .as("accuracy"))
     },
@@ -240,7 +245,9 @@ object EvalQueries {
           sum("pos").as("n_pos"),
           sum(col("cnt") - col("pos")).as("n_neg"))
         .select(col("seg"),
-          ((col("sum2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          // try_divide: a one-class segment has NULL AUC (DuckDB's x/0)
+          try_divide(
+            (col("sum2") - col("n_pos") * (col("n_pos") + 1)).cast("double"),
             (col("n_pos") * col("n_neg") * 2L).cast("double")).as("auc"),
           col("n_pos"), col("n_neg"))
         .orderBy("seg")
@@ -881,11 +888,13 @@ object EvalQueries {
       def colS(j: Int) = c(0, j) + c(1, j) + c(2, j)
       val pe2 = rowS(0) * colS(0) + rowS(1) * colS(1) + rowS(2) * colS(2)
       val nD = col("n").cast(d38)
-      val po = diag.cast("double") / nD.cast("double")
-      val pe = pe2.cast("double") / (nD * nD).cast("double")
+      // try_divide: perfect chance agreement (pe = 1 on a one-cell
+      // degenerate table) leaves kappa NULL (DuckDB's x/0), no ANSI error
+      val po = try_divide(diag.cast("double"), nD.cast("double"))
+      val pe = try_divide(pe2.cast("double"), (nD * nD).cast("double"))
       piv.select(col("n"), diag.cast("long").as("n_agree"),
         round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
-        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+        round(try_divide(po - pe, lit(1.0) - pe), 6).as("kappa"))
     },
     Some("""
       WITH rated AS (
@@ -955,7 +964,9 @@ object EvalQueries {
       val den = (c("tp") + c("fp")) * (c("tp") + c("fn")) *
         (c("tn") + c("fp")) * (c("tn") + c("fn"))
       piv.select(col("tp"), col("fp"), col("fn"), col("tn"),
-        round(num.cast("double") / sqrt(den.cast("double")), 6).as("mcc"))
+        // try_divide: an empty margin zeroes the denominator — NULL MCC
+        round(try_divide(num.cast("double"),
+          sqrt(den.cast("double"))), 6).as("mcc"))
     },
     Some(s"""
       WITH $ScoredCte,
@@ -1017,11 +1028,13 @@ object EvalQueries {
         .select(col("decile"), col("n_orders"), col("n_resp"),
           round(col("n_resp").cast("double") /
             col("n_orders").cast("double"), 6).as("resp_rate"),
-          round(col("cum_resp").cast("double") /
-            col("p").cast("double"), 6).as("cum_gain"),
-          round((col("n_resp").cast("double") *
-            col("n").cast("double")) /
-            (col("n_orders").cast("double") * col("p").cast("double")), 6)
+          // try_divide: zero responders in the whole corpus (degen
+          // corpora) leave gain/lift NULL (DuckDB's x/0), no ANSI error
+          round(try_divide(col("cum_resp").cast("double"),
+            col("p").cast("double")), 6).as("cum_gain"),
+          round(try_divide(
+            col("n_resp").cast("double") * col("n").cast("double"),
+            col("n_orders").cast("double") * col("p").cast("double")), 6)
             .as("lift"))
         .orderBy("decile")
     },
@@ -1088,7 +1101,9 @@ object EvalQueries {
         .withColumn("precision",
           round(col("cum_pos").cast("double") / col("cum_cnt").cast("double"), 6))
         .withColumn("recall",
-          round(col("cum_pos").cast("double") / col("np").cast("double"), 6))
+          // try_divide: zero positives → NULL recall (DuckDB's x/0)
+          round(try_divide(col("cum_pos").cast("double"),
+            col("np").cast("double")), 6))
       // trapezoid between consecutive operating points (recall steps up
       // as bin descends); term quantized once, summed exactly
       val lagged = cum

@@ -1223,8 +1223,10 @@ object ExtendedQueries {
       blocks.crossJoin(broadcast(tot))
         .select(col("pkey"), col("n_members"),
           col("n_pairs"),
-          round(col("cand_pairs").cast("double") * 2.0 /
-            (col("n_total").cast("double") *
+          // try_divide: a 1-part corpus has no cross pairs to reduce —
+          // NULL ratio (DuckDB's x/0), not an ANSI error
+          round(try_divide(col("cand_pairs").cast("double") * 2.0,
+            col("n_total").cast("double") *
               (col("n_total").cast("double") - 1.0)), 6)
             .as("reduction_ratio"))
         .orderBy(col("n_members").desc, col("pkey"))

@@ -243,13 +243,16 @@ object FeatureQueries {
           col("fxx").cast("double").as("dxx"),
           col("fxy").cast("double").as("dxy"),
           col("fyy").cast("double").as("dyy"))
+        // try_divide: a fold with zero x-variance or an empty test side
+        // (degenerate corpora) has NULL fit/rmse, not an ANSI error
         .withColumn("beta",
-          expr("(cn * cxy - cx * cy) / (cn * cxx - cx * cx)"))
-        .withColumn("alpha", expr("cy / cn - beta * (cx / cn)"))
+          expr("try_divide(cn * cxy - cx * cy, cn * cxx - cx * cx)"))
+        .withColumn("alpha",
+          expr("try_divide(cy, cn) - beta * try_divide(cx, cn)"))
         .withColumn("rmse", expr(
-          "sqrt((dyy - 2 * alpha * dy - 2 * beta * dxy" +
+          "sqrt(try_divide(dyy - 2 * alpha * dy - 2 * beta * dxy" +
             " + dn * alpha * alpha + beta * beta * dxx" +
-            " + 2 * alpha * beta * dx) / dn)"))
+            " + 2 * alpha * beta * dx, dn))"))
         .select("fold", "train_n", "test_n", "beta", "alpha", "rmse")
         .orderBy("fold")
     },
@@ -460,12 +463,18 @@ object FeatureQueries {
         // sf0.001); rounding at 1e-9 FIRST makes every downstream
         // product/sum run on bit-identical inputs (the q_pagerank
         // convention)
+        // try_divide: a corpus with zero bads (or goods) in total makes
+        // WOE's odds undefined — NULL, exactly DuckDB's x/0 (log of the
+        // NULL ratio is NULL on both engines)
         .withColumn("woe",
-          round(log((col("good") * col("b_tot")).cast("double") /
-            (col("bad") * col("g_tot")).cast("double")), 9))
+          round(log(try_divide(
+            (col("good") * col("b_tot")).cast("double"),
+            (col("bad") * col("g_tot")).cast("double"))), 9))
         .withColumn("iv_term",
-          (col("good").cast("double") / col("g_tot").cast("double")
-            - col("bad").cast("double") / col("b_tot").cast("double"))
+          (try_divide(col("good").cast("double"),
+            col("g_tot").cast("double"))
+            - try_divide(col("bad").cast("double"),
+              col("b_tot").cast("double")))
             * col("woe"))
       val ivTotal = withWoe
         .agg(array_sort(collect_list(struct(col("seg"), col("iv_term"))))

@@ -244,10 +244,10 @@ object MlQueries {
       // d(d+1)/2 = 2080 cells — bounded by the embedding width, not the
       // corpus; the same driver-boundary as LogReg's Newton solve
       val cells = covDf.collect()
-      if (cells.isEmpty) {
-        // zero vectors → zero covariance cells → nothing to eigensolve;
-        // the oracle's cell frame is equally empty, so the verdict
-        // literals never reach a row (degen `empty` corpus)
+      if (cells.isEmpty || cells.exists(_.isNullAt(2))) {
+        // zero vectors → no covariance cells; ONE vector → NULL cells
+        // (no sample covariance) — nothing to eigensolve either way, and
+        // the oracle's frame carries the same emptiness/NULLs
         covDf.select(col("i"), col("j"), round(col("cov"), 9).as("cov"),
           lit(1).as("eig_residual_ok"), lit(1).as("orthonormal_ok"),
           lit(1).as("lambda_sorted_ok"), lit(1).as("trace_ok"),

@@ -270,12 +270,16 @@ object PipelineQueries {
       agg.crossJoin(tot)
         .select(
           col("bucket"), col("cnt_a"), col("cnt_b"),
-          (col("cnt_a").cast("double") / col("tot_a").cast("double"))
-            .as("rate_a"),
-          (col("cnt_b").cast("double") / col("tot_b").cast("double"))
-            .as("rate_b"),
-          (abs(col("cnt_a").cast("double") / col("tot_a").cast("double") -
-            col("cnt_b").cast("double") / col("tot_b").cast("double")) > 0.02)
+          // try_divide: a corpus with only one source cohort (degenerate
+          // corpora) has a NULL comparison rate, not an ANSI error
+          try_divide(col("cnt_a").cast("double"),
+            col("tot_a").cast("double")).as("rate_a"),
+          try_divide(col("cnt_b").cast("double"),
+            col("tot_b").cast("double")).as("rate_b"),
+          (abs(try_divide(col("cnt_a").cast("double"),
+            col("tot_a").cast("double")) -
+            try_divide(col("cnt_b").cast("double"),
+              col("tot_b").cast("double"))) > 0.02)
             .cast("int").as("drifted"))
         .orderBy("bucket")
     },
@@ -751,7 +755,10 @@ object PipelineQueries {
         max(when(col("split") === "valid", col("max_day"))).as("va_max"),
         min(when(col("split") === "test", col("min_day"))).as("te_min"))
         .select(
-          (col("tr_max") < col("va_min") && col("va_max") < col("te_min"))
+          // when/otherwise: a corpus missing a whole split (degen single)
+          // has NULL span bounds, and the oracle's CASE reads that as 0
+          when(col("tr_max") < col("va_min") &&
+            col("va_max") < col("te_min"), 1).otherwise(0)
             .cast("int").as("no_leakage"))
       per.crossJoin(broadcast(audit)).orderBy("split")
     },

@@ -193,7 +193,12 @@ object QualityQueries {
       // sufficient statistics are NULL) — the verdicts are vacuously
       // true then, exactly the oracle's constants (degen `empty` corpus)
       val (monotone, gradOk, finite) =
-        if (feats.limit(1).count() == 0) (true, true, true)
+        // one-class (or empty) samples have NO finite logistic MLE — the
+        // likelihood improves forever toward infinite weights, so the
+        // convergence verdicts are undefined; vacuously true, matching
+        // the oracle constants (degen corpora)
+        if (feats.select("y").distinct().limit(2).count() < 2)
+          (true, true, true)
         else {
           val fit = graft.ops.LogReg.train(feats, "y",
             Seq("x_words", "x_uniq", "x_chars"), iters = 3)
@@ -258,10 +263,17 @@ object QualityQueries {
         .withColumn("u", u)
         .withColumn("w", w)
         .groupBy("b")
-        .agg((sum(col("w") * col("n_chars")).cast("double")
-          / sum(col("w")).cast("double")).as("est"))
+        // try_divide: a replica whose Poisson weights are all zero (a
+        // 1-doc corpus draws w=0 for some b) has no estimate — NULL,
+        // exactly DuckDB's x/0, not an ANSI error
+        .agg(try_divide(sum(col("w") * col("n_chars")).cast("double"),
+          sum(col("w")).cast("double")).as("est"))
       val ranked = reps.withColumn("rn",
-        row_number().over(Window.orderBy(col("est"), col("b"))))
+        // asc_nulls_last: DuckDB sorts ASC NULLS LAST — an all-zero-weight
+        // replica (NULL est, degen single corpus) must rank after real
+        // estimates on both engines or the fixed rn=3/98 picks diverge
+        row_number().over(Window.orderBy(col("est").asc_nulls_last,
+          col("b"))))
       // ONE pass over the replica pipeline: both CI bounds come from the
       // same filtered aggregate (previously lo and hi were independent
       // subplans, each re-running the doc × 100-replica explode)
@@ -1259,8 +1271,9 @@ object QualityQueries {
           lit(0.0), (acc, x) => acc + x).as("chi2"))
       chi2.crossJoin(broadcast(tot))
         .select(col("n"), col("r"), col("c"), col("chi2"),
-          sqrt(col("chi2") / (col("n")
-            * least(col("r") - 1, col("c") - 1)).cast("double"))
+          // try_divide: a 1×1 table (degen corpora) has zero df — NULL V
+          sqrt(try_divide(col("chi2"), (col("n")
+            * least(col("r") - 1, col("c") - 1)).cast("double")))
             .as("cramers_v"))
     },
     Some("""
@@ -1446,12 +1459,15 @@ object QualityQueries {
         sum((col("ry2") * col("ry2")).cast(d38)).as("syy"),
         sum((col("rx2") * col("ry2")).cast(d38)).as("sxy"))
       one.select(col("n"),
-        round((col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
-          .cast("double") /
-          (sqrt((col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+        // try_divide: a single (or all-tied) sample has zero rank
+        // variance — NULL rho (DuckDB's x/0), not an ANSI error
+        round(try_divide(
+          (col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+            .cast("double"),
+          sqrt((col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
             .cast("double")) *
-           sqrt((col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
-            .cast("double"))), 6).as("rho"))
+            sqrt((col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 6).as("rho"))
     },
     Some("""
       WITH per AS (
@@ -1530,12 +1546,16 @@ object QualityQueries {
       val ties = vals.agg(sum("tt").as("t"))
       val nD = col("n").cast("double")
       // Σ (2·ΣR_g)²/n_g in fixed group order; /4 folded into the 12→3.
+      // try_divide throughout: an empty group or a 1-row sample on the
+      // degenerate corpora zeroes these denominators — H is NULL
+      // (DuckDB's x/0), not an ANSI error
       val s2 = gs.indices.map { i =>
-        col(s"sr$i").cast("double") * col(s"sr$i").cast("double") /
-          col(s"n$i").cast("double") }.reduce(_ + _)
+        try_divide(
+          col(s"sr$i").cast("double") * col(s"sr$i").cast("double"),
+          col(s"n$i").cast("double")) }.reduce(_ + _)
       val h = (lit(3.0) / (nD * (nD + 1.0))) * s2 - lit(3.0) * (nD + 1.0)
-      val hCorr = h / (lit(1.0) - col("t").cast("double") /
-        (nD * nD * nD - nD))
+      val hCorr = try_divide(h, lit(1.0) -
+        try_divide(col("t").cast("double"), nD * nD * nD - nD))
       piv.crossJoin(ties).select(
         col("n"), lit(5).as("k"),
         round(hCorr, 6).as("h"),
@@ -1728,8 +1748,10 @@ object QualityQueries {
       val m4 = col("s4").cast("double") / nD - lit(4.0) * m *
         (col("s3").cast("double") / nD) + lit(6.0) * m * m *
         (col("s2").cast("double") / nD) - lit(3.0) * m * m * m * m
-      val skew = m3 / (m2 * sqrt(m2))
-      val kurt = m4 / (m2 * m2) - 3.0
+      // try_divide: zero variance (constant/degenerate corpora) leaves
+      // skew/kurtosis NULL (DuckDB's x/0), not an ANSI error
+      val skew = try_divide(m3, m2 * sqrt(m2))
+      val kurt = try_divide(m4, m2 * m2) - 3.0
       val jb = (nD / 6.0) * (skew * skew + kurt * kurt / 4.0)
       agg.select(col("n"),
         round(skew, 6).as("skew"),
@@ -1826,17 +1848,19 @@ object QualityQueries {
         sum(col("x").cast(d38) * col("z")).as("sxz"),
         sum(col("y").cast(d38) * col("z")).as("syz"))
       val nD = col("n").cast(d38)
+      // try_divide: one sample / zero variance (degenerate corpora) makes
+      // every marginal correlation NULL (DuckDB's x/0), not an ANSI error
       def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
-        round((nD * col(sab) - col(sa) * col(sb)).cast("double") /
-          (sqrt((nD * col(saa) - col(sa) * col(sa)).cast("double")) *
+        round(try_divide((nD * col(sab) - col(sa) * col(sb)).cast("double"),
+          sqrt((nD * col(saa) - col(sa) * col(sa)).cast("double")) *
             sqrt((nD * col(sbb) - col(sb) * col(sb)).cast("double"))), 6)
       val rxy = r("sxy", "sx", "sy", "sxx", "syy")
       val rxz = r("sxz", "sx", "sz", "sxx", "szz")
       val ryz = r("syz", "sy", "sz", "syy", "szz")
       st.select(col("n"),
         rxy.as("r_xy"), rxz.as("r_xz"), ryz.as("r_yz"),
-        round((rxy - rxz * ryz) /
-          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+        round(try_divide(rxy - rxz * ryz,
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))), 6)
           .as("r_xy_given_z"))
     },
     Some("""
@@ -1932,7 +1956,8 @@ object QualityQueries {
         .cast("double")
       val vT = v("qt", "st").cast("double")
       st.select(col("n"),
-        round(lit(1.5) * (lit(1.0) - sumVi / vT), 6).as("alpha"))
+        // try_divide: one rater-sample has zero total variance — NULL α
+        round(lit(1.5) * (lit(1.0) - try_divide(sumVi, vT)), 6).as("alpha"))
     },
     Some("""
       WITH per AS (
@@ -2109,7 +2134,9 @@ object QualityQueries {
       val bc = col("b") - col("c"); val tot = col("b") + col("c")
       st.select(col("n").as("n_customers"), col("b").as("only_1994"),
         col("c").as("only_1995"),
-        round((bc * bc).cast("double") / tot.cast("double"), 6)
+        // try_divide: zero discordant pairs (degenerate corpora) leave
+        // the McNemar statistic NULL (DuckDB's x/0), not an ANSI error
+        round(try_divide((bc * bc).cast("double"), tot.cast("double")), 6)
           .as("chi2"),
         (bc * bc * 10000 > tot * 38415).cast("int").as("significant"))
     },

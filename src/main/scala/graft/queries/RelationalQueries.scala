@@ -312,10 +312,12 @@ object RelationalQueries {
         sum(c.cast("decimal(38,18)")).cast("double")
       val (q, p, dc, t) = (col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"))
+      // try_divide: a one-row sample (degen single corpus) has zero
+      // variance and the correlation is NULL (DuckDB's x/0), no ANSI error
       def corrOf(sx: String, sy: String, sxy: String, sxx: String,
           syy: String) = round(
-        (col("n") * col(sxy) - col(sx) * col(sy)) /
-          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+        try_divide(col("n") * col(sxy) - col(sx) * col(sy),
+          sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
             sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
       lineitem(s, d)
         .agg(

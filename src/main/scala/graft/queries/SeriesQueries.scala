@@ -285,22 +285,25 @@ object SeriesQueries {
       val withD = sol.select(col("*"),
         (col("n") * col("c1") - col("s1") * col("c2") + col("s2") * col("c3"))
           .as("dd"))
+      // try_divide: a singular normal matrix (one row / constant features
+      // on degenerate corpora) has det = 0 — NULL coefficients (DuckDB's
+      // x/0), not an ANSI error
       val b = withD.select(col("*"),
-        ((col("sy") * col("c1") - col("s1") * col("e1") + col("s2") * col("e2"))
-          / col("dd")).as("b0u"),
-        ((col("n") * col("e1") - col("sy") * col("c2") + col("s2") * col("e3"))
-          / col("dd")).as("b1u"),
-        ((col("n") * col("f1") - col("s1") * col("e3") + col("sy") * col("c3"))
-          / col("dd")).as("b2u"))
+        try_divide(col("sy") * col("c1") - col("s1") * col("e1")
+          + col("s2") * col("e2"), col("dd")).as("b0u"),
+        try_divide(col("n") * col("e1") - col("sy") * col("c2")
+          + col("s2") * col("e3"), col("dd")).as("b1u"),
+        try_divide(col("n") * col("f1") - col("s1") * col("e3")
+          + col("sy") * col("c3"), col("dd")).as("b2u"))
       b.select(
         col("n").cast("long").as("n_rows"),
         round(col("b0u"), 6).as("b0"),
         round(col("b1u"), 6).as("b1"),
         round(col("b2u"), 6).as("b2"),
-        round(lit(1.0) -
-          (col("syy") - col("b0u") * col("sy") - col("b1u") * col("s1y")
-            - col("b2u") * col("s2y"))
-          / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"))
+        round(lit(1.0) - try_divide(
+          col("syy") - col("b0u") * col("sy") - col("b1u") * col("s1y")
+            - col("b2u") * col("s2y"),
+          col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"))
     },
     Some("""
       WITH st AS (
@@ -816,8 +819,13 @@ object SeriesQueries {
           aggregate(
             expr("slice(transform(ps, p -> p.x), 3, size(ps))"),
             // get(): NULL seeds (not an ANSI error) when the series has
-            // <2 points, matching DuckDB's out-of-range list index
-            expr("named_struct('l', get(transform(ps, p -> p.x), 1), " +
+            // <2 points, matching DuckDB's out-of-range list index.
+            // l0 = x0 (get index 0 — the oracle's 1-based xs[1]): the
+            // original seed read x1, a latent off-by-one the healthy
+            // gates never saw because the 0.8^t decay erases the seed
+            // below the 1e-6 rounding after a few hundred days — the
+            // degen single corpus (one day, zero decay) exposed it
+            expr("named_struct('l', get(transform(ps, p -> p.x), 0), " +
               "'b', get(transform(ps, p -> p.x), 1) " +
               "- get(transform(ps, p -> p.x), 0))"),
             (acc, x) => struct(
@@ -2089,14 +2097,17 @@ object SeriesQueries {
         sum(col("t").cast(d38) * col("t")).as("stt"),
         sum(col("t").cast(d38) * col("v")).as("stv"))
         .select(col("nc"),
-          ((col("nc").cast(d38) * col("stv") - col("st") * col("sv"))
-            .cast("double") /
+          // try_divide: a 0/1-day calibration split (degenerate corpora)
+          // has no slope/intercept — NULL, not an ANSI error
+          try_divide(
+            (col("nc").cast(d38) * col("stv") - col("st") * col("sv"))
+              .cast("double"),
             (col("nc").cast(d38) * col("stt") - col("st") * col("st"))
-            .cast("double")).as("beta"),
+              .cast("double")).as("beta"),
           col("st").cast("double").as("stD"),
           col("sv").cast("double").as("svD"))
         .select(col("nc"), col("beta"),
-          ((col("svD") - col("beta") * col("stD")) /
+          try_divide(col("svD") - col("beta") * col("stD"),
             col("nc").cast("double")).as("alpha"))
       val scored = daily.crossJoin(broadcast(fit))
         .withColumn("am", expr("CAST(round(abs(CAST(v AS DOUBLE) - alpha " +
@@ -2113,8 +2124,8 @@ object SeriesQueries {
         .select(col("n_test"), col("n_covered"),
           round(col("q_micro").cast("double") / 1e6 / 100.0, 6)
             .as("radius_usd"),
-          round(col("n_covered").cast("double") /
-            col("n_test").cast("double"), 6).as("coverage"))
+          round(try_divide(col("n_covered").cast("double"),
+            col("n_test").cast("double")), 6).as("coverage"))
     },
     Some("""
       WITH daily AS (
@@ -2209,10 +2220,14 @@ object SeriesQueries {
         .select(col("lambda"), col("*"))
         .withColumn("det", (col("c11") + col("lambda")) *
           (col("c22") + col("lambda")) - col("c12") * col("c12"))
-        .withColumn("b1u", (col("c1y") * (col("c22") + col("lambda")) -
-          col("c12") * col("c2y")) / col("det"))
-        .withColumn("b2u", ((col("c11") + col("lambda")) * col("c2y") -
-          col("c12") * col("c1y")) / col("det"))
+        // try_divide: at lambda = 0 a singular centered Gram (degenerate
+        // corpora) has det = 0 — NULL path point, not an ANSI error
+        .withColumn("b1u", try_divide(
+          col("c1y") * (col("c22") + col("lambda")) -
+            col("c12") * col("c2y"), col("det")))
+        .withColumn("b2u", try_divide(
+          (col("c11") + col("lambda")) * col("c2y") -
+            col("c12") * col("c1y"), col("det")))
         .select(col("lambda"),
           round((col("sy") - col("b1u") * col("s1") -
             col("b2u") * col("s2")) / col("n"), 6).as("b0"),

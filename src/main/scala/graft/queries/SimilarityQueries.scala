@@ -72,7 +72,13 @@ object SimilarityQueries {
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
         .select(
           col("n_vectors"), lit(20).as("k"),
-          (col("__hits") >= 12).cast("int").as("recall_ok"))
+          // bar capped by the ELIGIBLE count (n−1, probe excluded): a
+          // degenerate corpus with fewer candidates than the bar can
+          // only return what exists — the oracle's constant 1 then
+          // means "all that exist were found"
+          (col("__hits") >= least(lit(12L),
+            greatest(col("n_vectors") - 1L, lit(0L)))).cast("int")
+            .as("recall_ok"))
     },
     Some("""
       SELECT count(*) AS n_vectors, 20 AS k, 1 AS recall_ok
@@ -143,7 +149,13 @@ object SimilarityQueries {
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
         .select(
           col("n_vectors"), lit(20).as("k"),
-          (col("__hits") >= 16).cast("int").as("recall_ok"))
+          // bar capped by the ELIGIBLE count (n−1, probe excluded): a
+          // degenerate corpus with fewer candidates than the bar can
+          // only return what exists — the oracle's constant 1 then
+          // means "all that exist were found"
+          (col("__hits") >= least(lit(16L),
+            greatest(col("n_vectors") - 1L, lit(0L)))).cast("int")
+            .as("recall_ok"))
     },
     Some("""
       SELECT count(*) AS n_vectors, 20 AS k, 1 AS recall_ok
@@ -232,7 +244,13 @@ object SimilarityQueries {
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
         .select(
           col("n_vectors"), lit(20).as("k"),
-          (col("__hits") >= 16).cast("int").as("recall_ok"))
+          // bar capped by the ELIGIBLE count (n−1, probe excluded): a
+          // degenerate corpus with fewer candidates than the bar can
+          // only return what exists — the oracle's constant 1 then
+          // means "all that exist were found"
+          (col("__hits") >= least(lit(16L),
+            greatest(col("n_vectors") - 1L, lit(0L)))).cast("int")
+            .as("recall_ok"))
     },
     Some("""
       SELECT count(*) AS n_vectors, 20 AS k, 1 AS recall_ok
@@ -274,7 +292,13 @@ object SimilarityQueries {
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(hits)
         .select(
           col("n_vectors"), lit(20).as("k"),
-          (col("__hits") >= 12).cast("int").as("recall_ok"))
+          // bar capped by the ELIGIBLE count (n−1, probe excluded): a
+          // degenerate corpus with fewer candidates than the bar can
+          // only return what exists — the oracle's constant 1 then
+          // means "all that exist were found"
+          (col("__hits") >= least(lit(12L),
+            greatest(col("n_vectors") - 1L, lit(0L)))).cast("int")
+            .as("recall_ok"))
     },
     Some("""
       SELECT count(*) AS n_vectors, 20 AS k, 1 AS recall_ok
@@ -318,7 +342,10 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("__same"))
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(matches)
         .select(col("n_vectors"), lit(20L).as("k"),
-          (col("__same") === 20).cast("int").as("persist_ok"))
+          // capped by the eligible count (see the recall_ok caps above)
+          (col("__same") === least(lit(20L),
+            greatest(col("n_vectors") - 1L, lit(0L)))).cast("int")
+            .as("persist_ok"))
     },
     Some("""
       SELECT count(*) AS n_vectors, CAST(20 AS BIGINT) AS k, 1 AS persist_ok
@@ -380,7 +407,10 @@ object SimilarityQueries {
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(same).crossJoin(tk)
         .select(col("n_vectors"),
           (col("__same") === col("n_vectors")).cast("int").as("append_ok"),
-          (col("__tk") === 20).cast("int").as("topk_ok"))
+          // capped by the eligible count (see the recall_ok caps)
+          (col("__tk") === least(lit(20L),
+            greatest(col("n_vectors") - 1L, lit(0L)))).cast("int")
+            .as("topk_ok"))
     },
     Some("""
       SELECT count(*) AS n_vectors, 1 AS append_ok, 1 AS topk_ok
@@ -420,6 +450,11 @@ object SimilarityQueries {
         else Similarity.appendCodes(batch, dir, Seq("cluster"))
       }
       val before = Similarity.codesFileCount(s, dir)
+      // one file per non-empty cell is the bin-pack floor: a degenerate
+      // corpus whose appends never split a cell is already minimal, and
+      // "strictly fewer" would demand the impossible (bounded driver
+      // count: ≤ nCells rows through the checkpointed encode)
+      val floorFiles = encoded.select("cluster").distinct().count()
       Similarity.compactCodes(s, dir, Seq("cluster"))
       val after = Similarity.codesFileCount(s, dir)
       val compacted = Similarity.loadCodes(s, dir)
@@ -438,9 +473,14 @@ object SimilarityQueries {
       emb.agg(count(lit(1)).as("n_vectors")).crossJoin(same).crossJoin(tk)
         .select(col("n_vectors"),
           (col("__same") === col("n_vectors")).cast("int").as("rows_ok"),
-          (col("__tk") === 20).cast("int").as("topk_ok"),
-          // measured driver-side around the swap — strictly fewer files
-          lit(if (after < before) 1 else 0).as("compacted_ok"))
+          // capped by the eligible count (see the recall_ok caps)
+          (col("__tk") === least(lit(20L),
+            greatest(col("n_vectors") - 1L, lit(0L)))).cast("int")
+            .as("topk_ok"),
+          // measured driver-side around the swap — strictly fewer files,
+          // unless the table was already at the bin-pack floor
+          lit(if (after < before || before == floorFiles) 1 else 0)
+            .as("compacted_ok"))
     },
     Some("""
       SELECT count(*) AS n_vectors, 1 AS rows_ok, 1 AS topk_ok,

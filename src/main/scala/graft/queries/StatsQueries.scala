@@ -43,10 +43,13 @@ object StatsQueries {
   private val shipYears = Seq(1995, 1996, 1997, 1998, 1999, 2000, 2001)
 
   /** Fixed-order Σ Sᵍ²/nᵍ double tree over pivoted group columns. */
+  // try_divide: a group ABSENT from a degenerate corpus has n_i = 0 and
+  // its term is NULL (DuckDB's x/0), not an ANSI error — the DegenGate
+  // single/constant corpora exercise exactly that
   private def sumSq(k: Int): Column =
     (0 until k).map { i =>
-      col(s"s$i").cast("double") * col(s"s$i").cast("double") /
-        col(s"n$i").cast("double")
+      try_divide(col(s"s$i").cast("double") * col(s"s$i").cast("double"),
+        col(s"n$i").cast("double"))
     }.reduce(_ + _)
 
   /** One-way ANOVA F of order value (cents) across the five known
@@ -76,9 +79,9 @@ object StatsQueries {
       val piv = rows.agg(aggs.head, aggs.tail: _*)
       val nD = col("n").cast("double")
       val ssb = sumSq(5) -
-        col("sv").cast("double") * col("sv").cast("double") / nD
+        try_divide(col("sv").cast("double") * col("sv").cast("double"), nD)
       val ssw = col("q").cast("double") - sumSq(5)
-      val f = (ssb / lit(4.0)) / (ssw / (nD - lit(5.0)))
+      val f = try_divide(ssb / lit(4.0), try_divide(ssw, nD - lit(5.0)))
       piv.select(col("n"), lit(5).as("k"), round(f, 6).as("f"),
         (round(f, 6) > 2.371925).cast("int").as("significant"))
     },
@@ -231,9 +234,9 @@ object StatsQueries {
       val piv = z.agg(aggs.head, aggs.tail: _*)
       val nD = col("n").cast("double")
       val ssb = sumSq(5) -
-        col("sv").cast("double") * col("sv").cast("double") / nD
+        try_divide(col("sv").cast("double") * col("sv").cast("double"), nD)
       val ssw = col("q").cast("double") - sumSq(5)
-      val f = (ssb / lit(4.0)) / (ssw / (nD - lit(5.0)))
+      val f = try_divide(ssb / lit(4.0), try_divide(ssw, nD - lit(5.0)))
       piv.select(col("n"), lit(5).as("k"), round(f, 6).as("f_bf"),
         (round(f, 6) > 2.371925).cast("int").as("significant"))
     },
@@ -325,14 +328,17 @@ object StatsQueries {
       def dbl(e: String): Column = expr(e).cast("double")
       def stratum(i: Int): (Column, Column, Column, Column, Column) = {
         val n = dbl(s"a$i + b$i + c$i + d$i")
-        val rT = dbl(s"a$i") * dbl(s"d$i") / n
-        val sT = dbl(s"b$i") * dbl(s"c$i") / n
+        // try_divide: an EMPTY stratum (degenerate corpora) has n = 0 and
+        // its terms are NULL (DuckDB's x/0), not an ANSI error
+        val rT = try_divide(dbl(s"a$i") * dbl(s"d$i"), n)
+        val sT = try_divide(dbl(s"b$i") * dbl(s"c$i"), n)
         val aT = dbl(s"a$i")
-        val eT = dbl(s"a$i + b$i") * dbl(s"a$i + c$i") / n
+        val eT = try_divide(dbl(s"a$i + b$i") * dbl(s"a$i + c$i"), n)
         // V_i = (a+b)/n · (c+d) · (a+c)/n · (b+d)/(n−1): interleaved
         // divisions keep every intermediate ≤ n², far inside double range.
-        val vT = (dbl(s"a$i + b$i") / n) * dbl(s"c$i + d$i") *
-          (dbl(s"a$i + c$i") / n) * (dbl(s"b$i + d$i") / (n - lit(1.0)))
+        val vT = try_divide(dbl(s"a$i + b$i"), n) * dbl(s"c$i + d$i") *
+          try_divide(dbl(s"a$i + c$i"), n) *
+          try_divide(dbl(s"b$i + d$i"), n - lit(1.0))
         (rT, sT, aT, eT, vT)
       }
       val parts = shipYears.indices.map(stratum)
@@ -341,9 +347,9 @@ object StatsQueries {
       val aSum = parts.map(_._3).reduce(_ + _)
       val eSum = parts.map(_._4).reduce(_ + _)
       val vSum = parts.map(_._5).reduce(_ + _)
-      val orMh = rSum / sSum
+      val orMh = try_divide(rSum, sSum)
       val dev = abs(aSum - eSum) - lit(0.5)
-      val chi2 = dev * dev / vSum
+      val chi2 = try_divide(dev * dev, vSum)
       piv.select(lit(shipYears.size).as("n_strata"),
         round(orMh, 6).as("or_mh"), round(chi2, 6).as("chi2_cmh"),
         (round(chi2, 6) > 3.8415).cast("int").as("significant"))
@@ -810,14 +816,17 @@ object StatsQueries {
       sum(col("t").cast(d38) * col("t")).as("stt"),
       sum(col("t").cast(d38) * col("v")).as("stv"))
       .select(col("n"),
-        ((col("n").cast(d38) * col("stv") - col("st") * col("sv"))
-          .cast("double") /
+        // try_divide: a ONE-day series has zero t-variance — NULL trend
+        // (DuckDB's x/0), not an ANSI error (degen single corpus)
+        try_divide(
+          (col("n").cast(d38) * col("stv") - col("st") * col("sv"))
+            .cast("double"),
           (col("n").cast(d38) * col("stt") - col("st") * col("st"))
-          .cast("double")).as("beta"),
+            .cast("double")).as("beta"),
         col("st").cast("double").as("stD"),
         col("sv").cast("double").as("svD"))
       .select(col("n"), col("beta"),
-        ((col("svD") - col("beta") * col("stD")) /
+        try_divide(col("svD") - col("beta") * col("stD"),
           col("n").cast("double")).as("alpha"))
     daily.crossJoin(broadcast(fit))
       .select(col("t"), col("v"), col("n"),
@@ -884,9 +893,11 @@ object StatsQueries {
             (col("e_micro") - col("e_prev"))).otherwise(lit(0).cast(d38)))
           .as("sdd"))
         .select(col("n_days"),
-          round(col("sdd").cast("double") / col("see").cast("double"), 6)
-            .as("dw"),
-          round(lit(1.0) - (col("sdd").cast("double") /
+          // try_divide: a 1-day series has zero residual energy (see = 0)
+          // and DW is NULL (DuckDB's x/0), not an ANSI error
+          round(try_divide(col("sdd").cast("double"),
+            col("see").cast("double")), 6).as("dw"),
+          round(lit(1.0) - try_divide(col("sdd").cast("double"),
             col("see").cast("double")) / 2.0, 6).as("rho_hat"))
     },
     Some(s"""
@@ -937,8 +948,10 @@ object StatsQueries {
         sum(col("u").cast(d38) * col("u")).cast("double").as("suu"),
         sum(col("t").cast(d38) * col("u")).cast("double").as("stu"))
         .select(col("n").cast("long").as("n"),
-          (((col("n") * col("stu") - col("st") * col("su")) *
-            (col("n") * col("stu") - col("st") * col("su"))) /
+          // try_divide: a 1-day series has zero t/u variance — NULL r²
+          try_divide(
+            ((col("n") * col("stu") - col("st") * col("su")) *
+              (col("n") * col("stu") - col("st") * col("su"))),
             ((col("n") * col("stt") - col("st") * col("st")) *
               (col("n") * col("suu") - col("su") * col("su")))).as("r2"))
         .select(col("n").as("n_days"),
@@ -990,10 +1003,12 @@ object StatsQueries {
       def dsum(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
       val (q, p, dc) = (col("l_quantity"), col("l_extendedprice"),
         col("l_discount"))
+      // try_divide: one sample (degenerate corpora) has zero variance and
+      // the correlation is NULL (DuckDB's x/0), not an ANSI error
       def corrOf(sx: String, sy: String, sxy: String, sxx: String,
           syy: String) = round(
-        (col("n") * col(sxy) - col(sx) * col(sy)) /
-          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+        try_divide(col("n") * col(sxy) - col(sx) * col(sy),
+          sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
             sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
       val rs = lineitem(s, d)
         .agg(count(lit(1)).cast("double").as("n"),
@@ -1007,15 +1022,15 @@ object StatsQueries {
           corrOf("sq", "sd", "sqd", "sqq", "sdd").as("r_qd"),
           corrOf("sp", "sd", "spd", "spp", "sdd").as("r_pd"))
       def r2(ij: String, ik: String, jk: String): Column =
-        (col(ij) * col(ij) + col(ik) * col(ik) -
-          lit(2.0) * col(ij) * col(ik) * col(jk)) /
-          (lit(1.0) - col(jk) * col(jk))
+        try_divide(col(ij) * col(ij) + col(ik) * col(ik) -
+          lit(2.0) * col(ij) * col(ik) * col(jk),
+          lit(1.0) - col(jk) * col(jk))
       rs.select(col("r_qp"), col("r_qd"), col("r_pd"),
-        round(lit(1.0) / (lit(1.0) - r2("r_qp", "r_qd", "r_pd")), 6)
+        round(try_divide(lit(1.0), lit(1.0) - r2("r_qp", "r_qd", "r_pd")), 6)
           .as("vif_qty"),
-        round(lit(1.0) / (lit(1.0) - r2("r_qp", "r_pd", "r_qd")), 6)
+        round(try_divide(lit(1.0), lit(1.0) - r2("r_qp", "r_pd", "r_qd")), 6)
           .as("vif_price"),
-        round(lit(1.0) / (lit(1.0) - r2("r_qd", "r_pd", "r_qp")), 6)
+        round(try_divide(lit(1.0), lit(1.0) - r2("r_qd", "r_pd", "r_qp")), 6)
           .as("vif_disc"))
     },
     Some("""
@@ -1273,11 +1288,14 @@ object StatsQueries {
           abs(col("n").cast(d38) * col("v") - col("sv")))
       dev.orderBy(col("adev").desc, col("t")).limit(1)
         .select(col("n").as("n_days"), col("t").cast("int").as("outlier_day"),
-          round((col("adev").cast("double") / col("n").cast("double")) /
-            sqrt((col("svv").cast("double") -
+          // try_divide: a ONE-day series has no sample variance — G is
+          // NULL (DuckDB's x/0), not an ANSI error (degen single corpus)
+          round(try_divide(
+            col("adev").cast("double") / col("n").cast("double"),
+            sqrt(try_divide(col("svv").cast("double") -
               col("sv").cast("double") * col("sv").cast("double") /
-                col("n").cast("double")) /
-              (col("n").cast("double") - 1.0)), 6).as("g"))
+                col("n").cast("double"),
+              col("n").cast("double") - 1.0))), 6).as("g"))
     },
     Some("""
       WITH daily AS (
@@ -1569,10 +1587,15 @@ object StatsQueries {
         col("n").as("n_rows"),
         round(col("si").cast("double") / (col("n").cast("double") * 1e9), 6)
           .as("i_nats"),
-        round(-col("sh").cast("double") / (col("nh").cast("double") * 1e9), 6)
-          .as("h_y"),
-        round((col("si").cast("double") / (col("n").cast("double") * 1e9)) /
-          (-col("sh").cast("double") / (col("nh").cast("double") * 1e9)), 6)
+        // +0.0 canonicalizes the IEEE zero sign: a one-class y gives
+        // H(Y) = -0.0 here and the driver's hash is raw-bits-sensitive
+        (round(-col("sh").cast("double") /
+          (col("nh").cast("double") * 1e9), 6) + lit(0.0)).as("h_y"),
+        // try_divide: one y class means H(Y) = 0 and U is NULL (DuckDB's
+        // x/0), not an ANSI error (degen constant corpus)
+        round(try_divide(
+          col("si").cast("double") / (col("n").cast("double") * 1e9),
+          -col("sh").cast("double") / (col("nh").cast("double") * 1e9)), 6)
           .as("theil_u"))
     },
     Some("""
@@ -1603,7 +1626,7 @@ object StatsQueries {
              round(CAST(si AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6)
                AS i_nats,
              round(-CAST(sh AS DOUBLE) / (CAST(nh AS DOUBLE) * 1e9), 6)
-               AS h_y,
+               + 0.0 AS h_y,
              round((CAST(si AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))
                    / (-CAST(sh AS DOUBLE) / (CAST(nh AS DOUBLE) * 1e9)), 6)
                AS theil_u
@@ -1851,7 +1874,9 @@ object StatsQueries {
       val sT = (0 to 4).map(g => col(s"st$g")).reduce(_ + _).cast("double")
       val nC = (0 to 4).map(g => col(s"nc$g")).reduce(_ + _).cast("double")
       val sC = (0 to 4).map(g => col(s"sc$g")).reduce(_ + _).cast("double")
-      val naive = sT / nT - sC / nC
+      // try_divide: a corpus with no treated (or no control) rows has no
+      // naive difference — NULL (DuckDB's x/0), not an ANSI error
+      val naive = try_divide(sT, nT) - try_divide(sC, nC)
       piv.select(nT.cast("long").as("n_treated"),
         nC.cast("long").as("n_control"),
         round(att / 100.0, 6).as("att_usd"),
@@ -1926,11 +1951,14 @@ object StatsQueries {
         sum(((col("i") - 1) * (col("i") - 2)).cast(d38) * (col("i") - 3) *
           col("v")).as("b3n"))
       val n = col("n").cast("double")
-      val b0 = col("b0n").cast("double") / n
-      val b1 = col("b1n").cast("double") / (n * (n - 1.0))
-      val b2 = col("b2n").cast("double") / (n * (n - 1.0) * (n - 2.0))
-      val b3 = col("b3n").cast("double") /
-        (n * (n - 1.0) * (n - 2.0) * (n - 3.0))
+      // try_divide: fewer than 4 days (degen corpora) zero these
+      // factorials — the higher L-moments are NULL, not ANSI errors
+      val b0 = try_divide(col("b0n").cast("double"), n)
+      val b1 = try_divide(col("b1n").cast("double"), n * (n - 1.0))
+      val b2 = try_divide(col("b2n").cast("double"),
+        n * (n - 1.0) * (n - 2.0))
+      val b3 = try_divide(col("b3n").cast("double"),
+        n * (n - 1.0) * (n - 2.0) * (n - 3.0))
       val l1 = b0
       val l2 = lit(2.0) * b1 - b0
       val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
@@ -1938,9 +1966,9 @@ object StatsQueries {
       st.select(col("n").as("n_days"),
         round(l1 / 100.0, 2).as("l1_usd"),
         round(l2 / 100.0, 2).as("l2_usd"),
-        round(l2 / l1, 6).as("l_cv"),
-        round(l3 / l2, 6).as("t3_lskew"),
-        round(l4 / l2, 6).as("t4_lkurt"))
+        round(try_divide(l2, l1), 6).as("l_cv"),
+        round(try_divide(l3, l2), 6).as("t3_lskew"),
+        round(try_divide(l4, l2), 6).as("t4_lkurt"))
     },
     Some("""
       WITH daily AS (
@@ -2003,10 +2031,12 @@ object StatsQueries {
       def dsum(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
       val (q, dc, y) = (col("l_quantity"), col("l_discount"),
         col("l_extendedprice"))
+      // try_divide: one sample (degenerate corpora) has zero variance and
+      // the correlation is NULL (DuckDB's x/0), not an ANSI error
       def corrOf(sx: String, sy: String, sxy: String, sxx: String,
           syy: String) = round(
-        (col("n") * col(sxy) - col(sx) * col(sy)) /
-          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+        try_divide(col("n") * col(sxy) - col(sx) * col(sy),
+          sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
             sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
       val rs = lineitem(s, d)
         .agg(count(lit(1)).cast("double").as("n"),
@@ -2019,9 +2049,12 @@ object StatsQueries {
           corrOf("sq", "sy", "sqy", "sqq", "syy").as("r_qy"),
           corrOf("sd", "sy", "sdy", "sdd", "syy").as("r_dy"),
           corrOf("sq", "sd", "sqd", "sqq", "sdd").as("r_qd"))
-      val r2Full = (col("r_qy") * col("r_qy") + col("r_dy") * col("r_dy") -
-        lit(2.0) * col("r_qy") * col("r_dy") * col("r_qd")) /
-        (lit(1.0) - col("r_qd") * col("r_qd"))
+      // try_divide: perfectly collinear features (|r_qd| = 1 on degenerate
+      // corpora) make the partition undefined — NULL, not an ANSI error
+      val r2Full = try_divide(
+        col("r_qy") * col("r_qy") + col("r_dy") * col("r_dy") -
+          lit(2.0) * col("r_qy") * col("r_dy") * col("r_qd"),
+        lit(1.0) - col("r_qd") * col("r_qd"))
       val phiQ = lit(0.5) * col("r_qy") * col("r_qy") +
         lit(0.5) * (r2Full - col("r_dy") * col("r_dy"))
       val phiD = lit(0.5) * col("r_dy") * col("r_dy") +
@@ -2292,13 +2325,17 @@ object StatsQueries {
           .as("pd"))
       val piv = rows.agg(aggs.head, aggs.tail: _*)
       def dbl(e: String): Column = expr(e).cast("double")
+      // try_divide throughout: empty strata / empty cells on degenerate
+      // corpora make the odds ratios NULL (DuckDB's x/0), not ANSI errors
       val parts = shipYears.indices.map { i =>
         val n = dbl(s"a$i + b$i + c$i + d$i")
-        (dbl(s"a$i") * dbl(s"d$i") / n, dbl(s"b$i") * dbl(s"c$i") / n)
+        (try_divide(dbl(s"a$i") * dbl(s"d$i"), n),
+          try_divide(dbl(s"b$i") * dbl(s"c$i"), n))
       }
-      val orMh = round(parts.map(_._1).reduce(_ + _) /
-        parts.map(_._2).reduce(_ + _), 6)
-      val orPooled = round(dbl("pa") * dbl("pd") / (dbl("pb") * dbl("pc")), 6)
+      val orMh = round(try_divide(parts.map(_._1).reduce(_ + _),
+        parts.map(_._2).reduce(_ + _)), 6)
+      val orPooled = round(try_divide(dbl("pa") * dbl("pd"),
+        dbl("pb") * dbl("pc")), 6)
       piv.select(orPooled.as("or_pooled"), orMh.as("or_mh"),
         ((orPooled > 1.0 && orMh < 1.0) ||
           (orPooled < 1.0 && orMh > 1.0)).cast("int").as("paradox_flag"))
@@ -2369,10 +2406,11 @@ object StatsQueries {
         sum(col("diff").cast(d38)).as("sd"),
         sum(col("diff").cast(d38) * col("diff")).as("sdd"))
       val n = col("n").cast("double")
-      val mean = col("sd").cast("double") / n
-      val sd = sqrt((col("sdd").cast("double") -
-        col("sd").cast("double") * col("sd").cast("double") / n) /
-        (n - 1.0))
+      val mean = try_divide(col("sd").cast("double"), n)
+      // try_divide: one line (degen single corpus) has no sample SD
+      val sd = sqrt(try_divide(col("sdd").cast("double") -
+        try_divide(col("sd").cast("double") * col("sd").cast("double"), n),
+        n - 1.0))
       st.select(col("n").as("n_lines"),
         round(mean / 100.0, 2).as("bias_usd"),
         round((mean - lit(1.96) * sd) / 100.0, 2).as("loa_lower_usd"),
@@ -2485,15 +2523,17 @@ object StatsQueries {
           1L).otherwise(0L)).as("c"),
         sum(when(col("l_discount") <= 0.05 && col("l_returnflag") =!= "R",
           1L).otherwise(0L)).as("dd"))
-      val p1 = col("a").cast("double") /
-        (col("a") + col("b")).cast("double")
-      val p0 = col("c").cast("double") /
-        (col("c") + col("dd")).cast("double")
+      // try_divide: an arm absent from a degenerate corpus has no rate
+      val p1 = try_divide(col("a").cast("double"),
+        (col("a") + col("b")).cast("double"))
+      val p0 = try_divide(col("c").cast("double"),
+        (col("c") + col("dd")).cast("double"))
       val h = lit(2.0) * asin(sqrt(p1)) - lit(2.0) * asin(sqrt(p0))
       piv.select(
-        round(p1 / p0, 6).as("risk_ratio"),
-        round(col("a").cast("double") * col("dd").cast("double") /
-          (col("b").cast("double") * col("c").cast("double")), 6)
+        round(try_divide(p1, p0), 6).as("risk_ratio"),
+        round(try_divide(
+          col("a").cast("double") * col("dd").cast("double"),
+          col("b").cast("double") * col("c").cast("double")), 6)
           .as("odds_ratio"),
         round(p1 - p0, 6).as("risk_diff"),
         when(round(p1 - p0, 6) =!= 0.0,

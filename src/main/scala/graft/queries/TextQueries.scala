@@ -2369,10 +2369,13 @@ object TextQueries {
         max(col("nt")).as("n_tokens"))
       st.select(col("np").cast("int").as("n_points"),
         col("v_min"), col("v_max"), col("n_tokens"),
-        round((col("np").cast(d38) * col("sxy") - col("sx") * col("sy"))
-          .cast("double") /
+        // try_divide: a 1-doc corpus collapses all 8 checkpoints onto one
+        // x — zero OLS variance, NULL beta (DuckDB's x/0), no ANSI error
+        round(try_divide(
+          (col("np").cast(d38) * col("sxy") - col("sx") * col("sy"))
+            .cast("double"),
           (col("np").cast(d38) * col("sxx") - col("sx") * col("sx"))
-          .cast("double"), 6).as("beta"))
+            .cast("double")), 6).as("beta"))
     },
     Some("""
       WITH toks AS (
