@@ -317,8 +317,13 @@ object RelationalQueries {
       def corrOf(sx: String, sy: String, sxy: String, sxx: String,
           syy: String) = round(
         try_divide(col("n") * col(sxy) - col(sx) * col(sy),
-          sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
-            sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
+          // greatest(…, 0): the sufficient statistics pass through DOUBLE,
+          // so an exactly-zero variance (constant column) can round to a
+          // TINY NEGATIVE — sqrt would be NaN here and an ERROR in DuckDB
+          sqrt(greatest(col("n") * col(sxx) - col(sx) * col(sx),
+            lit(0.0))) *
+            sqrt(greatest(col("n") * col(syy) - col(sy) * col(sy),
+              lit(0.0)))), 6)
       lineitem(s, d)
         .agg(
           count(lit(1)).cast("double").as("n"),
@@ -351,13 +356,13 @@ object RelationalQueries {
         FROM lineitem
       )
       SELECT round((n * sqp - sq * sp)
-                   / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+                   / (sqrt(greatest(n * sqq - sq * sq, 0)) * sqrt(greatest(n * spp - sp * sp, 0))), 6)
                AS corr_qty_price,
              round((n * sqd - sq * sd)
-                   / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+                   / (sqrt(greatest(n * sqq - sq * sq, 0)) * sqrt(greatest(n * sdd - sd * sd, 0))), 6)
                AS corr_qty_disc,
              round((n * spt - sp * st)
-                   / (sqrt(n * spp - sp * sp) * sqrt(n * stt - st * st)), 6)
+                   / (sqrt(greatest(n * spp - sp * sp, 0)) * sqrt(greatest(n * stt - st * st, 0))), 6)
                AS corr_price_tax,
              CAST(n AS BIGINT) AS n_rows
       FROM s

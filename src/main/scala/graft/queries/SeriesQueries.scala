@@ -1469,10 +1469,15 @@ object SeriesQueries {
         sum("e1m").cast("long").as("e1_micro"),
         sum("e2m").cast("long").as("e2_micro"))
         .select(col("o1"), col("o2"), col("e1_micro"), col("e2_micro"),
-          round((col("o1").cast("double") /
-            (col("e1_micro").cast("double") / 1e6)) /
-            (col("o2").cast("double") /
-              (col("e2_micro").cast("double") / 1e6)), 6)
+          // try_divide: a corpus where one arm never has events (the
+          // degen constant star routes every order to one customer
+          // segment) has an undefined hazard ratio — NULL (DuckDB's
+          // x/0), not an ANSI error
+          round(try_divide(
+            try_divide(col("o1").cast("double"),
+              col("e1_micro").cast("double") / 1e6),
+            try_divide(col("o2").cast("double"),
+              col("e2_micro").cast("double") / 1e6)), 6)
             .as("hazard_ratio"))
     },
     Some("""
@@ -1876,10 +1881,12 @@ object SeriesQueries {
         sum("cf").as("nm"))
       tot.crossJoin(broadcast(mtot)).select(
         col("n").as("n_transitions"),
-        round(-col("sw").cast("double") /
-          (col("n").cast("double") * 1e9), 6).as("h_rate"),
-        round(-col("sm").cast("double") /
-          (col("nm").cast("double") * 1e9), 6).as("h_marginal"))
+        // +0.0 canonicalizes the IEEE zero sign: a constant series has
+        // -0.0 entropy in DuckDB and the driver's hash is bit-sensitive
+        (round(-col("sw").cast("double") /
+          (col("n").cast("double") * 1e9), 6) + lit(0.0)).as("h_rate"),
+        (round(-col("sm").cast("double") /
+          (col("nm").cast("double") * 1e9), 6) + lit(0.0)).as("h_marginal"))
     },
     Some("""
       WITH pairs AS (
@@ -1913,9 +1920,9 @@ object SeriesQueries {
                       CAST(sum(cf) AS BIGINT) AS nm2 FROM mterms)
       SELECT tot.n AS n_transitions,
              round(-CAST(tot.sw AS DOUBLE)
-                   / (CAST(tot.n AS DOUBLE) * 1e9), 6) AS h_rate,
+                   / (CAST(tot.n AS DOUBLE) * 1e9), 6) + 0.0 AS h_rate,
              round(-CAST(mtot.sm AS DOUBLE)
-                   / (CAST(mtot.nm2 AS DOUBLE) * 1e9), 6) AS h_marginal
+                   / (CAST(mtot.nm2 AS DOUBLE) * 1e9), 6) + 0.0 AS h_marginal
       FROM tot CROSS JOIN mtot
     """))
 
@@ -2229,10 +2236,12 @@ object SeriesQueries {
           (col("c11") + col("lambda")) * col("c2y") -
             col("c12") * col("c1y"), col("det")))
         .select(col("lambda"),
-          round((col("sy") - col("b1u") * col("s1") -
-            col("b2u") * col("s2")) / col("n"), 6).as("b0"),
-          round(col("b1u"), 6).as("b1"),
-          round(col("b2u"), 6).as("b2"))
+          // +0.0 canonicalizes the IEEE zero sign (constant-feature
+          // corpora round to -0.0 through DuckDB's double path)
+          (round((col("sy") - col("b1u") * col("s1") -
+            col("b2u") * col("s2")) / col("n"), 6) + lit(0.0)).as("b0"),
+          (round(col("b1u"), 6) + lit(0.0)).as("b1"),
+          (round(col("b2u"), 6) + lit(0.0)).as("b2"))
         .orderBy("lambda")
     },
     Some("""
@@ -2277,9 +2286,9 @@ object SeriesQueries {
         FROM sol
       )
       SELECT lambda,
-             round((sy - b1u * s1 - b2u * s2) / n, 6) AS b0,
-             round(b1u, 6) AS b1,
-             round(b2u, 6) AS b2
+             round((sy - b1u * s1 - b2u * s2) / n, 6) + 0.0 AS b0,
+             round(b1u, 6) + 0.0 AS b1,
+             round(b2u, 6) + 0.0 AS b2
       FROM b
       ORDER BY lambda
     """))

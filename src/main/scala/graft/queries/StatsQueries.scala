@@ -1008,8 +1008,13 @@ object StatsQueries {
       def corrOf(sx: String, sy: String, sxy: String, sxx: String,
           syy: String) = round(
         try_divide(col("n") * col(sxy) - col(sx) * col(sy),
-          sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
-            sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
+          // greatest(…, 0): the sufficient statistics pass through DOUBLE,
+          // so an exactly-zero variance (constant column) can round to a
+          // TINY NEGATIVE — sqrt would be NaN here and an ERROR in DuckDB
+          sqrt(greatest(col("n") * col(sxx) - col(sx) * col(sx),
+            lit(0.0))) *
+            sqrt(greatest(col("n") * col(syy) - col(sy) * col(sy),
+              lit(0.0)))), 6)
       val rs = lineitem(s, d)
         .agg(count(lit(1)).cast("double").as("n"),
           dsum(q).as("sq"), dsum(p).as("sp"), dsum(dc).as("sd"),
@@ -1048,12 +1053,12 @@ object StatsQueries {
         FROM lineitem
       ),
       rs AS (
-        SELECT round((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq)
-                 * sqrt(n * spp - sp * sp)), 6) AS r_qp,
-               round((n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq)
-                 * sqrt(n * sdd - sd * sd)), 6) AS r_qd,
-               round((n * spd - sp * sd) / (sqrt(n * spp - sp * sp)
-                 * sqrt(n * sdd - sd * sd)), 6) AS r_pd
+        SELECT round((n * sqp - sq * sp) / (sqrt(greatest(n * sqq - sq * sq, 0))
+                 * sqrt(greatest(n * spp - sp * sp, 0))), 6) AS r_qp,
+               round((n * sqd - sq * sd) / (sqrt(greatest(n * sqq - sq * sq, 0))
+                 * sqrt(greatest(n * sdd - sd * sd, 0))), 6) AS r_qd,
+               round((n * spd - sp * sd) / (sqrt(greatest(n * spp - sp * sp, 0))
+                 * sqrt(greatest(n * sdd - sd * sd, 0))), 6) AS r_pd
         FROM st
       )
       SELECT r_qp, r_qd, r_pd,
@@ -2036,8 +2041,13 @@ object StatsQueries {
       def corrOf(sx: String, sy: String, sxy: String, sxx: String,
           syy: String) = round(
         try_divide(col("n") * col(sxy) - col(sx) * col(sy),
-          sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
-            sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
+          // greatest(…, 0): the sufficient statistics pass through DOUBLE,
+          // so an exactly-zero variance (constant column) can round to a
+          // TINY NEGATIVE — sqrt would be NaN here and an ERROR in DuckDB
+          sqrt(greatest(col("n") * col(sxx) - col(sx) * col(sx),
+            lit(0.0))) *
+            sqrt(greatest(col("n") * col(syy) - col(sy) * col(sy),
+              lit(0.0)))), 6)
       val rs = lineitem(s, d)
         .agg(count(lit(1)).cast("double").as("n"),
           dsum(q).as("sq"), dsum(dc).as("sd"), dsum(y).as("sy"),
@@ -2077,12 +2087,12 @@ object StatsQueries {
         FROM lineitem
       ),
       rs AS (
-        SELECT round((n * sqy - sq * sy) / (sqrt(n * sqq - sq * sq)
-                 * sqrt(n * syy - sy * sy)), 6) AS r_qy,
-               round((n * sdy - sd * sy) / (sqrt(n * sdd - sd * sd)
-                 * sqrt(n * syy - sy * sy)), 6) AS r_dy,
-               round((n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq)
-                 * sqrt(n * sdd - sd * sd)), 6) AS r_qd
+        SELECT round((n * sqy - sq * sy) / (sqrt(greatest(n * sqq - sq * sq, 0))
+                 * sqrt(greatest(n * syy - sy * sy, 0))), 6) AS r_qy,
+               round((n * sdy - sd * sy) / (sqrt(greatest(n * sdd - sd * sd, 0))
+                 * sqrt(greatest(n * syy - sy * sy, 0))), 6) AS r_dy,
+               round((n * sqd - sq * sd) / (sqrt(greatest(n * sqq - sq * sq, 0))
+                 * sqrt(greatest(n * sdd - sd * sd, 0))), 6) AS r_qd
         FROM st
       ),
       ff AS (
