@@ -45,6 +45,9 @@ object Router {
     val v = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 12),
       16, 10).cast("bigint")
     val u = (v + lit(1)) / lit(281474976710656.0) // 2^48
-    log(u) / weight
+    // try_divide: a ZERO weight (degen hollow) means "never sample me" —
+    // the NULL key sorts after every real key in both engines' DESC
+    // order (A-RES's -inf limit), and an ANSI error would be wrong
+    try_divide(log(u), weight)
   }
 }

@@ -87,7 +87,11 @@ object Similarity {
     // Sort at the DRIVER: the sample is about to be collected anyway, and
     // a distributed orderBy would pay a range-sampling pass + sort shuffle
     // just to fix iteration order for the local fit.
-    val sample = sampleDf.collect()
+    val sampleRows = sampleDf.collect()
+    require(sampleRows.forall(!_.isNullAt(1)),
+      "corpus contains NULL embeddings — an ANN index cannot represent a " +
+        "missing vector; filter or impute upstream")
+    val sample = sampleRows
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
     val centroids = localKMeans(sample, nCells, iters = 10, seed = 42L)
@@ -240,7 +244,11 @@ object Similarity {
         emb.filter(pmod(xxhash64(lit("pq-train"), col(idCol)), lit(1000000L)) < keep)
       } else emb)
         .select(col(idCol), asDouble(col("embedding")).as("__v"))
-    val sample = sampleDf.collect()
+    val sampleRows = sampleDf.collect()
+    require(sampleRows.forall(!_.isNullAt(1)),
+      "corpus contains NULL embeddings — an ANN index cannot represent a " +
+        "missing vector; filter or impute upstream")
+    val sample = sampleRows
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
     val dim = sample.head.length

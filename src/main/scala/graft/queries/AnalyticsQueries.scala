@@ -824,8 +824,10 @@ object AnalyticsQueries {
           (col("b").cast(d38) * col("ccnt") - col("csum").cast(d38)))
           * 2).as("sad"))
       st.select(col("n"),
-        round(col("sad").cast("double") /
-          (lit(2.0) * col("n").cast("double") * col("s").cast("double")), 6)
+        // try_divide: an all-zero/NULL balance column (degen hollow) has
+        // zero total — the Gini is NULL (DuckDB's x/0), no ANSI error
+        round(try_divide(col("sad").cast("double"),
+          lit(2.0) * col("n").cast("double") * col("s").cast("double")), 6)
           .as("gini"))
     },
     Some("""
@@ -885,8 +887,10 @@ object AnalyticsQueries {
         .withColumn("cum", sum(col("v").cast(d38)).over(W))
         .select(col("p_brand"),
           round(col("v").cast("double") / 100.0, 2).as("revenue_usd"),
-          round(col("cum").cast("double") / col("total").cast("double"), 6)
-            .as("cum_share"),
+          // try_divide: all-NULL revenue (degen hollow) sums to a zero
+          // total — NULL share (DuckDB's x/0), not an ANSI error
+          round(try_divide(col("cum").cast("double"),
+            col("total").cast("double")), 6).as("cum_share"),
           when(col("cum") * 100 <= col("total") * 80, "A")
             .when(col("cum") * 100 <= col("total") * 95, "B")
             .otherwise("C").as("abc_class"))

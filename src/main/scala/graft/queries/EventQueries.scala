@@ -25,7 +25,10 @@ object EventQueries {
         .select("event_id", "event_type", "k")
         .orderBy("event_id"),
     Some("""
-      SELECT event_id, event_type, CAST(props->>'$.k' AS INTEGER) AS k
+      -- nullif: DuckDB's JSON extract ERRORS on an empty string where
+      -- Spark's from_json yields NULL (degen hollow)
+      SELECT event_id, event_type,
+             CAST(nullif(props, '')->>'$.k' AS INTEGER) AS k
       FROM events
       ORDER BY event_id
     """))
@@ -44,6 +47,9 @@ object EventQueries {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events
+      -- ts IS NOT NULL: Spark's window() excludes NULL event-time by
+      -- definition; the oracle matches that contract (degen hollow)
+      WHERE ts IS NOT NULL
       GROUP BY 1, 2
       ORDER BY 1, 2
     """))
@@ -54,7 +60,10 @@ object EventQueries {
   val sessionize = QuerySpec(
     "q_sessionize",
     (s, d) =>
-      Windows.sessionize(events(s, d), "user_id", "ts", gapSeconds = 1800,
+      // an event with no event-time cannot be placed in any session —
+      // excluded EXPLICITLY on both engines (degen hollow)
+      Windows.sessionize(events(s, d).filter(col("ts").isNotNull),
+          "user_id", "ts", gapSeconds = 1800,
           tiebreak = "event_id")
         .groupBy("user_id", "session_seq")
         .agg(
@@ -69,7 +78,7 @@ object EventQueries {
                CASE WHEN lag(ts) OVER w IS NULL
                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ), numbered AS (
         SELECT user_id, ts,
@@ -94,7 +103,8 @@ object EventQueries {
   val sessionWindow = QuerySpec(
     "q_session_window",
     (s, d) =>
-      Windows.sessionWindowByUser(events(s, d))
+      // no event-time, no session — excluded explicitly on both engines
+      Windows.sessionWindowByUser(events(s, d).filter(col("ts").isNotNull))
         .orderBy("user_id", "session_start"),
     Some("""
       WITH flagged AS (
@@ -102,7 +112,7 @@ object EventQueries {
                CASE WHEN lag(ts) OVER w IS NULL
                       OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ), numbered AS (
         SELECT user_id, ts,

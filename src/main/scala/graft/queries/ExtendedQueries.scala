@@ -423,6 +423,8 @@ object ExtendedQueries {
       SELECT make_timestamp((epoch_us(ts)//900000000 - k.k)*900000000) AS win_start,
              event_type, count(*) AS n_events
       FROM events, (SELECT unnest([0,1,2,3]) AS k) k
+      -- ts IS NOT NULL: Spark's window() excludes NULL event-time
+      WHERE ts IS NOT NULL
       GROUP BY 1, 2
       ORDER BY 1, 2
     """))
@@ -547,7 +549,10 @@ object ExtendedQueries {
              min(v) AS min_v, max(v) AS max_v
       FROM (
         SELECT key, CAST(json_extract_string(props, '$.' || key) AS INTEGER) AS v
-        FROM (SELECT props, unnest(json_keys(props::JSON)) AS key FROM events)
+        -- nullif: DuckDB's JSON cast ERRORS on an empty string where
+        -- Spark's from_json yields NULL (degen hollow)
+        FROM (SELECT props, unnest(json_keys(nullif(props, '')::JSON)) AS key
+              FROM events)
       )
       GROUP BY 1
       ORDER BY 1

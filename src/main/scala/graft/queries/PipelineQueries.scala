@@ -222,9 +222,11 @@ object PipelineQueries {
       perLang.crossJoin(total)
         .select(
           col("lang"), col("n_docs"), col("lang_tokens"),
-          (col("lang_tokens").cast("double") / col("total_tokens"))
+          try_divide(col("lang_tokens").cast("double"),
+            col("total_tokens"))
             .as("share"),
-          sqrt(col("lang_tokens").cast("double") / col("total_tokens"))
+          sqrt(try_divide(col("lang_tokens").cast("double"),
+            col("total_tokens")))
             .as("w_sqrt"))
         .orderBy("lang")
     },
@@ -261,11 +263,17 @@ object PipelineQueries {
         .select(
           least(floor(col("n_chars") / lit(200)), lit(9)).cast("int")
             .as("bucket"),
-          (substring(col("source"), 4, 8).cast("int") < 10).as("is_a"))
+          // nullif: an EMPTY source string (degen hollow) has no cohort
+          // number — NULL, where a bare ANSI cast of '' errors
+          (nullif(substring(col("source"), 4, 8), lit(""))
+            .cast("int") < 10).as("is_a"))
         .groupBy("bucket")
         .agg(
           sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
-          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
+          // when(is_a, 0).otherwise(1), NOT when(!is_a, 1).otherwise(0):
+          // a NULL cohort number (degen hollow) must fall to B exactly
+          // like the oracle's CASE ELSE branch
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("cnt_b"))
       val tot = agg.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
       agg.crossJoin(tot)
         .select(
@@ -286,9 +294,11 @@ object PipelineQueries {
     Some("""
       WITH agg AS (
         SELECT CAST(least(floor(n_chars / 200), 9) AS INTEGER) AS bucket,
-               CAST(sum(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+               CAST(sum(CASE WHEN CAST(nullif(substr(source, 4), '')
+                                       AS INTEGER) < 10
                              THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
-               CAST(sum(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+               CAST(sum(CASE WHEN CAST(nullif(substr(source, 4), '')
+                                       AS INTEGER) < 10
                              THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
         FROM documents
         GROUP BY 1
@@ -930,10 +940,12 @@ object PipelineQueries {
           sum(col("wq").cast(d38)).as("sw"),
           sum(col("wq").cast(d38) * col("wq")).as("sq"))
         .select(col("source"), col("n_docs"),
-          round((col("sw") * col("sw")).cast("double") /
-            col("sq").cast("double"), 6).as("ess"),
-          round((col("sw") * col("sw")).cast("double") /
-            (col("sq").cast("double") * col("n_docs").cast("double")), 6)
+          // try_divide: all-zero weights (degen hollow) have no effective
+          // sample size — NULL (DuckDB's x/0), not an ANSI error
+          round(try_divide((col("sw") * col("sw")).cast("double"),
+            col("sq").cast("double")), 6).as("ess"),
+          round(try_divide((col("sw") * col("sw")).cast("double"),
+            col("sq").cast("double") * col("n_docs").cast("double")), 6)
             .as("ess_ratio"))
         .orderBy("source")
     },

@@ -686,11 +686,19 @@ object QualityQueries {
         .groupBy("digit").agg(count(lit(1)).as("n_obs"))
         .crossJoin(broadcast(tot))
         .select(col("digit"), col("n_obs"),
-          (col("n_obs").cast("double") / col("n_tot").cast("double"))
+          try_divide(col("n_obs").cast("double"),
+            col("n_tot").cast("double"))
             .as("obs_frac"),
-          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("exp_frac"),
-          round(col("n_obs").cast("double") / col("n_tot").cast("double") -
-            log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("excess"))
+          // try_divide: a ZERO amount (degen hollow) has leading digit 0
+          // and Benford's law has no expectation for it — NULL, like
+          // DuckDB's 1/0
+          round(log10(lit(1.0) + try_divide(lit(1.0), col("digit"))), 6)
+            .as("exp_frac"),
+          // try_divide: zero observed leading digits (degen hollow)
+          round(try_divide(col("n_obs").cast("double"),
+            col("n_tot").cast("double")) -
+            log10(lit(1.0) + try_divide(lit(1.0), col("digit"))), 6)
+            .as("excess"))
         .orderBy("digit")
     },
     Some("""

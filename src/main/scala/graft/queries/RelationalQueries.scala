@@ -499,13 +499,19 @@ object RelationalQueries {
         .select(
           col("c_custkey"),
           regexp_replace(col("c_name"), "[0-9]+$", "").as("name_stem"),
-          regexp_extract(col("c_name"), "([0-9]+)$", 1).cast("bigint").as("name_id"),
+          // nullif: Spark's regexp_extract returns '' on no-match where
+          // DuckDB returns NULL — and ANSI cast of '' errors (degen hollow)
+          nullif(regexp_extract(col("c_name"), "([0-9]+)$", 1), lit(""))
+            .cast("bigint").as("name_id"),
           regexp_replace(col("c_mktsegment"), "[A-I]$", "").as("seg_stripped"))
         .orderBy("c_custkey"),
     Some("""
       SELECT c_custkey,
              regexp_replace(c_name, '[0-9]+$', '') AS name_stem,
-             CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_id,
+             -- nullif mirrors the Spark side: no-match extracts '' and an
+             -- ANSI/strict cast of '' errors on both engines
+             CAST(nullif(regexp_extract(c_name, '([0-9]+)$', 1), '')
+               AS BIGINT) AS name_id,
              regexp_replace(c_mktsegment, '[A-I]$', '') AS seg_stripped
       FROM customer
       ORDER BY c_custkey

@@ -369,7 +369,10 @@ object SeriesQueries {
       val vals = array_sort(collect_list(col("value")).over(w))
       val n = size(vals)
       // Column `/` is double division; the indices must be ints
-      val med = when(n % 2 === 1,
+      // the n > 0 guard: an all-NULL window (degen hollow) collects an
+      // EMPTY list and element_at(…, 0) is an error, not a median
+      val med = when(n === 0, lit(null).cast("double"))
+        .when(n % 2 === 1,
           element_at(vals, ((n + 1) / 2).cast("int")))
         .otherwise((element_at(vals, (n / 2).cast("int")) +
           element_at(vals, (n / 2).cast("int") + 1)) / 2.0)

@@ -585,10 +585,13 @@ object StatsQueries {
               sum(col("v").cast(d38) * basis(k, math.sin)).as(s"ss$k"))
             })
         val piv = daily.agg(aggs.head, aggs.tail: _*)
+        // try_divide: an all-NULL revenue series (degen hollow) has zero
+        // total energy — NULL amplitude (DuckDB's x/0), not an ANSI error
         def amp(k: Int): Column = round(
-          sqrt(col(s"sc$k").cast("double") * col(s"sc$k").cast("double") +
-            col(s"ss$k").cast("double") * col(s"ss$k").cast("double")) *
-            lit(2.0) / (col("sv").cast("double") * lit(1e9)), 6)
+          try_divide(
+            sqrt(col(s"sc$k").cast("double") * col(s"sc$k").cast("double") +
+              col(s"ss$k").cast("double") * col(s"ss$k").cast("double")) *
+              lit(2.0), col("sv").cast("double") * lit(1e9)), 6)
         piv.select(col("n").as("n_days"), amp(1).as("amp_weekly"),
           amp(2).as("amp_half_week"), amp(3).as("amp_third_week"))
       }
@@ -734,7 +737,10 @@ object StatsQueries {
         .join(orders(s, d), col("c_custkey") === col("o_custkey"))
         .select(col("c_mktsegment").as("seg"),
           floor(col("c_acctbal") / 1000.0).cast("int").as("bb"),
-          col("o_orderpriority").substr(1, 1).cast("int").as("lvl"))
+          // nullif: an EMPTY priority string (degen hollow) has no level
+          // digit — NULL, where a bare ANSI cast of '' errors
+          nullif(col("o_orderpriority").substr(1, 1), lit(""))
+            .cast("int").as("lvl"))
       def cums(prefix: String) = (1 to 4).map { i =>
         sum(when(col("lvl") <= i, 1L).otherwise(0L)).as(s"$prefix$i") }
       val g = joined.groupBy("seg", "bb")
@@ -757,7 +763,8 @@ object StatsQueries {
       WITH j AS (
         SELECT c_mktsegment AS seg,
                CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bb,
-               CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS lvl
+               CAST(nullif(substr(o_orderpriority, 1, 1), '')
+                 AS INTEGER) AS lvl
         FROM customer JOIN orders ON c_custkey = o_custkey
       ),
       g AS (

@@ -162,6 +162,8 @@ object StreamingQueries {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events
+      -- ts IS NOT NULL: the streaming window() excludes NULL event-time
+      WHERE ts IS NOT NULL
       GROUP BY 1, 2
       ORDER BY 1, 2
     """))
