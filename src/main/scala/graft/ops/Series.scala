@@ -174,7 +174,10 @@ object Series {
   def cusumChangepoint(series: DataFrame, tCol: String, vCol: String): DataFrame = {
     val base = series.select(col(tCol).cast("long").as("t"),
       col(vCol).cast("long").as("v"))
-    val wOrd = Window.orderBy("t")
+    // asc_nulls_last: an unknown time sorts AFTER every known one (the
+    // SQL-standard/DuckDB ASC order); Spark's NULLS-FIRST default would
+    // seat a NULL-day aggregate at prefix position 1 (hollow DegenGate)
+    val wOrd = Window.orderBy(col("t").asc_nulls_last)
     val tot = base.agg(sum("v").as("tv"), count(lit(1)).as("n"))
     base
       .withColumn("idx", row_number().over(wOrd))
@@ -186,7 +189,10 @@ object Series {
       .select(col("t"), col("idx"), col("n"), abs(col("dev")).as("g_stat"),
         // dev < 0 ⇔ prefix mean below global mean ⇔ the series steps UP
         when(col("dev") < 0, lit(1)).otherwise(lit(-1)).as("direction"))
-      .orderBy(col("g_stat").desc, col("t").asc)
+      // asc_nulls_last tie-break too: a zero-revenue tie between a dated
+      // day and the unknown-day row must resolve to the DATED day, as
+      // DuckDB's ASC does (hollow DegenGate)
+      .orderBy(col("g_stat").desc, col("t").asc_nulls_last)
       .limit(1)
   }
 
@@ -210,8 +216,13 @@ object Series {
     * Output: (t, n_risk, n_events, surv) per distinct EVENT time,
     * ascending. */
   def kaplanMeier(subjects: DataFrame, durCol: String, eventCol: String): DataFrame = {
+    // NULL-duration subjects are EXCLUDED: a subject with an unknown
+    // duration has no place on the time axis — it can neither sit in a
+    // risk set nor contribute an event (hollow DegenGate contract; the
+    // oracle carries the same t IS NOT NULL predicate)
     val base = subjects.select(col(durCol).cast("long").as("t"),
       col(eventCol).cast("int").as("ev"))
+      .filter(col("t").isNotNull)
     val byT = base.groupBy("t").agg(
       sum(col("ev").cast("long")).as("d"), count(lit(1)).as("c"))
     val tot = base.agg(count(lit(1)).as("n_total"))

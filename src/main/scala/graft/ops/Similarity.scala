@@ -25,6 +25,18 @@ object Similarity {
   def asDouble(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(c, x => x.cast("double"))
 
+  /** In-plan NULL-embedding guard — the [[ivfAssign]]/[[pqTrain]] domain
+    * contract extended to the codegen'd assignment paths: an assignment
+    * cannot place a MISSING vector, and silently dropping (or seating it
+    * under an arbitrary centroid, which is what a min-over-NULL-distance
+    * struct would do) hides data loss. Zero extra passes: the check rides
+    * the existing projection and raises at first NULL row. */
+  private[graft] def requireVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.isNull, raise_error(lit(
+      "corpus contains NULL embeddings — an assignment cannot place a " +
+        "missing vector; filter or impute upstream")).cast("array<double>"))
+      .otherwise(c)
+
   /** Fetch one probe vector (as doubles) by id — a driver-side scalar fetch
     * of a query *parameter*, not a data collect. An ABSENT probe id is a
     * domain error (top-k relative to no vector has no defined answer —
@@ -778,9 +790,10 @@ object Similarity {
       k: Int): DataFrame = {
     // Deterministic init: k lowest ids. A k-row TakeOrdered, not a sort.
     val cents = emb.orderBy(col(idCol).asc).limit(k)
-      .select(col(idCol).as("__cid"), asDouble(col(vecCol)).as("__cvec"))
+      .select(col(idCol).as("__cid"),
+        requireVec(asDouble(col(vecCol))).as("__cvec"))
     emb
-      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), requireVec(asDouble(col(vecCol))).as("__v"))
       .crossJoin(broadcast(cents))
       .withColumn("__d2", round(
         aggregate(
@@ -834,7 +847,7 @@ object Similarity {
     // smaller-id neighbors are exactly the member's rank in the sorted
     // id list, and cross-group smaller-id neighbors count via an array
     // filter over the neighbor group's id list.
-    val v = emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val v = emb.select(col(idCol), requireVec(asDouble(col(vecCol))).as("__v"))
     val groups = v.groupBy("__v")
       .agg(min(col(idCol)).as("__gid"),
         sort_array(collect_list(col(idCol))).as("__ids"))

@@ -34,9 +34,13 @@ object Text {
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** Ratio of two counts as an exact double (numerator/denominator are
-    * integers, so the division is bit-identical in any engine). */
+    * integers, so the division is bit-identical in any engine). A zero
+    * denominator is defined as 0.0 (an empty doc has a zero ratio); a
+    * NULL input NULL-propagates — a MISSING doc has no ratio, and
+    * fabricating 0.0 there would score it as pristine text (the hollow
+    * DegenGate corpus caught exactly that). */
   def ratio(num: Column, den: Column): Column =
-    when(den =!= 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
 
   /** Marker-word hit count for one language — the n-gram-heuristic
     * language-ID primitive. Counts token OCCURRENCES (not distinct). */

@@ -162,7 +162,12 @@ object AnalyticsQueries {
         .select(
           col("l_returnflag"), col("l_linestatus"), col("med_exact"),
           col("n_rows"),
-          (abs(col("__approx") - col("med_exact")) <= 1.0).cast("int").as("approx_ok"))
+          // total verdict (hollow DegenGate): a group whose values are
+          // all NULL has NO median on either path — vacuously ok; a
+          // one-sided NULL (broken sketch) falls to the loud 0
+          when(col("__approx").isNull && col("med_exact").isNull, 1)
+            .when(abs(col("__approx") - col("med_exact")) <= 1.0, 1)
+            .otherwise(0).as("approx_ok"))
         .orderBy("l_returnflag", "l_linestatus"),
     Some("""
       SELECT l_returnflag, l_linestatus,
@@ -413,8 +418,12 @@ object AnalyticsQueries {
           .agg(
             count(lit(1)).as("n_orders"),
             sum(col("o_totalprice").cast("decimal(18,2)")).as("__total"))
+      // base+delta must PARTITION the table or the refresh silently loses
+      // rows: a NULL order date satisfies neither < nor >=, so it routes
+      // to the delta batch explicitly (hollow DegenGate caught the loss)
       val base = partial(o.filter(col("o_orderdate") < "1997-01-01"))
-      val delta = partial(o.filter(col("o_orderdate") >= "1997-01-01"))
+      val delta = partial(o.filter(
+        col("o_orderdate") >= "1997-01-01" || col("o_orderdate").isNull))
       base.unionByName(delta)
         .groupBy("o_orderpriority")
         .agg(

@@ -96,8 +96,9 @@ object CurationQueries {
       m AS (
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS wc,
-               CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
-                    AS BIGINT) AS n_chars,
+               CAST(CASE WHEN toks IS NULL THEN NULL
+                    ELSE coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                    END AS BIGINT) AS n_chars,
                CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
                     AS BIGINT) AS n_alpha,
                CAST(len(list_intersect(list_distinct(toks),
@@ -480,11 +481,14 @@ object CurationQueries {
     (s, d) => {
       import graft.ops.Similarity
       val W = org.apache.spark.sql.expressions.Window
+      // requireVec: the kmeansAssign NULL-embedding domain contract — a
+      // silhouette over a partition that can't exist is not a number
       val emb = fanOut(s, embeddings(s, d))
-        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          Similarity.requireVec(Similarity.asDouble(col("embedding"))).as("v"))
       val cents = embeddings(s, d).orderBy(col("vec_id").asc).limit(8)
         .select(col("vec_id").as("cid"),
-          Similarity.asDouble(col("embedding")).as("cv"))
+          Similarity.requireVec(Similarity.asDouble(col("embedding"))).as("cv"))
       val d2 = emb.crossJoin(broadcast(cents))
         .withColumn("d2", round(
           aggregate(

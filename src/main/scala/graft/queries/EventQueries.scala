@@ -241,8 +241,12 @@ object EventQueries {
   val scd2 = QuerySpec(
     "q_scd2",
     (s, d) => {
+      // asc_nulls_last: a NULL-ts change record sorts after every dated
+      // one (DuckDB/SQL-standard ASC; hollow DegenGate) — otherwise it
+      // would open the history and hand its lead() to the dated rows
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id").asc)
       events(s, d)
         .select(
           col("user_id"), col("event_id"),
@@ -758,11 +762,12 @@ object EventQueries {
       val acts = events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
+      // asc_nulls_last: an unknown-day activity sorts after every dated
+      // one, as in DuckDB's ASC (hollow DegenGate)
+      val wDay = W.partitionBy("user_id").orderBy(col("day").asc_nulls_last)
       val seq0 = acts
-        .withColumn("prev_day",
-          lag("day", 1).over(W.partitionBy("user_id").orderBy("day")))
-        .withColumn("nxt_day",
-          lead("day", 1).over(W.partitionBy("user_id").orderBy("day")))
+        .withColumn("prev_day", lag("day", 1).over(wDay))
+        .withColumn("nxt_day", lead("day", 1).over(wDay))
       val daily = seq0.groupBy("day").agg(
         count(lit(1)).as("dau"),
         sum(col("prev_day").isNull.cast("long")).as("new_users"),
@@ -770,8 +775,10 @@ object EventQueries {
         // and an all-new day would sum to NULL instead of 0: coalesce.
         sum(coalesce((col("prev_day") === date_sub(col("day"), 1))
           .cast("long"), lit(0L))).as("retained"),
-        sum((col("prev_day").isNotNull &&
-          col("prev_day") < date_sub(col("day"), 1)).cast("long"))
+        // coalesce: on a NULL day the < comparison is NULL, and the
+        // oracle's CASE lands in ELSE 0 (hollow DegenGate)
+        sum(coalesce((col("prev_day").isNotNull &&
+          col("prev_day") < date_sub(col("day"), 1)).cast("long"), lit(0L)))
           .as("resurrected"),
         // users active today whose NEXT activity is not tomorrow —
         // i.e. tomorrow's churn contribution from today's actives
@@ -965,8 +972,10 @@ object EventQueries {
             .as("age_week"))
         .agg(sum(col("value").cast("decimal(18,4)")).as("rev"))
       cells.join(sizes, "cohort_day")
+        // asc_nulls_last: DuckDB's ORDER BY age_week seats the unknown-
+        // age cell LAST in the cumulative (hollow DegenGate)
         .withColumn("cum_rev", sum("rev").over(
-          W.partitionBy("cohort_day").orderBy("age_week")
+          W.partitionBy("cohort_day").orderBy(col("age_week").asc_nulls_last)
             .rowsBetween(W.unboundedPreceding, W.currentRow)))
         .select(col("cohort_day").cast("timestamp").as("cohort_day"),
           col("age_week"), col("cohort_n"),

@@ -229,11 +229,18 @@ object ExtendedQueries {
         .agg(
           // all daily sketches share lgConfigK=12, so no allow-different flag
           expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"),
-          count(lit(1)).as("n_days"))
+          // count(day), not count(*): n_days counts DATED days, so the
+          // unknown-time bucket reports 0 like the oracle's
+          // count(DISTINCT date) (hollow DegenGate)
+          count(col("day")).as("n_days"))
       val exact = events(s, d)
         .groupBy(expr("(day(ts) - 1) DIV 7").as("week_idx"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
-      merged.join(exact, "week_idx")
+      // null-safe equality: the unknown-time bucket (NULL ts → NULL week)
+      // is a real rollup group on both engines; a plain inner join would
+      // silently drop it (hollow DegenGate)
+      merged.join(exact, merged("week_idx") <=> exact("week_idx"))
+        .drop(exact("week_idx"))
         .select(
           col("week_idx"), col("n_days"), col("n_exact"),
           (abs(col("__est") - col("n_exact")) <= col("n_exact") * 0.05)
@@ -285,8 +292,11 @@ object ExtendedQueries {
   val movingSum = QuerySpec(
     "q_moving_sum",
     (s, d) => {
+      // asc_nulls_last: Spark's default NULLS FIRST would seat unknown-
+      // date orders at the FRONT of every customer's frame sequence —
+      // SQL-standard (and DuckDB) ASC is NULLS LAST (hollow DegenGate)
       val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey"))
         .rowsBetween(-3, Window.currentRow)
       orders(s, d)
         .select(
@@ -346,7 +356,10 @@ object ExtendedQueries {
         .select(
           col("p_partkey"), col("p_name"),
           levenshtein(col("p_name"), lit("red widget")).as("dist"))
-        .orderBy(col("dist").asc, col("p_partkey").asc)
+        // asc_nulls_last: an un-scorable (NULL-name) row must not beat
+        // every real match into the top-20 — DuckDB's ASC is NULLS LAST,
+        // Spark's default NULLS FIRST (hollow DegenGate)
+        .orderBy(col("dist").asc_nulls_last, col("p_partkey").asc)
         .limit(20),
     Some("""
       SELECT p_partkey, p_name,
@@ -467,6 +480,11 @@ object ExtendedQueries {
       val key = cents * 100000000L + (lit(99999999L) - col("event_id"))
       val top5 = graft.ops.TopK.topK(5)
       events(s, d)
+        // a NULL value is unrankable — no engine can give a top-k over
+        // all-NULL keys a deterministic answer (DuckDB's row_number over
+        // NULL keys is an arbitrary tie pick; hollow DegenGate) — so the
+        // contract excludes it on both sides
+        .filter(col("value").isNotNull)
         .groupBy("event_type")
         .agg(top5(key, col("event_id")).as("ids"))
         .select(
@@ -483,6 +501,7 @@ object ExtendedQueries {
                  ORDER BY CAST(round(value*100) AS BIGINT)*100000000 + (99999999 - event_id) DESC
                ) AS rn
         FROM events
+        WHERE value IS NOT NULL
       )
       SELECT event_type,
              string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY key DESC) AS top_ids
@@ -794,8 +813,13 @@ object ExtendedQueries {
     Some("""
       SELECT vec_id,
              CAST(len(embedding) AS INTEGER) AS dim,
-             sqrt(list_reduce(list_prepend(0.0, embedding::DOUBLE[]),
-                              (acc, x) -> acc + x * x)) AS l2
+             -- list_prepend(0.0, NULL) = [0.0] would fabricate an L2 of
+             -- 0 for a MISSING vector; Spark's aggregate(NULL) is NULL
+             -- (hollow DegenGate contract: NULL in, NULL out)
+             CASE WHEN embedding IS NULL THEN NULL
+             ELSE sqrt(list_reduce(list_prepend(0.0, embedding::DOUBLE[]),
+                              (acc, x) -> acc + x * x))
+             END AS l2
       FROM embeddings
       ORDER BY vec_id
     """))
@@ -1238,11 +1262,17 @@ object ExtendedQueries {
     },
     Some("""
       WITH keyed AS (
+        -- explicit NULL guard: DuckDB's split_part(NULL) is '' (and its
+        -- concat skips NULL args), so a NULL name would silently key as
+        -- '' — but a NULL name has NO phonetic key; Spark's
+        -- split/element_at/concat chain NULL-propagates (hollow DegenGate)
         SELECT p_partkey,
-               concat(substr(split_part(p_name, ' ', 1), 1, 1),
-                      substr(regexp_replace(
-                        substr(split_part(p_name, ' ', 1), 2, 100),
-                        '[aeiou]', '', 'g'), 1, 3)) AS pkey
+               CASE WHEN p_name IS NULL THEN NULL
+               ELSE substr(split_part(p_name, ' ', 1), 1, 1)
+                    || substr(regexp_replace(
+                         substr(split_part(p_name, ' ', 1), 2, 100),
+                         '[aeiou]', '', 'g'), 1, 3)
+               END AS pkey
         FROM part
       ),
       blocks AS (

@@ -126,7 +126,10 @@ object FeatureQueries {
     (s, d) => {
       val lab = documents(s, d).select(
         col("source"),
-        (col("n_chars") >= 1000L).cast("int").as("label"))
+        // when/otherwise, not a bool cast: an unknown length is NOT a
+        // long doc — the oracle's CASE lands in ELSE 0, a NULL label
+        // would open a phantom contingency column (hollow DegenGate)
+        when(col("n_chars") >= 1000L, 1).otherwise(0).as("label"))
       val cells = lab.groupBy("source", "label").agg(count(lit(1)).as("obs"))
       val rows = lab.groupBy("source").agg(count(lit(1)).as("rt"))
       val cols = lab.groupBy("label").agg(count(lit(1)).as("ct"))
@@ -452,7 +455,11 @@ object FeatureQueries {
       val base = orders(s, d)
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("seg"),
-          (col("o_orderpriority") === "1-URGENT").cast("long").as("pos"))
+          // when/otherwise, not a bool cast: a NULL priority is NOT
+          // urgent — the oracle's CASE lands in ELSE 0, a NULL pos would
+          // NULL-poison sum(1 - pos) (hollow DegenGate)
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("pos"))
       val perCat = base.groupBy("seg").agg(
         sum(col("pos")).as("good"),
         sum(lit(1L) - col("pos")).as("bad"))

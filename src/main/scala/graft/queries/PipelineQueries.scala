@@ -195,7 +195,12 @@ object PipelineQueries {
       SELECT doc_id,
              CAST(len(toks) AS INTEGER) AS n_tok,
              CAST(least(len(toks), 256) AS INTEGER) AS n_tok_kept,
-             md5(array_to_string(toks[1:256], ' ')) AS trunc_md5
+             -- Spark's array_join([]) is '', DuckDB's array_to_string([])
+             -- is NULL: an EMPTY doc's truncation digest is md5(''), a
+             -- NULL doc's is NULL (hollow DegenGate contract)
+             md5(CASE WHEN toks IS NULL THEN NULL
+                 ELSE coalesce(array_to_string(toks[1:256], ' '), '')
+                 END) AS trunc_md5
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(lower(text), '\W+'),
                                t -> t <> '') AS toks
@@ -349,10 +354,14 @@ object PipelineQueries {
     },
     Some("""
       WITH survivors AS (
+        -- coalesce arm = Dedup.exact's NULL contract (NULL content is
+        -- missing, not duplicate; ops/Dedup.scala:26)
         SELECT doc_id, text FROM (
           SELECT doc_id, text,
-                 row_number() OVER (PARTITION BY md5(lower(trim(text)))
-                                    ORDER BY doc_id) AS rn
+                 row_number() OVER (
+                   PARTITION BY coalesce(md5(lower(trim(text))),
+                                         '__null__' || CAST(doc_id AS VARCHAR))
+                   ORDER BY doc_id) AS rn
           FROM documents
         ) WHERE rn = 1
       ),
@@ -367,7 +376,11 @@ object PipelineQueries {
       SELECT CAST(shard_id AS INTEGER) AS shard_id,
              count(*) AS n_docs,
              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-             md5(string_agg(digest, ',' ORDER BY digest)) AS fingerprint
+             -- Spark's collect_list SKIPS NULL digests, so a shard of
+             -- all-NULL docs fingerprints as md5('') — string_agg over
+             -- zero values is NULL, hence the coalesce (hollow DegenGate)
+             md5(coalesce(string_agg(digest, ',' ORDER BY digest), ''))
+               AS fingerprint
       FROM sharded
       GROUP BY 1
       ORDER BY 1
@@ -393,7 +406,11 @@ object PipelineQueries {
       // uid stride 1e6: collision-free up to million-chunk (~448 MB)
       // documents — 1000 would alias doc N chunk 1000 with doc N+1
       // chunk 0 at ~448 KB, well inside real-corpus sizes
+      // chunker contract: a NULL document has nothing to chunk — zero
+      // chunks, not a NULL-embedding chunk the assignment would refuse
+      // (hollow DegenGate; the oracle carries the same predicate)
       val chunks = fanOut(s, documents(s, d))
+        .filter(col("text").isNotNull)
         .select(
           col("doc_id"),
           posexplode(sequence(lit(1), greatest(length(col("text")), lit(1)),
@@ -433,7 +450,8 @@ object PipelineQueries {
         FROM (SELECT doc_id, text,
                      unnest(generate_series(1, greatest(len(text), 1), 448))
                        AS start
-              FROM documents)
+              FROM documents
+              WHERE text IS NOT NULL)
       ),
       emb AS (
         SELECT chunk_uid, n_chars,

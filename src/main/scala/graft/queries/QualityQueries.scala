@@ -184,7 +184,11 @@ object QualityQueries {
     "q_quality_logreg",
     (s, d) => {
       val feats = documents(s, d).select(
-        (col("lang") === "en").cast("int").as("y"),
+        // when/otherwise, not a bool cast: a NULL lang is NOT English —
+        // a NULL label would count as a third class and push the
+        // one-class corpus into a NULL-poisoned Newton fit (hollow
+        // DegenGate; the oracle's n_en CASE has the same ELSE 0)
+        when(col("lang") === "en", 1).otherwise(0).as("y"),
         size(split(col("text"), " ")).cast("double").as("x_words"),
         size(array_distinct(split(col("text"), " "))).cast("double")
           .as("x_uniq"),
@@ -567,8 +571,11 @@ object QualityQueries {
             col("ratio") <= 1.2).cast("int").as("ratio_ok"))
         .orderBy("doc_id"),
     Some("""
+      -- coalesce mirrors compressionStats' codec contract: a NULL doc
+      -- deflates as the empty byte string, n_bytes 0 (hollow DegenGate)
       SELECT doc_id,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+               AS n_bytes,
              1 AS ratio_ok
       FROM documents
       ORDER BY doc_id

@@ -363,8 +363,10 @@ object SeriesQueries {
     "q_rolling_median",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // asc_nulls_last: DuckDB/SQL-standard ASC seats NULL event times
+      // LAST; Spark's default is NULLS FIRST (hollow DegenGate)
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(col("ts").asc_nulls_last, col("event_id"))
         .rowsBetween(-4, Window.currentRow)
       val vals = array_sort(collect_list(col("value")).over(w))
       val n = size(vals)
@@ -525,10 +527,14 @@ object SeriesQueries {
         FROM orders
       ),
       dur AS (
+        -- t IS NOT NULL: Series.kaplanMeier's NULL-duration exclusion
+        -- (a NULL order date yields an unplaceable subject)
         SELECT CAST(CASE WHEN nxt IS NOT NULL THEN nxt - dt
                          ELSE h - dt END AS BIGINT) AS t,
                CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
         FROM seq, hz
+        WHERE (CASE WHEN nxt IS NOT NULL THEN nxt - dt
+                    ELSE h - dt END) IS NOT NULL
       ),
       byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
                      CAST(count(*) AS BIGINT) AS c
@@ -808,7 +814,12 @@ object SeriesQueries {
   val holt = QuerySpec(
     "q_holt",
     (s, d) => {
+      // dated days only (the cusum calendar contract): an unknown-day
+      // aggregate has no place in the smoothing order, and the two
+      // engines would seat it at opposite ends of the fold (hollow
+      // DegenGate)
       val daily = orders(s, d)
+        .filter(col("o_orderdate").isNotNull)
         .groupBy(datediff(to_date(col("o_orderdate")),
           lit("1970-01-01").cast("date")).cast("long").as("t"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
@@ -843,10 +854,11 @@ object SeriesQueries {
     },
     Some("""
       WITH daily AS (
+        -- dated days only (the cusum calendar contract; hollow DegenGate)
         SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
                  AS t,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
       ),
       ser AS (SELECT count(*) AS n_days, max(t) AS last_day,
                      list(x ORDER BY t) AS xs
@@ -1365,6 +1377,8 @@ object SeriesQueries {
             .otherwise(datediff(col("hz"), to_date(col("o_orderdate"))))
             .as("t"),
           col("nxt").isNotNull.cast("int").as("ev"))
+        // the kaplanMeier NULL-duration exclusion (hollow DegenGate)
+        .filter(col("t").isNotNull)
       val byt = dur.groupBy("t")
         .agg(sum("ev").as("d"), count(lit(1)).as("c"))
       val tot = byt.agg(sum("c").as("n"))
@@ -1391,10 +1405,13 @@ object SeriesQueries {
         FROM orders
       ),
       dur AS (
+        -- the kaplanMeier NULL-duration exclusion (hollow DegenGate)
         SELECT CAST(CASE WHEN nxt IS NOT NULL THEN nxt - dt
                          ELSE h - dt END AS BIGINT) AS t,
                CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
         FROM seq, hz
+        WHERE (CASE WHEN nxt IS NOT NULL THEN nxt - dt
+                    ELSE h - dt END) IS NOT NULL
       ),
       byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
                      CAST(count(*) AS BIGINT) AS c
@@ -1452,6 +1469,8 @@ object SeriesQueries {
             .otherwise(datediff(col("hz"), to_date(col("o_orderdate"))))
             .as("t"),
           col("nxt").isNotNull.cast("int").as("ev"), col("g1"))
+        // the kaplanMeier NULL-duration exclusion (hollow DegenGate)
+        .filter(col("t").isNotNull)
       val byt = dur.groupBy("t").agg(
         sum(col("ev") * col("g1")).as("d1"),
         sum(col("ev") * (lit(1) - col("g1"))).as("d2"),
@@ -1493,12 +1512,15 @@ object SeriesQueries {
         FROM orders
       ),
       dur AS (
+        -- the kaplanMeier NULL-duration exclusion (hollow DegenGate)
         SELECT CAST(CASE WHEN s.nxt IS NOT NULL THEN s.nxt - s.dt
                          ELSE hz.h - s.dt END AS BIGINT) AS t,
                CASE WHEN s.nxt IS NOT NULL THEN 1 ELSE 0 END AS ev,
                CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
         FROM seq s CROSS JOIN hz
         JOIN customer c ON c.c_custkey = s.o_custkey
+        WHERE (CASE WHEN s.nxt IS NOT NULL THEN s.nxt - s.dt
+                    ELSE hz.h - s.dt END) IS NOT NULL
       ),
       byt AS (
         SELECT t, CAST(sum(ev * g1) AS BIGINT) AS d1,
@@ -1664,19 +1686,26 @@ object SeriesQueries {
         .agg(sum(expr(
           "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
           .as("rev"))
-      val w = W.orderBy("day").rowsBetween(W.unboundedPreceding,
-        W.currentRow)
+      // asc_nulls_last (hollow DegenGate): DuckDB's ORDER BY day seats an
+      // unknown day LAST; Spark's NULLS-FIRST default would hand it i=1
+      val w = W.orderBy(col("day").asc_nulls_last)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
       val tot = daily.agg(count(lit(1)).as("n"), sum("rev").as("s"))
       val cum = daily.crossJoin(broadcast(tot))
-        .withColumn("i", row_number().over(W.orderBy("day")))
+        .withColumn("i", row_number().over(
+          W.orderBy(col("day").asc_nulls_last)))
         .withColumn("p", sum("rev").over(w))
         .filter(col("i") < col("n"))
       val d38 = "decimal(38,0)"
+      // CASE s = 0: an all-zero (or all-NULL-revenue) series makes the
+      // constant-S quantizer divisor 0 — NULL score like DuckDB's
+      // x // 0, never an ANSI DIVIDE_BY_ZERO (hollow DegenGate)
       val scored = cum.withColumn("score_q", expr(
-        "(CAST(p AS DECIMAL(38,0)) * p * (n - i) " +
+        "CASE WHEN s = 0 THEN NULL ELSE " +
+          "(CAST(p AS DECIMAL(38,0)) * p * (n - i) " +
           "+ CAST(s - p AS DECIMAL(38,0)) * (s - p) * i) " +
-          "DIV (CAST(i AS DECIMAL(38,0)) * (n - i) * s)"))
-      scored.orderBy(col("score_q").desc, col("day"))
+          "DIV (CAST(i AS DECIMAL(38,0)) * (n - i) * s) END"))
+      scored.orderBy(col("score_q").desc, col("day").asc_nulls_last)
         .limit(1)
         .select(col("day").cast("timestamp").as("split_day"), // strict-hash type
           col("i").cast("long").as("n_left"),
@@ -1861,10 +1890,15 @@ object SeriesQueries {
     "q_entropy_rate",
     (s, d) => {
       val W = org.apache.spark.sql.expressions.Window
+      // asc_nulls_last: DuckDB's ORDER BY ts seats NULL event times LAST
+      // (hollow DegenGate) — with NULLS FIRST the chain would bridge
+      // unknown-time events INTO the dated sequence
       val pairs = events(s, d)
         .select(col("event_type").as("ft"),
           lead("event_type", 1).over(
-            W.partitionBy("user_id").orderBy("ts", "event_id")).as("tt"))
+            W.partitionBy("user_id")
+              .orderBy(col("ts").asc_nulls_last, col("event_id")))
+            .as("tt"))
         .filter(col("tt").isNotNull)
       val cnts = pairs.groupBy("ft", "tt").agg(count(lit(1)).as("c"))
       val marg = cnts.groupBy("ft").agg(sum("c").as("cf"))

@@ -1160,7 +1160,12 @@ object StatsQueries {
   val poissonIrls = QuerySpec(
     "q_poisson_irls",
     (s, d) => {
+      // dated orders only (the cusum calendar contract): an undated
+      // order has no day to count under, and its NULL features would
+      // NULL-poison the IRLS aggregate (hollow DegenGate; the oracle
+      // carries the same predicate)
       val daily = orders(s, d)
+        .filter(col("o_orderdate").isNotNull)
         .groupBy(datediff(to_date(col("o_orderdate")),
           lit("1970-01-01").cast("date")).cast("long").as("t"))
         .agg(count(lit(1)).cast("double").as("y"))
@@ -1195,7 +1200,7 @@ object StatsQueries {
              CAST(count(*) AS BIGINT) AS n_orders,
              4 AS n_iters, 1 AS deviance_decreasing, 1 AS grad_ok,
              1 AS weights_finite
-      FROM orders
+      FROM orders WHERE o_orderdate IS NOT NULL
     """))
 
   /** Friedman test: do the three known order years (1995–1997) rank
@@ -1788,10 +1793,13 @@ object StatsQueries {
         FROM orders
       ),
       dur AS (
+        -- the kaplanMeier NULL-duration exclusion (hollow DegenGate)
         SELECT CAST(CASE WHEN nxt IS NOT NULL THEN nxt - dt
                          ELSE h - dt END AS BIGINT) AS t,
                CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
         FROM seq, hz
+        WHERE (CASE WHEN nxt IS NOT NULL THEN nxt - dt
+                    ELSE h - dt END) IS NOT NULL
       ),
       byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
                      CAST(count(*) AS BIGINT) AS c
@@ -1859,7 +1867,10 @@ object StatsQueries {
     "q_propensity_strata",
     (s, d) => {
       val rows = lineitem(s, d).select(
-        (col("l_discount") > 0.05).cast("int").as("tr"),
+        // when/otherwise, not a bool cast: a NULL discount is NOT a deep
+        // discount — the oracle's CASE lands in ELSE 0, a NULL treatment
+        // flag would drop the row from BOTH arms (hollow DegenGate)
+        when(col("l_discount") > 0.05, 1).otherwise(0).as("tr"),
         expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
           .as("y"),
         least(floor((col("l_quantity") - 1) / 10.0), lit(4.0)).cast("int")

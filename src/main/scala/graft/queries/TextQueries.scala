@@ -50,10 +50,16 @@ object TextQueries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
     Some("""
+      -- the coalesce arm mirrors Dedup.exact's NULL contract: NULL
+      -- content is MISSING, not duplicate — every NULL-text doc keeps
+      -- its own partition key instead of collapsing to one survivor
+      -- (hollow DegenGate; see ops/Dedup.scala:26)
       SELECT doc_id, lang, source, n_chars
       FROM (
-        SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
-                                     ORDER BY doc_id) AS rn
+        SELECT *, row_number() OVER (
+                    PARTITION BY coalesce(md5(lower(trim(text))),
+                                          '__null__' || CAST(doc_id AS VARCHAR))
+                    ORDER BY doc_id) AS rn
         FROM documents
       )
       WHERE rn = 1
@@ -381,13 +387,22 @@ object TextQueries {
           rolling_hash(col("text")).as("roll_fp"))
         .orderBy("doc_id"),
     Some("""
+      -- NULL contract (hollow DegenGate): a NULL doc has NULL prints on
+      -- both engines; an EMPTY bag hashes as md5('') like Spark's
+      -- array_join (DuckDB's array_to_string([]) is NULL, hence the
+      -- coalesce), and list_prepend(0, NULL) = [0] would fabricate a 0
+      -- rolling hash for a NULL doc, hence the CASE guard.
       SELECT doc_id,
-             md5(array_to_string(list_sort(list_distinct(
-               list_filter(string_split_regex(lower(text), '\W+'), t -> t <> ''))), ' ')) AS bag_fp,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
+             md5(CASE WHEN text IS NULL THEN NULL
+                 ELSE coalesce(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split_regex(lower(text), '\W+'), t -> t <> ''))), ' '), '')
+                 END) AS bag_fp,
+             CASE WHEN text IS NULL THEN NULL
+             ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
                                       list_transform(string_split(text, ''),
                                                      c -> CAST(ascii(c) AS BIGINT))),
-                         (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp
+                         (a, b) -> (a * 31 + b) % 1000000007)
+             END AS roll_fp
       FROM documents
       ORDER BY doc_id
     """))
@@ -1299,10 +1314,14 @@ object TextQueries {
       SELECT doc_id,
              CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
                                   t -> t <> '')) AS INTEGER) AS n_tokens,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
+             -- list_prepend(0, NULL) = [0] would fabricate a 0 hash for a
+             -- NULL doc (hollow DegenGate contract: NULL in, NULL out)
+             CASE WHEN text IS NULL THEN NULL
+             ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
                                       list_transform(string_split(text, ''),
                                                      c -> CAST(ascii(c) AS BIGINT))),
-                         (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp,
+                         (a, b) -> (a * 31 + b) % 1000000007)
+             END AS roll_fp,
              round(jaro_winkler_similarity(substr(text, 1, 20),
                                            'the fast key order'), 6) AS jw
       FROM documents

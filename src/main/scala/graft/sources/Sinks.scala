@@ -14,9 +14,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Sinks {
 
-  /** S7 modern form: header CSV, executor-parallel. */
+  /** The CSV null marker: with Spark's defaults BOTH a NULL and an empty
+    * string serialize to an empty field and read back as NULL — a silent
+    * lossy encode the q_format_roundtrip gate caught on the hollow
+    * DegenGate corpus. Writing NULL as the MySQL-style `\N` and '' as a
+    * quoted `""` keeps the two distinguishable through a round-trip.
+    * (Residual text-format ambiguity: a data value that IS the literal
+    * two-character string \N would read back as NULL — inherent to any
+    * in-band marker; use parquet/ORC where that matters.) */
+  private val CsvNullMarker = "\\N"
+
+  /** S7 modern form: header CSV, executor-parallel. NULL/'' round-trip
+    * losslessly via [[CsvNullMarker]]. */
   def writeCsv(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite).option("header", true)
+      .option("nullValue", CsvNullMarker).option("emptyValue", "\"\"")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).csv(path)
   }
 
@@ -26,10 +38,14 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
-  /** S2/S6 modern form: explicit-schema CSV read. */
+  /** S2/S6 modern form: explicit-schema CSV read. Decodes
+    * [[CsvNullMarker]] to NULL; a quoted empty field stays '' (an
+    * unquoted empty field — e.g. a foreign writer's NULL — still reads
+    * as NULL, the CSV convention). */
   def readCsv(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.option("header", true).schema(schema).csv(path)
+    spark.read.option("header", true).option("nullValue", CsvNullMarker)
+      .schema(schema).csv(path)
 
   /** ORC sink — the columnar alternative where the surrounding stack is
     * Hive/ORC-native; same pushdown/pruning properties as parquet. */

@@ -26,6 +26,25 @@ class SinksSpec extends SparkSpec {
     assert(pq.filter(col("k") === "a").count() === 2)
   }
 
+  test("csv round-trip distinguishes NULL from empty string") {
+    // Spark's CSV defaults serialize BOTH NULL and '' as an empty field
+    // and read both back as NULL — the silent lossy encode the
+    // q_format_roundtrip gate caught on the hollow DegenGate corpus.
+    // Sinks pins the \N null marker + quoted-"" empty so the two
+    // round-trip losslessly.
+    val dir = Files.createTempDirectory("sinks").toString
+    val df = Seq((1, Option("")), (2, Option.empty[String]), (3, Option("x")))
+      .toDF("k", "s")
+    Sinks.writeCsv(df, s"$dir/csv")
+    val back = Sinks.readCsv(spark, s"$dir/csv", schemaOf)
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getString(1))))
+    assert(back.toSeq === Seq((1, Some("")), (2, None), (3, Some("x"))))
+  }
+
+  private val schemaOf = StructType(Seq(
+    StructField("k", IntegerType), StructField("s", StringType)))
+
   test("partitioned parquet read plans a PartitionFilter, not a data filter") {
     val dir = Files.createTempDirectory("sinks").toString
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "n")

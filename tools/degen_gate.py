@@ -39,16 +39,23 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-# Default = the corpora the gate REQUIRES green. `hollow` (alternating
-# NULL / empty-value columns) is buildable and runnable explicitly
-# (--corpora hollow); it is the known-open NULL-semantics tail — 298/362
-# green as of r11, with the remaining divergences classed in SURVEY §23
-# (typed-feed/codec/index NULL contracts, NULL grouping-order splits).
-DEFAULT_CORPORA = ["empty", "single", "constant"]
-ALL_CORPORA = DEFAULT_CORPORA + ["hollow"]
+# Default = the corpora the gate REQUIRES green — all four since r11:
+# the hollow (alternating NULL / empty-value) tail was closed at
+# 337 hash-matches + 25 documented expectations (SURVEY §23).
+DEFAULT_CORPORA = ["empty", "single", "constant", "hollow"]
+ALL_CORPORA = DEFAULT_CORPORA
 
 
 def run_verify(corpus_dir: Path, out_dir: Path, only):
+    # clear stale outputs first: Verify writes nothing for a query that
+    # RAISES, so a leftover parquet dir from an earlier sweep would make
+    # a now-erroring query look computed (and a kind-"error" expectation
+    # look stale) — exactly the gate's own failure mode
+    if out_dir.exists():
+        import shutil
+        for child in out_dir.iterdir():
+            if child.is_dir() and (not only or child.name in only):
+                shutil.rmtree(child)
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     if only:
         env["SPARK_GRAFT_VERIFY_ONLY"] = ",".join(only)
