@@ -580,18 +580,30 @@ object GraphQueries {
       val e = freqEdges(s, d).cache() // shares the graph-suite entry
       val und = e.select(col("a").as("src"), col("b").as("dst"))
         .union(e.select(col("b").as("src"), col("a").as("dst")))
-      val seeds = und.select(col("src")).distinct()
-        .filter(col("src") % 500 === 0)
-        .select(col("src").as("walk"), col("src").as("node"))
+      // materialized for the same reason as the steps below: the seed
+      // frontier is consumed twice (step 1's input + the union's w0)
+      val seeds = graft.ops.Checkpoints.materialize(
+        und.select(col("src")).distinct()
+          .filter(col("src") % 500 === 0)
+          .select(col("src").as("walk"), col("src").as("node")))
+      // each step MATERIALIZED (localCheckpoint, the iterative-loop
+      // discipline of Dedup.components): unmaterialized, step t's plan
+      // nests steps 1..t−1 and the closing 5-way union re-evaluates
+      // every prefix — 0+1+2+3+4 = 10 frontier⋈edges joins in one
+      // 2,300-line plan (164 Exchanges). Materialized, each join runs
+      // once: 4 joins, a ~70-line plan, same (walk, step, node) values
+      // (r11 optimization; the frontier is seed-count rows, so each
+      // checkpoint job is trivially small)
       val steps = (1 to 4).scanLeft(seeds.withColumn("step", lit(0))) {
         (cur, t) =>
-          cur.select(col("walk"), col("node"))
-            .join(und, col("node") === col("src"))
-            .select(col("walk"), col("dst"),
-              md5(concat_ws(":", col("walk"), lit(t), col("dst"))).as("h"))
-            .groupBy("walk").agg(min(struct(col("h"), col("dst"))).as("m"))
-            .select(col("walk"), col("m.dst").as("node"),
-              lit(t).as("step"))
+          graft.ops.Checkpoints.materialize(
+            cur.select(col("walk"), col("node"))
+              .join(und, col("node") === col("src"))
+              .select(col("walk"), col("dst"),
+                md5(concat_ws(":", col("walk"), lit(t), col("dst"))).as("h"))
+              .groupBy("walk").agg(min(struct(col("h"), col("dst"))).as("m"))
+              .select(col("walk"), col("m.dst").as("node"),
+                lit(t).as("step")))
       }
       steps.reduce(_ unionByName _)
         .select("walk", "step", "node")

@@ -1758,8 +1758,20 @@ object StatsQueries {
     * composition ([[ksGof]]) sees bit-identical parameters in both
     * engines. */
   private def weibullParams(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val pts = graft.ops.Series.kaplanMeier(gapFrame(s, d), "dur", "event")
+      d: String): org.apache.spark.sql.DataFrame =
+    // materialize the gap frame: kaplanMeier consumes its input TWICE
+    // (per-t counts + the risk-set total), and the gap frame is a full
+    // window pass over orders — uncheckpointed, the plan re-ran that
+    // window per consumer (r11 optimization: 2 evaluations → 1 here,
+    // 4 → 1 in q_ks_gof; values are materialization-invariant)
+    weibullParamsFrom(graft.ops.Checkpoints.materialize(gapFrame(s, d)))
+
+  /** [[weibullParams]] over an ALREADY-built (dur, event) frame — the
+    * composition entry [[ksGof]] uses so its own cumulative-F̂ branch and
+    * the fit share ONE materialized gap frame. */
+  private def weibullParamsFrom(
+      gf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pts = graft.ops.Series.kaplanMeier(gf, "dur", "event")
       .filter(col("t") >= 1 && col("surv") > 0.0 && col("surv") < 1.0)
       .select(
         expr("CAST(round(ln(CAST(t AS DOUBLE)) * 1e9) AS BIGINT)").as("x"),
@@ -2206,7 +2218,12 @@ object StatsQueries {
     "q_ks_gof",
     (s, d) => {
       val W = org.apache.spark.sql.expressions.Window
-      val gaps = gapFrame(s, d).filter(col("event") === 1 && col("dur") >= 1)
+      // ONE materialized gap frame feeds both the F̂ branch (consumed
+      // twice: per-t counts + total) and the Weibull fit's KM chain
+      // (consumed twice more) — previously the orders window re-ran 4×
+      // (r11 optimization; 44 → 22 Exchanges, values unchanged)
+      val gf = graft.ops.Checkpoints.materialize(gapFrame(s, d))
+      val gaps = gf.filter(col("event") === 1 && col("dur") >= 1)
         .groupBy(col("dur").cast("long").as("t"))
         .agg(count(lit(1)).as("c"))
       val tot = gaps.agg(sum("c").as("n"))
@@ -2214,7 +2231,7 @@ object StatsQueries {
         .withColumn("k", sum("c").over(
           W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)))
         .crossJoin(broadcast(tot))
-        .crossJoin(broadcast(weibullParams(s, d)
+        .crossJoin(broadcast(weibullParamsFrom(gf)
           .select(col("shape"), col("scale_days"))))
         .withColumn("gap_nano", expr(
           """CAST(round(abs(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)

@@ -263,8 +263,16 @@ object Replay {
     * the same watermarked aggregation the MemoryStream twin gates —
     * one gate per source family. */
   def fileTumbling(spark: SparkSession, dir: String,
-      nSlices: Int = 4): DataFrame = {
+      nSlicesDefault: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions._
+    // Same COVERAGE dial as the MemoryStream replays (r11 optimization):
+    // the bench's graft.replay.slices=2 previously only reached the
+    // MemoryStream runners, so this gate alone paid 6 file triggers
+    // (4 data + 2 sentinel) where the methodology says 2 data slices
+    // already cross a batch boundary. The oracle (full-table batch
+    // aggregate) is slice-count-invariant; the correctness sweep sets no
+    // dial and keeps the 4-slice default.
+    val nSlices = sliceDial(spark, nSlicesDefault)
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
