@@ -319,14 +319,22 @@ object Dedup {
     // prefixes defer to the full key next in the sort spec, so the total
     // order — and therefore every rank and pair — is unchanged, while
     // cutpoint literals and per-row compares stay bounded.
-    val base = docs.select(
+    // base MATERIALIZED: the document-sized canonical key (array_sort +
+    // array_join over every shingle set) is the expensive expression
+    // here, and globalRank consumes its input several times (cutpoint
+    // count + sample collect + bucket counts + the ranked window) — 13
+    // upstream evaluations in the r11 before-plan. ranked is
+    // materialized too: the boundary-replication union reads it twice
+    // (home + copies), which re-ran the rank window per side. Values are
+    // materialization-invariant (DedupSpec's pair-set equality holds).
+    val base = Checkpoints.materialize(docs.select(
       array_join(array_sort(col(shCol)), " ").as("__k"),
       col(idCol).as("__id"), col(shCol).as("__sh"))
-      .withColumn("__kp", substring(col("__k"), 1, 128))
-    val ranked = Ranks
+      .withColumn("__kp", substring(col("__k"), 1, 128)))
+    val ranked = Checkpoints.materialize(Ranks
       .globalRank(base, Seq(col("__kp"), col("__k"), col("__id")), nParts,
         "__rk")
-      .drop("__k", "__kp")
+      .drop("__k", "__kp"))
     val posInBlk = (col("__rk") - 1) % blockSize
     val blkOf = ((col("__rk") - 1 - posInBlk) / blockSize).cast("long")
     val home = ranked

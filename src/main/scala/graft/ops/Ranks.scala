@@ -52,7 +52,13 @@ object Ranks {
     require(nParts > 0, s"nParts=$nParts must be positive")
     val bounds = sampleCutpoints(df, sortCols.head, nParts)
     val keyed = df.withColumn("__gr_bkt", bucketOf(sortCols.head, bounds))
-    val counts = keyed.groupBy("__gr_bkt").agg(count(lit(1)).as("__gr_cnt"))
+    // counts MATERIALIZED (≤ nParts rows): it feeds the triangular join
+    // twice (both sides) and the optional total — unmaterialized, each
+    // consumer re-ran the full count aggregate over `df`'s upstream
+    // chain (3 extra passes in the q_snm_dedup/q_zorder before-plans;
+    // r11 optimization, rank values are materialization-invariant)
+    val counts = Checkpoints.materialize(
+      keyed.groupBy("__gr_bkt").agg(count(lit(1)).as("__gr_cnt")))
     // prefix sum over ≤ nParts rows: a triangular broadcast join instead
     // of a global window, so NO empty-partition-spec Window node exists
     // anywhere in the plan (PlanSpec asserts the absence outright)

@@ -948,7 +948,15 @@ object Similarity {
       s"need 2+ bands and bands*bandBits <= 64, got $bands x $bandBits")
     require(maxHam >= 0 && maxBucket >= 2,
       s"need maxHam >= 0 and maxBucket >= 2, got $maxHam / $maxBucket")
-    val banded = hashBands(hashes, keyCol, hashCol, bands, bandBits)
+    // Materialized ONCE — the [[graft.ops.Dedup.minhashNearDups]] banded-
+    // postings discipline: the bucket-cap stats and BOTH sides of the
+    // candidate self-join consume this frame, and the column renames make
+    // the subtrees plan-distinct, so an unmaterialized banding re-ran the
+    // caller's full upstream chain per consumer (q_image_hash's PPM
+    // encode + decode ran 16×: 16 parquet scans in the r11 before-plan,
+    // 2 after). Bounded: exactly `bands` rows per input hash.
+    val banded = Checkpoints.materialize(
+      hashBands(hashes, keyCol, hashCol, bands, bandBits))
     val keepBuckets = banded.groupBy("band_idx", "band_val")
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)

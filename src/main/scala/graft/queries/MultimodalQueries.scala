@@ -907,8 +907,13 @@ object MultimodalQueries {
         }
         .toDF("doc_id", "payload")
       val hashes = Multimodal.averageHash(s, packed)
-      val pairs = graft.ops.Similarity.hammingPairs(
-        hashes, "doc_id", "ahash", bands = 4, bandBits = 15, maxHam = 6)
+      // materialized: the total-count branch and the top-100 projection
+      // both consume the pair list — unmaterialized, the banded self-join
+      // (and everything above it) ran twice (r11 optimization; the pair
+      // list is band-bucket-capped, so the checkpoint is bounded)
+      val pairs = graft.ops.Checkpoints.materialize(
+        graft.ops.Similarity.hammingPairs(
+          hashes, "doc_id", "ahash", bands = 4, bandBits = 15, maxHam = 6))
       val tot = pairs.agg(count(lit(1)).as("n_pairs"))
       pairs.crossJoin(broadcast(tot))
         .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"),
