@@ -577,13 +577,30 @@ object Similarity {
   def saveCodes(encoded: DataFrame, dir: String,
       partitionCols: Seq[String] = Nil): Unit = {
     val spark = encoded.sparkSession
-    val w = encoded.write.mode("overwrite")
+    val w = clusterForWrite(encoded, partitionCols).write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/codes.parquet")
     writeCodesManifest(encoded, dir, partitionCols)
     publishCodesPointer(spark, dir, "codes.parquet")
     deleteStaleGenerations(spark, dir, keep = Set("codes.parquet"))
   }
+
+  /** Hash-cluster a batch on its partition columns before a partitioned
+    * write — [[compactCodes]]' bin-pack layout applied at WRITE time (the
+    * Iceberg write.distribution-mode=hash shape; optimization guide §6):
+    * without it every encode task writes a sliver into every cell dir,
+    * so one batch emits tasks × cells files (measured 512 per save at
+    * the gate's 32-way encode fan-out — ~1,500 files across
+    * q_ann_compact's three batches) where one-file-per-cell-per-batch is
+    * the layout every probe and the compaction itself then pays to read.
+    * The extra exchange moves exactly the batch being persisted, once —
+    * the write-distribution shuffle every lakehouse writer pays to avoid
+    * the small-files death (r11 optimization; row content unchanged,
+    * q_ann_* row-identity and top-k gates unaffected). */
+  private def clusterForWrite(df: DataFrame,
+      partitionCols: Seq[String]): DataFrame =
+    if (partitionCols.isEmpty) df
+    else df.repartition(partitionCols.map(col): _*)
 
   /** Read the live codes table back. Resolves the pointer (so it reads
     * the most recent COMPLETE generation) and validates the loaded
@@ -617,7 +634,10 @@ object Similarity {
     val spark = encoded.sparkSession
     requireCodesLayout(spark, dir, encoded.schema, partitionCols)
     val live = resolveCodesPath(spark, dir)
-    val w = encoded.write.mode("append")
+    // one file per cell per batch (see [[clusterForWrite]]) — the append
+    // hazard q_ann_compact gates stays real (one file SET per nightly
+    // batch), at deployment-shaped file counts
+    val w = clusterForWrite(encoded, partitionCols).write.mode("append")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(live.toString)
   }
