@@ -40,8 +40,11 @@ object Ranks {
 
   /** Append a dense 1-based global-rank column in `sortCols` order.
     * Internal columns are dropped; every input column is preserved.
-    * Triggers two bounded driver-side jobs at build time (a count and a
-    * ≤ 128·nParts-row cutpoint sample collect).
+    * Triggers THREE bounded driver-side jobs at build time (a count, a
+    * ≤ 128·nParts-row cutpoint sample collect, and the eager per-bucket
+    * counts materialization — the last is a full pass over `df`'s
+    * upstream, so callers with expensive upstreams should materialize
+    * their input first, as Dedup.sortedNeighborhood does).
     *
     * @param totalCol also append the total row count (constant column)
     *                 — rank-arithmetic consumers (ntile emulation) need
@@ -80,6 +83,85 @@ object Ranks {
         ranked.crossJoin(broadcast(total))
     }
   }
+
+  /** Append running (prefix) sums — and optionally the dense rank — over
+    * the TOTAL `sortCols` order, with no empty-partition-spec Window
+    * anywhere in the plan: [[globalRank]]'s cutpoint machinery
+    * generalized from row counting to value accumulation. For each
+    * `(outCol, valueCol)` in `cums` the output carries
+    * `outCol = Σ valueCol` over every row at-or-before this one in
+    * `sortCols` order — exactly `sum(valueCol).over(Window
+    * .orderBy(sortCols).rowsBetween(unboundedPreceding, currentRow))`,
+    * computed as per-bucket local running sums plus a triangular
+    * broadcast prefix of the per-bucket totals.
+    *
+    * Value columns must be EXACT types (integral/decimal): their sums
+    * re-associate losslessly, so the distributed form is bit-identical
+    * to the single-partition window. Do NOT pass float/double values —
+    * partial-sum re-association would change ulps. Same requirements as
+    * [[globalRank]] otherwise (total order; high-cardinality first sort
+    * column — see [[descCountKey]] for the rank-by-count shape). The
+    * optional rank is LONG (offset arithmetic); consumers that pinned
+    * `row_number()`'s INT cast it back at the call site. Same three
+    * bounded build-time jobs as [[globalRank]]; materialize expensive
+    * upstreams first. */
+  def globalCumsum(df: DataFrame, sortCols: Seq[Column], nParts: Int,
+      cums: Seq[(String, String)],
+      rankCol: Option[String] = None): DataFrame = {
+    require(nParts > 0, s"nParts=$nParts must be positive")
+    require(cums.nonEmpty || rankCol.nonEmpty,
+      "globalCumsum needs at least one cumulative column or a rank column")
+    val bounds = sampleCutpoints(df, sortCols.head, nParts)
+    val keyed = df.withColumn("__gr_bkt", bucketOf(sortCols.head, bounds))
+    // per-bucket counts AND per-bucket value totals in ONE materialized
+    // aggregate (≤ nParts rows): both sides of the triangular prefix join
+    // read it — the globalRank counts-materialization discipline
+    val aggs = count(lit(1)).as("__gr_cnt") +: cums.zipWithIndex.map {
+      case ((_, v), i) => sum(col(v)).as(s"__gr_s$i") }
+    val counts = Checkpoints.materialize(
+      keyed.groupBy("__gr_bkt").agg(aggs.head, aggs.tail: _*))
+    val below = counts.select((col("__gr_bkt").as("__gr_bbkt") +:
+      col("__gr_cnt").as("__gr_bcnt") +:
+      cums.indices.map(i => col(s"__gr_s$i").as(s"__gr_bs$i"))): _*)
+    val offAggs = coalesce(sum("__gr_bcnt"), lit(0L)).as("__gr_off") +:
+      cums.indices.map(i =>
+        coalesce(sum(s"__gr_bs$i"), lit(0L)).as(s"__gr_off$i"))
+    val offsets = counts
+      .join(broadcast(below), col("__gr_bbkt") < col("__gr_bkt"), "left")
+      .groupBy("__gr_bkt")
+      .agg(offAggs.head, offAggs.tail: _*)
+    val local = Window.partitionBy("__gr_bkt").orderBy(sortCols: _*)
+    val localPre = local.rowsBetween(Window.unboundedPreceding, 0)
+    val joined = keyed.join(broadcast(offsets), "__gr_bkt")
+    val withRank = rankCol match {
+      case Some(r) =>
+        joined.withColumn(r, col("__gr_off") + row_number().over(local))
+      case None => joined
+    }
+    val withCums = cums.zipWithIndex.foldLeft(withRank) {
+      case (acc, ((out, v), i)) =>
+        acc.withColumn(out, col(s"__gr_off$i") + sum(col(v)).over(localPre))
+    }
+    withCums.drop(("__gr_bkt" +: "__gr_off" +:
+      cums.indices.map(i => s"__gr_off$i")): _*)
+  }
+
+  /** Order-embedding of `(cnt DESC, tok ASC)` into ONE string key whose
+    * plain ascending order equals the pair order — what lets the
+    * rank-by-frequency shape (vocabulary builds, coverage curves) ride
+    * [[globalRank]]/[[globalCumsum]] with a HIGH-CARDINALITY bucket key:
+    * bucketing on `cnt` alone would funnel the entire Zipf singleton
+    * tail (every cnt = 1 type) into one bucket, which at web scale is
+    * the same single-task skew the machinery exists to avoid.
+    *
+    * Encoding: `Long.MaxValue − cnt` as FIXED-WIDTH (16-char) lowercase
+    * hex, then the token. Fixed width makes the numeric prefix compare
+    * lexicographically as the number (hex digits 0-9a-f are
+    * ASCII-ascending), the subtraction flips to descending, and the
+    * appended token breaks count-ties in UTF-8 byte order — exactly
+    * Spark's string `<` and the ASC tok tiebreak. Requires cnt ≥ 0. */
+  def descCountKey(cnt: Column, tok: Column): Column =
+    concat(format_string("%016x", lit(Long.MaxValue) - cnt), tok)
 
   /** `ntile(t)` from a dense 1-based rank and the total count — the exact
     * row-position semantics of the window function, as plain arithmetic:

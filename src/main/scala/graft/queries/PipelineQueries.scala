@@ -678,19 +678,26 @@ object PipelineQueries {
     * Scale shape: the vocab is BROADCAST (bounded by vocabulary size by
     * construction); tokenize + posexplode are map-side; the only
     * corpus shuffle is the per-doc reassembly groupBy, whose state is
-    * bounded by one document's tokens. The vocab-candidate window rides
-    * the same aggregated-table exception q_vocab_build documents.
-    * Empty-token docs keep a row (md5 of the empty string) via the
-    * left join from the full document list. */
+    * bounded by one document's tokens. The vocab-candidate ranking is
+    * [[graft.ops.Ranks.globalRank]] over the descCountKey embedding
+    * (r12: the candidate table grows with the corpus vocabulary, so the
+    * former unpartitioned rank window was a single-task funnel; ranks
+    * are order-only, values identical). Empty-token docs keep a row
+    * (md5 of the empty string) via the left join from the full document
+    * list. */
   val tokenizeIds = QuerySpec(
     "q_tokenize_ids",
     (s, d) => {
-      val counts = fanOut(s, documents(s, d))
-        .select(explode(Text.tokens(col("text"))).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("t").asc)
-      val vocab = counts
-        .withColumn("tok_id", row_number().over(w))
+      val counts = graft.ops.Checkpoints.materialize(
+        fanOut(s, documents(s, d))
+          .select(explode(Text.tokens(col("text"))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("cnt")))
+      val keyed = counts.withColumn("__vk",
+        graft.ops.Ranks.descCountKey(col("cnt"), col("t")))
+      val nParts = s.sessionState.conf.numShufflePartitions
+      val vocab = graft.ops.Ranks
+        .globalRank(keyed, Seq(col("__vk")), nParts, "__rk")
+        .withColumn("tok_id", col("__rk").cast("int")) // row_number()'s INT
         .filter(col("tok_id") <= 200)
         .select("t", "tok_id")
       val ids = fanOut(s, documents(s, d))

@@ -1653,26 +1653,31 @@ object StatsQueries {
   /** Cramér–von Mises-type discrepancy between the 1995/1996 order-value
     * distributions: D = Σᵥ (c₁+c₂)/(n₁+n₂) · (F₁(v)−F₂(v))² — the
     * squared-CDF-gap integral under the pooled law, the L² companion to
-    * q_ks_test's sup-norm. CDFs accumulate over the bounded $100-bin
-    * value frame (the q_spearman discipline); each bin's term is a fixed
+    * q_ks_test's sup-norm. CDFs accumulate over the distinct-$100-value
+    * frame via [[graft.ops.Ranks.globalCumsum]]'s cutpoint buckets (r12:
+    * the value frame is distinct-value-proportional — it grows with the
+    * price domain, so the former unpartitioned cumsum window was a
+    * single-task funnel; the running sums are exact longs, so the
+    * distributed prefix is bit-identical); each bin's term is a fixed
     * double tree on exact integers, nano-quantized once so the cross-bin
     * sum is exact. */
   val cvm = QuerySpec(
     "q_cvm",
     (s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
       val binned = orders(s, d)
         .filter(year(col("o_orderdate")).isin(1995, 1996))
         .select(year(col("o_orderdate")).as("yr"),
           expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
             "DIV 10000").as("v"))
-      val perV = binned.groupBy("v").agg(
-        sum((col("yr") === 1995).cast("long")).as("c1"),
-        sum((col("yr") === 1996).cast("long")).as("c2"))
-      val w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-      val cum = perV
-        .withColumn("k1", sum("c1").over(w))
-        .withColumn("k2", sum("c2").over(w))
+      // materialized once: feeds the cutpoint sample, the bucket pass,
+      // and the totals row
+      val perV = graft.ops.Checkpoints.materialize(
+        binned.groupBy("v").agg(
+          sum((col("yr") === 1995).cast("long")).as("c1"),
+          sum((col("yr") === 1996).cast("long")).as("c2")))
+      val nParts = s.sessionState.conf.numShufflePartitions
+      val cum = graft.ops.Ranks.globalCumsum(perV, Seq(col("v")), nParts,
+        Seq("k1" -> "c1", "k2" -> "c2"))
       val tot = perV.agg(sum("c1").as("n1"), sum("c2").as("n2"))
       val terms = cum.crossJoin(broadcast(tot))
         .select(expr("""CAST(round((CAST(c1 + c2 AS DOUBLE)
@@ -2499,19 +2504,25 @@ object StatsQueries {
     * to q_mann_whitney's significance verdict (a huge corpus makes
     * trivial differences "significant"; r says whether anyone should
     * care). U comes from the doubled-rank machinery over the $100
-    * value-level frame, exact end-to-end; r is one double. */
+    * value-level frame — the cumulative count per value via
+    * [[graft.ops.Ranks.globalCumsum]]'s cutpoint buckets (r12: the
+    * distinct-value frame grows with the balance domain, so the former
+    * unpartitioned cumsum window was a single-task funnel; exact-long
+    * prefix sums are reassociation-invariant) — exact end-to-end; r is
+    * one double. */
   val rankBiserial = QuerySpec(
     "q_rank_biserial",
     (s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
       val rows = customer(s, d)
         .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
         .select((col("c_mktsegment") === "BUILDING").cast("int").as("g"),
           expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
             "DIV 10000").as("v"))
-      val w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-      val vals = rows.groupBy("v").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum("cnt").over(w))
+      val binned = graft.ops.Checkpoints.materialize(
+        rows.groupBy("v").agg(count(lit(1)).as("cnt")))
+      val nParts = s.sessionState.conf.numShufflePartitions
+      val vals = graft.ops.Ranks
+        .globalCumsum(binned, Seq(col("v")), nParts, Seq("cum" -> "cnt"))
         .select(col("v"), (col("cum") * 2 - col("cnt") + 1).as("r2"))
       val piv = rows.join(vals, "v").agg(
         sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),

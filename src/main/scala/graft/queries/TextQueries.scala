@@ -858,25 +858,28 @@ object TextQueries {
     * covered-occurrence total, and the corpus total — cum_cnt/total_cnt
     * IS the tokenizer-coverage curve ("the top-k vocab covers X% of
     * occurrences"), in exact integers so both engines agree. The heavy
-    * stage (explode + count per token) is map-side-combinable; the
-    * global rank/running-sum window then runs over the COUNTS table —
-    * vocab candidates, orders of magnitude smaller than the corpus (the
-    * standard two-stage vocab build; a single-partition window over the
-    * candidate table is the accepted cost even at 100 TB, where the
-    * count table is pre-pruned with a min-frequency HAVING first). */
+    * stage (explode + count per token) is map-side-combinable; rank and
+    * running sum over the COUNTS table come from
+    * [[graft.ops.Ranks.globalCumsum]]'s cutpoint buckets (r12 — the
+    * vocabulary grows with the corpus, so the former single-partition
+    * window was a scale funnel; identical values, ranks are order-only
+    * and the cumsum is exact integers). */
   val vocabBuild = QuerySpec(
     "q_vocab_build",
     (s, d) => {
-      val counts = fanOut(s, documents(s, d))
-        .select(explode(Text.tokens(col("text"))).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("t").asc)
+      val counts = graft.ops.Checkpoints.materialize(
+        fanOut(s, documents(s, d))
+          .select(explode(Text.tokens(col("text"))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("cnt")))
+      val keyed = counts.withColumn("__vk",
+        graft.ops.Ranks.descCountKey(col("cnt"), col("t")))
+      val nParts = s.sessionState.conf.numShufflePartitions
       val total = counts.agg(sum("cnt").as("total_cnt"))
-      counts
-        .withColumn("tok_id", row_number().over(w).cast("long")) // BIGINT like the oracle
-        .withColumn("cum_cnt", sum("cnt").over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      graft.ops.Ranks
+        .globalCumsum(keyed, Seq(col("__vk")), nParts,
+          Seq("cum_cnt" -> "cnt"),
+          rankCol = Some("tok_id")) // already BIGINT like the oracle
+        .drop("__vk")
         .filter(col("tok_id") <= 200)
         .crossJoin(total)
         .select("tok_id", "t", "cnt", "cum_cnt", "total_cnt")
@@ -1964,24 +1967,33 @@ object TextQueries {
     * corpora typically cover >90% with a few hundred types — this
     * corpus's small synthetic vocabulary saturates early, which the
     * curve shows honestly.) Types rank by (count DESC, token) — a
-    * total order, so the cumulative sum is deterministic; the rank
-    * window runs over the VOCABULARY frame (type-bounded, never the
-    * corpus — the only corpus-sized stage is the one token-count
-    * aggregate). Coverage is exact-integer cumsum / total, one
-    * division per k. */
+    * total order, so the cumulative sum is deterministic; rank and
+    * cumsum come from [[graft.ops.Ranks.globalCumsum]]'s literal-
+    * cutpoint buckets over the descCountKey order-embedding (r12: the
+    * vocabulary frame GROWS with the corpus — web-scale type counts are
+    * billions — so the former unpartitioned rank/cumsum window was the
+    * one single-task stage left in this query; the distributed form is
+    * rank- and sum-identical because ranks are order-only and the
+    * running sums are exact integers). Coverage is exact-integer
+    * cumsum / total, one division per k. */
   val vocabCoverage = QuerySpec(
     "q_vocab_coverage",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val vocab = fanOut(s, documents(s, d))
-        .select(explode(Text.tokens(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val ranked = vocab
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("cnt").desc, col("tok"))))
-        .withColumn("cum", sum("cnt").over(
-          Window.orderBy(col("cnt").desc, col("tok"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
+      // materialized ONCE: the vocab aggregate feeds the cutpoint
+      // sample, the bucket pass, and the totals row (globalRank's
+      // materialize-expensive-upstreams contract)
+      val vocab = graft.ops.Checkpoints.materialize(
+        fanOut(s, documents(s, d))
+          .select(explode(Text.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt")))
+      val keyed = vocab.withColumn("__vk",
+        graft.ops.Ranks.descCountKey(col("cnt"), col("tok")))
+      val nParts = s.sessionState.conf.numShufflePartitions
+      val ranked = graft.ops.Ranks
+        .globalCumsum(keyed, Seq(col("__vk")), nParts,
+          Seq("cum" -> "cnt"), rankCol = Some("__rk"))
+        .withColumn("rk", col("__rk").cast("int")) // row_number()'s INT
+        .drop("__vk", "__rk")
       val tot = vocab.agg(sum("cnt").as("n_occ"),
         count(lit(1)).as("n_types"))
       import s.implicits._

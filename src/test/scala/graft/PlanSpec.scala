@@ -558,6 +558,32 @@ class PlanSpec extends SparkSpec {
           if w.partitionSpec.isEmpty => w.toString
     }
 
+  test("vocab rank/cumsum queries plan no corpus-proportional global window") {
+    // r12: the vocabulary frame grows with the corpus (web-scale type
+    // counts are billions), so the rank-by-frequency and coverage-cumsum
+    // queries must ride globalRank/globalCumsum's cutpoint buckets —
+    // an empty-partition-spec WindowExec here is the single-task funnel
+    // VERDICT r11 item 1 bans
+    for (q <- Seq("q_vocab_coverage", "q_vocab_build", "q_tokenize_ids")) {
+      val df = SparkEntry.queries(q)(spark, Sf001)
+      assert(emptySpecWindows(df).isEmpty,
+        s"$q plans an unpartitioned window over the vocabulary:\n" +
+          emptySpecWindows(df).mkString("\n"))
+    }
+  }
+
+  test("distinct-value cumsum queries plan no global window (cvm, rank_biserial)") {
+    // r12: these cumulative-distribution walks run over distinct-value
+    // frames that grow with the value domain — the prefix sums come from
+    // globalCumsum's triangular broadcast, never a single-task window
+    for (q <- Seq("q_cvm", "q_rank_biserial")) {
+      val df = SparkEntry.queries(q)(spark, Sf001)
+      assert(emptySpecWindows(df).isEmpty,
+        s"$q plans an unpartitioned window over the value frame:\n" +
+          emptySpecWindows(df).mkString("\n"))
+    }
+  }
+
   test("AUC plans no global window: ranks come from bucketed partitions") {
     val df = SparkEntry.queries("q_auc")(spark, Sf001)
     assert(emptySpecWindows(df).isEmpty,

@@ -76,4 +76,43 @@ class RanksSpec extends SparkSpec {
     val ranks = out.select("rk").as[Long].collect().sorted
     assert(ranks === (1L to 200L).toArray)
   }
+
+  test("globalCumsum equals running sums + row_number over a global window") {
+    for ((n, parts) <- Seq((0, 4), (1, 4), (37, 4), (500, 8), (500, 1000))) {
+      val df = randomDf(n, seed = 7 * n + parts)
+        .withColumn("v2", col("v").cast("long") * 3 + col("k"))
+      val ord = Window.orderBy(col("k"), col("id"))
+      val pre = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = df
+        .withColumn("rk", row_number().over(ord).cast("long"))
+        .withColumn("cv", sum(col("v").cast("long")).over(pre))
+        .withColumn("cv2", sum("v2").over(pre))
+        .select("id", "rk", "cv", "cv2")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+      val got = Ranks
+        .globalCumsum(df.withColumn("vl", col("v").cast("long")),
+          Seq(col("k"), col("id")), parts,
+          Seq("cv" -> "vl", "cv2" -> "v2"), rankCol = Some("rk"))
+        .select("id", "rk", "cv", "cv2")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+      assert(got === expected, s"n=$n parts=$parts")
+    }
+  }
+
+  test("descCountKey string order equals (cnt DESC, tok ASC)") {
+    val rnd = new scala.util.Random(9)
+    val toks = (1 to 400).map(i =>
+      (s"tok_${rnd.nextInt(300)}_$i", rnd.nextInt(5).toLong + 1))
+      .toDF("tok", "cnt")
+    val byPair = toks
+      .orderBy(col("cnt").desc, col("tok"))
+      .select("tok").as[String].collect().toSeq
+    val byKey = toks
+      .withColumn("key", Ranks.descCountKey(col("cnt"), col("tok")))
+      .orderBy("key")
+      .select("tok").as[String].collect().toSeq
+    assert(byKey === byPair)
+  }
 }
