@@ -101,14 +101,22 @@ object Replay {
     * harness's floor, ~0.4–0.7 s/trigger, and fewer triggers exercise the
     * same transitions while the oracles are slice-count-invariant
     * (time-ordered slicing drops nothing at any count). */
-  private def sliceDial(spark: SparkSession, default: Int): Int =
-    spark.conf.getOption("graft.replay.slices")
+  private def sliceDial(spark: SparkSession, default: Int): Int = {
+    val n = spark.conf.getOption("graft.replay.slices")
       .orElse(sys.env.get("SPARK_GRAFT_REPLAY_SLICES"))
       .map(_.toInt)
       .getOrElse(default)
+    // fail LOUDLY on a nonsense dial: slices < 1 would make fileTumbling
+    // bucket every row into __slice = -1 (a directory the flattening
+    // loop never moves into the landing dir) and the stream would
+    // "succeed" on sentinel files alone — an empty result recorded as a
+    // fast pass (ADVICE r11)
+    require(n >= 1, s"graft.replay.slices=$n must be >= 1")
+    n
+  }
 
   /** Start a streaming query under REPLAY-SCOPED session confs, restoring
-    * them right after stream start (both are captured at query start, so
+    * them right after stream start (all are captured at query start, so
     * the scoped set/restore is exact). Shared by every runner:
     *  - state width 4: the state-store partition count is pinned at
     *    stream start from spark.sql.shuffle.partitions, and every
@@ -116,6 +124,16 @@ object Replay {
     *    sizes 4 partitions hold the state comfortably and cut the
     *    per-batch floor (a production stream sizes this to its key
     *    cardinality instead);
+    *  - no-data micro-batches OFF (r12): with them on, every
+    *    `processAllAvailable` barrier runs the data batch AND a trailing
+    *    empty batch to flush watermark-closed windows — doubling the
+    *    per-trigger floor the ReplayFloor methodology measures. The
+    *    replay design has never depended on that flush: the SECOND
+    *    far-future sentinel exists precisely to be "the data batch that
+    *    finalizes emission even if the engine's no-data-batch flush does
+    *    not fire" (see the object scaladoc), so every runner's result is
+    *    identical with the flag off — the oracles hash-gate exactly that.
+    *    Scoped to replay streams only; nothing global changes;
     *  - the optional state-store provider class (the RocksDB gates). */
   private def startScoped(spark: SparkSession, provider: Option[String])
       (start: => org.apache.spark.sql.streaming.StreamingQuery)
@@ -128,16 +146,40 @@ object Replay {
     // query START (plan + conf capture), never execution.
     Replay.synchronized {
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      // changelog checkpointing: commit per-batch DELTAS to the
+      // checkpoint location instead of full RocksDB snapshots — the
+      // recommended production setting for RocksDB state stores (it cuts
+      // per-commit IO from O(state) to O(delta)); scoped alongside the
+      // provider so the on-heap gates are untouched
+      val changelogKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       val prevProvider = spark.conf.getOption(providerKey)
+      val prevNoData = spark.conf.getOption(noDataKey)
+      val prevChangelog = spark.conf.getOption(changelogKey)
       spark.conf.set("spark.sql.shuffle.partitions", "4")
-      provider.foreach(spark.conf.set(providerKey, _))
+      spark.conf.set(noDataKey, "false")
+      provider.foreach { p =>
+        spark.conf.set(providerKey, p)
+        spark.conf.set(changelogKey, "true")
+      }
       try start
       finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        if (provider.isDefined) prevProvider match {
-          case Some(v) => spark.conf.set(providerKey, v)
-          case None => spark.conf.unset(providerKey)
+        prevNoData match {
+          case Some(v) => spark.conf.set(noDataKey, v)
+          case None => spark.conf.unset(noDataKey)
+        }
+        if (provider.isDefined) {
+          prevProvider match {
+            case Some(v) => spark.conf.set(providerKey, v)
+            case None => spark.conf.unset(providerKey)
+          }
+          prevChangelog match {
+            case Some(v) => spark.conf.set(changelogKey, v)
+            case None => spark.conf.unset(changelogKey)
+          }
         }
       }
     }

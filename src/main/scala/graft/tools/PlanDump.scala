@@ -20,6 +20,8 @@ import graft.SparkEntry
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> [q1,q2,…]")
     val sfDir = args(0)
     val outDir = java.nio.file.Paths.get(args(1))
     val suffix = args(2)
