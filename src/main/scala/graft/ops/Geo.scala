@@ -50,12 +50,55 @@ object Geo {
 
   /** [[neighborPairs]] with the threshold given as SQUARED distance —
     * for callers whose ε² is derived (e.g. area/n) and has no exact
-    * integer square root. */
+    * integer square root.
+    *
+    * The UNORDERED self-join takes the canonical-cell 5-offset cover
+    * (r12, guide §2.3 — shuffle fewer bytes): an unordered pair within
+    * radius meets exactly once, in the lexicographically smaller of the
+    * two home cells, so the probe side replicates to its home plus the
+    * 4 lex-smaller neighbor cells instead of all 9 — 1.8× fewer
+    * replicated probe rows through the cell exchange and ~45% fewer
+    * candidate pairs evaluated, with the same exact pair set (GeoSpec
+    * proves equality against brute force). The ordered form (the kNN
+    * feed, which needs both directions anyway) keeps the 3×3 cover —
+    * mirroring the unordered result would re-evaluate the join twice. */
   def neighborPairs2(points: DataFrame, cellSize: Long, radius2: Long,
       ordered: Boolean = false): DataFrame = {
-    val keyPred =
-      if (ordered) col("key_a") =!= col("key_b") else col("key_a") < col("key_b")
-    blockedJoin(points, points, cellSize, radius2, keyPred)
+    if (ordered)
+      return blockedJoin(points, points, cellSize, radius2,
+        col("key_a") =!= col("key_b"))
+    require(radius2 > 0 && cellSize * cellSize >= radius2,
+      s"3x3 neighbor cover needs 0 < radius2 <= cellSize^2, " +
+        s"got radius2=$radius2 cellSize=$cellSize")
+    val build = withCells(points, cellSize).select(
+      col("key").as("key_a"), col("x").as("xa"), col("y").as("ya"),
+      col("cell_x"), col("cell_y"))
+    // home + the 4 lexicographically-smaller neighbors: every delta d
+    // with home+d <lex home (x first, then y), |d| <= 1 per axis
+    val offsets = array(
+      Seq((-1L, -1L), (-1L, 0L), (-1L, 1L), (0L, -1L), (0L, 0L)).map {
+        case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      }: _*)
+    val probe = withCells(points, cellSize)
+      .select(col("key").as("key_b"), col("x").as("xb"), col("y").as("yb"),
+        col("cell_x"), col("cell_y"), explode(offsets).as("off"))
+      .select(col("key_b"), col("xb"), col("yb"),
+        (col("cell_x") + col("off.dx")).as("cell_x"),
+        (col("cell_y") + col("off.dy")).as("cell_y"),
+        (col("off.dx") === 0L && col("off.dy") === 0L).as("__home"))
+    val dist2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    // same-cell pairs meet twice (each side as build) — key_a < key_b
+    // dedups; cross-cell pairs meet exactly once (only the lex-smaller
+    // home is a meeting cell), with arbitrary key order — normalize on
+    // output so the (key_a < key_b) contract holds
+    build.join(probe, Seq("cell_x", "cell_y"))
+      .where(dist2 <= lit(radius2) &&
+        (col("__home") && (col("key_a") < col("key_b")) || !col("__home")))
+      .select(least(col("key_a"), col("key_b")).as("key_a"),
+        greatest(col("key_a"), col("key_b")).as("key_b"),
+        dist2.as("dist2"))
   }
 
   /** Radius join across TWO point sets (e.g. every customer to the
