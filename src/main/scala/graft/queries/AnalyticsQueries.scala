@@ -819,13 +819,18 @@ object AnalyticsQueries {
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
         .select(expr("CAST(sp * 100 AS BIGINT) DIV 10000").as("b"))
-      val bins = per.groupBy("b").agg(count(lit(1)).as("cnt"))
-      val w = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+      // globalCumsum instead of an unpartitioned window (r12): the bin
+      // frame grows with the spend domain; both running sums are exact
+      // longs, so the distributed prefix is bit-identical
+      val bins = graft.ops.Checkpoints.materialize(
+        per.groupBy("b").agg(count(lit(1)).as("cnt"))
+          .withColumn("bc", col("b") * col("cnt")))
       val d38 = "decimal(38,0)"
-      val cum = bins
-        .withColumn("ccnt", sum("cnt").over(w) - col("cnt"))
-        .withColumn("csum", sum(col("b") * col("cnt")).over(w) -
-          col("b") * col("cnt"))
+      val cum = graft.ops.Ranks.globalCumsum(bins, Seq(col("b")),
+          s.sessionState.conf.numShufflePartitions,
+          Seq("cumc" -> "cnt", "cums" -> "bc"))
+        .withColumn("ccnt", col("cumc") - col("cnt"))
+        .withColumn("csum", col("cums") - col("bc"))
       val st = cum.agg(
         sum("cnt").as("n"),
         sum(col("b").cast(d38) * col("cnt")).as("s"),

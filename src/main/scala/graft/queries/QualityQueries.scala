@@ -956,13 +956,15 @@ object QualityQueries {
             col("user_id").cast("string"))), 1, 2) < "80", 1L)
             .otherwise(0L).as("in_split"),
           coalesce(col("buy"), lit(0L)).as("in_buy"))
-      val perValue = perUser.groupBy("m").agg(
-        count(lit(1)).as("cnt"),
-        sum(col("in_split")).as("na_sp"), sum(col("in_buy")).as("na_by"))
-      val W = org.apache.spark.sql.expressions.Window
-      val w = W.orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
-      val ranked = perValue
-        .withColumn("cum", sum("cnt").over(w))
+      // globalCumsum instead of an unpartitioned window (r12): the
+      // distinct-activity-count frame grows (sublinearly) with the
+      // heaviest user's event count — data-dependent, not constant
+      val perValue = graft.ops.Checkpoints.materialize(
+        perUser.groupBy("m").agg(
+          count(lit(1)).as("cnt"),
+          sum(col("in_split")).as("na_sp"), sum(col("in_buy")).as("na_by")))
+      val ranked = graft.ops.Ranks.globalCumsum(perValue, Seq(col("m")),
+          s.sessionState.conf.numShufflePartitions, Seq("cum" -> "cnt"))
         .select(col("cnt"), col("na_sp"), col("na_by"),
           (col("cum") - col("cnt") + 1L).as("mn"), col("cum").as("mx"))
       def leg(p: String) = Seq(
@@ -1456,10 +1458,15 @@ object QualityQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
         .select(col("m"),
           expr("CAST(sp * 100 AS BIGINT) DIV 10000").as("yb"))
+      // globalCumsum instead of an unpartitioned window (r12): the
+      // value-level frames grow with activity/price domains; exact-long
+      // prefix sums are reassociation-invariant, so the doubled ranks
+      // are bit-identical
       def rank2(df: org.apache.spark.sql.DataFrame, v: String) = {
-        val w = W.orderBy(v).rowsBetween(W.unboundedPreceding, W.currentRow)
-        df.groupBy(v).agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum("cnt").over(w))
+        val binned = graft.ops.Checkpoints.materialize(
+          df.groupBy(v).agg(count(lit(1)).as("cnt")))
+        graft.ops.Ranks.globalCumsum(binned, Seq(col(v)),
+            s.sessionState.conf.numShufflePartitions, Seq("cum" -> "cnt"))
           .select(col(v), (col("cum") * 2 - col("cnt") + 1).as("r2"))
       }
       val joined = per
@@ -1545,9 +1552,12 @@ object QualityQueries {
       val rows = orders(s, d).select(col("o_orderpriority").as("g"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
           "DIV 10000").as("v"))
-      val w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-      val vals = rows.groupBy("v").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum("cnt").over(w))
+      // globalCumsum instead of an unpartitioned window (r12): the
+      // distinct-$100-value frame grows with the price domain
+      val binned = graft.ops.Checkpoints.materialize(
+        rows.groupBy("v").agg(count(lit(1)).as("cnt")))
+      val vals = graft.ops.Ranks.globalCumsum(binned, Seq(col("v")),
+          s.sessionState.conf.numShufflePartitions, Seq("cum" -> "cnt"))
         .select(col("v"), (col("cum") * 2 - col("cnt") + 1).as("r2"),
           (col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"))
       val gs = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
@@ -2040,10 +2050,13 @@ object QualityQueries {
         .select(expr("abs(diff) DIV 10000").as("ad"),
           (col("diff") > 0).cast("long").as("pos"))
         .filter(col("ad") > 0) // |d| under one bin carries no rank signal
-      val w = W.orderBy("ad").rowsBetween(W.unboundedPreceding, W.currentRow)
-      val vals = per.groupBy("ad").agg(count(lit(1)).as("cnt"),
-        sum("pos").as("np"))
-        .withColumn("cum", sum("cnt").over(w))
+      // globalCumsum instead of an unpartitioned window (r12): the
+      // distinct-|diff| frame grows with the spend-difference domain
+      val binned = graft.ops.Checkpoints.materialize(
+        per.groupBy("ad").agg(count(lit(1)).as("cnt"),
+          sum("pos").as("np")))
+      val vals = graft.ops.Ranks.globalCumsum(binned, Seq(col("ad")),
+          s.sessionState.conf.numShufflePartitions, Seq("cum" -> "cnt"))
         .select(col("cnt"), col("np"),
           (col("cum") * 2 - col("cnt") + 1).as("r2"),
           (col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"))

@@ -576,7 +576,8 @@ class PlanSpec extends SparkSpec {
     // r12: these cumulative-distribution walks run over distinct-value
     // frames that grow with the value domain — the prefix sums come from
     // globalCumsum's triangular broadcast, never a single-task window
-    for (q <- Seq("q_cvm", "q_rank_biserial")) {
+    for (q <- Seq("q_cvm", "q_rank_biserial", "q_spearman", "q_kruskal",
+        "q_wilcoxon", "q_mann_whitney", "q_lorenz_gini")) {
       val df = SparkEntry.queries(q)(spark, Sf001)
       assert(emptySpecWindows(df).isEmpty,
         s"$q plans an unpartitioned window over the value frame:\n" +
