@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   *      branch of the plan assigns identical buckets (a sampled
   *      `repartitionByRange` exchange would re-sample per branch and
   *      disagree);
-  *   3. per-bucket counts → prefix-sum OFFSETS via a triangular
-  *      broadcast join over ≤ nParts rows (no global window even here);
+  *   3. per-bucket counts (≤ nParts rows) collect once; their prefix
+  *      sums embed as literal binary-search CASE offsets — no join, no
+  *      broadcast, no global window even here;
   *   4. `row_number` over `Window.partitionBy(bucket)` — partition-LOCAL
   *      — plus the bucket's offset.
   *
@@ -41,10 +42,10 @@ object Ranks {
   /** Append a dense 1-based global-rank column in `sortCols` order.
     * Internal columns are dropped; every input column is preserved.
     * Triggers THREE bounded driver-side jobs at build time (a count, a
-    * ≤ 128·nParts-row cutpoint sample collect, and the eager per-bucket
-    * counts materialization — the last is a full pass over `df`'s
-    * upstream, so callers with expensive upstreams should materialize
-    * their input first, as Dedup.sortedNeighborhood does).
+    * ≤ 128·nParts-row cutpoint sample collect, and the ≤ nParts-row
+    * per-bucket counts collect — each a full pass over `df`'s upstream,
+    * so callers with expensive upstreams should materialize their input
+    * first, as Dedup.sortedNeighborhood does).
     *
     * @param totalCol also append the total row count (constant column)
     *                 — rank-arithmetic consumers (ntile emulation) need
@@ -55,33 +56,49 @@ object Ranks {
     require(nParts > 0, s"nParts=$nParts must be positive")
     val bounds = sampleCutpoints(df, sortCols.head, nParts)
     val keyed = df.withColumn("__gr_bkt", bucketOf(sortCols.head, bounds))
-    // counts MATERIALIZED (≤ nParts rows): it feeds the triangular join
-    // twice (both sides) and the optional total — unmaterialized, each
-    // consumer re-ran the full count aggregate over `df`'s upstream
-    // chain (3 extra passes in the q_snm_dedup/q_zorder before-plans;
-    // r11 optimization, rank values are materialization-invariant)
-    val counts = Checkpoints.materialize(
-      keyed.groupBy("__gr_bkt").agg(count(lit(1)).as("__gr_cnt")))
-    // prefix sum over ≤ nParts rows: a triangular broadcast join instead
-    // of a global window, so NO empty-partition-spec Window node exists
-    // anywhere in the plan (PlanSpec asserts the absence outright)
-    val below = counts.select(col("__gr_bkt").as("__gr_bbkt"),
-      col("__gr_cnt").as("__gr_bcnt"))
-    val offsets = counts
-      .join(broadcast(below), col("__gr_bbkt") < col("__gr_bkt"), "left")
-      .groupBy("__gr_bkt")
-      .agg(coalesce(sum("__gr_bcnt"), lit(0L)).as("__gr_off"))
+    // per-bucket counts COLLECTED (≤ nParts rows, one bounded job) and
+    // prefix-summed on the driver: the offsets embed as a codegen'd
+    // binary-search CASE over literal (bucket, offset) pairs — the same
+    // bounds-as-literals move the cutpoints already make — so the plan
+    // carries NO join for the rank attach at all (r12: the r11 form
+    // materialized the counts and prefix-summed them through a
+    // triangular broadcast nested-loop join, which cost a checkpoint, a
+    // broadcast, and an unbounded-build BNLJ node in every consumer's
+    // plan — PlanSweep flagged exactly that).
+    val cnts = keyed.groupBy("__gr_bkt").agg(count(lit(1)).as("__gr_cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = cnts.scanLeft(0L)(_ + _._2)
+    val offEntries = cnts.indices.map(i => (cnts(i)._1, offsets(i)))
     val local = Window.partitionBy("__gr_bkt").orderBy(sortCols: _*)
     val ranked = keyed
-      .join(broadcast(offsets), "__gr_bkt")
-      .withColumn(rankCol, col("__gr_off") + row_number().over(local))
-      .drop("__gr_bkt", "__gr_off")
+      .withColumn(rankCol,
+        literalLookup(col("__gr_bkt"),
+          offEntries.map { case (k, v) => (k, lit(v)) }, lit(0L)) +
+          row_number().over(local))
+      .drop("__gr_bkt")
     totalCol match {
       case None => ranked
-      case Some(n) =>
-        val total = counts.agg(coalesce(sum("__gr_cnt"), lit(0L)).as(n))
-        ranked.crossJoin(broadcast(total))
+      case Some(n) => ranked.withColumn(n, lit(offsets.last))
     }
+  }
+
+  /** Balanced binary-search CASE over literal `(key, value)` entries,
+    * sorted by key — O(log n) codegen'd compares per row, the
+    * [[bucketOf]] shape for attaching a small driver-computed lookup
+    * (bucket offsets) as plan literals instead of a broadcast join.
+    * Every probed key must be present (probes are bucket ids that came
+    * from the same data the entries were aggregated from); an empty
+    * entry list yields `default`. */
+  private def literalLookup(key: Column,
+      entries: IndexedSeq[(Int, Column)], default: Column): Column = {
+    def go(lo: Int, hi: Int): Column =
+      if (lo == hi) entries(lo)._2
+      else {
+        val mid = (lo + hi) / 2
+        when(key > lit(entries(mid)._1), go(mid + 1, hi))
+          .otherwise(go(lo, mid))
+      }
+    if (entries.isEmpty) default else go(0, entries.length - 1)
   }
 
   /** Append running (prefix) sums — and optionally the dense rank — over
@@ -92,13 +109,19 @@ object Ranks {
     * `outCol = Σ valueCol` over every row at-or-before this one in
     * `sortCols` order — exactly `sum(valueCol).over(Window
     * .orderBy(sortCols).rowsBetween(unboundedPreceding, currentRow))`,
-    * computed as per-bucket local running sums plus a triangular
-    * broadcast prefix of the per-bucket totals.
+    * computed as per-bucket local running sums plus per-bucket prefix
+    * OFFSETS collected once (≤ nParts rows) and embedded as literal
+    * binary-search CASE trees — the [[globalRank]] offsets-as-literals
+    * shape, no join anywhere in the plan.
     *
-    * Value columns must be EXACT types (integral/decimal): their sums
+    * Value columns must be EXACT types (long/decimal): their sums
     * re-associate losslessly, so the distributed form is bit-identical
     * to the single-partition window. Do NOT pass float/double values —
-    * partial-sum re-association would change ulps. Same requirements as
+    * partial-sum re-association would change ulps (rejected at build).
+    * Value columns must also be NON-NULL except where NULLs sort to the
+    * global head (a NULL sort key lands in bucket 0): a NULL value
+    * mid-order would make literal-offset + NULL-local-prefix diverge
+    * from the window form's skip-NULLs semantics. Same requirements as
     * [[globalRank]] otherwise (total order; high-cardinality first sort
     * column — see [[descCountKey]] for the rank-by-count shape). The
     * optional rank is LONG (offset arithmetic); consumers that pinned
@@ -113,37 +136,53 @@ object Ranks {
       "globalCumsum needs at least one cumulative column or a rank column")
     val bounds = sampleCutpoints(df, sortCols.head, nParts)
     val keyed = df.withColumn("__gr_bkt", bucketOf(sortCols.head, bounds))
-    // per-bucket counts AND per-bucket value totals in ONE materialized
-    // aggregate (≤ nParts rows): both sides of the triangular prefix join
-    // read it — the globalRank counts-materialization discipline
+    // per-bucket counts AND value totals in ONE collected aggregate
+    // (≤ nParts rows, one bounded job), prefix-summed on the driver and
+    // embedded as literal binary-search CASE trees — the globalRank
+    // offsets-as-literals shape, so the plan carries no join at all
     val aggs = count(lit(1)).as("__gr_cnt") +: cums.zipWithIndex.map {
       case ((_, v), i) => sum(col(v)).as(s"__gr_s$i") }
-    val counts = Checkpoints.materialize(
-      keyed.groupBy("__gr_bkt").agg(aggs.head, aggs.tail: _*))
-    val below = counts.select((col("__gr_bkt").as("__gr_bbkt") +:
-      col("__gr_cnt").as("__gr_bcnt") +:
-      cums.indices.map(i => col(s"__gr_s$i").as(s"__gr_bs$i"))): _*)
-    val offAggs = coalesce(sum("__gr_bcnt"), lit(0L)).as("__gr_off") +:
-      cums.indices.map(i =>
-        coalesce(sum(s"__gr_bs$i"), lit(0L)).as(s"__gr_off$i"))
-    val offsets = counts
-      .join(broadcast(below), col("__gr_bbkt") < col("__gr_bkt"), "left")
-      .groupBy("__gr_bkt")
-      .agg(offAggs.head, offAggs.tail: _*)
+    val rows = keyed.groupBy("__gr_bkt").agg(aggs.head, aggs.tail: _*)
+      .collect().sortBy(_.getInt(0))
+    // driver-side prefix sums; a bucket whose value-sum is NULL (all its
+    // values NULL) contributes nothing, exactly as window `sum` skips
+    // NULLs. Exact types only: Long and BigDecimal accumulate losslessly.
+    def prefixOf(idx: Int): IndexedSeq[(Int, Column)] = {
+      var accL = 0L
+      var accD: java.math.BigDecimal = java.math.BigDecimal.ZERO
+      rows.toIndexedSeq.map { r =>
+        val off: Column = r.get(idx) match {
+          case null => if (accD.signum != 0) lit(accD) else lit(accL)
+          case _: java.lang.Long =>
+            val o = lit(accL); accL += r.getLong(idx); o
+          case d: java.math.BigDecimal =>
+            val o = lit(accD); accD = accD.add(d); o
+          case other => throw new IllegalArgumentException(
+            s"globalCumsum needs exact-typed (long/decimal) value " +
+              s"columns, got ${other.getClass.getName}")
+        }
+        (r.getInt(0), off)
+      }
+    }
+    val cntIdx = rows.headOption.map(_.fieldIndex("__gr_cnt")).getOrElse(1)
     val local = Window.partitionBy("__gr_bkt").orderBy(sortCols: _*)
     val localPre = local.rowsBetween(Window.unboundedPreceding, 0)
-    val joined = keyed.join(broadcast(offsets), "__gr_bkt")
     val withRank = rankCol match {
-      case Some(r) =>
-        joined.withColumn(r, col("__gr_off") + row_number().over(local))
-      case None => joined
+      case Some(rc) =>
+        keyed.withColumn(rc,
+          literalLookup(col("__gr_bkt"), prefixOf(cntIdx), lit(0L)) +
+            row_number().over(local))
+      case None => keyed
     }
     val withCums = cums.zipWithIndex.foldLeft(withRank) {
       case (acc, ((out, v), i)) =>
-        acc.withColumn(out, col(s"__gr_off$i") + sum(col(v)).over(localPre))
+        val idx = rows.headOption
+          .map(_.fieldIndex(s"__gr_s$i")).getOrElse(i + 2)
+        acc.withColumn(out,
+          literalLookup(col("__gr_bkt"), prefixOf(idx), lit(0L)) +
+            sum(col(v)).over(localPre))
     }
-    withCums.drop(("__gr_bkt" +: "__gr_off" +:
-      cums.indices.map(i => s"__gr_off$i")): _*)
+    withCums.drop("__gr_bkt")
   }
 
   /** Order-embedding of `(cnt DESC, tok ASC)` into ONE string key whose

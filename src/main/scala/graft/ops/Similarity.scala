@@ -596,7 +596,18 @@ object Similarity {
     * The extra exchange moves exactly the batch being persisted, once —
     * the write-distribution shuffle every lakehouse writer pays to avoid
     * the small-files death (r11 optimization; row content unchanged,
-    * q_ann_* row-identity and top-k gates unaffected). */
+    * q_ann_* row-identity and top-k gates unaffected).
+    *
+    * Write parallelism equals the number of occupied hash partitions —
+    * bounded by the DISTINCT CELL count (ADVICE r11): with cells < cores
+    * some write slots idle, and a hot cell serializes into one task.
+    * This is the deliberate trade at the gates' nCells=16 (batches are
+    * tiny; task overhead dominates), and a non-issue at deployment scale
+    * where nCells ≈ √n ≫ cores by construction (the IVF sizing rule the
+    * ivfTrain scaladoc documents). If a deployment ever runs cells ≪
+    * cores with fat batches, salt WITHIN the cell
+    * (repartition(n, cols :+ pmod(xxhash64(id), k))) — k files per cell
+    * per batch instead of 1, parallelism × k. */
   private def clusterForWrite(df: DataFrame,
       partitionCols: Seq[String]): DataFrame =
     if (partitionCols.isEmpty) df
